@@ -1,0 +1,186 @@
+"""Deterministic fixture generators (FIXTURES.md F1/F2).
+
+The reference validates operationally with a synthetic Kafka producer
+(``src/generator/data_generator.py:46-69`` — 5 keys, 1 Hz, 15% nulls);
+our analog is a seeded page-table generator with Zipf-skewed hosts,
+controlled out-of-orderness vs ``warc_ts``, injected duplicate clusters,
+and ~2% empty documents (the "null" analog dropped like
+``src/flink_job/job.py:68``).
+
+Arrival order == row order.  ``write_epochs`` splits rows by arrival
+position into one Parquet file per epoch (the Kafka partition/offset
+analog); ``warc_ts`` jitter then exercises the watermark logic.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .functions.fingerprint import wrap_html
+
+BASE_TS_MS = 1_700_000_000_000  # fixed epoch base (UTC)
+LANGS = ["en", "de", "fr", "hi", "zh"]
+
+_VOCAB = (
+    "the quick brown fox jumps over lazy dog stream data window shuffle "
+    "partition arrow batch actor block spill hash join sort merge scan "
+    "filter project group count mean median crawl page host link anchor "
+    "title body text token shingle cluster near exact dup fingerprint "
+    "watermark epoch state snapshot resume commit fence lineage metric"
+).split()
+
+
+def _gen_texts(rng: np.random.RandomState, n: int) -> list[str]:
+    """Seeded texts with injected duplicate structure:
+    ~70% unique, ~15% exact-dup clusters, ~15% near-dup clusters."""
+    texts: list[str] = []
+    originals: list[list[str]] = []
+    for _ in range(n):
+        kind = rng.rand()
+        if originals and kind < 0.15:  # exact dup of an earlier doc
+            texts.append(" ".join(originals[rng.randint(len(originals))]))
+        elif originals and kind < 0.30:  # near dup: k token edits
+            toks = list(originals[rng.randint(len(originals))])
+            for _ in range(rng.randint(1, 3)):
+                toks[rng.randint(len(toks))] = _VOCAB[rng.randint(len(_VOCAB))]
+            texts.append(" ".join(toks))
+        else:
+            toks = [_VOCAB[rng.randint(len(_VOCAB))] for _ in range(rng.randint(12, 40))]
+            originals.append(toks)
+            texts.append(" ".join(toks))
+    return texts
+
+
+def make_pages(
+    n_docs: int = 2000,
+    seed: int = 42,
+    n_hosts: int = 40,
+    step_ms: int = 500,
+    lateness_ms: int = 10_000,
+    late_frac: float = 0.01,
+    ooo_frac: float = 0.05,
+    empty_frac: float = 0.02,
+) -> pa.Table:
+    """F1 `pages` table: (url, warc_ts, html, text, lang).
+
+    warc_ts is mostly increasing with jitter; ~ooo_frac rows out of order
+    within the watermark bound; ~late_frac rows later than the bound
+    (must be dropped as late and counted in metrics).
+    """
+    rng = np.random.RandomState(seed)
+    # Zipf-skewed host choice: a few hot hosts exercise salting
+    ranks = np.arange(1, n_hosts + 1, dtype=np.float64)
+    probs = (1.0 / ranks**1.2)
+    probs /= probs.sum()
+    host_idx = rng.choice(n_hosts, size=n_docs, p=probs)
+    hosts = np.array([f"h{i:03d}.example.com" for i in range(n_hosts)], dtype=object)[host_idx]
+    urls = np.array([f"https://{h}/p{i}" for i, h in enumerate(hosts)], dtype=object)
+
+    lang_probs = np.array([0.5, 0.2, 0.15, 0.1, 0.05])
+    langs = np.array(LANGS, dtype=object)[rng.choice(len(LANGS), size=n_docs, p=lang_probs)]
+
+    ts = BASE_TS_MS + np.arange(n_docs, dtype=np.int64) * step_ms
+    jitter = rng.randint(0, max(1, lateness_ms // 3), size=n_docs)
+    ts = ts + jitter
+    ooo = rng.rand(n_docs) < ooo_frac
+    ts[ooo] -= rng.randint(1, lateness_ms, size=ooo.sum())
+    late = rng.rand(n_docs) < late_frac
+    ts[late] -= lateness_ms * 3 + rng.randint(0, lateness_ms, size=late.sum())
+
+    texts = _gen_texts(rng, n_docs)
+    empty = rng.rand(n_docs) < empty_frac
+    for i in np.flatnonzero(empty):
+        texts[i] = ""
+    html = [wrap_html(t) for t in texts]
+
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(ts, type=pa.timestamp("ms")),
+            "html": pa.array(html, type=pa.binary()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(langs, type=pa.string()),
+        }
+    )
+
+
+def make_page_updates(pages: pa.Table, seed: int = 43, hit_frac: float = 0.3) -> pa.Table:
+    """F2 `page_updates`: late-arriving update stream (join probe side).
+
+    ~hit_frac of updates reference F1 urls (join hits); delays span
+    {in-window, late-but-within-retention, beyond-retention} — analog of
+    the dual-consumer correlation buffer
+    (``src/postprocess/save_fingerprints.py:66-153``).
+    """
+    rng = np.random.RandomState(seed)
+    n = max(1, pages.num_rows // 2)
+    urls = np.asarray(pages["url"], dtype=object)
+    ts = pages["warc_ts"].cast(pa.int64()).to_numpy()
+    pick = rng.randint(0, len(urls), size=n)
+    hit = rng.rand(n) < hit_frac
+    upd_urls = np.where(hit, urls[pick], np.array([f"https://miss{i}.example.com/x" for i in range(n)], dtype=object))
+    delay_kind = rng.randint(0, 3, size=n)
+    delay = np.select(
+        [delay_kind == 0, delay_kind == 1, delay_kind == 2],
+        [rng.randint(0, 30_000, size=n), rng.randint(30_000, 240_000, size=n), rng.randint(400_000, 800_000, size=n)],
+    )
+    upd_ts = ts[pick] + delay
+    kinds = np.array(["modified", "deleted", "redirected"], dtype=object)[rng.randint(0, 3, size=n)]
+    texts = np.asarray(pages["text"], dtype=object)[pick]
+    new_text = np.array([t + " updated" if t else "updated" for t in texts], dtype=object)
+    order = np.argsort(upd_ts, kind="stable")  # arrival roughly by time
+    return pa.table(
+        {
+            "url": pa.array(upd_urls[order], type=pa.string()),
+            "update_ts": pa.array(upd_ts[order], type=pa.timestamp("ms")),
+            "change_kind": pa.array(kinds[order], type=pa.string()),
+            "new_text": pa.array(new_text[order], type=pa.string()),
+        }
+    )
+
+
+def write_epochs(table: pa.Table, out_dir: str, n_epochs: int = 8, prefix: str = "pages") -> list[str]:
+    """Split rows by ARRIVAL position into one Parquet file per epoch:
+    ``{out_dir}/{prefix}/epoch=K/part.parquet`` (the source-cursor unit
+    that the checkpoint manifest records). Returns epoch dir paths."""
+    paths = []
+    bounds = np.linspace(0, table.num_rows, n_epochs + 1).astype(int)
+    for k in range(n_epochs):
+        d = os.path.join(out_dir, prefix, f"epoch={k:05d}")
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, "part.parquet")
+        pq.write_table(table.slice(bounds[k], bounds[k + 1] - bounds[k]), p)
+        paths.append(d)
+    return paths
+
+
+def pages_from_documents(sf_dir: str) -> pa.Table:
+    """Derive a deterministic pages table from the driver's read-only
+    ``documents.parquet`` (TESTDATA.md) — used by ``entry()`` and the
+    correctness queries so the flagship pipeline runs on driver data.
+
+    Derivation is simple enough for the DuckDB oracle to mirror in SQL:
+      host   = 'h' || (doc_id % 20) || '.example.com'
+      url    = 'https://' || host || '/d' || doc_id
+      warc_ts= epoch_ms(BASE_TS_MS + doc_id * 1000)
+    """
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"])
+    doc_id = docs["doc_id"].to_numpy()
+    texts = np.asarray(docs["text"], dtype=object)
+    hosts = [f"h{int(i) % 20}.example.com" for i in doc_id]
+    urls = [f"https://{h}/d{int(i)}" for i, h in zip(doc_id, hosts)]
+    ts = BASE_TS_MS + doc_id.astype(np.int64) * 1000
+    html = [wrap_html(str(t)) for t in texts]
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(ts, type=pa.timestamp("ms")),
+            "html": pa.array(html, type=pa.binary()),
+            "text": docs["text"].combine_chunks().cast(pa.string()),
+            "lang": docs["lang"].combine_chunks().cast(pa.string()),
+        }
+    )

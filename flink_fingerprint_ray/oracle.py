@@ -1,0 +1,223 @@
+"""Single-process oracle of the engine's streaming semantics (SURVEY.md §5).
+
+The reference ships no tests; correctness is anchored by this independent,
+sequential implementation of the SAME event-time contract documented in
+``pipelines/streaming.py``:
+
+- epoch slices by arrival position (``fixtures.write_epochs`` bounds);
+- watermark_e = max(watermark_{e-1}, max(warc_ts in epoch) − lateness);
+- late iff warc_ts < watermark at epoch start → dropped;
+- empty extracted text dropped (``src/flink_job/job.py:68`` analog);
+- tumbling/sliding windows ``[s, e)`` close in the first epoch whose
+  watermark ≥ e; sessions close when last_ts + gap ≤ watermark;
+- join: per-epoch update feed → probe at window close → retention evict.
+
+In-window math (stats pinned-order reductions, dup-cluster union-find) is
+shared with the engine via ``stages.windows`` — the oracle independently
+exercises the DISTRIBUTED machinery: epoch/watermark bookkeeping, state
+routing, cross-epoch buffering, join state, and the exactly-once sink.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .functions import fingerprint as fp
+from .stages.windows import (
+    compute_stats,
+    dup_cluster_counts,
+    fingerprint_id,
+    sliding_window_starts,
+    tumbling_window_start,
+)
+
+N_BANDS = 16
+
+
+def _epoch_bounds(n_rows: int, n_epochs: int) -> np.ndarray:
+    return np.linspace(0, n_rows, n_epochs + 1).astype(int)
+
+
+def _finalize(kind: str, key: tuple[str, str], start: int, end: int, rows: pd.DataFrame, updates_probe) -> dict:
+    band_cols = [f"band_{b}" for b in range(N_BANDS)]
+    mh_cols = [c for c in rows.columns if c.startswith("mh_")]
+    exact, near, clusters = dup_cluster_counts(
+        rows["text_hash"].to_numpy(dtype=np.uint64),
+        rows[band_cols].to_numpy(dtype=np.uint64),
+        rows[mh_cols].to_numpy(dtype=np.uint32),
+    )
+    stats = compute_stats(rows["text_len"].to_numpy())
+    rec = {
+        "fingerprint_id": fingerprint_id(key[0], key[1], kind, start, end),
+        "key_lang": key[0],
+        "key_host": key[1],
+        "window_kind": kind,
+        "window_start": start,
+        "window_end": end,
+        "doc_count": int(len(rows)),
+        "exact_dup_count": exact,
+        "near_dup_count": near,
+        "dup_cluster_count": clusters,
+        "min_len": stats["min"],
+        "max_len": stats["max"],
+        "median_len": stats["median"],
+        "mean_len": stats["mean"],
+        "std_len": stats["std_dev"],
+    }
+    rec.update(updates_probe(key[1], start, end))
+    return rec
+
+
+def oracle_fingerprints(
+    pages: pa.Table,
+    n_epochs: int,
+    updates: pa.Table | None = None,
+    tumbling_size_ms: int = 60_000,
+    sliding: tuple[int, int] | None = None,
+    session_gap_ms: int = 0,
+    lateness_ms: int = 10_000,
+    join_retention_ms: int = 300_000,
+) -> pd.DataFrame:
+    """Expected engine output (F3 schema + update counts) for `pages`
+    split into `n_epochs` arrival epochs."""
+    # per-doc fingerprints (shared deterministic kernels)
+    text = fp.extract_text(pages["html"])
+    ts_all = pages["warc_ts"].cast(pa.int64()).to_numpy()
+    host_all = np.asarray(fp.host_of(pages["url"]), dtype=object)
+    lang_all = np.asarray(pages["lang"], dtype=object)
+    text_np = np.asarray(text, dtype=object)
+    import pyarrow.compute as pc
+
+    text_len_all = pc.utf8_length(text).cast(pa.int64()).to_numpy()
+    th_all = fp.text_hash64(text)
+    mh_all = fp.minhash(text)
+    bands_all = fp.minhash_band_keys(mh_all, N_BANDS)
+
+    df = pd.DataFrame(
+        {
+            "ts_ms": ts_all,
+            "key_lang": lang_all,
+            "key_host": host_all,
+            "text_len": text_len_all,
+            "text_hash": th_all,
+            "_empty": np.array([t == "" for t in text_np]),
+        }
+    )
+    for b in range(N_BANDS):
+        df[f"band_{b}"] = bands_all[:, b]
+    for i in range(mh_all.shape[1]):
+        df[f"mh_{i}"] = mh_all[:, i]
+
+    bounds = _epoch_bounds(pages.num_rows, n_epochs)
+    upd_df = None
+    upd_bounds = None
+    if updates is not None:
+        upd_df = pd.DataFrame(
+            {
+                "key_host": np.asarray(fp.host_of(updates["url"]), dtype=object),
+                "update_ts_ms": updates["update_ts"].cast(pa.int64()).to_numpy(),
+                "change_kind": np.asarray(updates["change_kind"], dtype=object),
+            }
+        )
+        upd_bounds = _epoch_bounds(len(upd_df), n_epochs)
+
+    wm = 0
+    fixed_buf: dict[tuple, list[int]] = {}   # (kind,lang,host,start,end) -> row idx
+    session_buf: dict[tuple, list[int]] = {}  # (lang,host) -> row idx
+    join_buf = pd.DataFrame(columns=["key_host", "update_ts_ms", "change_kind"])
+    out: list[dict] = []
+
+    def probe(host: str, s: int, e: int) -> dict:
+        res = {"update_count": 0, "update_modified": 0, "update_deleted": 0, "update_redirected": 0}
+        if len(join_buf) == 0:
+            return res
+        m = (join_buf["key_host"] == host) & (join_buf["update_ts_ms"] >= s) & (join_buf["update_ts_ms"] < e)
+        if not m.any():
+            return res
+        res["update_count"] = int(m.sum())
+        vc = join_buf.loc[m, "change_kind"].value_counts()
+        for k in ("modified", "deleted", "redirected"):
+            res[f"update_{k}"] = int(vc.get(k, 0))
+        return res
+
+    for e_i in range(n_epochs):
+        rows = df.iloc[bounds[e_i]: bounds[e_i + 1]]
+        if len(rows) == 0:
+            continue
+        wm_prev = wm
+        wm = max(wm, int(rows["ts_ms"].max()) - lateness_ms)
+        # join build side: add this epoch's updates first (engine step 1)
+        if upd_df is not None:
+            join_buf = pd.concat(
+                [join_buf, upd_df.iloc[upd_bounds[e_i]: upd_bounds[e_i + 1]]],
+                ignore_index=True,
+            )
+        rows = rows[(rows["ts_ms"] >= wm_prev) & (~rows["_empty"])]
+
+        # buffer fixed windows
+        for kind, wins in _assign(rows, tumbling_size_ms, sliding):
+            for (lang, host, s, en), idx in wins.items():
+                fixed_buf.setdefault((kind, lang, host, s, en), []).extend(idx)
+        # buffer sessions
+        if session_gap_ms > 0:
+            for (lang, host), g in rows.groupby(["key_lang", "key_host"], sort=False):
+                session_buf.setdefault((lang, host), []).extend(g.index.tolist())
+
+        # close fixed windows with end <= wm
+        for wkey in [k for k in fixed_buf if k[4] <= wm]:
+            kind, lang, host, s, en = wkey
+            g = df.loc[fixed_buf.pop(wkey)]
+            out.append(_finalize(kind, (lang, host), s, en, g, probe))
+        # close sessions
+        if session_gap_ms > 0:
+            for skey in list(session_buf):
+                idx = session_buf[skey]
+                g = df.loc[idx].sort_values("ts_ms", kind="stable")
+                ts = g["ts_ms"].to_numpy()
+                sid = np.concatenate(([0], np.cumsum(np.diff(ts) > session_gap_ms)))
+                keep: list[int] = []
+                for s_id in np.unique(sid):
+                    sg = g[sid == s_id]
+                    last = int(sg["ts_ms"].iloc[-1])
+                    if last + session_gap_ms <= wm:
+                        out.append(
+                            _finalize(
+                                "session", skey, int(sg["ts_ms"].iloc[0]),
+                                last + session_gap_ms, sg, probe,
+                            )
+                        )
+                    else:
+                        keep.extend(sg.index.tolist())
+                if keep:
+                    session_buf[skey] = keep
+                else:
+                    del session_buf[skey]
+        # evict join state past retention (engine step 7)
+        if len(join_buf):
+            join_buf = join_buf[join_buf["update_ts_ms"] >= wm - join_retention_ms]
+
+    return pd.DataFrame(out)
+
+
+def _assign(rows: pd.DataFrame, tumbling_size_ms: int, sliding):
+    """Yield (kind, {(lang,host,start,end): [row_idx]}) per configured kind."""
+    ts = rows["ts_ms"].to_numpy()
+    idx = rows.index.to_numpy()
+    lang = rows["key_lang"].to_numpy()
+    host = rows["key_host"].to_numpy()
+
+    def group(starts: np.ndarray, ends: np.ndarray, take: np.ndarray) -> dict:
+        d: dict[tuple, list[int]] = {}
+        for i, s, en in zip(take, starts, ends):
+            d.setdefault((lang[i], host[i], int(s), int(en)), []).append(idx[i])
+        return d
+
+    ws = tumbling_window_start(ts, tumbling_size_ms)
+    local = np.arange(len(ts))
+    yield "tumbling", group(ws, ws + tumbling_size_ms, local)
+    if sliding is not None:
+        size, slide = sliding
+        take, starts = sliding_window_starts(ts, size, slide)
+        yield "sliding", group(starts, starts + size, take)

@@ -1,0 +1,387 @@
+"""The flagship pipeline: windowed content-fingerprinting over an epoched
+Parquet stream of web pages, with watermarks, cross-epoch window state,
+near-dup cluster counts, a stateful join against a late-arriving
+page-update stream, and an exactly-once epoch-fenced sink.
+
+Ray-Data-first dataflow per epoch (SURVEY.md §3.4):
+
+    read_parquet(epoch files)                       # zero-copy Arrow blocks
+      → map_batches(page_transform, pyarrow)        # html→text (byte-identical),
+                                                    # SimHash/MinHash, key=(lang,host);
+                                                    # html/text projected away BEFORE
+                                                    # any shuffle (SURVEY §7.4.6)
+      → map_batches(explode_windows, pyarrow)       # tumbling + sliding + session rows
+      → route_and_split tasks (one per block)       # open rows → state actors,
+                                                    # closable rows → returned refs
+    closable ∪ matured(actor pool, watermark)
+      → groupby(key, window).map_groups(finalize)   # stats + dup-cluster counts
+      → probe join-state actors (update counts)
+      → staged parquet → snapshot state → commit fence
+
+Event-time contract (mirrored bit-for-bit by ``oracle.py``):
+- watermark_e = max(watermark_{e-1}, max(warc_ts in epoch e) − lateness);
+- a row is LATE iff warc_ts < watermark_{e-1} (the watermark when its
+  epoch starts) — dropped + counted, like Flink post-watermark drops
+  (no allowed-lateness configured in the reference, ``job.py:78-82``);
+- window [s, e) closes in the first epoch with watermark ≥ e;
+- empty-text pages are dropped like ``"null"`` payloads
+  (``src/flink_job/job.py:68``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions import fingerprint as fp
+from ..sources.epochs import EpochSource
+from ..state.store import StatePool, route_block
+from ..stages.windows import finalize_window_group
+from .sink import CheckpointManifest, EpochSink
+
+N_BANDS = 16
+
+
+@dataclass
+class PipelineConfig:
+    tumbling_size_ms: int = 60_000            # reference: 1-min window (config.py:36)
+    sliding: tuple[int, int] | None = None    # (size_ms, slide_ms)
+    session_gap_ms: int = 0                   # 0 = session windows off
+    lateness_ms: int = 10_000                 # reference: 10 s (config.py:37)
+    join_retention_ms: int = 300_000          # reference: 5 min (save_fingerprints.py:85)
+    n_state_partitions: int = 8
+    jaccard_threshold: float = 0.8
+    read_blocks: int | None = None            # override_num_blocks on read
+
+
+FINGERPRINT_COLS = [
+    "fingerprint_id", "key_lang", "key_host", "window_kind",
+    "window_start", "window_end", "doc_count",
+    "exact_dup_count", "near_dup_count", "dup_cluster_count",
+    "min_len", "max_len", "median_len", "mean_len", "std_len",
+]
+
+
+@ray.remote(num_cpus=0)
+class MetricCounter:
+    def __init__(self) -> None:
+        self.c: dict[str, int] = {}
+
+    def add(self, name: str, n: int) -> None:
+        self.c[name] = self.c.get(name, 0) + int(n)
+
+    def get_all(self) -> dict[str, int]:
+        return dict(self.c)
+
+    def reset(self) -> None:
+        self.c = {}
+
+
+def page_transform(batch: pa.Table, late_cutoff_ms: int, counter) -> pa.Table:
+    """Stateless per-batch transform: late-drop, extract, fingerprint.
+
+    Emits a NARROW table (html/text projected away) so only ~300-byte rows
+    move through the shuffle — at 100 TB the wide binary column must never
+    leave this stage (SURVEY.md §7.4.6).
+    """
+    import pyarrow.compute as pc
+
+    n_in = batch.num_rows
+    ts = batch["warc_ts"].cast(pa.int64())
+    keep_late = pc.greater_equal(ts, pa.scalar(late_cutoff_ms, pa.int64()))
+    batch = batch.filter(keep_late)
+    n_late = n_in - batch.num_rows
+
+    text = fp.extract_text(batch["html"])
+    nonempty = pc.not_equal(text, "")
+    n_empty = batch.num_rows - pc.sum(pc.cast(nonempty, pa.int64())).as_py() if batch.num_rows else 0
+    batch = batch.filter(nonempty)
+    text = text.filter(nonempty)
+    if counter is not None:
+        counter.add.remote("late_dropped", n_late)
+        counter.add.remote("empty_dropped", n_empty)
+
+    host = fp.host_of(batch["url"])
+    lang = batch["lang"].combine_chunks().cast(pa.large_string()) if batch.num_rows else pa.array([], pa.large_string())
+    text_len = pc.utf8_length(text).cast(pa.int64())
+    th = fp.text_hash64(text)
+    sh = fp.simhash(text)
+    mh = fp.minhash(text)
+    bands = fp.minhash_band_keys(mh, N_BANDS)
+    key = pc.binary_join_element_wise(lang, host, pa.scalar("\x1f", pa.large_string()))
+    key_hash = fp.text_hash64(key)
+
+    cols: dict[str, pa.Array] = {
+        "key_lang": lang,
+        "key_host": host,
+        "ts_ms": batch["warc_ts"].cast(pa.int64()).combine_chunks() if batch.num_rows else pa.array([], pa.int64()),
+        "text_len": text_len,
+        "text_hash": pa.array(th, pa.uint64()),
+        "simhash": pa.array(sh, pa.uint64()),
+        "key_hash": pa.array(key_hash, pa.uint64()),
+    }
+    for b in range(N_BANDS):
+        cols[f"band_{b}"] = pa.array(bands[:, b], pa.uint64())
+    for i in range(mh.shape[1]):
+        cols[f"mh_{i}"] = pa.array(mh[:, i], pa.uint32())
+    return pa.table(cols)
+
+
+def explode_windows(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    """Assign window ids: one output row per (input row × overlapping
+    window × configured kind); session rows carry sentinel bounds (-1) and
+    are bound at close time inside the state actor."""
+    from ..stages.windows import sliding_window_starts, tumbling_window_start
+
+    ts = batch["ts_ms"].to_numpy()
+    parts: list[pa.Table] = []
+
+    def stamp(tbl: pa.Table, kind: str, ws: np.ndarray, we: np.ndarray) -> pa.Table:
+        tbl = tbl.append_column("window_kind", pa.array([kind] * tbl.num_rows, pa.string()))
+        tbl = tbl.append_column("window_start", pa.array(ws, pa.int64()))
+        tbl = tbl.append_column("window_end", pa.array(we, pa.int64()))
+        return tbl
+
+    ws = tumbling_window_start(ts, cfg.tumbling_size_ms)
+    parts.append(stamp(batch, "tumbling", ws, ws + cfg.tumbling_size_ms))
+
+    if cfg.sliding is not None:
+        size, slide = cfg.sliding
+        take, starts = sliding_window_starts(ts, size, slide)
+        sl = batch.take(pa.array(take))
+        parts.append(stamp(sl, "sliding", starts, starts + size))
+
+    if cfg.session_gap_ms > 0:
+        sentinel = np.full(len(ts), -1, dtype=np.int64)
+        parts.append(stamp(batch, "session", sentinel, sentinel))
+
+    return pa.concat_tables(parts)
+
+
+@ray.remote
+def route_and_split(
+    block: pa.Table,
+    watermark_ms: int,
+    window_handles: list,
+    n_partitions: int,
+) -> pa.Table:
+    """Per-block three-way split (distributed — no driver funnel):
+    session rows → owning state actor; open fixed-window rows → owning
+    state actor; closable rows → returned (become the finalize input)."""
+    import pyarrow.compute as pc
+
+    if block.num_rows == 0:
+        return block
+    part = (block["key_hash"].to_numpy() % np.uint64(n_partitions)).astype(np.int64)
+    block = block.append_column("part", pa.array(part, pa.int64()))
+
+    is_session = pc.equal(block["window_kind"], "session")
+    sess = block.filter(is_session)
+    fixed = block.filter(pc.invert(is_session))
+    closable_mask = pc.less_equal(fixed["window_end"], pa.scalar(watermark_ms, pa.int64()))
+    closable = fixed.filter(closable_mask)
+    open_rows = fixed.filter(pc.invert(closable_mask))
+
+    refs = []
+    for tbl, method in ((sess, "add_session"), (open_rows, "add_fixed")):
+        if tbl.num_rows == 0:
+            continue
+        p = tbl["part"].to_numpy()
+        order = np.argsort(p, kind="stable")
+        sp = p[order]
+        bounds = np.flatnonzero(np.concatenate(([True], sp[1:] != sp[:-1])))
+        bounds = np.append(bounds, len(sp))
+        for i in range(len(bounds) - 1):
+            s, e = bounds[i], bounds[i + 1]
+            sub = tbl.take(pa.array(order[s:e])).drop_columns(["part"])
+            refs.append(getattr(window_handles[int(sp[s])], method).remote(sub))
+    ray.get(refs)
+    return closable.drop_columns(["part"])
+
+
+def update_transform(batch: pa.Table, n_partitions: int) -> pa.Table:
+    """Page-update stream → narrow build-side rows for the join state."""
+    host = fp.host_of(batch["url"])
+    part = (fp.text_hash64(host) % np.uint64(n_partitions)).astype(np.int64)
+    return pa.table(
+        {
+            "key_host": host,
+            "update_ts_ms": batch["update_ts"].cast(pa.int64()).combine_chunks(),
+            "change_kind": batch["change_kind"].combine_chunks().cast(pa.large_string()),
+            "part": pa.array(part, pa.int64()),
+        }
+    )
+
+
+@ray.remote
+def probe_join(block: pa.Table, join_handles: list, n_partitions: int) -> pa.Table:
+    """Enrich finalized fingerprint rows with update counts from the
+    co-partitioned join state (probe side of J1)."""
+    if block.num_rows == 0:
+        out = block
+        for k in ("update_count", "update_modified", "update_deleted", "update_redirected"):
+            out = out.append_column(k, pa.array([], pa.int64()))
+        return out
+    part = (fp.text_hash64(block["key_host"].combine_chunks()) % np.uint64(n_partitions)).astype(np.int64)
+    outs = []
+    for pid in np.unique(part):
+        sub = block.take(pa.array(np.flatnonzero(part == pid)))
+        outs.append(join_handles[int(pid)].probe.remote(sub))
+    return pa.concat_tables(ray.get(outs))
+
+
+class StreamingFingerprintPipeline:
+    """Epoch driver: source cursor → transform → window state → finalize →
+    join → epoch-fenced commit, resumable from the checkpoint manifest."""
+
+    def __init__(
+        self,
+        pages_root: str,
+        out_dir: str,
+        updates_root: str | None = None,
+        cfg: PipelineConfig | None = None,
+    ) -> None:
+        self.cfg = cfg or PipelineConfig()
+        self.source = EpochSource(pages_root)
+        self.updates_source = EpochSource(updates_root, ts_col="update_ts") if updates_root else None
+        os.makedirs(out_dir, exist_ok=True)
+        self.sink = EpochSink(out_dir)
+        self.manifest = CheckpointManifest(out_dir)
+        self.pool = StatePool(
+            self.cfg.n_state_partitions, self.cfg.session_gap_ms, self.cfg.join_retention_ms
+        )
+        self.counter = MetricCounter.remote()
+        if self.manifest.cursor >= 0:  # resume: restore actor state snapshots
+            self.pool.restore(self.manifest.last_snapshot())
+
+    # -- single epoch ------------------------------------------------------
+    def run_epoch(self, epoch, upd_epoch=None) -> dict:
+        t0 = time.perf_counter()
+        cfg = self.cfg
+        wm_prev = self.manifest.watermark_ms
+        wm_new = max(wm_prev, epoch.max_ts_ms - cfg.lateness_ms)
+        ray.get(self.counter.reset.remote())
+
+        # 1) feed this epoch's page updates into the join state (build side)
+        if upd_epoch is not None:
+            upd = ray.data.read_parquet(upd_epoch.files)
+            upd = upd.map_batches(
+                update_transform,
+                fn_kwargs={"n_partitions": cfg.n_state_partitions},
+                batch_format="pyarrow",
+            )
+            routes = [
+                route_block.remote(ref, "part", self.pool.join_actors, "add")
+                for ref in upd.to_arrow_refs()
+            ]
+            ray.get(routes)
+
+        # 2) pages: read → fingerprint → window explode (all streaming tasks)
+        read_kwargs = {}
+        if cfg.read_blocks:
+            read_kwargs["override_num_blocks"] = cfg.read_blocks
+        ds = ray.data.read_parquet(epoch.files, **read_kwargs)
+        ds = ds.map_batches(
+            page_transform,
+            fn_kwargs={"late_cutoff_ms": wm_prev, "counter": self.counter},
+            batch_format="pyarrow",
+        )
+        ds = ds.map_batches(explode_windows, fn_kwargs={"cfg": cfg}, batch_format="pyarrow")
+
+        # 3) per-block routing: open/session rows into state actors,
+        #    closable rows back as refs (single pass over the data)
+        closable_refs = [
+            route_and_split.remote(
+                ref, wm_new, self.pool.window_actors, cfg.n_state_partitions
+            )
+            for ref in ds.to_arrow_refs()
+        ]
+        ray.wait(closable_refs, num_returns=len(closable_refs))
+
+        # 4) matured rows from earlier epochs join this epoch's closable rows
+        matured = self.pool.mature(wm_new)
+        parts = [ray.data.from_arrow_refs(closable_refs)]
+        if matured:
+            parts.append(ray.data.from_arrow(matured))
+        closed = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+        # 5) finalize per (key, window): stats + dup-cluster counts
+        fps = closed.groupby(
+            ["key_lang", "key_host", "window_kind", "window_start"]
+        ).map_groups(finalize_window_group, batch_format="pandas")
+
+        # 6) probe join state (update counts), then stage the output
+        enriched_refs = [
+            probe_join.remote(ref, self.pool.join_actors, cfg.n_state_partitions)
+            for ref in fps.to_arrow_refs()
+        ]
+        out_ds = ray.data.from_arrow_refs(enriched_refs).materialize()
+        n_out = out_ds.count()
+        staging = self.sink.staging_dir(epoch.index)
+        if n_out:
+            out_ds.write_parquet(staging)
+
+        # 7) evict join state past retention, snapshot state, commit fence
+        evicted = self.pool.evict_join(wm_new)
+        snap_dir = os.path.join(self.sink.out_dir, "_state", f"epoch={epoch.index:05d}")
+        snapshot = self.pool.snapshot(snap_dir)
+        metrics = ray.get(self.counter.get_all.remote())
+        metrics.update(
+            {
+                "rows_in": epoch.num_rows,
+                "fingerprints": n_out,
+                "join_evicted": evicted,
+                "buffered": self.pool.buffered(),
+                "wall_sec": round(time.perf_counter() - t0, 4),
+            }
+        )
+        lineage = {
+            "input_files": epoch.files,
+            "update_files": upd_epoch.files if upd_epoch else [],
+            "output_fence": self.sink.final_dir(epoch.index),
+        }
+        self.sink.publish(epoch.index)
+        self.manifest.commit(epoch.index, wm_new, snapshot, metrics, lineage)
+        return metrics
+
+    # -- full run ----------------------------------------------------------
+    def run(self, max_epochs: int | None = None) -> dict:
+        """Process all epochs after the committed cursor (resume-safe)."""
+        start = self.manifest.cursor + 1
+        epochs = self.source.epochs(start)
+        upd_by_idx = {}
+        if self.updates_source:
+            upd_by_idx = {e.index: e for e in self.updates_source.epochs(0)}
+        if max_epochs is not None:
+            epochs = epochs[:max_epochs]
+        all_metrics = []
+        for ep in epochs:
+            all_metrics.append(self.run_epoch(ep, upd_by_idx.get(ep.index)))
+        total_rows = sum(m["rows_in"] for m in all_metrics)
+        total_wall = sum(m["wall_sec"] for m in all_metrics)
+        return {
+            "epochs_run": len(all_metrics),
+            "rows_in": total_rows,
+            "fingerprints": sum(m["fingerprints"] for m in all_metrics),
+            "late_dropped": sum(m.get("late_dropped", 0) for m in all_metrics),
+            "wall_sec": round(total_wall, 4),
+            "docs_per_sec": round(total_rows / total_wall, 2) if total_wall else 0.0,
+            "per_epoch": all_metrics,
+        }
+
+    def result_dataset(self) -> "ray.data.Dataset":
+        import glob
+
+        files = sorted(glob.glob(os.path.join(self.sink.out_dir, "epoch=*", "*.parquet")))
+        return ray.data.read_parquet(files)
+
+    def shutdown(self) -> None:
+        self.pool.shutdown()
+        ray.kill(self.counter)

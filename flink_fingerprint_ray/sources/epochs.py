@@ -1,0 +1,66 @@
+"""Bounded micro-batch epoch source over a Parquet "stream".
+
+The reference's Kafka source (``src/flink_job/kafka_config.py:24-31``)
+becomes an ordered sequence of Parquet file groups: one directory per
+epoch (``.../epoch=K/*.parquet``), arrival order = epoch order, the source
+cursor = last committed epoch index (persisted in the checkpoint
+manifest).  Per-epoch event-time bounds come from Parquet column
+statistics — no data scan needed to advance the watermark
+(``max(warc_ts) − allowed_lateness``, the bounded-out-of-orderness
+strategy of ``src/flink_job/kafka_config.py:46-49``).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+from dataclasses import dataclass
+
+import pyarrow.parquet as pq
+
+
+@dataclass
+class Epoch:
+    index: int
+    files: list[str]
+    max_ts_ms: int  # from parquet column stats
+    num_rows: int
+
+
+class EpochSource:
+    def __init__(self, root: str, ts_col: str = "warc_ts") -> None:
+        self.root = root
+        self.ts_col = ts_col
+        self._epochs = self._discover()
+
+    def _discover(self) -> list[Epoch]:
+        dirs = sorted(
+            d for d in glob.glob(os.path.join(self.root, "epoch=*")) if os.path.isdir(d)
+        )
+        out = []
+        for d in dirs:
+            m = re.search(r"epoch=(\d+)", d)
+            files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+            if not files:
+                continue
+            max_ts = 0
+            rows = 0
+            for f in files:
+                md = pq.read_metadata(f)
+                rows += md.num_rows
+                schema_idx = md.schema.to_arrow_schema().get_field_index(self.ts_col)
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(schema_idx).statistics
+                    if st is not None and st.has_min_max:
+                        v = st.max
+                        ts_ms = int(v.timestamp() * 1000) if hasattr(v, "timestamp") else int(v)
+                        max_ts = max(max_ts, ts_ms)
+            out.append(Epoch(int(m.group(1)), files, max_ts, rows))
+        return out
+
+    def epochs(self, start: int = 0) -> list[Epoch]:
+        return [e for e in self._epochs if e.index >= start]
+
+    def __len__(self) -> int:
+        return len(self._epochs)

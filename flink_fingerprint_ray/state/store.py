@@ -1,0 +1,297 @@
+"""Hash-partitioned window/join state-store actor pool.
+
+This is the "RocksDB-style state store" slot of the north star: Ray Data
+has no event-time windows or cross-batch keyed state, so windows that
+straddle epoch boundaries, session windows (data-dependent boundaries),
+and the stream-stream join build side live in a pool of plain Ray actors,
+each owning a fixed hash partition of the key space
+(``partition = hash(key) % n``), so a key ALWAYS routes to the same actor
+— the Ray analog of Flink keyed state (reference: window buffers at
+``src/flink_job/job.py:103-125``, downtime machine
+``src/data_input/process_odr.py:1028-1088``, join buffer with time-based
+eviction ``src/postprocess/save_fingerprints.py:31-35,66-89``).
+
+Scale design:
+- actors hold only the watermark frontier (open windows ≈ lateness +
+  window_size worth of rows per key, sessions ≈ gap + lateness), never the
+  full stream; eviction is watermark-driven;
+- data reaches actors via distributed ``route_block`` tasks (one per Arrow
+  block), not a driver funnel;
+- per-epoch ``snapshot(epoch, dir)`` writes each actor's buffers as
+  Parquet under the checkpoint dir; ``restore`` reloads them — the engine
+  snapshots BEFORE committing the sink fence (snapshot-then-commit,
+  SURVEY.md §7.4.4).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+
+def key_partition(key_hash: np.ndarray, n_partitions: int) -> np.ndarray:
+    """Stable partition id from precomputed uint64 key hashes."""
+    return (key_hash % np.uint64(n_partitions)).astype(np.int64)
+
+
+def _concat(tables: list[pa.Table]) -> pa.Table | None:
+    tables = [t for t in tables if t is not None and t.num_rows]
+    if not tables:
+        return None
+    return pa.concat_tables(tables, promote_options="default").combine_chunks()
+
+
+@ray.remote(num_cpus=0.5)
+class WindowStateActor:
+    """Owns one key partition's open fixed windows AND open sessions."""
+
+    def __init__(self, partition_id: int, session_gap_ms: int = 0) -> None:
+        self.partition_id = partition_id
+        self.session_gap_ms = session_gap_ms
+        self._fixed: list[pa.Table] = []    # rows with window_end > watermark
+        self._session: list[pa.Table] = []  # rows of sessions not yet closed
+
+    # -- ingest ------------------------------------------------------------
+    def add_fixed(self, table: pa.Table) -> int:
+        if table.num_rows:
+            self._fixed.append(table)
+        return table.num_rows
+
+    def add_session(self, table: pa.Table) -> int:
+        if table.num_rows:
+            self._session.append(table)
+        return table.num_rows
+
+    # -- watermark advance -------------------------------------------------
+    def mature_fixed(self, watermark_ms: int) -> pa.Table | None:
+        """Return+remove buffered rows whose window_end <= watermark."""
+        buf = _concat(self._fixed)
+        self._fixed = []
+        if buf is None:
+            return None
+        import pyarrow.compute as pc
+
+        closed_mask = pc.less_equal(buf["window_end"], pa.scalar(watermark_ms, pa.int64()))
+        closed = buf.filter(closed_mask)
+        still_open = buf.filter(pc.invert(closed_mask))
+        if still_open.num_rows:
+            self._fixed = [still_open]
+        return closed if closed.num_rows else None
+
+    def mature_sessions(self, watermark_ms: int) -> pa.Table | None:
+        """Close sessions per (key_lang, key_host) whose last event is
+        > gap before the watermark; emit their rows stamped with
+        window_start/window_end = [first_ts, last_ts + gap).
+
+        A late row can merge two sessions — safe because ALL rows of a key
+        live in this single owner actor until the session closes
+        (SURVEY.md §7.4.3).
+        """
+        buf = _concat(self._session)
+        self._session = []
+        if buf is None:
+            return None
+        gap = self.session_gap_ms
+        df = buf.to_pandas()
+        out_parts: list[pd.DataFrame] = []
+        keep_parts: list[pd.DataFrame] = []
+        for _, g in df.groupby(["key_lang", "key_host"], sort=False):
+            g = g.sort_values("ts_ms", kind="stable")
+            ts = g["ts_ms"].to_numpy()
+            gaps = np.diff(ts) > gap
+            sid = np.concatenate(([0], np.cumsum(gaps)))
+            g = g.assign(_sid=sid)
+            for _, s in g.groupby("_sid", sort=True):
+                last = int(s["ts_ms"].iloc[-1])
+                if last + gap <= watermark_ms:  # session closed
+                    s = s.assign(
+                        window_start=int(s["ts_ms"].iloc[0]),
+                        window_end=last + gap,
+                    )
+                    out_parts.append(s.drop(columns=["_sid"]))
+                else:
+                    keep_parts.append(s.drop(columns=["_sid"]))
+        if keep_parts:
+            kept = pa.Table.from_pandas(pd.concat(keep_parts), preserve_index=False)
+            self._session = [kept.select(buf.column_names).cast(buf.schema)]
+        if not out_parts:
+            return None
+        out = pa.Table.from_pandas(pd.concat(out_parts), preserve_index=False)
+        return out.select(buf.column_names).cast(buf.schema)
+
+    # -- introspection / checkpoint -----------------------------------------
+    def buffered_rows(self) -> dict[str, int]:
+        return {
+            "fixed": sum(t.num_rows for t in self._fixed),
+            "session": sum(t.num_rows for t in self._session),
+        }
+
+    def snapshot(self, snap_dir: str) -> dict[str, str]:
+        os.makedirs(snap_dir, exist_ok=True)
+        paths = {}
+        for name, buf in (("fixed", self._fixed), ("session", self._session)):
+            t = _concat(buf)
+            p = os.path.join(snap_dir, f"p{self.partition_id:04d}_{name}.parquet")
+            if t is not None:
+                pq.write_table(t, p)
+                paths[name] = p
+        return paths
+
+    def restore(self, paths: dict[str, str]) -> None:
+        self._fixed = [pq.read_table(paths["fixed"])] if "fixed" in paths else []
+        self._session = [pq.read_table(paths["session"])] if "session" in paths else []
+
+
+@ray.remote(num_cpus=0.5)
+class JoinStateActor:
+    """Build side of the stream-stream join: buffers page updates per host
+    partition with watermark-driven retention eviction (reference:
+    ``save_fingerprints.py:31-35,66-89`` — 5-min buffer per equip_id)."""
+
+    def __init__(self, partition_id: int, retention_ms: int) -> None:
+        self.partition_id = partition_id
+        self.retention_ms = retention_ms
+        self._buf: list[pa.Table] = []  # columns: key_host, update_ts_ms, change_kind
+
+    def add(self, table: pa.Table) -> int:
+        if table.num_rows:
+            self._buf.append(table)
+        return table.num_rows
+
+    def probe(self, fps: pa.Table) -> pa.Table:
+        """For each fingerprint row, count buffered updates with the same
+        key_host and window_start <= update_ts < window_end (the interval
+        predicate of ``save_fingerprints.py:148``). Adds
+        update_count / update_modified / update_deleted / update_redirected."""
+        buf = _concat(self._buf)
+        n = fps.num_rows
+        zeros = np.zeros(n, dtype=np.int64)
+        counts = {k: zeros.copy() for k in ("update_count", "update_modified", "update_deleted", "update_redirected")}
+        if buf is not None and n:
+            bdf = buf.to_pandas()
+            fdf = fps.select(["key_host", "window_start", "window_end"]).to_pandas()
+            by_host = {h: g for h, g in bdf.groupby("key_host", sort=False)}
+            for i, (h, s, e) in enumerate(zip(fdf["key_host"], fdf["window_start"], fdf["window_end"])):
+                g = by_host.get(h)
+                if g is None:
+                    continue
+                m = (g["update_ts_ms"] >= s) & (g["update_ts_ms"] < e)
+                if not m.any():
+                    continue
+                counts["update_count"][i] = int(m.sum())
+                kinds = g.loc[m, "change_kind"].value_counts()
+                counts["update_modified"][i] = int(kinds.get("modified", 0))
+                counts["update_deleted"][i] = int(kinds.get("deleted", 0))
+                counts["update_redirected"][i] = int(kinds.get("redirected", 0))
+        out = fps
+        for k, v in counts.items():
+            out = out.append_column(k, pa.array(v, pa.int64()))
+        return out
+
+    def evict(self, watermark_ms: int) -> int:
+        """Drop updates older than watermark − retention. Returns evicted count."""
+        import pyarrow.compute as pc
+
+        buf = _concat(self._buf)
+        self._buf = []
+        if buf is None:
+            return 0
+        cutoff = watermark_ms - self.retention_ms
+        keep = buf.filter(pc.greater_equal(buf["update_ts_ms"], pa.scalar(cutoff, pa.int64())))
+        evicted = buf.num_rows - keep.num_rows
+        if keep.num_rows:
+            self._buf = [keep]
+        return evicted
+
+    def buffered_rows(self) -> int:
+        return sum(t.num_rows for t in self._buf)
+
+    def snapshot(self, snap_dir: str) -> dict[str, str]:
+        os.makedirs(snap_dir, exist_ok=True)
+        t = _concat(self._buf)
+        if t is None:
+            return {}
+        p = os.path.join(snap_dir, f"p{self.partition_id:04d}_join.parquet")
+        pq.write_table(t, p)
+        return {"join": p}
+
+    def restore(self, paths: dict[str, str]) -> None:
+        self._buf = [pq.read_table(paths["join"])] if "join" in paths else []
+
+
+@ray.remote
+def route_block(block: pa.Table, part_col: str, handles: list, method: str) -> int:
+    """Distributed router: split one Arrow block by its partition column and
+    push each slice to its owning actor — no driver funnel."""
+    if block.num_rows == 0:
+        return 0
+    parts = block[part_col].to_numpy()
+    order = np.argsort(parts, kind="stable")
+    sorted_parts = parts[order]
+    bounds = np.flatnonzero(np.concatenate(([True], sorted_parts[1:] != sorted_parts[:-1])))
+    bounds = np.append(bounds, len(sorted_parts))
+    refs = []
+    for i in range(len(bounds) - 1):
+        s, e = bounds[i], bounds[i + 1]
+        pid = int(sorted_parts[s])
+        sub = block.take(pa.array(order[s:e]))
+        refs.append(getattr(handles[pid], method).remote(sub.drop_columns([part_col])))
+    ray.get(refs)
+    return block.num_rows
+
+
+class StatePool:
+    """Driver-side handle bundle for the window + join actor pools."""
+
+    def __init__(self, n_partitions: int, session_gap_ms: int, join_retention_ms: int) -> None:
+        self.n = n_partitions
+        self.window_actors = [
+            WindowStateActor.remote(i, session_gap_ms) for i in range(n_partitions)
+        ]
+        self.join_actors = [
+            JoinStateActor.remote(i, join_retention_ms) for i in range(n_partitions)
+        ]
+
+    def mature(self, watermark_ms: int) -> list[pa.Table]:
+        refs = [a.mature_fixed.remote(watermark_ms) for a in self.window_actors]
+        refs += [a.mature_sessions.remote(watermark_ms) for a in self.window_actors]
+        return [t for t in ray.get(refs) if t is not None and t.num_rows]
+
+    def evict_join(self, watermark_ms: int) -> int:
+        return sum(ray.get([a.evict.remote(watermark_ms) for a in self.join_actors]))
+
+    def buffered(self) -> dict[str, int]:
+        w = ray.get([a.buffered_rows.remote() for a in self.window_actors])
+        j = ray.get([a.buffered_rows.remote() for a in self.join_actors])
+        return {
+            "fixed": sum(x["fixed"] for x in w),
+            "session": sum(x["session"] for x in w),
+            "join": sum(j),
+        }
+
+    def snapshot(self, snap_dir: str) -> dict[str, dict[str, str]]:
+        w = ray.get([a.snapshot.remote(os.path.join(snap_dir, "window")) for a in self.window_actors])
+        j = ray.get([a.snapshot.remote(os.path.join(snap_dir, "join")) for a in self.join_actors])
+        return {
+            **{f"window_{i}": p for i, p in enumerate(w)},
+            **{f"join_{i}": p for i, p in enumerate(j)},
+        }
+
+    def restore(self, snap: dict[str, dict[str, str]]) -> None:
+        refs = []
+        for i, a in enumerate(self.window_actors):
+            refs.append(a.restore.remote(snap.get(f"window_{i}", {})))
+        for i, a in enumerate(self.join_actors):
+            refs.append(a.restore.remote(snap.get(f"join_{i}", {})))
+        ray.get(refs)
+
+    def shutdown(self) -> None:
+        for a in self.window_actors + self.join_actors:
+            ray.kill(a)
+        self.window_actors = []
+        self.join_actors = []
