@@ -1,44 +1,70 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init(...)`` itself before importing this module;
+nothing here (or in ``flink_fingerprint_ray``) calls ``ray.init()`` /
+``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship streaming fingerprint pipeline over pages derived
+  from ``/root/testdata/sf0.001/documents.parquet`` — epoched source,
+  watermarks, tumbling+sliding+session windows, near-dup counts, stateful
+  update join, epoch-fenced sink — returns the committed fingerprints.
+- ``queries()``: one entry per implemented operator/pipeline from
+  SURVEY.md §2 (see ``flink_fingerprint_ray/pipelines/queries.py``).
+- ``oracle_sql()``: DuckDB-equivalent SQL with IDENTICAL column names for
+  every SQL-expressible query; sketch/state-machine ops are rows-only.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import pandas as pd
+
+    from flink_fingerprint_ray import fixtures
+    from flink_fingerprint_ray.pipelines.streaming import (
+        PipelineConfig,
+        StreamingFingerprintPipeline,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    tmp = tempfile.mkdtemp(prefix="ffr_entry_")
+    try:
+        pages = fixtures.pages_from_documents(sf_dir)
+        updates = fixtures.make_page_updates(pages, seed=43)
+        fixtures.write_epochs(pages, tmp, n_epochs=4, prefix="pages")
+        fixtures.write_epochs(updates, tmp, n_epochs=4, prefix="updates")
+        cfg = PipelineConfig(
+            sliding=(120_000, 60_000), session_gap_ms=120_000, n_state_partitions=4
+        )
+        pipe = StreamingFingerprintPipeline(
+            os.path.join(tmp, "pages"),
+            os.path.join(tmp, "out"),
+            updates_root=os.path.join(tmp, "updates"),
+            cfg=cfg,
+        )
+        pipe.run()
+        out: pd.DataFrame = pipe.result_dataset().to_pandas()
+        pipe.shutdown()
+        return out.sort_values(
+            ["window_kind", "key_lang", "key_host", "window_start"]
+        ).reset_index(drop=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from flink_fingerprint_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from flink_fingerprint_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

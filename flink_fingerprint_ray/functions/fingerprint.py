@@ -36,8 +36,10 @@ _SEED = 0x5EED_F1A6
 _rng = np.random.RandomState(_SEED & 0x7FFFFFFF)
 _MH_A = (_rng.randint(0, 2**63, size=MINHASH_K, dtype=np.uint64) * 2 + 1).astype(np.uint64)
 _MH_B = _rng.randint(0, 2**63, size=MINHASH_K, dtype=np.uint64).astype(np.uint64)
-# shingle combiners (w odd constants)
-_SH_C = (_rng.randint(0, 2**63, size=SHINGLE_W, dtype=np.uint64) * 2 + 1).astype(np.uint64)
+# shingle combiners (odd constants; sized for the largest window any
+# caller uses — rolling_fingerprint uses w=4, n-gram ops up to 8)
+_MAX_SHINGLE_W = 8
+_SH_C = (_rng.randint(0, 2**63, size=_MAX_SHINGLE_W, dtype=np.uint64) * 2 + 1).astype(np.uint64)
 
 _EMPTY_MINHASH = np.full(MINHASH_K, np.iinfo(np.uint32).max, dtype=np.uint32)
 

@@ -1,0 +1,839 @@
+"""Driver-contract query registry: every implemented operator/pipeline from
+SURVEY.md §2 as a ``name -> callable(sf_dir)`` plus (where SQL-expressible)
+a DuckDB oracle with IDENTICAL column names, so the driver's row-count /
+schema / value-hash comparison is meaningful.
+
+Float policy (SURVEY.md §7.4.1): any column whose value involves a
+non-trivial float reduction is emitted as a micros/cents-scaled int64 via
+``floor(x*scale + 0.5)`` — computed with the same formula on both sides,
+which sidesteps round-half-even (numpy) vs round-half-away (DuckDB) drift
+and absorbs reduction-order ulp noise.  Raw parquet doubles (min/max,
+untouched values) pass through exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..fixtures import BASE_TS_MS, pages_from_documents
+from ..functions import fingerprint as fp
+from ..functions.exprs import DerivedColumnStage
+from ..stages import dedup as dd
+from ..stages import similarity as sim
+from ..stages.textops import LangIdStage, TextFeatureStage
+from ..stages.windows import sessionize_sorted, sliding_window_starts, tumbling_window_start
+
+MIN_60S = 60_000
+SLIDE_5M = 300_000
+SESSION_GAP_MS = 1_800_000
+
+
+def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def _cents(x: np.ndarray | float) -> np.ndarray:
+    return np.floor(np.asarray(x, dtype=np.float64) * 100.0 + 0.5).astype(np.int64)
+
+
+def _micros(x: np.ndarray | float) -> np.ndarray:
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows over `events` (streaming semantics, SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+def q_tumbling_stats(sf_dir: str):
+    """A1 analog: keyed tumbling 1-min windows with decomposable aggs done
+    as a PARTIAL pre-aggregate inside map_batches, then a small groupby —
+    the shuffle moves one row per (key, window) per block, not per event."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        tms = batch["ts"].cast(pa.int64()).to_numpy() // 1000  # us -> ms
+        ws = tumbling_window_start(tms, MIN_60S)
+        df = pd.DataFrame({"event_type": batch["event_type"].to_pandas(),
+                           "window_start": ws, "value": batch["value"].to_numpy()})
+        g = df.groupby(["event_type", "window_start"], sort=False)["value"]
+        out = g.agg(n_events="size", sum_value="sum", min_value="min", max_value="max").reset_index()
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    final = parts.groupby(["event_type", "window_start"]).aggregate(
+        ray.data.aggregate.Sum("n_events", alias_name="n_events"),
+        ray.data.aggregate.Sum("sum_value", alias_name="sum_value"),
+        ray.data.aggregate.Min("min_value", alias_name="min_value"),
+        ray.data.aggregate.Max("max_value", alias_name="max_value"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "window_start": batch["window_start"].cast(pa.int64()),
+            "n_events": batch["n_events"].cast(pa.int64()),
+            "sum_value_cents": pa.array(_cents(batch["sum_value"].to_numpy()), pa.int64()),
+            "min_value": batch["min_value"],
+            "max_value": batch["max_value"],
+        })
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_TUMBLING_STATS = """
+SELECT event_type,
+       (epoch_ms(ts) // 60000) * 60000 AS window_start,
+       COUNT(*) AS n_events,
+       CAST(floor(SUM(value) * 100 + 0.5) AS BIGINT) AS sum_value_cents,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sliding_counts(sf_dir: str):
+    """Sliding windows (10 min size, 5 min slide): row explode in
+    map_batches, then count per (key, window)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        tms = batch["ts"].cast(pa.int64()).to_numpy() // 1000  # us -> ms
+        take, starts = sliding_window_starts(tms, 2 * SLIDE_5M, SLIDE_5M)
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas().to_numpy()[take],
+            "window_start": starts,
+        })
+        return df.groupby(["event_type", "window_start"], sort=False).size().rename("n_events").reset_index()
+
+    parts = ds.map_batches(explode, batch_format="pyarrow")
+    return parts.groupby(["event_type", "window_start"]).aggregate(
+        ray.data.aggregate.Sum("n_events", alias_name="n_events")
+    )
+
+
+SQL_SLIDING_COUNTS = """
+SELECT event_type,
+       (epoch_ms(ts) // 300000) * 300000 - off AS window_start,
+       COUNT(*) AS n_events
+FROM events CROSS JOIN (SELECT unnest([0, 300000]) AS off) o
+GROUP BY 1, 2
+"""
+
+
+def q_session_windows(sf_dir: str):
+    """Session windows per user (30-min gap) — per-key ordered scan in
+    map_groups (the T2/A6 session-state pattern, batch form)."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        tms = g["ts"].astype("datetime64[ms]").astype("int64").to_numpy()
+        sid = sessionize_sorted(tms, SESSION_GAP_MS)
+        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "tms": tms, "sid": sid})
+        gg = out.groupby("sid")
+        return pd.DataFrame({
+            "user_id": gg["user_id"].first(),
+            "session_start": gg["tms"].min().astype(np.int64),
+            "session_end": gg["tms"].max().astype(np.int64),
+            "n_events": gg.size().astype(np.int64),
+        }).reset_index(drop=True)
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SQL_SESSION_WINDOWS = """
+WITH s AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events
+), o AS (
+  SELECT user_id, tms,
+         CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) > 1800000
+              THEN 1 ELSE 0 END AS brk,
+         event_id
+  FROM s
+), g AS (
+  SELECT user_id, tms,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY tms, event_id ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, MIN(tms) AS session_start, MAX(tms) AS session_end, COUNT(*) AS n_events
+FROM g GROUP BY user_id, sid
+"""
+
+
+def q_resample_5min(sf_dir: str):
+    """A3 analog: global 5-min resample buckets (pre-aggregated per block)."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        tms = batch["ts"].cast(pa.int64()).to_numpy() // 1000  # us -> ms
+        b = (tms // SLIDE_5M) * SLIDE_5M
+        df = pd.DataFrame({"bucket": b, "value": batch["value"].to_numpy()})
+        return df.groupby("bucket")["value"].agg(n_events="size", sum_value="sum").reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    final = parts.groupby("bucket").aggregate(
+        ray.data.aggregate.Sum("n_events", alias_name="n_events"),
+        ray.data.aggregate.Sum("sum_value", alias_name="sum_value"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": batch["bucket"].cast(pa.int64()),
+            "n_events": batch["n_events"].cast(pa.int64()),
+            "sum_value_cents": pa.array(_cents(batch["sum_value"].to_numpy()), pa.int64()),
+        })
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_RESAMPLE_5MIN = """
+SELECT (epoch_ms(ts) // 300000) * 300000 AS bucket,
+       COUNT(*) AS n_events,
+       CAST(floor(SUM(value) * 100 + 0.5) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1
+"""
+
+
+RISING_THRESHOLD = 150.0
+
+
+def q_rising_edges(sf_dir: str):
+    """T3 analog: per-user rising-edge count of (value > threshold) —
+    False→True transitions in (ts, event_id) order."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_id", "value"])
+
+    def edges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        cond = (g["value"] > RISING_THRESHOLD).to_numpy()
+        prev = np.concatenate(([False], cond[:-1]))
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_rising": [int((cond & ~prev).sum())],
+        })
+
+    return ds.groupby("user_id").map_groups(edges, batch_format="pandas")
+
+
+SQL_RISING_EDGES = """
+WITH s AS (
+  SELECT user_id,
+         (value > 150.0) AS c,
+         COALESCE(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 150.0, FALSE) AS pc
+  FROM events
+)
+SELECT user_id, CAST(SUM(CASE WHEN c AND NOT pc THEN 1 ELSE 0 END) AS BIGINT) AS n_rising
+FROM s GROUP BY user_id
+"""
+
+
+STREAK_THRESHOLD = 100.0
+
+
+def q_streak_duration(sf_dir: str):
+    """A6 analog: per-user longest streak (ms, actual Δt) of value > 100."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_id", "value"])
+
+    def streaks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        tms = g["ts"].astype("datetime64[ms]").astype("int64").to_numpy()
+        cond = (g["value"] > STREAK_THRESHOLD).to_numpy()
+        isl = np.cumsum(~cond)
+        best = 0
+        if cond.any():
+            df = pd.DataFrame({"tms": tms[cond], "isl": isl[cond]})
+            spans = df.groupby("isl")["tms"].agg(["min", "max"])
+            best = int((spans["max"] - spans["min"]).max())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "max_streak_ms": [best]})
+
+    return ds.groupby("user_id").map_groups(streaks, batch_format="pandas")
+
+
+SQL_STREAK_DURATION = """
+WITH s AS (
+  SELECT user_id, epoch_ms(ts) AS tms, (value > 100.0) AS c,
+         SUM(CASE WHEN value > 100.0 THEN 0 ELSE 1 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS isl
+  FROM events
+), d AS (
+  SELECT user_id, isl, MAX(tms) - MIN(tms) AS dur FROM s WHERE c GROUP BY 1, 2
+)
+SELECT u.user_id, CAST(COALESCE(MAX(d.dur), 0) AS BIGINT) AS max_streak_ms
+FROM (SELECT DISTINCT user_id FROM events) u LEFT JOIN d USING (user_id)
+GROUP BY 1
+"""
+
+
+HAMPEL_DELTA = 25.0
+
+
+def q_hampel_outliers(sf_dir: str):
+    """M6 analog: per-key rolling median (window 7, centered) outlier count
+    — |value − rolling_median| > Δ."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "event_id", "value"])
+
+    def outliers(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        v = g["value"].reset_index(drop=True)
+        med = v.rolling(7, center=True, min_periods=1).median()
+        n = int((np.abs(v - med) > HAMPEL_DELTA).sum())
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]], "n_outliers": [n]})
+
+    return ds.groupby("event_type").map_groups(outliers, batch_format="pandas")
+
+
+SQL_HAMPEL_OUTLIERS = """
+WITH m AS (
+  SELECT event_type, value,
+         median(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS med
+  FROM events
+)
+SELECT event_type, CAST(SUM(CASE WHEN abs(value - med) > 25.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM m GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fingerprint domain over derived pages (BASELINE.json input shape)
+# ---------------------------------------------------------------------------
+
+def _pages_ds(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.from_arrow(pages_from_documents(sf_dir))
+
+
+def q_fp_extract_parity(sf_dir: str):
+    """THE per-row invariant: byte-identical extracted text per url,
+    SQL-verified via md5 — extraction runs on the html BINARY column."""
+    ds = _pages_ds(sf_dir)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        text = fp.extract_text(batch["html"])
+        md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in text.to_pylist()]
+        return pa.table({
+            "url": batch["url"],
+            "n_chars": pc.utf8_length(text).cast(pa.int64()),
+            "text_md5": pa.array(md5s, pa.string()),
+        })
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
+SQL_FP_EXTRACT_PARITY = """
+SELECT 'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/d' || CAST(doc_id AS VARCHAR) AS url,
+       length(text) AS n_chars,
+       md5(text) AS text_md5
+FROM documents
+"""
+
+
+def q_fp_tumbling_windows(sf_dir: str):
+    """Flagship SQL-checkable slice of the streaming job: html→text
+    extraction + (lang, host) keyed tumbling 1-min windows with the
+    reference's stats shape (compute_stats analog on text length)."""
+    ds = _pages_ds(sf_dir)
+
+    def transform(batch: pa.Table) -> pa.Table:
+        text = fp.extract_text(batch["html"])
+        tms = batch["warc_ts"].cast(pa.int64()).to_numpy()
+        return pa.table({
+            "key_lang": batch["lang"],
+            "key_host": fp.host_of(batch["url"]).cast(pa.string()),
+            "window_start": pa.array(tumbling_window_start(tms, MIN_60S), pa.int64()),
+            "text_len": pc.utf8_length(text).cast(pa.int64()),
+        })
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["text_len"].to_numpy())
+        return pd.DataFrame({
+            "key_lang": [g["key_lang"].iloc[0]],
+            "key_host": [g["key_host"].iloc[0]],
+            "window_start": [int(g["window_start"].iloc[0])],
+            "doc_count": [len(v)],
+            "min_len": [int(v[0])],
+            "max_len": [int(v[-1])],
+            "median_len": [float(np.median(v))],
+            "sum_len": [int(v.sum())],
+        })
+
+    return (
+        ds.map_batches(transform, batch_format="pyarrow")
+        .groupby(["key_lang", "key_host", "window_start"])
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+SQL_FP_TUMBLING_WINDOWS = """
+WITH pages AS (
+  SELECT lang AS key_lang,
+         'h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS key_host,
+         1700000000000 + doc_id * 1000 AS tms,
+         length(text) AS text_len
+  FROM documents
+)
+SELECT key_lang, key_host, (tms // 60000) * 60000 AS window_start,
+       COUNT(*) AS doc_count,
+       MIN(text_len) AS min_len,
+       MAX(text_len) AS max_len,
+       median(text_len) AS median_len,
+       SUM(text_len) AS sum_len
+FROM pages GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup suite over `documents`
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dd.exact_dedup(ds, "doc_id")
+
+
+SQL_EXACT_DEDUP = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text
+"""
+
+
+def q_minhash_lsh_clusters(sf_dir: str):
+    """Near-dup clusters via MinHash-LSH (no SQL oracle — sketch-based)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    edges = dd.minhash_lsh_edges(ds, "doc_id", threshold=0.8)
+    return dd.cluster_table(edges)
+
+
+def q_simhash_clusters(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    edges = dd.simhash_edges(ds, "doc_id", max_hamming=3)
+    return dd.cluster_table(edges)
+
+
+def q_ngram_jaccard_clusters(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    edges = dd.ngram_jaccard_edges(ds, "doc_id", threshold=0.7)
+    return dd.cluster_table(edges)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over `documents`
+# ---------------------------------------------------------------------------
+
+def q_token_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        from ..functions.textstats import bpe_ish_token_count, whitespace_token_count
+
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens_ws": whitespace_token_count(batch["text"]).cast(pa.int64()),
+            "n_tokens_bpe": bpe_ish_token_count(batch["text"]).cast(pa.int64()),
+        })
+
+    return ds.map_batches(counts, batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CAST(COALESCE(array_length(regexp_extract_all(text, '\S+')), 0) AS BIGINT) AS n_tokens_ws,
+       CAST(COALESCE(array_length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 0) AS BIGINT) AS n_tokens_bpe
+FROM documents
+"""
+
+
+def q_quality_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        t = batch["text"].combine_chunks().cast(pa.large_string())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_chars": pc.utf8_length(t).cast(pa.int64()),
+            "n_punct": pc.count_substring_regex(t, r"[\.,;:!\?]").cast(pa.int64()),
+            "n_digit": pc.count_substring_regex(t, r"[0-9]").cast(pa.int64()),
+            "n_upper": pc.count_substring_regex(t, r"[A-Z]").cast(pa.int64()),
+        })
+
+    return ds.map_batches(counts, batch_format="pyarrow")
+
+
+SQL_QUALITY_COUNTS = r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       CAST(COALESCE(array_length(regexp_extract_all(text, '[\.,;:!\?]')), 0) AS BIGINT) AS n_punct,
+       CAST(COALESCE(array_length(regexp_extract_all(text, '[0-9]')), 0) AS BIGINT) AS n_digit,
+       CAST(COALESCE(array_length(regexp_extract_all(text, '[A-Z]')), 0) AS BIGINT) AS n_upper
+FROM documents
+"""
+
+
+def q_lang_id(sf_dir: str):
+    """Language-ID heuristic (actor-pool stage; rows-only check)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(LangIdStage, concurrency=2, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "lang_pred"])
+
+
+def q_text_features(sf_dir: str):
+    """Full text-feature stage (quality score, fingerprints; rows-only)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(TextFeatureStage, concurrency=2, batch_format="pyarrow")
+    return out.drop_columns(["text"])
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity over `embeddings`
+# ---------------------------------------------------------------------------
+
+def q_embedding_near_pairs(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return dd.embedding_cosine_pairs(ds, threshold=0.4)
+
+
+SQL_EMBEDDING_NEAR_PAIRS = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) AS BIGINT) AS cos_sim_micros
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) AS BIGINT) >= 400000
+"""
+
+N_ANN_QUERIES = 8
+ANN_K = 5
+
+
+def _query_vectors(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    df = t.to_pandas()
+    df = df[df["vec_id"] < N_ANN_QUERIES].sort_values("vec_id")
+    return np.stack(df["embedding"].to_numpy()), df["vec_id"].to_numpy()
+
+
+def q_ann_topk(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q, qids = _query_vectors(sf_dir)
+    return sim.brute_force_topk(ds, q, qids, k=ANN_K)
+
+
+SQL_ANN_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         CAST(floor(list_cosine_similarity(q.qv, e.v) * 1000000 + 0.5) AS BIGINT) AS cos_sim_micros
+  FROM q CROSS JOIN e WHERE e.vec_id != q.query_id
+), r AS (
+  SELECT query_id, vec_id, cos_sim_micros,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim_micros DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_sim_micros FROM r WHERE rank <= 5
+"""
+
+
+def q_ann_topk_ivf(sf_dir: str):
+    """IVF approximate ANN (rows-only; recall vs brute force is asserted
+    in tests)."""
+    import pyarrow.parquet as pq
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+    sample = np.stack(t["embedding"].to_pandas().head(2000).to_numpy())
+    cents = sim.train_centroids(sample, n_cells=8, seed=0)
+    q, qids = _query_vectors(sf_dir)
+    return sim.ivf_topk(ds, q, qids, cents, k=ANN_K, n_probe=4)
+
+
+# ---------------------------------------------------------------------------
+# Relational operator coverage (TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """A1/M8 relational analog (TPC-H Q1 shape): vectorized derived
+    columns + partial per-block aggregation + small final groupby."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ep = batch["l_extendedprice"].to_numpy()
+        disc = batch["l_discount"].to_numpy()
+        tax = batch["l_tax"].to_numpy()
+        df = pd.DataFrame({
+            "l_returnflag": batch["l_returnflag"].to_pandas(),
+            "l_linestatus": batch["l_linestatus"].to_pandas(),
+            "qty": batch["l_quantity"].to_numpy(),
+            "base": ep,
+            "disc_price": ep * (1.0 - disc),
+            "charge": ep * (1.0 - disc) * (1.0 + tax),
+        })
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+        out = g.agg(sum_qty=("qty", "sum"), sum_base=("base", "sum"),
+                    sum_disc=("disc_price", "sum"), sum_charge=("charge", "sum"),
+                    count_order=("qty", "size")).reset_index()
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    final = parts.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        ray.data.aggregate.Sum("sum_qty", alias_name="sum_qty"),
+        ray.data.aggregate.Sum("sum_base", alias_name="sum_base"),
+        ray.data.aggregate.Sum("sum_disc", alias_name="sum_disc"),
+        ray.data.aggregate.Sum("sum_charge", alias_name="sum_charge"),
+        ray.data.aggregate.Sum("count_order", alias_name="count_order"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty": pa.array(batch["sum_qty"].to_numpy().astype(np.int64), pa.int64()),
+            "sum_base_cents": pa.array(_cents(batch["sum_base"].to_numpy()), pa.int64()),
+            "sum_disc_cents": pa.array(_cents(batch["sum_disc"].to_numpy()), pa.int64()),
+            "sum_charge_cents": pa.array(_cents(batch["sum_charge"].to_numpy()), pa.int64()),
+            "count_order": batch["count_order"].cast(pa.int64()),
+        })
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(floor(SUM(l_extendedprice) * 100 + 0.5) AS BIGINT) AS sum_base_cents,
+       CAST(floor(SUM(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5) AS BIGINT) AS sum_disc_cents,
+       CAST(floor(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) * 100 + 0.5) AS BIGINT) AS sum_charge_cents,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_segment_orders(sf_dir: str):
+    """J2 analog: broadcast hash join — the small customer side is shipped
+    once via ray.put and probed inside map_batches (no shuffle join)."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())))
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def probe(batch: pa.Table) -> pd.DataFrame:
+        lut = ray.get(lookup_ref)
+        seg = pd.Series(batch["o_custkey"].to_numpy()).map(lut)
+        df = pd.DataFrame({"c_mktsegment": seg, "total": batch["o_totalprice"].to_numpy()})
+        g = df.groupby("c_mktsegment", sort=False)["total"]
+        return g.agg(n_orders="size", sum_total="sum").reset_index()
+
+    parts = ds.map_batches(probe, batch_format="pyarrow")
+    final = parts.groupby("c_mktsegment").aggregate(
+        ray.data.aggregate.Sum("n_orders", alias_name="n_orders"),
+        ray.data.aggregate.Sum("sum_total", alias_name="sum_total"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": batch["c_mktsegment"],
+            "n_orders": batch["n_orders"].cast(pa.int64()),
+            "sum_total_cents": pa.array(_cents(batch["sum_total"].to_numpy()), pa.int64()),
+        })
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SEGMENT_ORDERS = """
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(floor(SUM(o.o_totalprice) * 100 + 0.5) AS BIGINT) AS sum_total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+def q_top_orders(sf_dir: str):
+    """O3 analog: global sort + limit (top-k by totalprice)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "total_cents": pa.array(_cents(batch["o_totalprice"].to_numpy()), pa.int64()),
+        })
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_filter_revenue(sf_dir: str):
+    """TPC-H Q6 shape: predicate pushdown + single global aggregate."""
+    ds = _read(sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        sd = batch["l_shipdate"].cast(pa.int64()).to_numpy() // 1000  # us -> ms
+        lo = int(pd.Timestamp("1995-01-01").value // 1_000_000)
+        hi = int(pd.Timestamp("1996-01-01").value // 1_000_000)
+        disc = batch["l_discount"].to_numpy()
+        qty = batch["l_quantity"].to_numpy()
+        ep = batch["l_extendedprice"].to_numpy()
+        m = (sd >= lo) & (sd < hi) & (disc >= 0.05) & (disc <= 0.07) & (qty < 24)
+        return pd.DataFrame({"revenue": [float((ep[m] * disc[m]).sum())], "n_rows": [int(m.sum())]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    agg = parts.aggregate(
+        ray.data.aggregate.Sum("revenue", alias_name="revenue"),
+        ray.data.aggregate.Sum("n_rows", alias_name="n_rows"),
+    )
+    return pd.DataFrame({
+        "revenue_cents": _cents(agg["revenue"]).reshape(1),
+        "n_rows": [int(agg["n_rows"])],
+    })
+
+
+SQL_FILTER_REVENUE = """
+SELECT CAST(floor(COALESCE(SUM(l_extendedprice * l_discount), 0) * 100 + 0.5) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q_user_event_types(sf_dir: str):
+    """A5 analog: distinct-pair dedup then per-user counts."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    pairs = ds.groupby(["user_id", "event_type"]).aggregate(
+        ray.data.aggregate.Count(alias_name="n_events")
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_types": [len(g)],
+            "n_events": [int(g["n_events"].sum())],
+        })
+
+    return pairs.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_USER_EVENT_TYPES = """
+SELECT user_id, COUNT(DISTINCT event_type) AS n_types, COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+DERIVED_FORMULAS = {
+    "mag": "sqrt(abs(value))",
+    "logv": "log(abs(value) + 1.0)",
+}
+
+
+def q_derived_expr(sf_dir: str):
+    """M8 analog: user formula strings compiled to pyarrow.compute kernels
+    (actor pool compiles once per actor), then aggregated."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    derived = ds.map_batches(
+        DerivedColumnStage, fn_constructor_kwargs={"formulas": DERIVED_FORMULAS},
+        concurrency=2, batch_format="pyarrow",
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas(),
+            "mag": batch["mag"].to_numpy(),
+            "logv": batch["logv"].to_numpy(),
+        })
+        g = df.groupby("event_type", sort=False)
+        return g.agg(sum_mag=("mag", "sum"), sum_logv=("logv", "sum")).reset_index()
+
+    parts = derived.map_batches(partial, batch_format="pyarrow")
+    final = parts.groupby("event_type").aggregate(
+        ray.data.aggregate.Sum("sum_mag", alias_name="sum_mag"),
+        ray.data.aggregate.Sum("sum_logv", alias_name="sum_logv"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "sum_mag_cents": pa.array(_cents(batch["sum_mag"].to_numpy()), pa.int64()),
+            "sum_logv_cents": pa.array(_cents(batch["sum_logv"].to_numpy()), pa.int64()),
+        })
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DERIVED_EXPR = """
+SELECT event_type,
+       CAST(floor(SUM(sqrt(abs(value))) * 100 + 0.5) AS BIGINT) AS sum_mag_cents,
+       CAST(floor(SUM(ln(abs(value) + 1.0)) * 100 + 0.5) AS BIGINT) AS sum_logv_cents
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "tumbling_stats": q_tumbling_stats,
+    "sliding_counts": q_sliding_counts,
+    "session_windows": q_session_windows,
+    "resample_5min": q_resample_5min,
+    "rising_edges": q_rising_edges,
+    "streak_duration": q_streak_duration,
+    "hampel_outliers": q_hampel_outliers,
+    "fp_extract_parity": q_fp_extract_parity,
+    "fp_tumbling_windows": q_fp_tumbling_windows,
+    "exact_dedup": q_exact_dedup,
+    "minhash_lsh_clusters": q_minhash_lsh_clusters,
+    "simhash_clusters": q_simhash_clusters,
+    "ngram_jaccard_clusters": q_ngram_jaccard_clusters,
+    "token_counts": q_token_counts,
+    "quality_counts": q_quality_counts,
+    "lang_id": q_lang_id,
+    "text_features": q_text_features,
+    "embedding_near_pairs": q_embedding_near_pairs,
+    "ann_topk": q_ann_topk,
+    "ann_topk_ivf": q_ann_topk_ivf,
+    "pricing_summary": q_pricing_summary,
+    "segment_orders": q_segment_orders,
+    "top_orders": q_top_orders,
+    "filter_revenue": q_filter_revenue,
+    "user_event_types": q_user_event_types,
+    "derived_expr": q_derived_expr,
+}
+
+ORACLE_SQL = {
+    "tumbling_stats": SQL_TUMBLING_STATS,
+    "sliding_counts": SQL_SLIDING_COUNTS,
+    "session_windows": SQL_SESSION_WINDOWS,
+    "resample_5min": SQL_RESAMPLE_5MIN,
+    "rising_edges": SQL_RISING_EDGES,
+    "streak_duration": SQL_STREAK_DURATION,
+    "hampel_outliers": SQL_HAMPEL_OUTLIERS,
+    "fp_extract_parity": SQL_FP_EXTRACT_PARITY,
+    "fp_tumbling_windows": SQL_FP_TUMBLING_WINDOWS,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "quality_counts": SQL_QUALITY_COUNTS,
+    "embedding_near_pairs": SQL_EMBEDDING_NEAR_PAIRS,
+    "ann_topk": SQL_ANN_TOPK,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "segment_orders": SQL_SEGMENT_ORDERS,
+    "top_orders": SQL_TOP_ORDERS,
+    "filter_revenue": SQL_FILTER_REVENUE,
+    "user_event_types": SQL_USER_EVENT_TYPES,
+    "derived_expr": SQL_DERIVED_EXPR,
+}

@@ -1,0 +1,386 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+The reference only has exact dedup (``src/data_input/process_odr.py:1152-1164``
+— pandas ``drop_duplicates`` on 9 columns); near-dedup is new target
+functionality (SURVEY.md §2.7).  Five methods, each a Ray-Data-first
+composition:
+
+- **exact**: hash text → ``groupby(hash)`` → per-group first (min id).
+  At 100 TB the shuffle moves 16-byte (hash, id) rows, never the text.
+- **MinHash + LSH**: shingle → minhash → band keys → ``groupby(band)``
+  emits candidate edges confirmed by signature-Jaccard → connected
+  components → cluster table.
+- **SimHash**: 64-bit fingerprint, banded by pigeonhole slices, candidate
+  pairs confirmed by hamming distance.
+- **n-gram Jaccard**: exact Jaccard over token n-gram hash sets for
+  LSH candidates (confirm layer above the MinHash estimate).
+- **embedding cosine**: near-dup pairs over an embedding column via
+  blocked matmul against a broadcast (``ray.put``) normalized matrix.
+
+Connected components run driver-side over the EDGE LIST only — edges are
+O(near-dups), orders of magnitude smaller than the corpus; the heavy work
+(shingling, hashing, banding, pair confirmation) is distributed.  At
+10^12-doc scale the same edge stream feeds an iterative distributed CC
+(hash-partitioned label propagation); the cluster-table contract is
+unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions import fingerprint as fp
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def add_text_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append a stable uint64 content hash (the shuffle key for exact dedup:
+    16-byte rows move, not the text)."""
+    h = fp.text_hash64(batch[text_col])
+    return batch.append_column("text_hash", pa.array(h, pa.uint64()))
+
+
+def exact_dedup(
+    ds: "ray.data.Dataset", id_col: str, text_col: str = "text"
+) -> "ray.data.Dataset":
+    """One row per distinct text: (id_col = min id, n_dups = group size).
+
+    Reference analog: ``drop_duplicates`` keep-first
+    (``process_odr.py:1152-1164``), made deterministic under parallelism by
+    taking the MINIMUM id rather than arrival-order first.
+    """
+    narrow = ds.map_batches(
+        lambda b: add_text_hash(b, text_col).select(["text_hash", id_col]),
+        batch_format="pyarrow",
+    )
+    return narrow.groupby("text_hash").aggregate(
+        ray.data.aggregate.Min(id_col, alias_name=id_col),
+        ray.data.aggregate.Count(alias_name="n_dups"),
+    ).drop_columns(["text_hash"])
+
+
+# ---------------------------------------------------------------------------
+# Candidate-edge generation (shared by MinHash-LSH / SimHash / n-gram)
+# ---------------------------------------------------------------------------
+
+def _minhash_features(batch: pa.Table, id_col: str, text_col: str, n_bands: int) -> pa.Table:
+    """Per-doc minhash signature + band keys, as fixed-size-list columns."""
+    ids = batch[id_col].cast(pa.int64())
+    mh = fp.minhash(batch[text_col])
+    bands = fp.minhash_band_keys(mh, n_bands)
+    return pa.table(
+        {
+            id_col: ids,
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(mh.ravel(), pa.uint32()), mh.shape[1]
+            ),
+            "bands": pa.FixedSizeListArray.from_arrays(
+                pa.array(bands.ravel(), pa.uint64()), n_bands
+            ),
+        }
+    )
+
+
+def _explode_bands(batch: pa.Table, id_col: str) -> pa.Table:
+    """(doc, bands[list]) → one row per (band_no, band_key, doc, sig)."""
+    n = batch.num_rows
+    bands = batch["bands"]
+    n_bands = bands.type.list_size
+    take = np.repeat(np.arange(n, dtype=np.int64), n_bands)
+    flat_keys = np.asarray(bands.combine_chunks().flatten(), dtype=np.uint64)
+    band_no = np.tile(np.arange(n_bands, dtype=np.int64), n)
+    out = batch.select([id_col, "sig"]).take(pa.array(take))
+    out = out.append_column("band_no", pa.array(band_no, pa.int64()))
+    out = out.append_column("band_key", pa.array(flat_keys, pa.uint64()))
+    return out
+
+
+def _confirm_bucket_edges(g: pd.DataFrame, id_col: str, threshold: float) -> pd.DataFrame:
+    """Within one LSH bucket: anchor-based confirm of candidate pairs by
+    signature-Jaccard.  Emits confirmed edges (a < b)."""
+    if len(g) < 2:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+    ids = g[id_col].to_numpy()
+    sig = np.stack(g["sig"].to_numpy())
+    order = np.argsort(ids, kind="stable")
+    ids, sig = ids[order], sig[order]
+    anchor_sig = sig[0]
+    sim = (sig[1:] == anchor_sig[None, :]).mean(axis=1)
+    hit = sim >= threshold
+    a = np.minimum(ids[0], ids[1:][hit])
+    b = np.maximum(ids[0], ids[1:][hit])
+    return pd.DataFrame({"a": a.astype(np.int64), "b": b.astype(np.int64)})
+
+
+def minhash_lsh_edges(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    text_col: str = "text",
+    n_bands: int = 16,
+    threshold: float = 0.8,
+) -> "ray.data.Dataset":
+    """Confirmed near-dup candidate edges via MinHash-LSH banding.
+
+    shingle→minhash→band (map_batches) → explode band keys → groupby(band)
+    → per-bucket confirm.  The groupby shuffle moves only (id, sig, key).
+    """
+    feats = ds.map_batches(
+        _minhash_features,
+        fn_kwargs={"id_col": id_col, "text_col": text_col, "n_bands": n_bands},
+        batch_format="pyarrow",
+    )
+    exploded = feats.map_batches(
+        _explode_bands, fn_kwargs={"id_col": id_col}, batch_format="pyarrow"
+    )
+    return exploded.groupby(["band_no", "band_key"]).map_groups(
+        _confirm_bucket_edges,
+        fn_kwargs={"id_col": id_col, "threshold": threshold},
+        batch_format="pandas",
+    )
+
+
+def _simhash_features(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    sh = fp.simhash(batch[text_col])
+    return pa.table(
+        {
+            id_col: batch[id_col].cast(pa.int64()),
+            "simhash": pa.array(sh, pa.uint64()),
+        }
+    )
+
+
+def _simhash_explode(batch: pa.Table, id_col: str, n_bands: int) -> pa.Table:
+    sh = batch["simhash"].to_numpy()
+    bands = fp.simhash_bands(sh, n_bands)
+    n = len(sh)
+    take = np.repeat(np.arange(n, dtype=np.int64), n_bands)
+    out = batch.take(pa.array(take))
+    out = out.append_column("band_no", pa.array(np.tile(np.arange(n_bands, dtype=np.int64), n)))
+    out = out.append_column("band_key", pa.array(bands.ravel(), pa.uint64()))
+    return out
+
+
+def _simhash_bucket_edges(g: pd.DataFrame, id_col: str, max_hamming: int) -> pd.DataFrame:
+    if len(g) < 2:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+    ids = g[id_col].to_numpy()
+    sh = g["simhash"].to_numpy().astype(np.uint64)
+    order = np.argsort(ids, kind="stable")
+    ids, sh = ids[order], sh[order]
+    d = fp.hamming64(sh[0], sh[1:])
+    hit = d <= max_hamming
+    a = np.minimum(ids[0], ids[1:][hit])
+    b = np.maximum(ids[0], ids[1:][hit])
+    return pd.DataFrame({"a": a.astype(np.int64), "b": b.astype(np.int64)})
+
+
+def simhash_edges(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    text_col: str = "text",
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> "ray.data.Dataset":
+    """Near-dup edges via SimHash banding (pigeonhole: hamming < n_bands
+    guarantees a shared band) confirmed by exact hamming distance."""
+    feats = ds.map_batches(
+        _simhash_features, fn_kwargs={"id_col": id_col, "text_col": text_col},
+        batch_format="pyarrow",
+    )
+    exploded = feats.map_batches(
+        _simhash_explode, fn_kwargs={"id_col": id_col, "n_bands": n_bands},
+        batch_format="pyarrow",
+    )
+    return exploded.groupby(["band_no", "band_key"]).map_groups(
+        _simhash_bucket_edges,
+        fn_kwargs={"id_col": id_col, "max_hamming": max_hamming},
+        batch_format="pandas",
+    )
+
+
+def _ngram_features(batch: pa.Table, id_col: str, text_col: str, n: int) -> pa.Table:
+    from ..functions.textstats import ngram_set_hashes
+
+    hashes, counts = ngram_set_hashes(batch[text_col], n=n)
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    return pa.table(
+        {
+            id_col: batch[id_col].cast(pa.int64()),
+            "ngrams": pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(hashes, pa.uint64())
+            ),
+        }
+    )
+
+
+def _ngram_bucket_edges(g: pd.DataFrame, id_col: str, threshold: float) -> pd.DataFrame:
+    """Exact n-gram-set Jaccard confirm within an LSH bucket (anchor-based)."""
+    if len(g) < 2:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+    ids = g[id_col].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    sets = [set(s) for s in g["ngrams"].to_numpy()[order]]
+    a_set = sets[0]
+    out_a, out_b = [], []
+    for j in range(1, len(sets)):
+        u = len(a_set | sets[j])
+        jac = (len(a_set & sets[j]) / u) if u else 1.0
+        if jac >= threshold:
+            out_a.append(min(ids[0], ids[j]))
+            out_b.append(max(ids[0], ids[j]))
+    return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"), "b": pd.Series(out_b, dtype="int64")})
+
+
+def ngram_jaccard_edges(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    n_bands: int = 16,
+    threshold: float = 0.7,
+) -> "ray.data.Dataset":
+    """EXACT n-gram Jaccard dedup: MinHash-LSH proposes buckets, the exact
+    n-gram-set Jaccard confirms — no estimation error in the final edges."""
+    feats = ds.map_batches(
+        _minhash_features,
+        fn_kwargs={"id_col": id_col, "text_col": text_col, "n_bands": n_bands},
+        batch_format="pyarrow",
+    )
+    grams = ds.map_batches(
+        _ngram_features, fn_kwargs={"id_col": id_col, "text_col": text_col, "n": n},
+        batch_format="pyarrow",
+    )
+    # zip sig-bands with ngram sets by id (both derive from the same rows;
+    # a cheap co-partitioned merge on id via groupby)
+    exploded = feats.map_batches(_explode_bands, fn_kwargs={"id_col": id_col}, batch_format="pyarrow")
+    exploded = exploded.drop_columns(["sig"])
+    joined = _join_on_id(exploded, grams, id_col)
+    return joined.groupby(["band_no", "band_key"]).map_groups(
+        _ngram_bucket_edges,
+        fn_kwargs={"id_col": id_col, "threshold": threshold},
+        batch_format="pandas",
+    )
+
+
+def _join_on_id(left: "ray.data.Dataset", right: "ray.data.Dataset", id_col: str) -> "ray.data.Dataset":
+    """Broadcast-hash join: RIGHT is the small side (one row per doc of the
+    dedup working set) — ship once via ray.put, probe inside map_batches."""
+    right_tbl = pa.concat_tables(ray.get(right.to_arrow_refs()), promote_options="default")
+    right_ref = ray.put(right_tbl)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        r = ray.get(right_ref)
+        rdf = r.to_pandas().set_index(id_col)
+        ldf = batch.to_pandas()
+        merged = ldf.join(rdf, on=id_col, how="inner")
+        return pa.Table.from_pandas(merged, preserve_index=False)
+
+    return left.map_batches(probe, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Connected components → cluster table
+# ---------------------------------------------------------------------------
+
+def edges_to_clusters(edges_df: pd.DataFrame) -> pd.DataFrame:
+    """Union-find over the (small) edge list → (id, cluster_id, cluster_size)
+    for members of clusters of size >= 2. cluster_id = min member id."""
+    if len(edges_df) == 0:
+        return pd.DataFrame(
+            {"member_id": pd.Series([], dtype="int64"),
+             "cluster_id": pd.Series([], dtype="int64"),
+             "cluster_size": pd.Series([], dtype="int64")}
+        )
+    nodes = pd.unique(pd.concat([edges_df["a"], edges_df["b"]], ignore_index=True))
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    parent = list(range(len(nodes)))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(edges_df["a"].to_numpy(), edges_df["b"].to_numpy()):
+        ra, rb = find(idx[int(a)]), find(idx[int(b)])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = np.array([find(i) for i in range(len(nodes))])
+    df = pd.DataFrame({"member_id": nodes.astype(np.int64), "_root": roots})
+    gb = df.groupby("_root")
+    df["cluster_id"] = gb["member_id"].transform("min").astype(np.int64)
+    df["cluster_size"] = gb["member_id"].transform("size").astype(np.int64)
+    return (
+        df[df["cluster_size"] >= 2][["member_id", "cluster_id", "cluster_size"]]
+        .sort_values(["cluster_id", "member_id"], kind="stable")
+        .reset_index(drop=True)
+    )
+
+
+def cluster_table(edges_ds: "ray.data.Dataset") -> pd.DataFrame:
+    """Collect the edge stream (small: O(near-dups)) and label clusters."""
+    parts = ray.get(edges_ds.to_arrow_refs())
+    tbl = pa.concat_tables(parts, promote_options="default") if parts else None
+    if tbl is None or tbl.num_rows == 0:
+        return edges_to_clusters(pd.DataFrame({"a": [], "b": []}))
+    df = tbl.to_pandas().drop_duplicates(["a", "b"])
+    return edges_to_clusters(df)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_cosine_pairs(
+    ds: "ray.data.Dataset",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> "ray.data.Dataset":
+    """All pairs (a < b) with cosine similarity >= threshold.
+
+    Build side = the full normalized matrix broadcast once with ``ray.put``
+    (fine while n_vectors × dim fits one node — the IVF variant in
+    ``stages/similarity.py`` is the scale path); probe side streams in
+    map_batches with one matmul per batch.
+    """
+    full = pa.concat_tables(ray.get(ds.to_arrow_refs()), promote_options="default")
+    ids_all = full[id_col].to_numpy().astype(np.int64)
+    mat = np.stack(full[vec_col].to_pandas().to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat_n = mat / norms
+    order = np.argsort(ids_all, kind="stable")
+    ids_all, mat_n = ids_all[order], mat_n[order]
+    build_ref = ray.put((ids_all, mat_n))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        b_ids = batch[id_col].to_numpy().astype(np.int64)
+        b_mat = np.stack(batch[vec_col].to_pandas().to_numpy()).astype(np.float64)
+        n = np.linalg.norm(b_mat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        b_n = b_mat / n
+        a_ids, a_mat = ray.get(build_ref)
+        sims = b_n @ a_mat.T  # (batch, all)
+        # threshold on the micros-scaled int so engine and SQL oracle agree
+        # bit-for-bit at the boundary (floor(x*1e6+0.5), half-away rounding)
+        micros = np.floor(sims * 1e6 + 0.5).astype(np.int64)
+        bi, ai = np.nonzero(micros >= int(threshold * 1e6))
+        keep = b_ids[bi] < a_ids[ai]  # dedupe symmetric + self pairs
+        return pa.table(
+            {
+                "id_a": pa.array(b_ids[bi][keep], pa.int64()),
+                "id_b": pa.array(a_ids[ai][keep], pa.int64()),
+                "cos_sim_micros": pa.array(micros[bi, ai][keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")
