@@ -43,7 +43,7 @@ import ray.data
 from ..functions import fingerprint as fp
 from ..sources.epochs import EpochSource
 from ..state.store import StatePool, route_block
-from ..stages.windows import finalize_window_group
+from ..stages.windows import finalize_many
 from .sink import CheckpointManifest, EpochSink
 
 N_BANDS = 16
@@ -57,6 +57,7 @@ class PipelineConfig:
     lateness_ms: int = 10_000                 # reference: 10 s (config.py:37)
     join_retention_ms: int = 300_000          # reference: 5 min (save_fingerprints.py:85)
     n_state_partitions: int = 8
+    n_finalize_partitions: int | None = None  # default max(8, n_state_partitions)
     jaccard_threshold: float = 0.8
     read_blocks: int | None = None            # override_num_blocks on read
 
@@ -67,6 +68,64 @@ FINGERPRINT_COLS = [
     "exact_dup_count", "near_dup_count", "dup_cluster_count",
     "min_len", "max_len", "median_len", "mean_len", "std_len",
 ]
+
+FINGERPRINT_SCHEMA = pa.schema(
+    [
+        ("fingerprint_id", pa.string()),
+        ("key_lang", pa.string()),
+        ("key_host", pa.string()),
+        ("window_kind", pa.string()),
+        ("window_start", pa.int64()),
+        ("window_end", pa.int64()),
+        ("doc_count", pa.int64()),
+        ("exact_dup_count", pa.int64()),
+        ("near_dup_count", pa.int64()),
+        ("dup_cluster_count", pa.int64()),
+        ("min_len", pa.float64()),
+        ("max_len", pa.float64()),
+        ("median_len", pa.float64()),
+        ("mean_len", pa.float64()),
+        ("std_len", pa.float64()),
+    ]
+)
+
+
+def _empty_fingerprints() -> pa.Table:
+    return FINGERPRINT_SCHEMA.empty_table()
+
+
+@ray.remote
+def partition_by_key(block: pa.Table, n_parts: int) -> list[pa.Table]:
+    """Stage A of the manual finalize shuffle: split one block into
+    ``n_parts`` slices by ``key_hash % n_parts`` (call with
+    ``.options(num_returns=n_parts)`` so each slice is its own ref)."""
+    if block.num_rows == 0:
+        return [block] * n_parts
+    part = (block["key_hash"].to_numpy() % np.uint64(n_parts)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    sp = part[order]
+    out = []
+    for p in range(n_parts):
+        lo = np.searchsorted(sp, p, "left")
+        hi = np.searchsorted(sp, p, "right")
+        out.append(block.take(pa.array(order[lo:hi])))
+    return out
+
+
+@ray.remote
+def finalize_partition(*tables: pa.Table) -> pa.Table:
+    """Stage B: one task per partition — concat its slices and finalize all
+    (key, window) groups in one sorted sweep (``finalize_many``)."""
+    tabs = [t for t in tables if t is not None and t.num_rows]
+    if not tabs:
+        return _empty_fingerprints()
+    df = pa.concat_tables(tabs, promote_options="default").to_pandas()
+    out = finalize_many(df)
+    if len(out) == 0:
+        return _empty_fingerprints()
+    return pa.Table.from_pandas(out, preserve_index=False).select(
+        FINGERPRINT_SCHEMA.names
+    ).cast(FINGERPRINT_SCHEMA)
 
 
 @ray.remote(num_cpus=0)
@@ -221,6 +280,18 @@ def update_transform(batch: pa.Table, n_partitions: int) -> pa.Table:
 
 
 @ray.remote
+def write_part(table: pa.Table, path: str) -> int:
+    """Distributed staged-parquet writer (one part file per finalize
+    partition — resumable layout, never one giant file)."""
+    import pyarrow.parquet as pq
+
+    if table.num_rows == 0:
+        return 0
+    pq.write_table(table, path)
+    return table.num_rows
+
+
+@ray.remote
 def probe_join(block: pa.Table, join_handles: list, n_partitions: int) -> pa.Table:
     """Enrich finalized fingerprint rows with update counts from the
     co-partitioned join state (probe side of J1)."""
@@ -270,6 +341,9 @@ class StreamingFingerprintPipeline:
         ray.get(self.counter.reset.remote())
 
         # 1) feed this epoch's page updates into the join state (build side)
+        #    — launched here, awaited just before the join probe so it
+        #    overlaps the page read/transform
+        update_routes: list = []
         if upd_epoch is not None:
             upd = ray.data.read_parquet(upd_epoch.files)
             upd = upd.map_batches(
@@ -277,11 +351,10 @@ class StreamingFingerprintPipeline:
                 fn_kwargs={"n_partitions": cfg.n_state_partitions},
                 batch_format="pyarrow",
             )
-            routes = [
+            update_routes = [
                 route_block.remote(ref, "part", self.pool.join_actors, "add")
                 for ref in upd.to_arrow_refs()
             ]
-            ray.get(routes)
 
         # 2) pages: read → fingerprint → window explode (all streaming tasks)
         read_kwargs = {}
@@ -307,26 +380,40 @@ class StreamingFingerprintPipeline:
 
         # 4) matured rows from earlier epochs join this epoch's closable rows
         matured = self.pool.mature(wm_new)
-        parts = [ray.data.from_arrow_refs(closable_refs)]
-        if matured:
-            parts.append(ray.data.from_arrow(matured))
-        closed = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+        fin_refs = list(closable_refs) + [ray.put(t) for t in matured]
 
-        # 5) finalize per (key, window): stats + dup-cluster counts
-        fps = closed.groupby(
-            ["key_lang", "key_host", "window_kind", "window_start"]
-        ).map_groups(finalize_window_group, batch_format="pandas")
+        # 5) finalize per (key, window): manual hash shuffle — split each
+        #    block by key_hash % P (stage A), then ONE task per partition
+        #    sweeps all of its windows (stage B).  Replaces
+        #    groupby().map_groups, whose per-group UDF dispatch dominates
+        #    when an epoch closes 10^4-10^6 windows.
+        P = cfg.n_finalize_partitions or max(8, cfg.n_state_partitions)
+        parted = [
+            partition_by_key.options(num_returns=P).remote(ref, P)
+            for ref in fin_refs
+        ]
+        fps_refs = [
+            finalize_partition.remote(*[row[p] for row in parted])
+            for p in range(P)
+        ] if parted else []
 
-        # 6) probe join state (update counts), then stage the output
+        # 6) probe join state (update counts), then stage the output —
+        #    written directly from refs by distributed tasks (no Dataset
+        #    round-trip / driver materialization)
+        if update_routes:
+            ray.get(update_routes)  # build side complete before any probe
         enriched_refs = [
             probe_join.remote(ref, self.pool.join_actors, cfg.n_state_partitions)
-            for ref in fps.to_arrow_refs()
+            for ref in fps_refs
         ]
-        out_ds = ray.data.from_arrow_refs(enriched_refs).materialize()
-        n_out = out_ds.count()
         staging = self.sink.staging_dir(epoch.index)
-        if n_out:
-            out_ds.write_parquet(staging)
+        n_out = 0
+        if enriched_refs:
+            write_refs = [
+                write_part.remote(ref, os.path.join(staging, f"part-{i:05d}.parquet"))
+                for i, ref in enumerate(enriched_refs)
+            ]
+            n_out = int(sum(ray.get(write_refs)))
 
         # 7) evict join state past retention, snapshot state, commit fence
         evicted = self.pool.evict_join(wm_new)

@@ -1,0 +1,131 @@
+"""Dedup-suite and similarity-search correctness on corpora with KNOWN
+duplicate structure."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from flink_fingerprint_ray.stages import dedup as dd
+from flink_fingerprint_ray.stages import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def doc_ds(ray_session):
+    """120 docs: 3 known exact-dup clusters, 2 near-dup clusters, rest unique."""
+    import ray.data
+
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(300)]
+    texts, kinds = [], []
+    originals = []
+    for i in range(100):
+        toks = [vocab[rng.randint(len(vocab))] for _ in range(30)]
+        originals.append(toks)
+        texts.append(" ".join(toks))
+        kinds.append("unique")
+    # exact dups: docs 100..105 copy docs 0,1,2 (two copies each)
+    for j in range(3):
+        texts += [" ".join(originals[j])] * 2
+        kinds += ["exact"] * 2
+    # near dups: docs 106..109 are 1-token edits of docs 10, 11
+    for j in (10, 11):
+        t = list(originals[j])
+        t[5] = "EDITED"
+        texts += [" ".join(t), " ".join(originals[j])]
+        kinds += ["near"] * 2
+    tbl = pa.table({"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                    "text": pa.array(texts)})
+    return ray.data.from_arrow(tbl), texts
+
+
+def test_exact_dedup(doc_ds):
+    ds, texts = doc_ds
+    out = dd.exact_dedup(ds, "doc_id").to_pandas()
+    expected = pd.Series(texts).groupby(pd.Series(texts)).size()
+    assert len(out) == len(set(texts))
+    assert out["n_dups"].sum() == len(texts)
+    assert sorted(out["n_dups"].value_counts().to_dict().items()) == sorted(
+        expected.value_counts().to_dict().items()
+    )
+
+
+def test_minhash_lsh_finds_known_clusters(doc_ds):
+    ds, texts = doc_ds
+    edges = dd.minhash_lsh_edges(ds, "doc_id", threshold=0.7)
+    clusters = dd.cluster_table(edges)
+    # the 3 exact-dup trios (0,100,101), (1,102,103), (2,104,105)
+    for base, a, b in ((0, 100, 101), (1, 102, 103), (2, 104, 105)):
+        cl = clusters[clusters["member_id"].isin([base, a, b])]
+        assert len(cl) == 3 and cl["cluster_id"].nunique() == 1
+    # near-dup pairs land in clusters with their originals
+    near_members = clusters[clusters["member_id"] >= 106]
+    assert len(near_members) >= 2
+
+
+def test_simhash_clusters_catch_exact_dups(doc_ds):
+    ds, _ = doc_ds
+    clusters = dd.cluster_table(dd.simhash_edges(ds, "doc_id", max_hamming=3))
+    for base, a, b in ((0, 100, 101), (1, 102, 103), (2, 104, 105)):
+        cl = clusters[clusters["member_id"].isin([base, a, b])]
+        assert len(cl) == 3 and cl["cluster_id"].nunique() == 1
+
+
+def test_ngram_jaccard_exact_confirm(doc_ds):
+    ds, _ = doc_ds
+    clusters = dd.cluster_table(dd.ngram_jaccard_edges(ds, "doc_id", threshold=0.99))
+    # at threshold 0.99 only exact dups survive the EXACT jaccard confirm:
+    # the three trios plus the two original-copies from the near-dup block
+    # (106/108 are the edited variants and must NOT appear)
+    assert set(clusters["member_id"]) == {0, 100, 101, 1, 102, 103, 2, 104, 105, 10, 107, 11, 109}
+
+
+@pytest.fixture(scope="module")
+def vec_ds(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(9)
+    centers = rng.randn(6, 32)
+    vecs = np.concatenate([c + 0.05 * rng.randn(40, 32) for c in centers])
+    ids = np.arange(len(vecs), dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array(list(vecs.astype(np.float32))),
+    })
+    return ray.data.from_arrow(tbl), vecs, ids
+
+
+def test_embedding_pairs_match_numpy(vec_ds):
+    ds, vecs, ids = vec_ds
+    out = dd.embedding_cosine_pairs(ds, threshold=0.99).to_pandas()
+    v = vecs.astype(np.float64)
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = vn @ vn.T
+    micros = np.floor(sims * 1e6 + 0.5).astype(np.int64)
+    iu = np.triu_indices(len(v), k=1)
+    expect = int((micros[iu] >= 990_000).sum())
+    assert len(out) == expect > 0
+
+
+def test_brute_force_topk_matches_numpy(vec_ds):
+    ds, vecs, ids = vec_ds
+    q = vecs[:4]
+    out = sim.brute_force_topk(ds, q, ids[:4], k=3)
+    v = vecs.astype(np.float64)
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = vn[:4] @ vn.T
+    for qi in range(4):
+        s = sims[qi].copy()
+        s[qi] = -np.inf
+        order = np.lexsort((ids, -np.floor(s * 1e6 + 0.5)))
+        expect = ids[order[:3]].tolist()
+        got = out[out["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
+        assert got == expect
+
+
+def test_ivf_recall(vec_ds):
+    ds, vecs, ids = vec_ds
+    cents = sim.train_centroids(vecs, n_cells=6, seed=0)
+    exact = sim.brute_force_topk(ds, vecs[:8], ids[:8], k=5)
+    approx = sim.ivf_topk(ds, vecs[:8], ids[:8], cents, k=5, n_probe=3)
+    assert sim.ivf_recall(exact, approx) >= 0.9

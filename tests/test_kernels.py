@@ -1,0 +1,152 @@
+"""Unit tests for the pure fingerprint/window/expr kernels (no Ray)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from flink_fingerprint_ray.functions import fingerprint as fp
+from flink_fingerprint_ray.functions.exprs import add_derived_columns, compile_expr
+from flink_fingerprint_ray.stages.windows import (
+    compute_stats,
+    fingerprint_id,
+    sessionize_sorted,
+    sliding_window_starts,
+    tumbling_window_start,
+)
+
+
+def test_extract_inverts_wrap():
+    texts = ["hello world", "a <b> & c", "", "tokens with  spaces", "äöü 中文"]
+    html = pa.array([fp.wrap_html(t) for t in texts], pa.binary())
+    out = fp.extract_text(html).to_pylist()
+    assert out == texts  # byte-identical per BASELINE.json input_hint
+
+
+def test_extract_malformed_html_empty():
+    html = pa.array([b"<html>no paragraph</html>", b"garbage"], pa.binary())
+    assert fp.extract_text(html).to_pylist() == ["", ""]
+
+
+def test_host_of():
+    urls = pa.array(
+        ["https://a.example.com/x/y", "http://b.org", "c.net/path", "ftp://d.io/"]
+    )
+    assert fp.host_of(urls).to_pylist() == ["a.example.com", "b.org", "c.net", "d.io"]
+
+
+def test_hash_determinism_across_calls():
+    t = pa.array(["the quick brown fox jumps over the lazy dog"] * 3)
+    a, b = fp.simhash(t), fp.simhash(t)
+    assert (a == b).all() and len(set(a.tolist())) == 1
+    m1, m2 = fp.minhash(t), fp.minhash(t)
+    assert (m1 == m2).all()
+
+
+def test_minhash_jaccard_estimate():
+    base = "w%d " * 100
+    t1 = base % tuple(range(100))
+    t2 = base % tuple(list(range(95)) + [900, 901, 902, 903, 904])  # ~95% shared shingles
+    t3 = ("z%d " * 100) % tuple(range(1000, 1100))
+    sig = fp.minhash(pa.array([t1, t2, t3]))
+    est_near = fp.jaccard_from_minhash(sig[0], sig[1])
+    est_far = fp.jaccard_from_minhash(sig[0], sig[2])
+    assert est_near > 0.6
+    assert est_far < 0.2
+
+
+def test_simhash_hamming_property():
+    toks = [f"tok{i}" for i in range(200)]
+    t1 = " ".join(toks)
+    toks[7] = "CHANGED"
+    t2 = " ".join(toks)
+    t3 = " ".join(f"other{i}" for i in range(200))
+    sh = fp.simhash(pa.array([t1, t2, t3]))
+    near = fp.hamming64(sh[0:1], sh[1:2])[0]
+    far = fp.hamming64(sh[0:1], sh[2:3])[0]
+    assert near < 12 < far
+
+
+def test_simhash_bands_pigeonhole():
+    sh = np.array([0x0123456789ABCDEF, 0x0123456789ABCDEC], dtype=np.uint64)  # hamming 2
+    bands = fp.simhash_bands(sh, n_bands=4)
+    assert (bands[0] == bands[1]).sum() >= 1  # hamming < n_bands → share a band
+
+
+def test_empty_and_short_docs():
+    t = pa.array(["", "one two", "one two three four"])
+    sig = fp.minhash(t)
+    assert (sig[0] == np.iinfo(np.uint32).max).all()  # sentinel
+    assert (sig[1] == np.iinfo(np.uint32).max).all()  # < 3 tokens
+    assert not (sig[2] == np.iinfo(np.uint32).max).all()
+    sh = fp.simhash(t)
+    assert sh[0] == 0 and sh[1] == 0 and sh[2] != 0
+
+
+# -- windows ----------------------------------------------------------------
+
+def test_tumbling_boundary_exclusive():
+    # ts == window_end belongs to the NEXT window ([start, end) semantics,
+    # reference join predicate save_fingerprints.py:148)
+    ts = np.array([0, 59_999, 60_000, 119_999, 120_000], dtype=np.int64)
+    ws = tumbling_window_start(ts, 60_000)
+    assert ws.tolist() == [0, 0, 60_000, 60_000, 120_000]
+
+
+def test_sliding_explode():
+    ts = np.array([150_000], dtype=np.int64)  # size 120s, slide 60s → 2 windows
+    take, starts = sliding_window_starts(ts, 120_000, 60_000)
+    assert take.tolist() == [0, 0]
+    assert sorted(starts.tolist()) == [60_000, 120_000]
+    for s in starts:
+        assert s <= 150_000 < s + 120_000
+
+
+def test_sliding_requires_divisible():
+    with pytest.raises(ValueError):
+        sliding_window_starts(np.array([0]), 100, 33)
+
+
+def test_sessionize():
+    ts = np.array([0, 10, 20, 100, 105, 300], dtype=np.int64)
+    sid = sessionize_sorted(ts, gap_ms=50)
+    assert sid.tolist() == [0, 0, 0, 1, 1, 2]
+    # gap exactly == threshold does NOT break (strict >)
+    assert sessionize_sorted(np.array([0, 50]), 50).tolist() == [0, 0]
+    assert sessionize_sorted(np.array([0, 51]), 50).tolist() == [0, 1]
+
+
+def test_compute_stats_reference_parity():
+    # reference: statistics.mean/median/pstdev with n==1 → std 0.0
+    # (src/flink_job/aggregations.py:6-16)
+    import statistics
+
+    vals = [3.0, 1.0, 2.0, 2.0, 5.0]
+    s = compute_stats(np.array(vals))
+    assert s["min"] == 1.0 and s["max"] == 5.0
+    assert s["median"] == statistics.median(vals)
+    assert s["mean"] == pytest.approx(statistics.mean(vals))
+    assert s["std_dev"] == pytest.approx(statistics.pstdev(vals))
+    one = compute_stats(np.array([7.0]))
+    assert one["std_dev"] == 0.0 and one["median"] == 7.0
+
+
+def test_fingerprint_id_deterministic():
+    a = fingerprint_id("en", "h.com", "tumbling", 0, 60_000)
+    b = fingerprint_id("en", "h.com", "tumbling", 0, 60_000)
+    c = fingerprint_id("en", "h.com", "tumbling", 60_000, 120_000)
+    assert a == b != c and len(a) == 32
+
+
+# -- expression compiler ----------------------------------------------------
+
+def test_expr_compiler_matches_numpy():
+    t = pa.table({"x": pa.array([1.0, 4.0, 9.0]), "y": pa.array([2.0, 3.0, 4.0])})
+    out = add_derived_columns(t, {"z": "sqrt(x) + y * 2.0", "w": "log(x + 1.0)"})
+    np.testing.assert_allclose(out["z"].to_numpy(), np.sqrt([1, 4, 9]) + np.array([2, 3, 4]) * 2)
+    np.testing.assert_allclose(out["w"].to_numpy(), np.log(np.array([1, 4, 9]) + 1))
+
+
+def test_expr_compiler_rejects_unsafe():
+    for bad in ("__import__('os')", "x.attr", "open('f')", "[1,2]", "x if y else 0"):
+        with pytest.raises(ValueError):
+            compile_expr(bad)

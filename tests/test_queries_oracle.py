@@ -1,0 +1,75 @@
+"""Driver-contract conformance: a representative subset of queries() vs
+their oracle_sql() through DuckDB at sf0.001 (the full sweep runs in the
+driver at sf0.01; this keeps CI fast while locking the contract)."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+FAST_SQL_QUERIES = [
+    "tumbling_stats",
+    "session_windows",
+    "rising_edges",
+    "hampel_outliers",
+    "fp_extract_parity",
+    "fp_tumbling_windows",
+    "exact_dedup",
+    "token_counts",
+    "embedding_near_pairs",
+    "ann_topk",
+    "pricing_summary",
+    "segment_orders",
+    "top_orders",
+    "filter_revenue",
+    "user_event_types",
+    "derived_expr",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def _to_df(res):
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()
+
+
+@pytest.mark.parametrize("name", FAST_SQL_QUERIES)
+def test_query_matches_oracle(ray_session, con, name):
+    import __ray_entry__ as entrymod
+
+    rdf = _to_df(entrymod.queries()[name](SF))
+    odf = con.execute(entrymod.oracle_sql()[name]).df()
+    cols = sorted(odf.columns)
+    assert sorted(rdf.columns) == cols
+    r = rdf[cols].sort_values(cols).reset_index(drop=True)
+    o = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert len(r) == len(o) > 0
+    pd.testing.assert_frame_equal(r, o, check_dtype=False)
+
+
+def test_rows_only_queries_nonempty(ray_session):
+    import __ray_entry__ as entrymod
+
+    q = entrymod.queries()
+    for name in ("minhash_lsh_clusters", "lang_id", "ann_topk_ivf"):
+        df = _to_df(q[name](SF))
+        assert len(df) > 0, name
+
+
+def test_every_oracle_has_query(ray_session):
+    import __ray_entry__ as entrymod
+
+    assert set(entrymod.oracle_sql()) <= set(entrymod.queries())

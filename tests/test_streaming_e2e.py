@@ -1,0 +1,148 @@
+"""End-to-end engine-vs-oracle parity, resume, replay idempotency and
+arrival-order invariance for the streaming fingerprint pipeline."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from flink_fingerprint_ray import fixtures
+from flink_fingerprint_ray.oracle import oracle_fingerprints
+from flink_fingerprint_ray.pipelines.streaming import (
+    PipelineConfig,
+    StreamingFingerprintPipeline,
+)
+
+SORT_COLS = ["window_kind", "key_lang", "key_host", "window_start"]
+N_EPOCHS = 4
+
+
+def _norm(df: pd.DataFrame, cols) -> pd.DataFrame:
+    return df.sort_values(SORT_COLS, kind="stable").reset_index(drop=True)[list(cols)]
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("corpus"))
+    pages = fixtures.make_pages(n_docs=700, seed=11)
+    updates = fixtures.make_page_updates(pages, seed=12)
+    fixtures.write_epochs(pages, root, n_epochs=N_EPOCHS, prefix="pages")
+    fixtures.write_epochs(updates, root, n_epochs=N_EPOCHS, prefix="updates")
+    return root, pages, updates
+
+
+CFG = dict(sliding=(120_000, 60_000), session_gap_ms=30_000, n_state_partitions=3)
+
+
+@pytest.fixture(scope="module")
+def oracle_df(corpus):
+    _, pages, updates = corpus
+    return oracle_fingerprints(
+        pages, N_EPOCHS, updates=updates,
+        sliding=CFG["sliding"], session_gap_ms=CFG["session_gap_ms"],
+    )
+
+
+def _run(root: str, out_name: str, max_epochs=None, cfg_extra=None) -> StreamingFingerprintPipeline:
+    cfg = PipelineConfig(**{**CFG, **(cfg_extra or {})})
+    pipe = StreamingFingerprintPipeline(
+        os.path.join(root, "pages"), os.path.join(root, out_name),
+        updates_root=os.path.join(root, "updates"), cfg=cfg,
+    )
+    pipe.run(max_epochs=max_epochs)
+    return pipe
+
+
+def test_engine_matches_oracle(ray_session, corpus, oracle_df):
+    root, _, _ = corpus
+    pipe = _run(root, "out_e2e")
+    eng = pipe.result_dataset().to_pandas()
+    pipe.shutdown()
+    assert len(eng) == len(oracle_df) > 0
+    pd.testing.assert_frame_equal(
+        _norm(eng, oracle_df.columns), _norm(oracle_df, oracle_df.columns),
+        check_dtype=False,
+    )
+    # all three window kinds actually occur
+    assert set(eng["window_kind"]) == {"tumbling", "sliding", "session"}
+    # join produced hits
+    assert eng["update_count"].sum() > 0
+
+
+def test_late_rows_dropped_and_counted(ray_session, corpus):
+    root, pages, _ = corpus
+    pipe = _run(root, "out_late")
+    m = pipe.manifest.state["epochs"]
+    pipe.shutdown()
+    late = sum(e["metrics"].get("late_dropped", 0) for e in m.values())
+    empty = sum(e["metrics"].get("empty_dropped", 0) for e in m.values())
+    assert late > 0      # fixture injects ~1% beyond-watermark rows
+    assert empty > 0     # fixture injects ~2% empty docs
+    rows_in = sum(e["metrics"]["rows_in"] for e in m.values())
+    assert rows_in == pages.num_rows
+
+
+def test_resume_after_kill(ray_session, corpus, oracle_df):
+    root, _, _ = corpus
+    p1 = _run(root, "out_resume", max_epochs=2)
+    p1.shutdown()  # actors die; only manifest + snapshots survive
+    p2 = _run(root, "out_resume")  # fresh pipeline restores from manifest
+    assert p2.manifest.cursor == N_EPOCHS - 1
+    eng = p2.result_dataset().to_pandas()
+    p2.shutdown()
+    pd.testing.assert_frame_equal(
+        _norm(eng, oracle_df.columns), _norm(oracle_df, oracle_df.columns),
+        check_dtype=False,
+    )
+
+
+def test_replay_committed_epoch_idempotent(ray_session, corpus):
+    root, _, _ = corpus
+    out = "out_replay"
+    p1 = _run(root, out)
+    p1.shutdown()
+
+    def read_out():
+        files = sorted(glob.glob(os.path.join(root, out, "epoch=*", "*.parquet")))
+        import pyarrow.parquet as pq
+        return pd.concat([pq.read_table(f).to_pandas() for f in files])
+
+    before = _norm(read_out(), read_out().columns)
+    # crash-rewind: cursor back one epoch, rerun → same committed rows
+    mpath = os.path.join(root, out, "manifest.json")
+    st = json.load(open(mpath))
+    st["cursor"] = N_EPOCHS - 2
+    st["watermark_ms"] = st["epochs"][str(N_EPOCHS - 2)]["watermark_ms"]
+    json.dump(st, open(mpath, "w"))
+    p2 = _run(root, out)
+    p2.shutdown()
+    after = _norm(read_out(), before.columns)
+    pd.testing.assert_frame_equal(before, after, check_dtype=False)
+
+
+def test_arrival_order_invariance_within_epoch(ray_session, tmp_path, oracle_df, corpus):
+    """Shuffling arrival order WITHIN each epoch must not change output
+    (no hidden dependence on block/row order)."""
+    root, pages, updates = corpus
+    rng = np.random.RandomState(0)
+    bounds = np.linspace(0, pages.num_rows, N_EPOCHS + 1).astype(int)
+    parts = []
+    for k in range(N_EPOCHS):
+        idx = np.arange(bounds[k], bounds[k + 1])
+        rng.shuffle(idx)
+        parts.append(pages.take(pa.array(idx)))
+    shuffled = pa.concat_tables(parts)
+    root2 = str(tmp_path)
+    fixtures.write_epochs(shuffled, root2, n_epochs=N_EPOCHS, prefix="pages")
+    fixtures.write_epochs(updates, root2, n_epochs=N_EPOCHS, prefix="updates")
+    pipe = _run(root2, "out_shuf", cfg_extra={"read_blocks": 5})
+    eng = pipe.result_dataset().to_pandas()
+    pipe.shutdown()
+    pd.testing.assert_frame_equal(
+        _norm(eng, oracle_df.columns), _norm(oracle_df, oracle_df.columns),
+        check_dtype=False,
+    )
