@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Benchmark harness for the Ray-Data-native fingerprint engine.
+
+Default mode: runs the headline streaming fingerprint pipeline (epoched
+page stream -> fingerprint -> windows -> state -> join -> fenced sink)
+plus the operator query suite over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``), under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32).  Prints ONE JSON line:
+
+    {"metric": ..., "value": <headline seconds>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling`` runs the headline pipeline twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the same input and reports both
+throughputs plus efficiency = thr32 / (4 * thr8)  (sandbox proxy for
+the N -> 4N node criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# Headline corpus size: deterministic seeded page stream (FIXTURES.md F1).
+N_DOCS = int(os.environ.get("BENCH_N_DOCS", "60000"))
+N_EPOCHS = int(os.environ.get("BENCH_N_EPOCHS", "6"))
+
+# Queries skipped in the timed suite (O(n^2) pair materialization is a
+# correctness oracle, not a throughput path).
+SKIP_QUERIES = {"embedding_near_pairs"}
+
+
+def _init_ray(num_cpus: int) -> None:
+    import logging
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level=logging.ERROR,
+        )
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def _consume(res) -> int:
+    """Materialize a query result enough to force full execution."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        n = 0
+        for b in res.iter_batches(batch_format="pyarrow", batch_size=None):
+            n += b.num_rows
+        return n
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    return 0
+
+
+def run_headline(num_cpus: int, n_docs: int = N_DOCS, n_epochs: int = N_EPOCHS) -> dict:
+    """The flagship streaming pipeline on a seeded page stream; returns
+    wall seconds + docs/sec."""
+    from flink_fingerprint_ray import fixtures
+    from flink_fingerprint_ray.pipelines.streaming import (
+        PipelineConfig,
+        StreamingFingerprintPipeline,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ffr_bench_")
+    try:
+        pages = fixtures.make_pages(n_docs=n_docs, seed=42, n_hosts=200)
+        updates = fixtures.make_page_updates(pages, seed=43)
+        fixtures.write_epochs(pages, tmp, n_epochs=n_epochs, prefix="pages")
+        fixtures.write_epochs(updates, tmp, n_epochs=n_epochs, prefix="updates")
+        cfg = PipelineConfig(
+            sliding=(120_000, 60_000),
+            session_gap_ms=120_000,
+            n_state_partitions=min(16, max(4, num_cpus // 2)),
+        )
+        pipe = StreamingFingerprintPipeline(
+            os.path.join(tmp, "pages"),
+            os.path.join(tmp, "out"),
+            updates_root=os.path.join(tmp, "updates"),
+            cfg=cfg,
+        )
+        t0 = time.perf_counter()
+        pipe.run()
+        elapsed = time.perf_counter() - t0
+        n_out = _consume(pipe.result_dataset())
+        pipe.shutdown()
+        return {
+            "sec": round(elapsed, 3),
+            "docs_per_sec": round(n_docs / elapsed, 1),
+            "n_docs": n_docs,
+            "n_epochs": n_epochs,
+            "n_fingerprints": n_out,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    from flink_fingerprint_ray.pipelines.queries import QUERIES
+
+    times: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        if name in SKIP_QUERIES:
+            continue
+        t0 = time.perf_counter()
+        _consume(fn(sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def _scaling_child(num_cpus: int) -> dict:
+    """Run in a FRESH process per parallelism level (fresh Ray session)."""
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--_headline-only"],
+        env=env, capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true",
+                    help="run headline at num_cpus=8 and 32 in fresh processes")
+    ap.add_argument("--_headline-only", dest="headline_only", action="store_true",
+                    help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args.scaling:
+        lo, hi = 8, 32
+        r_lo = _scaling_child(lo)
+        r_hi = _scaling_child(hi)
+        eff = r_hi["headline"]["docs_per_sec"] / (
+            (hi / lo) * r_lo["headline"]["docs_per_sec"]
+        )
+        print(json.dumps({
+            "metric": "streaming fingerprint pipeline scaling (fresh ray sessions, same input)",
+            "value": round(eff, 3),
+            "unit": "efficiency",
+            "sf": SF_DIR,
+            "runs": {
+                f"num_cpus={lo}": r_lo["headline"],
+                f"num_cpus={hi}": r_hi["headline"],
+            },
+            "throughput_lo": r_lo["headline"]["docs_per_sec"],
+            "throughput_hi": r_hi["headline"]["docs_per_sec"],
+            "cpu_ratio": hi / lo,
+            "scaling_efficiency": round(eff, 3),
+        }))
+        return
+
+    _init_ray(NUM_CPUS)
+    headline = run_headline(NUM_CPUS)
+    queries = {} if args.headline_only else run_queries(SF_DIR)
+    result = {
+        "metric": "streaming fingerprint pipeline wall time (sec) + per-query suite",
+        "value": headline["sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "headline": headline,
+    }
+    print(json.dumps(result))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
