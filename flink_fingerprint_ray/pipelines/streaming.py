@@ -42,7 +42,7 @@ import ray.data
 
 from ..functions import fingerprint as fp
 from ..sources.epochs import EpochSource
-from ..state.store import StatePool, route_block
+from ..state.store import StatePool
 from ..stages.windows import finalize_many
 from .sink import CheckpointManifest, EpochSink
 
@@ -95,12 +95,13 @@ def _empty_fingerprints() -> pa.Table:
 
 
 @ray.remote
-def partition_by_key(block: pa.Table, n_parts: int) -> list[pa.Table]:
+def partition_by_key(block: pa.Table | None, n_parts: int) -> list[pa.Table | None]:
     """Stage A of the manual finalize shuffle: split one block into
     ``n_parts`` slices by ``key_hash % n_parts`` (call with
-    ``.options(num_returns=n_parts)`` so each slice is its own ref)."""
-    if block.num_rows == 0:
-        return [block] * n_parts
+    ``.options(num_returns=n_parts)`` so each slice is its own ref).
+    ``block`` may be None (an actor's mature call with nothing to emit)."""
+    if block is None or block.num_rows == 0:
+        return [None] * n_parts
     part = (block["key_hash"].to_numpy() % np.uint64(n_parts)).astype(np.int64)
     order = np.argsort(part, kind="stable")
     sp = part[order]
@@ -113,19 +114,36 @@ def partition_by_key(block: pa.Table, n_parts: int) -> list[pa.Table]:
 
 
 @ray.remote
-def finalize_partition(*tables: pa.Table) -> pa.Table:
-    """Stage B: one task per partition — concat its slices and finalize all
-    (key, window) groups in one sorted sweep (``finalize_many``)."""
+def finalize_partition(
+    path: str, join_handles: list, n_join_partitions: int, *tables: pa.Table
+) -> int:
+    """Stage B: one task per partition — concat its slices, finalize all
+    (key, window) groups in one sorted sweep (``finalize_many``), probe the
+    join state for update counts, and write this partition's staged parquet
+    part.  One task instead of a finalize→probe→write task chain: the
+    fan-in objects are fetched once and the output never crosses a task
+    boundary (SURVEY.md §3.4 step order preserved)."""
+    import pyarrow.parquet as pq
+
     tabs = [t for t in tables if t is not None and t.num_rows]
     if not tabs:
-        return _empty_fingerprints()
+        return 0
     df = pa.concat_tables(tabs, promote_options="default").to_pandas()
     out = finalize_many(df)
     if len(out) == 0:
-        return _empty_fingerprints()
-    return pa.Table.from_pandas(out, preserve_index=False).select(
+        return 0
+    fps = pa.Table.from_pandas(out, preserve_index=False).select(
         FINGERPRINT_SCHEMA.names
     ).cast(FINGERPRINT_SCHEMA)
+    # probe side of the stream-stream join (J1): co-partitioned by host hash
+    part = (fp.text_hash64(fps["key_host"].combine_chunks()) % np.uint64(n_join_partitions)).astype(np.int64)
+    outs = []
+    for pid in np.unique(part):
+        sub = fps.take(pa.array(np.flatnonzero(part == pid)))
+        outs.append(join_handles[int(pid)].probe.remote(sub))
+    enriched = pa.concat_tables(ray.get(outs))
+    pq.write_table(enriched, path)
+    return enriched.num_rows
 
 
 @ray.remote(num_cpus=0)
@@ -136,14 +154,21 @@ class MetricCounter:
     def add(self, name: str, n: int) -> None:
         self.c[name] = self.c.get(name, 0) + int(n)
 
+    def take_prefix(self, prefix: str) -> dict[str, int]:
+        """Return-and-remove counters under a per-epoch prefix (transforms
+        of epoch K+1 may already be running when epoch K's metrics are
+        collected, so counters are epoch-scoped, not reset globally)."""
+        out = {k[len(prefix):]: v for k, v in self.c.items() if k.startswith(prefix)}
+        for k in list(self.c):
+            if k.startswith(prefix):
+                del self.c[k]
+        return out
+
     def get_all(self) -> dict[str, int]:
         return dict(self.c)
 
-    def reset(self) -> None:
-        self.c = {}
 
-
-def page_transform(batch: pa.Table, late_cutoff_ms: int, counter) -> pa.Table:
+def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix: str = "") -> pa.Table:
     """Stateless per-batch transform: late-drop, extract, fingerprint.
 
     Emits a NARROW table (html/text projected away) so only ~300-byte rows
@@ -164,8 +189,8 @@ def page_transform(batch: pa.Table, late_cutoff_ms: int, counter) -> pa.Table:
     batch = batch.filter(nonempty)
     text = text.filter(nonempty)
     if counter is not None:
-        counter.add.remote("late_dropped", n_late)
-        counter.add.remote("empty_dropped", n_empty)
+        counter.add.remote(metric_prefix + "late_dropped", n_late)
+        counter.add.remote(metric_prefix + "empty_dropped", n_empty)
 
     host = fp.host_of(batch["url"])
     lang = batch["lang"].combine_chunks().cast(pa.large_string()) if batch.num_rows else pa.array([], pa.large_string())
@@ -280,32 +305,31 @@ def update_transform(batch: pa.Table, n_partitions: int) -> pa.Table:
 
 
 @ray.remote
-def write_part(table: pa.Table, path: str) -> int:
-    """Distributed staged-parquet writer (one part file per finalize
-    partition — resumable layout, never one giant file)."""
+def feed_updates(files: list[str], n_partitions: int, join_handles: list) -> int:
+    """Build side of the stream-stream join as ONE raw task per file group:
+    read → transform → route slices to the owning join actors.  A raw task
+    (not a Dataset) because the per-epoch build side is a small bounded
+    read whose only consumer is actor state — Dataset executor startup
+    would dominate (the probe side still flows through Ray Data)."""
     import pyarrow.parquet as pq
 
-    if table.num_rows == 0:
-        return 0
-    pq.write_table(table, path)
-    return table.num_rows
-
-
-@ray.remote
-def probe_join(block: pa.Table, join_handles: list, n_partitions: int) -> pa.Table:
-    """Enrich finalized fingerprint rows with update counts from the
-    co-partitioned join state (probe side of J1)."""
-    if block.num_rows == 0:
-        out = block
-        for k in ("update_count", "update_modified", "update_deleted", "update_redirected"):
-            out = out.append_column(k, pa.array([], pa.int64()))
-        return out
-    part = (fp.text_hash64(block["key_host"].combine_chunks()) % np.uint64(n_partitions)).astype(np.int64)
-    outs = []
-    for pid in np.unique(part):
-        sub = block.take(pa.array(np.flatnonzero(part == pid)))
-        outs.append(join_handles[int(pid)].probe.remote(sub))
-    return pa.concat_tables(ray.get(outs))
+    total = 0
+    refs = []
+    for f in files:
+        t = pq.read_table(f, columns=["url", "update_ts", "change_kind"])
+        b = update_transform(t, n_partitions)
+        total += b.num_rows
+        p = b["part"].to_numpy()
+        order = np.argsort(p, kind="stable")
+        sp = p[order]
+        bounds = np.flatnonzero(np.concatenate(([True], sp[1:] != sp[:-1])))
+        bounds = np.append(bounds, len(sp))
+        for i in range(len(bounds) - 1):
+            s, e = bounds[i], bounds[i + 1]
+            sub = b.take(pa.array(order[s:e])).drop_columns(["part"])
+            refs.append(join_handles[int(sp[s])].add.remote(sub))
+    ray.get(refs)
+    return total
 
 
 class StreamingFingerprintPipeline:
@@ -332,41 +356,51 @@ class StreamingFingerprintPipeline:
         if self.manifest.cursor >= 0:  # resume: restore actor state snapshots
             self.pool.restore(self.manifest.last_snapshot())
 
+    # -- transform (Dataset execution; prefetchable) -----------------------
+    def _transform_refs(self, epoch, late_cutoff_ms: int) -> list:
+        """Pages: read → fingerprint → window explode, executed as a Ray
+        Data pipeline; returns the transformed Arrow block refs.  The late
+        cutoff is the watermark at epoch START, which is precomputable from
+        parquet stats — so this can run one epoch AHEAD of the state/commit
+        phase (prefetch)."""
+        cfg = self.cfg
+        blocks = cfg.read_blocks
+        if blocks is None:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            blocks = max(len(epoch.files), min(2 * cpus, max(1, epoch.num_rows // 2000)))
+        ds = ray.data.read_parquet(epoch.files, override_num_blocks=blocks)
+        ds = ds.map_batches(
+            page_transform,
+            fn_kwargs={
+                "late_cutoff_ms": late_cutoff_ms,
+                "counter": self.counter,
+                "metric_prefix": f"e{epoch.index}:",
+            },
+            batch_format="pyarrow",
+        )
+        ds = ds.map_batches(explode_windows, fn_kwargs={"cfg": cfg}, batch_format="pyarrow")
+        return ds.to_arrow_refs()
+
     # -- single epoch ------------------------------------------------------
-    def run_epoch(self, epoch, upd_epoch=None) -> dict:
+    def run_epoch(self, epoch, upd_epoch=None, transform_refs: list | None = None) -> dict:
         t0 = time.perf_counter()
         cfg = self.cfg
         wm_prev = self.manifest.watermark_ms
         wm_new = max(wm_prev, epoch.max_ts_ms - cfg.lateness_ms)
-        ray.get(self.counter.reset.remote())
 
         # 1) feed this epoch's page updates into the join state (build side)
-        #    — launched here, awaited just before the join probe so it
-        #    overlaps the page read/transform
+        #    — raw tasks launched here, awaited just before the join probe
+        #    so they overlap the page read/transform
         update_routes: list = []
         if upd_epoch is not None:
-            upd = ray.data.read_parquet(upd_epoch.files)
-            upd = upd.map_batches(
-                update_transform,
-                fn_kwargs={"n_partitions": cfg.n_state_partitions},
-                batch_format="pyarrow",
-            )
             update_routes = [
-                route_block.remote(ref, "part", self.pool.join_actors, "add")
-                for ref in upd.to_arrow_refs()
+                feed_updates.remote(upd_epoch.files, cfg.n_state_partitions, self.pool.join_actors)
             ]
 
-        # 2) pages: read → fingerprint → window explode (all streaming tasks)
-        read_kwargs = {}
-        if cfg.read_blocks:
-            read_kwargs["override_num_blocks"] = cfg.read_blocks
-        ds = ray.data.read_parquet(epoch.files, **read_kwargs)
-        ds = ds.map_batches(
-            page_transform,
-            fn_kwargs={"late_cutoff_ms": wm_prev, "counter": self.counter},
-            batch_format="pyarrow",
-        )
-        ds = ds.map_batches(explode_windows, fn_kwargs={"cfg": cfg}, batch_format="pyarrow")
+        # 2) pages: read → fingerprint → window explode (all streaming
+        #    tasks), unless already prefetched by run()
+        if transform_refs is None:
+            transform_refs = self._transform_refs(epoch, wm_prev)
 
         # 3) per-block routing: open/session rows into state actors,
         #    closable rows back as refs (single pass over the data)
@@ -374,58 +408,55 @@ class StreamingFingerprintPipeline:
             route_and_split.remote(
                 ref, wm_new, self.pool.window_actors, cfg.n_state_partitions
             )
-            for ref in ds.to_arrow_refs()
+            for ref in transform_refs
         ]
         ray.wait(closable_refs, num_returns=len(closable_refs))
+        t_route = time.perf_counter()
 
-        # 4) matured rows from earlier epochs join this epoch's closable rows
-        matured = self.pool.mature(wm_new)
-        fin_refs = list(closable_refs) + [ray.put(t) for t in matured]
+        # 4) matured rows from earlier epochs join this epoch's closable
+        #    rows — taken as refs straight from the actors (no driver copy)
+        fin_refs = list(closable_refs) + self.pool.mature_refs(wm_new)
 
-        # 5) finalize per (key, window): manual hash shuffle — split each
-        #    block by key_hash % P (stage A), then ONE task per partition
-        #    sweeps all of its windows (stage B).  Replaces
-        #    groupby().map_groups, whose per-group UDF dispatch dominates
-        #    when an epoch closes 10^4-10^6 windows.
+        # 5+6) finalize per (key, window) + join probe + staged write:
+        #    manual hash shuffle — split each block by key_hash % P
+        #    (stage A), then ONE task per partition sweeps all its windows,
+        #    probes the co-partitioned join state, and writes its own
+        #    staged parquet part (resumable layout, never one giant file).
+        #    Replaces groupby().map_groups, whose per-group UDF dispatch
+        #    dominates when an epoch closes 10^4-10^6 windows.
         P = cfg.n_finalize_partitions or max(8, cfg.n_state_partitions)
         parted = [
             partition_by_key.options(num_returns=P).remote(ref, P)
             for ref in fin_refs
         ]
-        fps_refs = [
-            finalize_partition.remote(*[row[p] for row in parted])
-            for p in range(P)
-        ] if parted else []
-
-        # 6) probe join state (update counts), then stage the output —
-        #    written directly from refs by distributed tasks (no Dataset
-        #    round-trip / driver materialization)
         if update_routes:
             ray.get(update_routes)  # build side complete before any probe
-        enriched_refs = [
-            probe_join.remote(ref, self.pool.join_actors, cfg.n_state_partitions)
-            for ref in fps_refs
-        ]
         staging = self.sink.staging_dir(epoch.index)
-        n_out = 0
-        if enriched_refs:
-            write_refs = [
-                write_part.remote(ref, os.path.join(staging, f"part-{i:05d}.parquet"))
-                for i, ref in enumerate(enriched_refs)
-            ]
-            n_out = int(sum(ray.get(write_refs)))
+        write_refs = [
+            finalize_partition.remote(
+                os.path.join(staging, f"part-{p:05d}.parquet"),
+                self.pool.join_actors, cfg.n_state_partitions,
+                *[row[p] for row in parted],
+            )
+            for p in range(P)
+        ] if parted else []
+        n_out = int(sum(ray.get(write_refs)))
+        t_finalize = time.perf_counter()
 
         # 7) evict join state past retention, snapshot state, commit fence
         evicted = self.pool.evict_join(wm_new)
         snap_dir = os.path.join(self.sink.out_dir, "_state", f"epoch={epoch.index:05d}")
         snapshot = self.pool.snapshot(snap_dir)
-        metrics = ray.get(self.counter.get_all.remote())
+        metrics = ray.get(self.counter.take_prefix.remote(f"e{epoch.index}:"))
         metrics.update(
             {
                 "rows_in": epoch.num_rows,
                 "fingerprints": n_out,
                 "join_evicted": evicted,
                 "buffered": self.pool.buffered(),
+                "route_sec": round(t_route - t0, 4),
+                "finalize_sec": round(t_finalize - t_route, 4),
+                "commit_sec": round(time.perf_counter() - t_finalize, 4),
                 "wall_sec": round(time.perf_counter() - t0, 4),
             }
         )
@@ -440,7 +471,16 @@ class StreamingFingerprintPipeline:
 
     # -- full run ----------------------------------------------------------
     def run(self, max_epochs: int | None = None) -> dict:
-        """Process all epochs after the committed cursor (resume-safe)."""
+        """Process all epochs after the committed cursor (resume-safe).
+
+        The per-epoch late cutoff is the watermark at epoch START, which
+        derives purely from parquet column stats (EpochSource) — so epoch
+        K+1's read+transform Dataset execution is PREFETCHED on a helper
+        thread while epoch K runs its state/finalize/commit phase.  Resume
+        semantics are unchanged: commits stay strictly sequential.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
         start = self.manifest.cursor + 1
         epochs = self.source.epochs(start)
         upd_by_idx = {}
@@ -448,9 +488,21 @@ class StreamingFingerprintPipeline:
             upd_by_idx = {e.index: e for e in self.updates_source.epochs(0)}
         if max_epochs is not None:
             epochs = epochs[:max_epochs]
-        all_metrics = []
+        cutoffs = []  # watermark at each epoch's start
+        wm = self.manifest.watermark_ms
         for ep in epochs:
-            all_metrics.append(self.run_epoch(ep, upd_by_idx.get(ep.index)))
+            cutoffs.append(wm)
+            wm = max(wm, ep.max_ts_ms - self.cfg.lateness_ms)
+        all_metrics = []
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(self._transform_refs, epochs[0], cutoffs[0]) if epochs else None
+            for i, ep in enumerate(epochs):
+                refs = fut.result()
+                if i + 1 < len(epochs):
+                    fut = pool.submit(self._transform_refs, epochs[i + 1], cutoffs[i + 1])
+                all_metrics.append(
+                    self.run_epoch(ep, upd_by_idx.get(ep.index), transform_refs=refs)
+                )
         total_rows = sum(m["rows_in"] for m in all_metrics)
         total_wall = sum(m["wall_sec"] for m in all_metrics)
         return {

@@ -157,37 +157,64 @@ class JoinStateActor:
         self.partition_id = partition_id
         self.retention_ms = retention_ms
         self._buf: list[pa.Table] = []  # columns: key_host, update_ts_ms, change_kind
+        self._index = None  # sorted probe index, rebuilt lazily after adds
 
     def add(self, table: pa.Table) -> int:
         if table.num_rows:
             self._buf.append(table)
+            self._index = None
         return table.num_rows
+
+    def _build_index(self):
+        """Sorted-by-(host, ts) probe index with per-kind cumulative counts:
+        an interval count becomes two binary searches + cumsum diffs."""
+        if self._index is not None:
+            return self._index
+        buf = _concat(self._buf)
+        if buf is None:
+            self._index = ()
+            return self._index
+        hosts = np.asarray(buf["key_host"], dtype=object)
+        ts = buf["update_ts_ms"].to_numpy().astype(np.int64)
+        kinds = np.asarray(buf["change_kind"], dtype=object)
+        order = np.lexsort((ts, hosts))
+        hosts, ts, kinds = hosts[order], ts[order], kinds[order]
+        uniq, starts = np.unique(hosts, return_index=True)
+        ends = np.append(starts[1:], len(ts))
+        spans = {h: (int(s), int(e)) for h, s, e in zip(uniq, starts, ends)}
+        cums = {
+            k: np.concatenate(([0], np.cumsum(kinds == k)))
+            for k in ("modified", "deleted", "redirected")
+        }
+        self._index = (spans, ts, cums)
+        return self._index
 
     def probe(self, fps: pa.Table) -> pa.Table:
         """For each fingerprint row, count buffered updates with the same
         key_host and window_start <= update_ts < window_end (the interval
         predicate of ``save_fingerprints.py:148``). Adds
         update_count / update_modified / update_deleted / update_redirected."""
-        buf = _concat(self._buf)
         n = fps.num_rows
         zeros = np.zeros(n, dtype=np.int64)
         counts = {k: zeros.copy() for k in ("update_count", "update_modified", "update_deleted", "update_redirected")}
-        if buf is not None and n:
-            bdf = buf.to_pandas()
-            fdf = fps.select(["key_host", "window_start", "window_end"]).to_pandas()
-            by_host = {h: g for h, g in bdf.groupby("key_host", sort=False)}
-            for i, (h, s, e) in enumerate(zip(fdf["key_host"], fdf["window_start"], fdf["window_end"])):
-                g = by_host.get(h)
-                if g is None:
+        idx = self._build_index()
+        if idx and n:
+            spans, ts, cums = idx
+            f_host = np.asarray(fps["key_host"], dtype=object)
+            f_start = fps["window_start"].to_numpy()
+            f_end = fps["window_end"].to_numpy()
+            for i in range(n):
+                span = spans.get(f_host[i])
+                if span is None:
                     continue
-                m = (g["update_ts_ms"] >= s) & (g["update_ts_ms"] < e)
-                if not m.any():
+                s, e = span
+                lo = s + np.searchsorted(ts[s:e], f_start[i], "left")
+                hi = s + np.searchsorted(ts[s:e], f_end[i], "left")
+                if hi <= lo:
                     continue
-                counts["update_count"][i] = int(m.sum())
-                kinds = g.loc[m, "change_kind"].value_counts()
-                counts["update_modified"][i] = int(kinds.get("modified", 0))
-                counts["update_deleted"][i] = int(kinds.get("deleted", 0))
-                counts["update_redirected"][i] = int(kinds.get("redirected", 0))
+                counts["update_count"][i] = hi - lo
+                for k in ("modified", "deleted", "redirected"):
+                    counts[f"update_{k}"][i] = cums[k][hi] - cums[k][lo]
         out = fps
         for k, v in counts.items():
             out = out.append_column(k, pa.array(v, pa.int64()))
@@ -206,6 +233,8 @@ class JoinStateActor:
         evicted = buf.num_rows - keep.num_rows
         if keep.num_rows:
             self._buf = [keep]
+        if evicted:
+            self._index = None
         return evicted
 
     def buffered_rows(self) -> int:
@@ -222,6 +251,7 @@ class JoinStateActor:
 
     def restore(self, paths: dict[str, str]) -> None:
         self._buf = [pq.read_table(paths["join"])] if "join" in paths else []
+        self._index = None
 
 
 @ray.remote
@@ -261,6 +291,14 @@ class StatePool:
         refs = [a.mature_fixed.remote(watermark_ms) for a in self.window_actors]
         refs += [a.mature_sessions.remote(watermark_ms) for a in self.window_actors]
         return [t for t in ray.get(refs) if t is not None and t.num_rows]
+
+    def mature_refs(self, watermark_ms: int) -> list:
+        """Like ``mature`` but returns the raw object refs (possibly
+        None-valued) so matured blocks flow straight into downstream tasks
+        without a driver round-trip."""
+        refs = [a.mature_fixed.remote(watermark_ms) for a in self.window_actors]
+        refs += [a.mature_sessions.remote(watermark_ms) for a in self.window_actors]
+        return refs
 
     def evict_join(self, watermark_ms: int) -> int:
         return sum(ray.get([a.evict.remote(watermark_ms) for a in self.join_actors]))
