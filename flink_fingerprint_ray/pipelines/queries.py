@@ -28,12 +28,27 @@ from ..functions import fingerprint as fp
 from ..functions.exprs import DerivedColumnStage
 from ..stages import dedup as dd
 from ..stages import similarity as sim
+from ..stages.shuffle import grouped_map
 from ..stages.textops import LangIdStage, TextFeatureStage
-from ..stages.windows import sessionize_sorted, sliding_window_starts, tumbling_window_start
+from ..stages.windows import sliding_window_starts, tumbling_window_start
 
 MIN_60S = 60_000
 SLIDE_5M = 300_000
 SESSION_GAP_MS = 1_800_000
+
+
+def _combine_partials(t: pa.Table, keys: list[str], sums: list[str],
+                      mins: list[str] = (), maxs: list[str] = ()) -> pd.DataFrame:
+    """Final combine of per-block partial aggregates — vectorized pandas
+    groupby over one hash partition (all rows of a key are co-located by
+    ``grouped_map``).  Replaces ``groupby().aggregate()``, whose
+    sort-based shuffle adds whole extra Dataset executions for the
+    (already tiny) combiner input."""
+    df = t.to_pandas()
+    agg = {c: "sum" for c in sums}
+    agg.update({c: "min" for c in mins})
+    agg.update({c: "max" for c in maxs})
+    return df.groupby(list(keys), sort=False).agg(agg).reset_index()
 
 
 def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> "ray.data.Dataset":
@@ -68,11 +83,11 @@ def q_tumbling_stats(sf_dir: str):
         return out
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    final = parts.groupby(["event_type", "window_start"]).aggregate(
-        ray.data.aggregate.Sum("n_events", alias_name="n_events"),
-        ray.data.aggregate.Sum("sum_value", alias_name="sum_value"),
-        ray.data.aggregate.Min("min_value", alias_name="min_value"),
-        ray.data.aggregate.Max("max_value", alias_name="max_value"),
+    final = grouped_map(
+        parts, ["event_type", "window_start"], _combine_partials,
+        fn_kwargs={"keys": ["event_type", "window_start"],
+                   "sums": ["n_events", "sum_value"],
+                   "mins": ["min_value"], "maxs": ["max_value"]},
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -114,8 +129,9 @@ def q_sliding_counts(sf_dir: str):
         return df.groupby(["event_type", "window_start"], sort=False).size().rename("n_events").reset_index()
 
     parts = ds.map_batches(explode, batch_format="pyarrow")
-    return parts.groupby(["event_type", "window_start"]).aggregate(
-        ray.data.aggregate.Sum("n_events", alias_name="n_events")
+    return grouped_map(
+        parts, ["event_type", "window_start"], _combine_partials,
+        fn_kwargs={"keys": ["event_type", "window_start"], "sums": ["n_events"]},
     )
 
 
@@ -128,25 +144,31 @@ GROUP BY 1, 2
 """
 
 
+def _session_sweep(t: pa.Table) -> pd.DataFrame:
+    """Vectorized session assignment across ALL users in one partition:
+    sort by (user, ts, event_id), break on user change OR gap > threshold,
+    then one groupby over global session ids (the T2/A6 session-state
+    pattern, batch form — no per-key UDF dispatch)."""
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"], kind="stable")
+    uid = df["user_id"].to_numpy()
+    tms = df["ts"].astype("datetime64[ms]").astype("int64").to_numpy()
+    brk = np.ones(len(df), dtype=bool)
+    brk[1:] = (uid[1:] != uid[:-1]) | (tms[1:] - tms[:-1] > SESSION_GAP_MS)
+    sid = np.cumsum(brk)
+    g = pd.DataFrame({"user_id": uid, "tms": tms, "sid": sid}).groupby("sid", sort=False)
+    return pd.DataFrame({
+        "user_id": g["user_id"].first(),
+        "session_start": g["tms"].min().astype(np.int64),
+        "session_end": g["tms"].max().astype(np.int64),
+        "n_events": g.size().astype(np.int64),
+    }).reset_index(drop=True)
+
+
 def q_session_windows(sf_dir: str):
-    """Session windows per user (30-min gap) — per-key ordered scan in
-    map_groups (the T2/A6 session-state pattern, batch form)."""
+    """Session windows per user (30-min gap): hash-partition by user, one
+    vectorized sorted sweep per partition."""
     ds = _read(sf_dir, "events", ["ts", "user_id", "event_id"])
-
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        tms = g["ts"].astype("datetime64[ms]").astype("int64").to_numpy()
-        sid = sessionize_sorted(tms, SESSION_GAP_MS)
-        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "tms": tms, "sid": sid})
-        gg = out.groupby("sid")
-        return pd.DataFrame({
-            "user_id": gg["user_id"].first(),
-            "session_start": gg["tms"].min().astype(np.int64),
-            "session_end": gg["tms"].max().astype(np.int64),
-            "n_events": gg.size().astype(np.int64),
-        }).reset_index(drop=True)
-
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return grouped_map(ds, ["user_id"], _session_sweep)
 
 
 SQL_SESSION_WINDOWS = """
@@ -179,9 +201,9 @@ def q_resample_5min(sf_dir: str):
         return df.groupby("bucket")["value"].agg(n_events="size", sum_value="sum").reset_index()
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    final = parts.groupby("bucket").aggregate(
-        ray.data.aggregate.Sum("n_events", alias_name="n_events"),
-        ray.data.aggregate.Sum("sum_value", alias_name="sum_value"),
+    final = grouped_map(
+        parts, ["bucket"], _combine_partials,
+        fn_kwargs={"keys": ["bucket"], "sums": ["n_events", "sum_value"]},
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -205,21 +227,25 @@ FROM events GROUP BY 1
 RISING_THRESHOLD = 150.0
 
 
+def _rising_sweep(t: pa.Table) -> pd.DataFrame:
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"], kind="stable")
+    uid = df["user_id"].to_numpy()
+    cond = df["value"].to_numpy() > RISING_THRESHOLD
+    prev = np.concatenate(([False], cond[:-1]))
+    new_user = np.ones(len(df), dtype=bool)
+    new_user[1:] = uid[1:] != uid[:-1]
+    prev[new_user] = False
+    rising = (cond & ~prev).astype(np.int64)
+    out = pd.DataFrame({"user_id": uid, "n_rising": rising})
+    return out.groupby("user_id", sort=False)["n_rising"].sum().reset_index()
+
+
 def q_rising_edges(sf_dir: str):
     """T3 analog: per-user rising-edge count of (value > threshold) —
-    False→True transitions in (ts, event_id) order."""
+    False→True transitions in (ts, event_id) order, vectorized across all
+    users of a hash partition in one sorted sweep."""
     ds = _read(sf_dir, "events", ["ts", "user_id", "event_id", "value"])
-
-    def edges(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        cond = (g["value"] > RISING_THRESHOLD).to_numpy()
-        prev = np.concatenate(([False], cond[:-1]))
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_rising": [int((cond & ~prev).sum())],
-        })
-
-    return ds.groupby("user_id").map_groups(edges, batch_format="pandas")
+    return grouped_map(ds, ["user_id"], _rising_sweep)
 
 
 SQL_RISING_EDGES = """
@@ -237,23 +263,38 @@ FROM s GROUP BY user_id
 STREAK_THRESHOLD = 100.0
 
 
+def _streak_sweep(t: pa.Table) -> pd.DataFrame:
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"], kind="stable")
+    uid = df["user_id"].to_numpy()
+    tms = df["ts"].astype("datetime64[ms]").astype("int64").to_numpy()
+    cond = df["value"].to_numpy() > STREAK_THRESHOLD
+    new_user = np.ones(len(df), dtype=bool)
+    new_user[1:] = uid[1:] != uid[:-1]
+    # island id advances on every below-threshold row AND user change, so
+    # a streak never spans users
+    isl = np.cumsum(~cond | new_user)
+    base = pd.DataFrame({"user_id": pd.unique(uid)})
+    if cond.any():
+        spans = (
+            pd.DataFrame({"user_id": uid[cond], "tms": tms[cond], "isl": isl[cond]})
+            .groupby("isl", sort=False)
+            .agg(user_id=("user_id", "first"), lo=("tms", "min"), hi=("tms", "max"))
+        )
+        spans["dur"] = spans["hi"] - spans["lo"]
+        best = spans.groupby("user_id", sort=False)["dur"].max().reset_index()
+        base = base.merge(best, on="user_id", how="left")
+        base["max_streak_ms"] = base["dur"].fillna(0).astype(np.int64)
+        base = base[["user_id", "max_streak_ms"]]
+    else:
+        base["max_streak_ms"] = np.int64(0)
+    return base
+
+
 def q_streak_duration(sf_dir: str):
-    """A6 analog: per-user longest streak (ms, actual Δt) of value > 100."""
+    """A6 analog: per-user longest streak (ms, actual Δt) of value > 100,
+    vectorized across users via island ids in one sorted sweep."""
     ds = _read(sf_dir, "events", ["ts", "user_id", "event_id", "value"])
-
-    def streaks(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        tms = g["ts"].astype("datetime64[ms]").astype("int64").to_numpy()
-        cond = (g["value"] > STREAK_THRESHOLD).to_numpy()
-        isl = np.cumsum(~cond)
-        best = 0
-        if cond.any():
-            df = pd.DataFrame({"tms": tms[cond], "isl": isl[cond]})
-            spans = df.groupby("isl")["tms"].agg(["min", "max"])
-            best = int((spans["max"] - spans["min"]).max())
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "max_streak_ms": [best]})
-
-    return ds.groupby("user_id").map_groups(streaks, batch_format="pandas")
+    return grouped_map(ds, ["user_id"], _streak_sweep)
 
 
 SQL_STREAK_DURATION = """
@@ -350,24 +391,20 @@ def q_fp_tumbling_windows(sf_dir: str):
             "text_len": pc.utf8_length(text).cast(pa.int64()),
         })
 
-    def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g["text_len"].to_numpy())
-        return pd.DataFrame({
-            "key_lang": [g["key_lang"].iloc[0]],
-            "key_host": [g["key_host"].iloc[0]],
-            "window_start": [int(g["window_start"].iloc[0])],
-            "doc_count": [len(v)],
-            "min_len": [int(v[0])],
-            "max_len": [int(v[-1])],
-            "median_len": [float(np.median(v))],
-            "sum_len": [int(v.sum())],
-        })
+    def finalize(t: pa.Table) -> pd.DataFrame:
+        # vectorized across every (key, window) group of the partition —
+        # median is non-decomposable, so all rows of a group are here
+        df = t.to_pandas()
+        g = df.groupby(["key_lang", "key_host", "window_start"], sort=False)["text_len"]
+        out = g.agg(
+            doc_count="size", min_len="min", max_len="max",
+            median_len="median", sum_len="sum",
+        ).reset_index()
+        out["doc_count"] = out["doc_count"].astype(np.int64)
+        return out
 
-    return (
-        ds.map_batches(transform, batch_format="pyarrow")
-        .groupby(["key_lang", "key_host", "window_start"])
-        .map_groups(finalize, batch_format="pandas")
-    )
+    fps = ds.map_batches(transform, batch_format="pyarrow")
+    return grouped_map(fps, ["key_lang", "key_host", "window_start"], finalize)
 
 
 SQL_FP_TUMBLING_WINDOWS = """
@@ -582,12 +619,10 @@ def q_pricing_summary(sf_dir: str):
         return out
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    final = parts.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        ray.data.aggregate.Sum("sum_qty", alias_name="sum_qty"),
-        ray.data.aggregate.Sum("sum_base", alias_name="sum_base"),
-        ray.data.aggregate.Sum("sum_disc", alias_name="sum_disc"),
-        ray.data.aggregate.Sum("sum_charge", alias_name="sum_charge"),
-        ray.data.aggregate.Sum("count_order", alias_name="count_order"),
+    final = grouped_map(
+        parts, ["l_returnflag", "l_linestatus"], _combine_partials,
+        fn_kwargs={"keys": ["l_returnflag", "l_linestatus"],
+                   "sums": ["sum_qty", "sum_base", "sum_disc", "sum_charge", "count_order"]},
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -633,9 +668,9 @@ def q_segment_orders(sf_dir: str):
         return g.agg(n_orders="size", sum_total="sum").reset_index()
 
     parts = ds.map_batches(probe, batch_format="pyarrow")
-    final = parts.groupby("c_mktsegment").aggregate(
-        ray.data.aggregate.Sum("n_orders", alias_name="n_orders"),
-        ray.data.aggregate.Sum("sum_total", alias_name="sum_total"),
+    final = grouped_map(
+        parts, ["c_mktsegment"], _combine_partials,
+        fn_kwargs={"keys": ["c_mktsegment"], "sums": ["n_orders", "sum_total"]},
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -691,14 +726,12 @@ def q_filter_revenue(sf_dir: str):
         m = (sd >= lo) & (sd < hi) & (disc >= 0.05) & (disc <= 0.07) & (qty < 24)
         return pd.DataFrame({"revenue": [float((ep[m] * disc[m]).sum())], "n_rows": [int(m.sum())]})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow")
-    agg = parts.aggregate(
-        ray.data.aggregate.Sum("revenue", alias_name="revenue"),
-        ray.data.aggregate.Sum("n_rows", alias_name="n_rows"),
-    )
+    # one partial row per block — the global combine is a trivial
+    # driver-side sum of the (tiny) combiner outputs
+    pdf = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     return pd.DataFrame({
-        "revenue_cents": _cents(agg["revenue"]).reshape(1),
-        "n_rows": [int(agg["n_rows"])],
+        "revenue_cents": _cents(pdf["revenue"].sum()).reshape(1),
+        "n_rows": [int(pdf["n_rows"].sum())],
     })
 
 
@@ -711,21 +744,19 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-0
 """
 
 
+def _uet_sweep(t: pa.Table) -> pd.DataFrame:
+    g = t.to_pandas().groupby("user_id", sort=False)["event_type"]
+    return pd.DataFrame({
+        "n_types": g.nunique().astype(np.int64),
+        "n_events": g.size().astype(np.int64),
+    }).reset_index()
+
+
 def q_user_event_types(sf_dir: str):
-    """A5 analog: distinct-pair dedup then per-user counts."""
+    """A5 analog: per-user distinct-type + event counts in one partition
+    sweep (hash-partition by user; all of a user's rows co-located)."""
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
-    pairs = ds.groupby(["user_id", "event_type"]).aggregate(
-        ray.data.aggregate.Count(alias_name="n_events")
-    )
-
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_types": [len(g)],
-            "n_events": [int(g["n_events"].sum())],
-        })
-
-    return pairs.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return grouped_map(ds, ["user_id"], _uet_sweep)
 
 
 SQL_USER_EVENT_TYPES = """
@@ -759,9 +790,9 @@ def q_derived_expr(sf_dir: str):
         return g.agg(sum_mag=("mag", "sum"), sum_logv=("logv", "sum")).reset_index()
 
     parts = derived.map_batches(partial, batch_format="pyarrow")
-    final = parts.groupby("event_type").aggregate(
-        ray.data.aggregate.Sum("sum_mag", alias_name="sum_mag"),
-        ray.data.aggregate.Sum("sum_logv", alias_name="sum_logv"),
+    final = grouped_map(
+        parts, ["event_type"], _combine_partials,
+        fn_kwargs={"keys": ["event_type"], "sums": ["sum_mag", "sum_logv"]},
     )
 
     def finish(batch: pa.Table) -> pa.Table:

@@ -34,6 +34,7 @@ import ray
 import ray.data
 
 from ..functions import fingerprint as fp
+from .shuffle import grouped_map
 
 
 # ---------------------------------------------------------------------------
@@ -102,20 +103,52 @@ def _explode_bands(batch: pa.Table, id_col: str) -> pa.Table:
     return out
 
 
-def _confirm_bucket_edges(g: pd.DataFrame, id_col: str, threshold: float) -> pd.DataFrame:
-    """Within one LSH bucket: anchor-based confirm of candidate pairs by
-    signature-Jaccard.  Emits confirmed edges (a < b)."""
-    if len(g) < 2:
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
-    ids = g[id_col].to_numpy()
-    sig = np.stack(g["sig"].to_numpy())
-    order = np.argsort(ids, kind="stable")
-    ids, sig = ids[order], sig[order]
-    anchor_sig = sig[0]
-    sim = (sig[1:] == anchor_sig[None, :]).mean(axis=1)
+_EMPTY_EDGES = pd.DataFrame(
+    {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+)
+
+
+def _bucket_candidates(t: pa.Table, id_col: str):
+    """Shared sweep prologue: sort one hash partition by (band_no,
+    band_key, id), find bucket boundaries, and emit UNIQUE
+    (anchor_row, candidate_row) index pairs — a pair hit in several bands
+    is confirmed once.  Returns (sorted_table, anchor_idx, cand_idx)."""
+    n = t.num_rows
+    if n == 0:
+        return None
+    ids = t[id_col].to_numpy()
+    bno = t["band_no"].to_numpy()
+    bkey = t["band_key"].to_numpy()
+    order = np.lexsort((ids, bkey, bno))
+    t = t.take(pa.array(order))
+    ids, bno, bkey = ids[order], bno[order], bkey[order]
+    nb = np.ones(n, dtype=bool)
+    nb[1:] = (bno[1:] != bno[:-1]) | (bkey[1:] != bkey[:-1])
+    anchor = np.maximum.accumulate(np.where(nb, np.arange(n), 0))
+    cand = np.flatnonzero(~nb)
+    if len(cand) == 0:
+        return None
+    anc = anchor[cand]
+    # dedupe (anchor_id, candidate_id) pairs across bands
+    pairs = np.stack([ids[anc], ids[cand]], axis=1)
+    _, first = np.unique(pairs, axis=0, return_index=True)
+    return t, anc[first], cand[first]
+
+
+def _minhash_edge_sweep(t: pa.Table, id_col: str, threshold: float) -> pd.DataFrame:
+    """Vectorized anchor-based confirm across ALL buckets of a partition:
+    one fancy-indexed signature comparison instead of a per-bucket UDF."""
+    pre = _bucket_candidates(t, id_col)
+    if pre is None:
+        return _EMPTY_EDGES
+    t, anc, cand = pre
+    ids = t[id_col].to_numpy()
+    k = t["sig"].type.list_size
+    sig = np.asarray(t["sig"].combine_chunks().flatten()).reshape(-1, k)
+    sim = (sig[anc] == sig[cand]).mean(axis=1)
     hit = sim >= threshold
-    a = np.minimum(ids[0], ids[1:][hit])
-    b = np.maximum(ids[0], ids[1:][hit])
+    a = np.minimum(ids[anc][hit], ids[cand][hit])
+    b = np.maximum(ids[anc][hit], ids[cand][hit])
     return pd.DataFrame({"a": a.astype(np.int64), "b": b.astype(np.int64)})
 
 
@@ -139,10 +172,9 @@ def minhash_lsh_edges(
     exploded = feats.map_batches(
         _explode_bands, fn_kwargs={"id_col": id_col}, batch_format="pyarrow"
     )
-    return exploded.groupby(["band_no", "band_key"]).map_groups(
-        _confirm_bucket_edges,
+    return grouped_map(
+        exploded, ["band_no", "band_key"], _minhash_edge_sweep,
         fn_kwargs={"id_col": id_col, "threshold": threshold},
-        batch_format="pandas",
     )
 
 
@@ -167,17 +199,17 @@ def _simhash_explode(batch: pa.Table, id_col: str, n_bands: int) -> pa.Table:
     return out
 
 
-def _simhash_bucket_edges(g: pd.DataFrame, id_col: str, max_hamming: int) -> pd.DataFrame:
-    if len(g) < 2:
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
-    ids = g[id_col].to_numpy()
-    sh = g["simhash"].to_numpy().astype(np.uint64)
-    order = np.argsort(ids, kind="stable")
-    ids, sh = ids[order], sh[order]
-    d = fp.hamming64(sh[0], sh[1:])
+def _simhash_edge_sweep(t: pa.Table, id_col: str, max_hamming: int) -> pd.DataFrame:
+    pre = _bucket_candidates(t, id_col)
+    if pre is None:
+        return _EMPTY_EDGES
+    t, anc, cand = pre
+    ids = t[id_col].to_numpy()
+    sh = t["simhash"].to_numpy().astype(np.uint64)
+    d = fp.hamming64(sh[anc], sh[cand])
     hit = d <= max_hamming
-    a = np.minimum(ids[0], ids[1:][hit])
-    b = np.maximum(ids[0], ids[1:][hit])
+    a = np.minimum(ids[anc][hit], ids[cand][hit])
+    b = np.maximum(ids[anc][hit], ids[cand][hit])
     return pd.DataFrame({"a": a.astype(np.int64), "b": b.astype(np.int64)})
 
 
@@ -198,10 +230,9 @@ def simhash_edges(
         _simhash_explode, fn_kwargs={"id_col": id_col, "n_bands": n_bands},
         batch_format="pyarrow",
     )
-    return exploded.groupby(["band_no", "band_key"]).map_groups(
-        _simhash_bucket_edges,
+    return grouped_map(
+        exploded, ["band_no", "band_key"], _simhash_edge_sweep,
         fn_kwargs={"id_col": id_col, "max_hamming": max_hamming},
-        batch_format="pandas",
     )
 
 
@@ -220,22 +251,35 @@ def _ngram_features(batch: pa.Table, id_col: str, text_col: str, n: int) -> pa.T
     )
 
 
-def _ngram_bucket_edges(g: pd.DataFrame, id_col: str, threshold: float) -> pd.DataFrame:
-    """Exact n-gram-set Jaccard confirm within an LSH bucket (anchor-based)."""
-    if len(g) < 2:
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
-    ids = g[id_col].to_numpy()
-    order = np.argsort(ids, kind="stable")
-    ids = ids[order]
-    sets = [set(s) for s in g["ngrams"].to_numpy()[order]]
-    a_set = sets[0]
+def _ngram_edge_sweep(t: pa.Table, id_col: str, threshold: float) -> pd.DataFrame:
+    """Exact n-gram-set Jaccard confirm, anchor-based.  Sets are built
+    ONLY for rows that participate in a unique candidate pair (buckets of
+    size 1 — the vast majority — never touch Python)."""
+    pre = _bucket_candidates(t, id_col)
+    if pre is None:
+        return _EMPTY_EDGES
+    t, anc, cand = pre
+    ids = t[id_col].to_numpy()
+    grams = t["ngrams"].combine_chunks()
+    offs = grams.offsets.to_numpy()
+    vals = grams.values.to_numpy()
+    cache: dict[int, frozenset] = {}
+
+    def get_set(i: int) -> frozenset:
+        s = cache.get(i)
+        if s is None:
+            s = frozenset(vals[offs[i]:offs[i + 1]])
+            cache[i] = s
+        return s
+
     out_a, out_b = [], []
-    for j in range(1, len(sets)):
-        u = len(a_set | sets[j])
-        jac = (len(a_set & sets[j]) / u) if u else 1.0
+    for ai, ci in zip(anc.tolist(), cand.tolist()):
+        sa, sc = get_set(ai), get_set(ci)
+        u = len(sa | sc)
+        jac = (len(sa & sc) / u) if u else 1.0
         if jac >= threshold:
-            out_a.append(min(ids[0], ids[j]))
-            out_b.append(max(ids[0], ids[j]))
+            out_a.append(min(ids[ai], ids[ci]))
+            out_b.append(max(ids[ai], ids[ci]))
     return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"), "b": pd.Series(out_b, dtype="int64")})
 
 
@@ -263,10 +307,9 @@ def ngram_jaccard_edges(
     exploded = feats.map_batches(_explode_bands, fn_kwargs={"id_col": id_col}, batch_format="pyarrow")
     exploded = exploded.drop_columns(["sig"])
     joined = _join_on_id(exploded, grams, id_col)
-    return joined.groupby(["band_no", "band_key"]).map_groups(
-        _ngram_bucket_edges,
+    return grouped_map(
+        joined, ["band_no", "band_key"], _ngram_edge_sweep,
         fn_kwargs={"id_col": id_col, "threshold": threshold},
-        batch_format="pandas",
     )
 
 

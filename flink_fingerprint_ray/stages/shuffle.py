@@ -1,0 +1,97 @@
+"""Manual hash-shuffle grouped-map operator.
+
+``ds.groupby(keys).map_groups(fn)`` dispatches the UDF once per group —
+fine for hundreds of groups, pathological for 10^4-10^6 (per-group
+overhead ~1-2 ms dominates).  ``groupby().aggregate()`` avoids that but
+runs a sort-based shuffle with extra Dataset executions (boundary
+sampling), and cannot express non-decomposable stats (median) or ordered
+per-key scans.
+
+``grouped_map`` is the scale path (SURVEY.md §2.5 A1 note): split every
+block by ``hash(key) % P`` (one task per block, P returns), then ONE task
+per partition concatenates its slices and applies a VECTORIZED function
+over the whole partition (pandas groupby.agg / sorted numpy sweeps — no
+per-group Python dispatch).  All rows of a key land in exactly one
+partition, so any per-key computation is legal inside ``fn``.
+
+Partitioning assumption: key cardinality ≫ P and no single key's group
+exceeds a worker's memory; hot-key mitigation is the caller's salting
+(SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _row_hash(block: pa.Table, key_cols: list[str]) -> np.ndarray:
+    """Deterministic per-row uint64 hash over the key columns."""
+    df = pd.DataFrame({c: block[c].to_pandas() for c in key_cols})
+    return pd.util.hash_pandas_object(df, index=False).to_numpy()
+
+
+@ray.remote
+def _split_block(block: pa.Table, key_cols: list[str], n_parts: int) -> list[pa.Table | None]:
+    if block.num_rows == 0:
+        return [None] * n_parts
+    part = (_row_hash(block, key_cols) % np.uint64(n_parts)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    sp = part[order]
+    out: list[pa.Table | None] = []
+    for p in range(n_parts):
+        lo = np.searchsorted(sp, p, "left")
+        hi = np.searchsorted(sp, p, "right")
+        out.append(block.take(pa.array(order[lo:hi])) if hi > lo else None)
+    return out
+
+
+@ray.remote
+def _nrows(t: pa.Table | None) -> int:
+    return 0 if t is None else t.num_rows
+
+
+@ray.remote
+def _apply_partition(fn, fn_kwargs: dict | None, *slices: pa.Table | None) -> pa.Table | None:
+    tabs = [t for t in slices if t is not None and t.num_rows]
+    if not tabs:
+        return None
+    table = pa.concat_tables(tabs, promote_options="default").combine_chunks()
+    out = fn(table, **(fn_kwargs or {}))
+    if isinstance(out, pd.DataFrame):
+        out = pa.Table.from_pandas(out, preserve_index=False)
+    return out
+
+
+def grouped_map(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    fn,
+    fn_kwargs: dict | None = None,
+    n_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Hash-partition ``ds`` by ``key_cols`` and apply ``fn`` once per
+    partition (pa.Table -> pa.Table | pd.DataFrame).  ``fn`` sees every
+    row of each of its keys and must be vectorized across groups."""
+    if n_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        n_partitions = max(8, min(64, cpus))
+    refs = ds.to_arrow_refs()
+    parted = [
+        _split_block.options(num_returns=n_partitions).remote(r, key_cols, n_partitions)
+        for r in refs
+    ]
+    fn_ref = ray.put(fn)  # ship the UDF once, not once per partition task
+    out_refs = [
+        _apply_partition.remote(fn_ref, fn_kwargs, *[row[p] for row in parted])
+        for p in range(n_partitions)
+    ]
+    # keep only non-empty partitions WITHOUT fetching the tables
+    sizes = ray.get([_nrows.remote(r) for r in out_refs])
+    done = [r for r, s in zip(out_refs, sizes) if s]
+    if not done:
+        return ray.data.from_items([])
+    return ray.data.from_arrow_refs(done)
