@@ -131,7 +131,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
 
 def _scaling_child(num_cpus: int) -> dict:
     """Run in a FRESH process per parallelism level (fresh Ray session)."""
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus))
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus),
+               BENCH_N_DOCS=os.environ["BENCH_N_DOCS"],
+               BENCH_N_EPOCHS=os.environ["BENCH_N_EPOCHS"])
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--_headline-only"],
         env=env, capture_output=True, text=True, check=True,
@@ -148,6 +150,11 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.scaling:
+        # scaling evidence needs a compute-dominated workload: larger
+        # epochs so per-epoch fixed latency (executor startup, actor
+        # round-trips) doesn't mask the parallel speedup
+        os.environ.setdefault("BENCH_N_DOCS", "960000")
+        os.environ.setdefault("BENCH_N_EPOCHS", "4")
         lo, hi = 8, 32
         r_lo = _scaling_child(lo)
         r_hi = _scaling_child(hi)

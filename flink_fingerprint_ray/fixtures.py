@@ -36,21 +36,40 @@ _VOCAB = (
 
 def _gen_texts(rng: np.random.RandomState, n: int) -> list[str]:
     """Seeded texts with injected duplicate structure:
-    ~70% unique, ~15% exact-dup clusters, ~15% near-dup clusters."""
+    ~70% unique, ~15% exact-dup clusters, ~15% near-dup clusters.
+
+    Vectorized (one randint sweep for every original token) so million-doc
+    bench corpora generate in seconds, not minutes."""
+    kind = rng.rand(n)
+    is_orig = kind >= 0.30
+    if n:
+        is_orig[0] = True  # a dup needs an earlier original to copy
+    lengths = rng.randint(12, 40, size=n)
+    vocab = np.array(_VOCAB, dtype=object)
+
+    # all original token sequences in one flat draw
+    orig_rows = np.flatnonzero(is_orig)
+    orig_lens = lengths[orig_rows]
+    flat = vocab[rng.randint(0, len(vocab), size=int(orig_lens.sum()))]
+    bounds = np.concatenate(([0], np.cumsum(orig_lens)))
+    originals = [flat[bounds[i]:bounds[i + 1]] for i in range(len(orig_rows))]
+
+    # each dup row copies a uniformly-chosen EARLIER original
+    n_before = np.cumsum(is_orig) - is_orig  # originals strictly before row i
+    src = np.minimum((rng.rand(n) * np.maximum(n_before, 1)).astype(np.int64),
+                     np.maximum(n_before - 1, 0))
+    orig_pos = np.cumsum(is_orig) - 1  # row -> its index in `originals`
+
     texts: list[str] = []
-    originals: list[list[str]] = []
-    for _ in range(n):
-        kind = rng.rand()
-        if originals and kind < 0.15:  # exact dup of an earlier doc
-            texts.append(" ".join(originals[rng.randint(len(originals))]))
-        elif originals and kind < 0.30:  # near dup: k token edits
-            toks = list(originals[rng.randint(len(originals))])
+    for i in range(n):
+        if is_orig[i]:
+            texts.append(" ".join(originals[orig_pos[i]]))
+        elif kind[i] < 0.15:  # exact dup
+            texts.append(" ".join(originals[src[i]]))
+        else:  # near dup: 1-2 token edits
+            toks = originals[src[i]].copy()
             for _ in range(rng.randint(1, 3)):
                 toks[rng.randint(len(toks))] = _VOCAB[rng.randint(len(_VOCAB))]
-            texts.append(" ".join(toks))
-        else:
-            toks = [_VOCAB[rng.randint(len(_VOCAB))] for _ in range(rng.randint(12, 40))]
-            originals.append(toks)
             texts.append(" ".join(toks))
     return texts
 

@@ -157,15 +157,7 @@ def _segment_starts(counts: np.ndarray) -> np.ndarray:
     return np.concatenate(([0], np.cumsum(counts)))[:-1].astype(np.int64)
 
 
-def minhash(texts: pa.Array | pa.ChunkedArray, k: int = MINHASH_K) -> np.ndarray:
-    """(n_docs, k) uint32 MinHash signatures over w-token shingles.
-
-    Docs with < SHINGLE_W tokens get the sentinel signature (all 0xFFFFFFFF).
-    This is the sketch layer the reference lacks (SURVEY.md §2.7): k
-    wrapping multiply-add permutations, per-doc segmented min.
-    """
-    tok_h, n_per_doc = _tokenize(texts)
-    sh, counts = _shingle_hashes(tok_h, n_per_doc)
+def _minhash_from_shingles(sh: np.ndarray, counts: np.ndarray, k: int) -> np.ndarray:
     n_docs = len(counts)
     out = np.tile(_EMPTY_MINHASH[:k], (n_docs, 1))
     if sh.size == 0:
@@ -180,6 +172,26 @@ def minhash(texts: pa.Array | pa.ChunkedArray, k: int = MINHASH_K) -> np.ndarray
     return out
 
 
+def minhash(texts: pa.Array | pa.ChunkedArray, k: int = MINHASH_K) -> np.ndarray:
+    """(n_docs, k) uint32 MinHash signatures over w-token shingles.
+
+    Docs with < SHINGLE_W tokens get the sentinel signature (all 0xFFFFFFFF).
+    This is the sketch layer the reference lacks (SURVEY.md §2.7): k
+    wrapping multiply-add permutations, per-doc segmented min.
+    """
+    tok_h, n_per_doc = _tokenize(texts)
+    sh, counts = _shingle_hashes(tok_h, n_per_doc)
+    return _minhash_from_shingles(sh, counts, k)
+
+
+def simhash_and_minhash(texts: pa.Array | pa.ChunkedArray, k: int = MINHASH_K) -> tuple[np.ndarray, np.ndarray]:
+    """Both fingerprints from ONE tokenize+shingle pass (the hot-path
+    combination used by the streaming page transform)."""
+    tok_h, n_per_doc = _tokenize(texts)
+    sh, counts = _shingle_hashes(tok_h, n_per_doc)
+    return _simhash_from_shingles(sh, counts), _minhash_from_shingles(sh, counts, k)
+
+
 def simhash(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """uint64 SimHash per doc over w-token shingles (bit-vote majority).
 
@@ -187,17 +199,25 @@ def simhash(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """
     tok_h, n_per_doc = _tokenize(texts)
     sh, counts = _shingle_hashes(tok_h, n_per_doc)
+    return _simhash_from_shingles(sh, counts)
+
+
+def _simhash_from_shingles(sh: np.ndarray, counts: np.ndarray) -> np.ndarray:
     n_docs = len(counts)
     out = np.zeros(n_docs, dtype=np.uint64)
     if sh.size == 0:
         return out
-    bits = np.unpackbits(sh.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-    votes = bits.astype(np.int32) * 2 - 1  # (n_shingles, 64) in {-1, +1}
+    # per-bit contiguous segmented sums (majority of ±1 votes ⟺ 2·ones > n);
+    # one 1D reduceat per bit — both 2D reduceat and cumsum variants are
+    # 3-80x slower in this numpy build
     starts = _segment_starts(counts)
     nz = counts > 0
-    sums = np.add.reduceat(votes, starts[nz], axis=0)
-    maj = (sums > 0).astype(np.uint8)
-    packed = np.packbits(maj, axis=1, bitorder="little").view(np.uint64).ravel()
+    s, c = starts[nz], counts[nz]
+    packed = np.zeros(len(s), dtype=np.uint64)
+    for b in range(64):
+        col = ((sh >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+        ones = np.add.reduceat(col, s)
+        packed |= (2 * ones > c).astype(np.uint64) << np.uint64(b)
     out[nz] = packed
     return out
 

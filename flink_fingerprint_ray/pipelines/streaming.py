@@ -128,8 +128,7 @@ def finalize_partition(
     tabs = [t for t in tables if t is not None and t.num_rows]
     if not tabs:
         return 0
-    df = pa.concat_tables(tabs, promote_options="default").to_pandas()
-    out = finalize_many(df)
+    out = finalize_many(pa.concat_tables(tabs, promote_options="default").combine_chunks())
     if len(out) == 0:
         return 0
     fps = pa.Table.from_pandas(out, preserve_index=False).select(
@@ -196,8 +195,7 @@ def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix:
     lang = batch["lang"].combine_chunks().cast(pa.large_string()) if batch.num_rows else pa.array([], pa.large_string())
     text_len = pc.utf8_length(text).cast(pa.int64())
     th = fp.text_hash64(text)
-    sh = fp.simhash(text)
-    mh = fp.minhash(text)
+    sh, mh = fp.simhash_and_minhash(text)
     bands = fp.minhash_band_keys(mh, N_BANDS)
     key = pc.binary_join_element_wise(lang, host, pa.scalar("\x1f", pa.large_string()))
     key_hash = fp.text_hash64(key)

@@ -109,6 +109,9 @@ def fingerprint_id(key_lang: str, key_host: str, kind: str, start_ms: int, end_m
 # In-window duplicate-cluster counting
 # ---------------------------------------------------------------------------
 
+_KIND_CODE = {"tumbling": 0, "sliding": 1, "session": 2}
+
+
 class _UnionFind:
     __slots__ = ("p",)
 
@@ -184,35 +187,136 @@ def dup_cluster_counts(
     return exact, int((big - 1).sum()), int(len(big))
 
 
-def finalize_many(df: pd.DataFrame) -> pd.DataFrame:
+def dup_cluster_counts_many(
+    gid: np.ndarray,
+    thash: np.ndarray,
+    bands: np.ndarray,
+    sig: np.ndarray,
+    n_groups: int,
+    jaccard_threshold: float = 0.8,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized ``dup_cluster_counts`` across MANY groups at once.
+
+    ``gid`` assigns each row to its (key, window) group.  Produces the
+    identical (exact, near, cluster) counts per group: same anchor rule
+    (lowest row index of each in-group LSH bucket), same confirm
+    predicate; the per-group union-find shortcut in the scalar version
+    only skips redundant unions, so connectivity — and therefore counts —
+    is unchanged.
+    """
+    n = len(gid)
+    exact = np.zeros(n_groups, dtype=np.int64)
+    near = np.zeros(n_groups, dtype=np.int64)
+    clusters = np.zeros(n_groups, dtype=np.int64)
+    if n == 0:
+        return exact, near, clusters
+
+    # exact dups: group size − distinct text hashes, via one (gid, hash) sort
+    order = np.lexsort((thash, gid))
+    g_s, t_s = gid[order], thash[order]
+    same = np.zeros(n, dtype=bool)
+    same[1:] = (g_s[1:] == g_s[:-1]) & (t_s[1:] == t_s[:-1])
+    np.add.at(exact, g_s[same], 1)
+    # exact-hash edges: consecutive equal-hash rows within a group
+    ea = [order[:-1][same[1:]]]
+    eb = [order[1:][same[1:]]]
+
+    # LSH band buckets: anchor = lowest row index in the (gid, band) bucket
+    for b in range(bands.shape[1]):
+        col = bands[:, b]
+        o = np.lexsort((col, gid))  # stable: row index ascending inside ties
+        gb, cb = gid[o], col[o]
+        nb = np.ones(n, dtype=bool)
+        nb[1:] = (gb[1:] != gb[:-1]) | (cb[1:] != cb[:-1])
+        anchor = np.maximum.accumulate(np.where(nb, np.arange(n), 0))
+        cand = np.flatnonzero(~nb)
+        if len(cand) == 0:
+            continue
+        anc_rows, cand_rows = o[anchor[cand]], o[cand]
+        sim = (sig[anc_rows] == sig[cand_rows]).mean(axis=1)
+        hit = sim >= jaccard_threshold
+        ea.append(anc_rows[hit])
+        eb.append(cand_rows[hit])
+
+    ea_all = np.concatenate(ea)
+    eb_all = np.concatenate(eb)
+    if len(ea_all):
+        uf = _UnionFind(n)
+        for a, b2 in zip(ea_all.tolist(), eb_all.tolist()):
+            uf.union(a, b2)
+        roots = np.fromiter((uf.find(i) for i in range(n)), dtype=np.int64, count=n)
+        # cluster sizes per (gid, root); roots never cross groups
+        ro = np.lexsort((roots, gid))
+        gr, rr = gid[ro], roots[ro]
+        new_c = np.ones(n, dtype=bool)
+        new_c[1:] = (gr[1:] != gr[:-1]) | (rr[1:] != rr[:-1])
+        cid = np.cumsum(new_c) - 1
+        sizes = np.bincount(cid)
+        big = sizes >= 2
+        c_gid = gr[new_c]
+        np.add.at(clusters, c_gid[big], 1)
+        np.add.at(near, c_gid[big], sizes[big] - 1)
+    return exact, near, clusters
+
+
+def finalize_many(table) -> pd.DataFrame:
     """Finalize ALL (key, window) groups inside one hash partition with a
     single sorted sweep — the fast path that replaces per-group
     ``map_groups`` dispatch (which costs ~1-2 ms per window; real corpora
     have 10^5+ windows per epoch).
 
-    Input: the same per-row columns as ``finalize_window_group``; output:
-    one F3-schema fingerprint row per (key_lang, key_host, window_kind,
-    window_start) group.  Group math is identical to the oracle's
-    (``compute_stats`` + ``dup_cluster_counts``) so parity is preserved.
-    """
-    if len(df) == 0:
-        return pd.DataFrame()
-    band_cols = [c for c in df.columns if c.startswith("band_")]
-    mh_cols = [c for c in df.columns if c.startswith("mh_")]
-    df = df.sort_values(
-        ["key_lang", "key_host", "window_kind", "window_start"], kind="stable"
-    )
-    lang = df["key_lang"].to_numpy()
-    host = df["key_host"].to_numpy()
-    kind = df["window_kind"].to_numpy()
-    ws = df["window_start"].to_numpy()
-    we = df["window_end"].to_numpy()
-    tlen = df["text_len"].to_numpy(dtype=np.float64)
-    thash = df["text_hash"].to_numpy(dtype=np.uint64)
-    bands = df[band_cols].to_numpy(dtype=np.uint64)
-    sig = df[mh_cols].to_numpy(dtype=np.uint32)
+    Input: a pa.Table (or DataFrame) with the same per-row columns as
+    ``finalize_window_group``; output: one F3-schema fingerprint row per
+    (key_lang, key_host, window_kind, window_start) group.  Group math is
+    identical to the oracle's (``compute_stats`` + ``dup_cluster_counts``)
+    so parity is preserved.
 
-    n = len(df)
+    The sort is a NUMERIC lexsort over (key_hash, kind_code, window_start)
+    — no object-string comparisons; group boundaries still compare the
+    actual key strings, and the astronomically-rare uint64 key-hash
+    collision inside one (hash, kind, start) tie is repaired by a stable
+    string sub-sort of that tie.
+    """
+    import pyarrow as _pa
+
+    if isinstance(table, pd.DataFrame):
+        table = _pa.Table.from_pandas(table, preserve_index=False)
+    n = table.num_rows
+    if n == 0:
+        return pd.DataFrame()
+    band_cols = [c for c in table.column_names if c.startswith("band_")]
+    mh_cols = [c for c in table.column_names if c.startswith("mh_")]
+    lang = np.asarray(table["key_lang"], dtype=object)
+    host = np.asarray(table["key_host"], dtype=object)
+    kind = np.asarray(table["window_kind"], dtype=object)
+    ws = table["window_start"].to_numpy()
+    we = table["window_end"].to_numpy()
+    tlen = table["text_len"].to_numpy().astype(np.float64)
+    thash = table["text_hash"].to_numpy().astype(np.uint64)
+    khash = table["key_hash"].to_numpy().astype(np.uint64)
+    bands = np.column_stack([table[c].to_numpy() for c in band_cols]).astype(np.uint64)
+    sig = np.column_stack([table[c].to_numpy() for c in mh_cols]).astype(np.uint32)
+
+    kind_code = pd.Series(kind).map(_KIND_CODE).fillna(3).to_numpy(dtype=np.int8)
+    order = np.lexsort((ws, kind_code, khash))
+    lang, host, kind = lang[order], host[order], kind[order]
+    ws, we, tlen, thash = ws[order], we[order], tlen[order], thash[order]
+    khash_s, kind_code = khash[order], kind_code[order]
+    bands, sig = bands[order], sig[order]
+    # collision check: a (lang, host) change INSIDE a (hash, kind, ws) tie
+    # means two keys share a uint64 hash (p ~ n²/2^64) — rare path: redo
+    # with an exact object-key sort
+    tie = np.zeros(n, dtype=bool)
+    tie[1:] = (
+        (khash_s[1:] == khash_s[:-1]) & (kind_code[1:] == kind_code[:-1])
+        & (ws[1:] == ws[:-1])
+    )
+    frag = tie & np.concatenate(([False], (lang[1:] != lang[:-1]) | (host[1:] != host[:-1])))
+    if frag.any():
+        order2 = np.lexsort((ws, kind, host, lang))
+        lang, host, kind = lang[order2], host[order2], kind[order2]
+        ws, we, tlen, thash = ws[order2], we[order2], tlen[order2], thash[order2]
+        bands, sig = bands[order2], sig[order2]
     new_group = np.ones(n, dtype=bool)
     new_group[1:] = (
         (lang[1:] != lang[:-1]) | (host[1:] != host[:-1])
@@ -220,30 +324,61 @@ def finalize_many(df: pd.DataFrame) -> pd.DataFrame:
     )
     starts = np.flatnonzero(new_group)
     ends = np.append(starts[1:], n)
+    sizes = ends - starts
 
-    out: list[dict] = []
-    for s, e in zip(starts, ends):
-        exact, near, clusters = dup_cluster_counts(thash[s:e], bands[s:e], sig[s:e])
-        stats = compute_stats(tlen[s:e])
-        start_i, end_i = int(ws[s]), int(we[s])
-        out.append({
-            "fingerprint_id": fingerprint_id(str(lang[s]), str(host[s]), str(kind[s]), start_i, end_i),
-            "key_lang": lang[s],
-            "key_host": host[s],
-            "window_kind": kind[s],
-            "window_start": start_i,
-            "window_end": end_i,
-            "doc_count": int(e - s),
-            "exact_dup_count": exact,
-            "near_dup_count": near,
-            "dup_cluster_count": clusters,
-            "min_len": stats["min"],
-            "max_len": stats["max"],
-            "median_len": stats["median"],
-            "mean_len": stats["mean"],
-            "std_len": stats["std_dev"],
-        })
-    return pd.DataFrame(out)
+    # Singleton fast path (the majority of real windows): doc_count == 1
+    # means exact/near/cluster counts are 0 and every stat equals the one
+    # value with std 0 — identical to compute_stats/dup_cluster_counts on
+    # a 1-row group, no per-group Python.
+    g_lang, g_host, g_kind = lang[starts], host[starts], kind[starts]
+    g_ws, g_we = ws[starts].astype(np.int64), we[starts].astype(np.int64)
+    n_g = len(starts)
+    exact_a = np.zeros(n_g, dtype=np.int64)
+    near_a = np.zeros(n_g, dtype=np.int64)
+    clus_a = np.zeros(n_g, dtype=np.int64)
+    min_a = np.empty(n_g); max_a = np.empty(n_g)
+    med_a = np.empty(n_g); mean_a = np.empty(n_g)
+    std_a = np.zeros(n_g)
+    single = sizes == 1
+    v1 = tlen[starts[single]]
+    min_a[single] = v1; max_a[single] = v1
+    med_a[single] = v1; mean_a[single] = v1
+
+    multi = np.flatnonzero(~single)
+    if len(multi):
+        # dup counts for ALL multi-row groups in one vectorized pass
+        m_rows = np.concatenate([np.arange(starts[gi], ends[gi]) for gi in multi])
+        m_gid = np.repeat(np.arange(len(multi)), sizes[multi])
+        ex_m, ne_m, cl_m = dup_cluster_counts_many(
+            m_gid, thash[m_rows], bands[m_rows], sig[m_rows], len(multi)
+        )
+        exact_a[multi], near_a[multi], clus_a[multi] = ex_m, ne_m, cl_m
+        for j, gi in enumerate(multi):
+            stats = compute_stats(tlen[starts[gi]:ends[gi]])
+            min_a[gi], max_a[gi] = stats["min"], stats["max"]
+            med_a[gi], mean_a[gi], std_a[gi] = stats["median"], stats["mean"], stats["std_dev"]
+
+    fids = [
+        fingerprint_id(str(la), str(ho), str(ki), int(s_), int(e_))
+        for la, ho, ki, s_, e_ in zip(g_lang, g_host, g_kind, g_ws, g_we)
+    ]
+    return pd.DataFrame({
+        "fingerprint_id": fids,
+        "key_lang": g_lang,
+        "key_host": g_host,
+        "window_kind": g_kind,
+        "window_start": g_ws,
+        "window_end": g_we,
+        "doc_count": sizes.astype(np.int64),
+        "exact_dup_count": exact_a,
+        "near_dup_count": near_a,
+        "dup_cluster_count": clus_a,
+        "min_len": min_a,
+        "max_len": max_a,
+        "median_len": med_a,
+        "mean_len": mean_a,
+        "std_len": std_a,
+    })
 
 
 def finalize_window_group(g: pd.DataFrame) -> pd.DataFrame:

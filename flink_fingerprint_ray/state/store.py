@@ -96,33 +96,40 @@ class WindowStateActor:
         self._session = []
         if buf is None:
             return None
-        gap = self.session_gap_ms
-        df = buf.to_pandas()
-        out_parts: list[pd.DataFrame] = []
-        keep_parts: list[pd.DataFrame] = []
-        for _, g in df.groupby(["key_lang", "key_host"], sort=False):
-            g = g.sort_values("ts_ms", kind="stable")
-            ts = g["ts_ms"].to_numpy()
-            gaps = np.diff(ts) > gap
-            sid = np.concatenate(([0], np.cumsum(gaps)))
-            g = g.assign(_sid=sid)
-            for _, s in g.groupby("_sid", sort=True):
-                last = int(s["ts_ms"].iloc[-1])
-                if last + gap <= watermark_ms:  # session closed
-                    s = s.assign(
-                        window_start=int(s["ts_ms"].iloc[0]),
-                        window_end=last + gap,
-                    )
-                    out_parts.append(s.drop(columns=["_sid"]))
-                else:
-                    keep_parts.append(s.drop(columns=["_sid"]))
-        if keep_parts:
-            kept = pa.Table.from_pandas(pd.concat(keep_parts), preserve_index=False)
-            self._session = [kept.select(buf.column_names).cast(buf.schema)]
-        if not out_parts:
+        gap = np.int64(self.session_gap_ms)
+        lang = np.asarray(buf["key_lang"], dtype=object)
+        host = np.asarray(buf["key_host"], dtype=object)
+        ts = buf["ts_ms"].to_numpy()
+        order = np.lexsort((ts, host, lang))
+        lang_s, host_s, ts_s = lang[order], host[order], ts[order]
+        n = len(ts_s)
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = (
+            (lang_s[1:] != lang_s[:-1]) | (host_s[1:] != host_s[:-1])
+            | (ts_s[1:] - ts_s[:-1] > gap)
+        )
+        starts = np.flatnonzero(new_seg)
+        ends = np.append(starts[1:], n)
+        sizes = ends - starts
+        seg_first = ts_s[starts]
+        seg_last = ts_s[ends - 1]
+        closed_seg = seg_last + gap <= np.int64(watermark_ms)
+        if not closed_seg.any():
+            self._session = [buf]
             return None
-        out = pa.Table.from_pandas(pd.concat(out_parts), preserve_index=False)
-        return out.select(buf.column_names).cast(buf.schema)
+        row_closed = np.repeat(closed_seg, sizes)
+        closed = buf.take(pa.array(order[row_closed]))
+        # stamp session bounds [first_ts, last_ts + gap) per row
+        ws = np.repeat(seg_first, sizes)[row_closed]
+        we = np.repeat(seg_last + gap, sizes)[row_closed]
+        i_ws = closed.schema.get_field_index("window_start")
+        i_we = closed.schema.get_field_index("window_end")
+        closed = closed.set_column(i_ws, "window_start", pa.array(ws, pa.int64()))
+        closed = closed.set_column(i_we, "window_end", pa.array(we, pa.int64()))
+        kept = buf.take(pa.array(order[~row_closed]))
+        if kept.num_rows:
+            self._session = [kept]
+        return closed
 
     # -- introspection / checkpoint -----------------------------------------
     def buffered_rows(self) -> dict[str, int]:
