@@ -162,17 +162,33 @@ def make_page_updates(pages: pa.Table, seed: int = 43, hit_frac: float = 0.3) ->
     )
 
 
-def write_epochs(table: pa.Table, out_dir: str, n_epochs: int = 8, prefix: str = "pages") -> list[str]:
-    """Split rows by ARRIVAL position into one Parquet file per epoch:
-    ``{out_dir}/{prefix}/epoch=K/part.parquet`` (the source-cursor unit
-    that the checkpoint manifest records). Returns epoch dir paths."""
+def write_epochs(
+    table: pa.Table,
+    out_dir: str,
+    n_epochs: int = 8,
+    prefix: str = "pages",
+    rows_per_file: int = 40_000,
+) -> list[str]:
+    """Split rows by ARRIVAL position into Parquet files per epoch:
+    ``{out_dir}/{prefix}/epoch=K/part-*.parquet`` (the source-cursor unit
+    that the checkpoint manifest records).  Epochs larger than
+    ``rows_per_file`` are sharded into several files with bounded row
+    groups so readers parallelize along file/row-group boundaries instead
+    of re-decoding one monolith per split. Returns epoch dir paths."""
     paths = []
     bounds = np.linspace(0, table.num_rows, n_epochs + 1).astype(int)
     for k in range(n_epochs):
         d = os.path.join(out_dir, prefix, f"epoch={k:05d}")
         os.makedirs(d, exist_ok=True)
-        p = os.path.join(d, "part.parquet")
-        pq.write_table(table.slice(bounds[k], bounds[k + 1] - bounds[k]), p)
+        ep = table.slice(bounds[k], bounds[k + 1] - bounds[k])
+        n_files = max(1, -(-ep.num_rows // rows_per_file))
+        fb = np.linspace(0, ep.num_rows, n_files + 1).astype(int)
+        for j in range(n_files):
+            pq.write_table(
+                ep.slice(fb[j], fb[j + 1] - fb[j]),
+                os.path.join(d, f"part-{j:04d}.parquet"),
+                row_group_size=10_000,
+            )
         paths.append(d)
     return paths
 

@@ -95,37 +95,33 @@ def _empty_fingerprints() -> pa.Table:
 
 
 @ray.remote
-def partition_by_key(block: pa.Table | None, n_parts: int) -> list[pa.Table | None]:
-    """Stage A of the manual finalize shuffle: split one block into
-    ``n_parts`` slices by ``key_hash % n_parts`` (call with
-    ``.options(num_returns=n_parts)`` so each slice is its own ref).
-    ``block`` may be None (an actor's mature call with nothing to emit)."""
-    if block is None or block.num_rows == 0:
-        return [None] * n_parts
-    part = (block["key_hash"].to_numpy() % np.uint64(n_parts)).astype(np.int64)
-    order = np.argsort(part, kind="stable")
-    sp = part[order]
-    out = []
-    for p in range(n_parts):
-        lo = np.searchsorted(sp, p, "left")
-        hi = np.searchsorted(sp, p, "right")
-        out.append(block.take(pa.array(order[lo:hi])))
-    return out
-
-
-@ray.remote
 def finalize_partition(
-    path: str, join_handles: list, n_join_partitions: int, *tables: pa.Table
+    path: str,
+    join_handles: list,
+    n_join_partitions: int,
+    my_part: int,
+    n_parts: int,
+    *tables: pa.Table,
 ) -> int:
-    """Stage B: one task per partition — concat its slices, finalize all
-    (key, window) groups in one sorted sweep (``finalize_many``), probe the
-    join state for update counts, and write this partition's staged parquet
-    part.  One task instead of a finalize→probe→write task chain: the
-    fan-in objects are fetched once and the output never crosses a task
-    boundary (SURVEY.md §3.4 step order preserved)."""
+    """One task per hash partition: select rows with ``key_hash % P ==
+    my_part`` from EVERY closable/matured block (zero-copy plasma reads —
+    only this partition's 1/P of rows is ever copied), finalize all its
+    (key, window) groups in one sorted sweep (``finalize_many``), probe
+    the join state for update counts, and write this partition's staged
+    parquet part.
+
+    This is a map-side-select shuffle: no intermediate split stage, no
+    P×B sealed slice objects — on a multi-node cluster the block fetches
+    ARE the all-to-all exchange (SURVEY.md §7.3)."""
     import pyarrow.parquet as pq
 
-    tabs = [t for t in tables if t is not None and t.num_rows]
+    tabs = []
+    for t in tables:
+        if t is None or t.num_rows == 0:
+            continue
+        mine = (t["key_hash"].to_numpy() % np.uint64(n_parts)).astype(np.int64) == my_part
+        if mine.any():
+            tabs.append(t.take(pa.array(np.flatnonzero(mine))))
     if not tabs:
         return 0
     out = finalize_many(pa.concat_tables(tabs, promote_options="default").combine_chunks())
@@ -200,6 +196,8 @@ def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix:
     key = pc.binary_join_element_wise(lang, host, pa.scalar("\x1f", pa.large_string()))
     key_hash = fp.text_hash64(key)
 
+    # sig/bands as single fixed-size-list columns: shuffle/actor/take ops
+    # touch ~12 Arrow buffers per block instead of ~90 per-column arrays
     cols: dict[str, pa.Array] = {
         "key_lang": lang,
         "key_host": host,
@@ -208,11 +206,13 @@ def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix:
         "text_hash": pa.array(th, pa.uint64()),
         "simhash": pa.array(sh, pa.uint64()),
         "key_hash": pa.array(key_hash, pa.uint64()),
+        "bands": pa.FixedSizeListArray.from_arrays(
+            pa.array(bands.ravel(), pa.uint64()), N_BANDS
+        ),
+        "sig": pa.FixedSizeListArray.from_arrays(
+            pa.array(mh.ravel(), pa.uint32()), mh.shape[1] if mh.size else 64
+        ),
     }
-    for b in range(N_BANDS):
-        cols[f"band_{b}"] = pa.array(bands[:, b], pa.uint64())
-    for i in range(mh.shape[1]):
-        cols[f"mh_{i}"] = pa.array(mh[:, i], pa.uint32())
     return pa.table(cols)
 
 
@@ -247,20 +247,25 @@ def explode_windows(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     return pa.concat_tables(parts)
 
 
-@ray.remote
+@ray.remote(num_returns=2)
 def route_and_split(
     block: pa.Table,
     watermark_ms: int,
     window_handles: list,
     n_partitions: int,
-) -> pa.Table:
+):
     """Per-block three-way split (distributed — no driver funnel):
     session rows → owning state actor; open fixed-window rows → owning
-    state actor; closable rows → returned (become the finalize input)."""
+    state actor; closable rows → returned (become the finalize input).
+
+    Returns (closable_table, ack_refs): the task does NOT block on the
+    actor adds — it hands their ObjectRefs back so the driver awaits them
+    (blocked ray.get inside tasks forces the raylet to oversubscribe
+    worker processes)."""
     import pyarrow.compute as pc
 
     if block.num_rows == 0:
-        return block
+        return block, []
     part = (block["key_hash"].to_numpy() % np.uint64(n_partitions)).astype(np.int64)
     block = block.append_column("part", pa.array(part, pa.int64()))
 
@@ -284,8 +289,7 @@ def route_and_split(
             s, e = bounds[i], bounds[i + 1]
             sub = tbl.take(pa.array(order[s:e])).drop_columns(["part"])
             refs.append(getattr(window_handles[int(sp[s])], method).remote(sub))
-    ray.get(refs)
-    return closable.drop_columns(["part"])
+    return closable.drop_columns(["part"]), refs
 
 
 def update_transform(batch: pa.Table, n_partitions: int) -> pa.Table:
@@ -351,6 +355,8 @@ class StreamingFingerprintPipeline:
             self.cfg.n_state_partitions, self.cfg.session_gap_ms, self.cfg.join_retention_ms
         )
         self.counter = MetricCounter.remote()
+        self._metrics_log: list[dict] = []
+        self._wm = self.manifest.watermark_ms  # in-memory watermark chain
         if self.manifest.cursor >= 0:  # resume: restore actor state snapshots
             self.pool.restore(self.manifest.last_snapshot())
 
@@ -380,53 +386,88 @@ class StreamingFingerprintPipeline:
         return ds.to_arrow_refs()
 
     # -- single epoch ------------------------------------------------------
-    def run_epoch(self, epoch, upd_epoch=None, transform_refs: list | None = None) -> dict:
+    def run_epoch(
+        self,
+        epoch,
+        upd_epoch=None,
+        transform_refs: list | None = None,
+        prev_pending: dict | None = None,
+        defer_commit: bool = False,
+    ):
+        """Process one epoch.  With ``defer_commit`` (the run() loop), the
+        finalize barrier + commit of THIS epoch are deferred into the next
+        epoch's call — so epoch K+1's route/transform overlaps epoch K's
+        finalize tasks.  Ordering invariants preserved:
+
+        - window-actor adds of K+1 start only after mature(wm_K) and the
+          window snapshot of K (both happen in K's call, before return);
+        - join-actor feeds of K+1 start only after K's probes and the
+          post-evict join snapshot of K (``_finish_epoch`` runs first);
+        - commits stay strictly sequential (fence K before fence K+1).
+        """
         t0 = time.perf_counter()
         cfg = self.cfg
-        wm_prev = self.manifest.watermark_ms
+        wm_prev = self._wm
         wm_new = max(wm_prev, epoch.max_ts_ms - cfg.lateness_ms)
 
-        # 1) feed this epoch's page updates into the join state (build side)
-        #    — raw tasks launched here, awaited just before the join probe
-        #    so they overlap the page read/transform
+        # 1) pages: read → fingerprint → window explode (all streaming
+        #    tasks), unless already prefetched by run()
+        if transform_refs is None:
+            transform_refs = self._transform_refs(epoch, wm_prev)
+
+        # 2) per-block routing LAUNCH: open/session rows into state
+        #    actors, closable rows back as refs (single pass).  Launched
+        #    before the previous epoch's finalize barrier so both proceed
+        #    concurrently; window actors were snapshotted in the previous
+        #    call, so these adds can't leak into that snapshot.
+        closable_refs = []
+        ack_list_refs = []
+        for ref in transform_refs:
+            closable, acks = route_and_split.remote(
+                ref, wm_new, self.pool.window_actors, cfg.n_state_partitions
+            )
+            closable_refs.append(closable)
+            ack_list_refs.append(acks)
+
+        # 3) finish the previous epoch: finalize barrier → join evict →
+        #    join snapshot → commit fence
+        if prev_pending is not None:
+            self._finish_epoch(prev_pending)
+
+        # 4) feed this epoch's page updates into the join state (build
+        #    side) — after the previous epoch's probes completed
         update_routes: list = []
         if upd_epoch is not None:
             update_routes = [
                 feed_updates.remote(upd_epoch.files, cfg.n_state_partitions, self.pool.join_actors)
             ]
 
-        # 2) pages: read → fingerprint → window explode (all streaming
-        #    tasks), unless already prefetched by run()
-        if transform_refs is None:
-            transform_refs = self._transform_refs(epoch, wm_prev)
-
-        # 3) per-block routing: open/session rows into state actors,
-        #    closable rows back as refs (single pass over the data)
-        closable_refs = [
-            route_and_split.remote(
-                ref, wm_new, self.pool.window_actors, cfg.n_state_partitions
-            )
-            for ref in transform_refs
-        ]
-        ray.wait(closable_refs, num_returns=len(closable_refs))
+        # 5) route barrier: every actor-add ack — state must be complete
+        #    before the watermark advances (mature)
+        acks = [a for lst in ray.get(ack_list_refs) for a in lst]
+        if acks:
+            ray.wait(acks, num_returns=len(acks))
         t_route = time.perf_counter()
 
-        # 4) matured rows from earlier epochs join this epoch's closable
+        # 6) matured rows from earlier epochs join this epoch's closable
         #    rows — taken as refs straight from the actors (no driver copy)
         fin_refs = list(closable_refs) + self.pool.mature_refs(wm_new)
 
-        # 5+6) finalize per (key, window) + join probe + staged write:
-        #    manual hash shuffle — split each block by key_hash % P
-        #    (stage A), then ONE task per partition sweeps all its windows,
-        #    probes the co-partitioned join state, and writes its own
-        #    staged parquet part (resumable layout, never one giant file).
-        #    Replaces groupby().map_groups, whose per-group UDF dispatch
-        #    dominates when an epoch closes 10^4-10^6 windows.
-        P = cfg.n_finalize_partitions or max(8, cfg.n_state_partitions)
-        parted = [
-            partition_by_key.options(num_returns=P).remote(ref, P)
-            for ref in fin_refs
-        ]
+        # 7) window-state snapshot NOW (actors quiesced until the next
+        #    epoch's route) — snapshot-then-commit, SURVEY.md §7.4.4
+        snap_dir = os.path.join(self.sink.out_dir, "_state", f"epoch={epoch.index:05d}")
+        w_snap = self.pool.snapshot_windows(snap_dir)
+
+        # 8) finalize per (key, window) + join probe + staged write: ONE
+        #    task per hash partition selects its key range from every
+        #    closable/matured block (map-side-select shuffle), sweeps all
+        #    its windows, probes the co-partitioned join state, and writes
+        #    its own staged parquet part (resumable layout, never one
+        #    giant file).  Replaces groupby().map_groups, whose per-group
+        #    UDF dispatch dominates when an epoch closes 10^4-10^6 windows.
+        P = cfg.n_finalize_partitions or max(
+            8, min(64, int(ray.cluster_resources().get("CPU", 8)))
+        )
         if update_routes:
             ray.get(update_routes)  # build side complete before any probe
         staging = self.sink.staging_dir(epoch.index)
@@ -434,17 +475,36 @@ class StreamingFingerprintPipeline:
             finalize_partition.remote(
                 os.path.join(staging, f"part-{p:05d}.parquet"),
                 self.pool.join_actors, cfg.n_state_partitions,
-                *[row[p] for row in parted],
+                p, P, *fin_refs,
             )
             for p in range(P)
-        ] if parted else []
-        n_out = int(sum(ray.get(write_refs)))
-        t_finalize = time.perf_counter()
+        ] if fin_refs else []
 
-        # 7) evict join state past retention, snapshot state, commit fence
-        evicted = self.pool.evict_join(wm_new)
-        snap_dir = os.path.join(self.sink.out_dir, "_state", f"epoch={epoch.index:05d}")
-        snapshot = self.pool.snapshot(snap_dir)
+        self._wm = wm_new
+        pending = {
+            "epoch": epoch,
+            "upd_epoch": upd_epoch,
+            "write_refs": write_refs,
+            "wm": wm_new,
+            "snap_dir": snap_dir,
+            "w_snap": w_snap,
+            "t0": t0,
+            "t_route": t_route,
+            "t_launch": time.perf_counter(),
+        }
+        if defer_commit:
+            return pending
+        return self._finish_epoch(pending)
+
+    def _finish_epoch(self, pending: dict) -> dict:
+        """Finalize barrier → join evict → join snapshot → publish fence →
+        manifest commit for a pending epoch."""
+        epoch = pending["epoch"]
+        n_out = int(sum(ray.get(pending["write_refs"])))
+        t_fin = time.perf_counter()
+        evicted = self.pool.evict_join(pending["wm"])
+        j_snap = self.pool.snapshot_join(pending["snap_dir"])
+        snapshot = {**pending["w_snap"], **j_snap}
         metrics = ray.get(self.counter.take_prefix.remote(f"e{epoch.index}:"))
         metrics.update(
             {
@@ -452,19 +512,21 @@ class StreamingFingerprintPipeline:
                 "fingerprints": n_out,
                 "join_evicted": evicted,
                 "buffered": self.pool.buffered(),
-                "route_sec": round(t_route - t0, 4),
-                "finalize_sec": round(t_finalize - t_route, 4),
-                "commit_sec": round(time.perf_counter() - t_finalize, 4),
-                "wall_sec": round(time.perf_counter() - t0, 4),
+                "route_sec": round(pending["t_route"] - pending["t0"], 4),
+                "finalize_sec": round(t_fin - pending["t_route"], 4),
+                "commit_sec": round(time.perf_counter() - t_fin, 4),
+                "wall_sec": round(time.perf_counter() - pending["t0"], 4),
             }
         )
+        upd_epoch = pending["upd_epoch"]
         lineage = {
             "input_files": epoch.files,
             "update_files": upd_epoch.files if upd_epoch else [],
             "output_fence": self.sink.final_dir(epoch.index),
         }
         self.sink.publish(epoch.index)
-        self.manifest.commit(epoch.index, wm_new, snapshot, metrics, lineage)
+        self.manifest.commit(epoch.index, pending["wm"], snapshot, metrics, lineage)
+        self._metrics_log.append(metrics)
         return metrics
 
     # -- full run ----------------------------------------------------------
@@ -491,18 +553,24 @@ class StreamingFingerprintPipeline:
         for ep in epochs:
             cutoffs.append(wm)
             wm = max(wm, ep.max_ts_ms - self.cfg.lateness_ms)
-        all_metrics = []
+        run_t0 = time.perf_counter()
+        n_before = len(self._metrics_log)
+        pending = None
         with ThreadPoolExecutor(max_workers=1) as pool:
             fut = pool.submit(self._transform_refs, epochs[0], cutoffs[0]) if epochs else None
             for i, ep in enumerate(epochs):
                 refs = fut.result()
                 if i + 1 < len(epochs):
                     fut = pool.submit(self._transform_refs, epochs[i + 1], cutoffs[i + 1])
-                all_metrics.append(
-                    self.run_epoch(ep, upd_by_idx.get(ep.index), transform_refs=refs)
+                pending = self.run_epoch(
+                    ep, upd_by_idx.get(ep.index),
+                    transform_refs=refs, prev_pending=pending, defer_commit=True,
                 )
+        if pending is not None:
+            self._finish_epoch(pending)
+        all_metrics = self._metrics_log[n_before:]
         total_rows = sum(m["rows_in"] for m in all_metrics)
-        total_wall = sum(m["wall_sec"] for m in all_metrics)
+        total_wall = time.perf_counter() - run_t0
         return {
             "epochs_run": len(all_metrics),
             "rows_in": total_rows,

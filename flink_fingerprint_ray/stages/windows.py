@@ -284,8 +284,6 @@ def finalize_many(table) -> pd.DataFrame:
     n = table.num_rows
     if n == 0:
         return pd.DataFrame()
-    band_cols = [c for c in table.column_names if c.startswith("band_")]
-    mh_cols = [c for c in table.column_names if c.startswith("mh_")]
     lang = np.asarray(table["key_lang"], dtype=object)
     host = np.asarray(table["key_host"], dtype=object)
     kind = np.asarray(table["window_kind"], dtype=object)
@@ -294,8 +292,16 @@ def finalize_many(table) -> pd.DataFrame:
     tlen = table["text_len"].to_numpy().astype(np.float64)
     thash = table["text_hash"].to_numpy().astype(np.uint64)
     khash = table["key_hash"].to_numpy().astype(np.uint64)
-    bands = np.column_stack([table[c].to_numpy() for c in band_cols]).astype(np.uint64)
-    sig = np.column_stack([table[c].to_numpy() for c in mh_cols]).astype(np.uint32)
+    if "sig" in table.column_names:  # packed fixed-size-list layout
+        bc = table["bands"].combine_chunks()
+        bands = np.asarray(bc.flatten()).reshape(n, -1).astype(np.uint64, copy=False)
+        sc = table["sig"].combine_chunks()
+        sig = np.asarray(sc.flatten()).reshape(n, -1).astype(np.uint32, copy=False)
+    else:  # legacy flat band_*/mh_* columns
+        band_cols = [c for c in table.column_names if c.startswith("band_")]
+        mh_cols = [c for c in table.column_names if c.startswith("mh_")]
+        bands = np.column_stack([table[c].to_numpy() for c in band_cols]).astype(np.uint64)
+        sig = np.column_stack([table[c].to_numpy() for c in mh_cols]).astype(np.uint32)
 
     kind_code = pd.Series(kind).map(_KIND_CODE).fillna(3).to_numpy(dtype=np.int8)
     order = np.lexsort((ws, kind_code, khash))

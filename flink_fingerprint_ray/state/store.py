@@ -319,13 +319,16 @@ class StatePool:
             "join": sum(j),
         }
 
-    def snapshot(self, snap_dir: str) -> dict[str, dict[str, str]]:
+    def snapshot_windows(self, snap_dir: str) -> dict[str, dict[str, str]]:
         w = ray.get([a.snapshot.remote(os.path.join(snap_dir, "window")) for a in self.window_actors])
+        return {f"window_{i}": p for i, p in enumerate(w)}
+
+    def snapshot_join(self, snap_dir: str) -> dict[str, dict[str, str]]:
         j = ray.get([a.snapshot.remote(os.path.join(snap_dir, "join")) for a in self.join_actors])
-        return {
-            **{f"window_{i}": p for i, p in enumerate(w)},
-            **{f"join_{i}": p for i, p in enumerate(j)},
-        }
+        return {f"join_{i}": p for i, p in enumerate(j)}
+
+    def snapshot(self, snap_dir: str) -> dict[str, dict[str, str]]:
+        return {**self.snapshot_windows(snap_dir), **self.snapshot_join(snap_dir)}
 
     def restore(self, snap: dict[str, dict[str, str]]) -> None:
         refs = []
