@@ -1,0 +1,97 @@
+"""Declarative rule DSL: the engine analog of the reference's JSON rule
+corpus and its vectorized mask evaluator.
+
+Reference semantics being re-created (SURVEY.md §2.10):
+- rules are config data, not code: ``{id, name, logic: AND|OR|IF,
+  checks: [...], if/then/else}`` (``src/data_input/files/cement/
+  kiln_rules.json``, 46 rules);
+- each check is ``{param, op, value}`` evaluated as a vectorized boolean
+  mask over a WIDE frame (one column per param), ops from the reference's
+  ops_map (``src/data_input/helpers.py:47-60``): ``> >= < <= == !=
+  between abs_gt outside deviation``;
+- missing params / NaN cells never trigger (the reference skips rules
+  whose columns are absent, ``process_odr.py:244-254`` — here the
+  per-row analog: NaN compares False);
+- AND/OR combine check masks (``helpers.py:409-477``); IF selects the
+  ``then`` branch mask where the ``if`` mask holds, else the ``else``
+  branch (``kiln_rules.json`` IF rules);
+- duration-based streak triggering (``process_odr.py:269-303``) is the
+  separate ordered-scan operator (queries ``streak_duration`` /
+  ``rising_edges``); rules here are the instantaneous mask layer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _mask(df: pd.DataFrame, check: dict) -> np.ndarray:
+    """One check -> boolean mask; NaN/missing never triggers."""
+    param = check["param"]
+    if param not in df.columns:
+        return np.zeros(len(df), dtype=bool)
+    x = df[param].to_numpy(dtype=np.float64)
+    ok = ~np.isnan(x)
+    op = check["op"]
+    v = check.get("value")
+    with np.errstate(invalid="ignore"):
+        if op == ">":
+            m = x > v
+        elif op == ">=":
+            m = x >= v
+        elif op == "<":
+            m = x < v
+        elif op == "<=":
+            m = x <= v
+        elif op == "==":
+            m = x == v
+        elif op == "!=":
+            m = x != v
+        elif op == "abs_gt":
+            m = np.abs(x) > v
+        elif op == "between":  # inclusive, like the reference
+            lo, hi = v
+            m = (x >= lo) & (x <= hi)
+        elif op == "outside":
+            lo, hi = v
+            m = (x < lo) | (x > hi)
+        elif op == "deviation":  # |x - base| > value; base may be a column
+            base = check.get("base", 0.0)
+            if isinstance(base, str):
+                if base not in df.columns:
+                    return np.zeros(len(df), dtype=bool)
+                b = df[base].to_numpy(dtype=np.float64)
+                ok = ok & ~np.isnan(b)
+            else:
+                b = base
+            m = np.abs(x - b) > v
+        else:
+            raise ValueError(f"unknown op: {op}")
+    return ok & np.nan_to_num(m, nan=False).astype(bool)
+
+
+def evaluate_rule(df: pd.DataFrame, rule: dict) -> np.ndarray:
+    """Wide frame -> boolean trigger mask for one rule."""
+    logic = rule.get("logic", "AND").upper()
+    if logic == "IF":
+        cond = _combine(df, rule["if"], "AND")
+        then_m = _combine(df, rule["then"], "AND")
+        else_m = _combine(df, rule.get("else", []), "AND") if rule.get("else") else np.zeros(len(df), dtype=bool)
+        return np.where(cond, then_m, else_m)
+    return _combine(df, rule["checks"], logic)
+
+
+def _combine(df: pd.DataFrame, checks: list[dict], logic: str) -> np.ndarray:
+    if not checks:
+        return np.zeros(len(df), dtype=bool)
+    masks = [_mask(df, c) for c in checks]
+    out = masks[0]
+    for m in masks[1:]:
+        out = (out | m) if logic == "OR" else (out & m)
+    return out
+
+
+def evaluate_rules(df: pd.DataFrame, rules: list[dict]) -> pd.DataFrame:
+    """Wide frame -> one boolean column per rule id."""
+    return pd.DataFrame({r["id"]: evaluate_rule(df, r) for r in rules}, index=df.index)

@@ -814,6 +814,268 @@ FROM events GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Rule DSL / pivot / value_counts / interval join / observation text (§2.10,
+# A2, A4, J1-batch, M9/M10, §2.8-json)
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+MIN_10 = 600_000
+ERR_SESSION_GAP = 1_800_000
+
+RULES = [
+    {"id": "r_and", "logic": "AND", "checks": [
+        {"param": "error", "op": ">", "value": 10.0},
+        {"param": "click", "op": "<=", "value": 12.0},
+    ]},
+    {"id": "r_or", "logic": "OR", "checks": [
+        {"param": "view", "op": "between", "value": [5.0, 15.0]},
+        {"param": "error", "op": "abs_gt", "value": 18.0},
+    ]},
+    {"id": "r_if", "logic": "IF",
+     "if": [{"param": "click", "op": ">", "value": 10.0}],
+     "then": [{"param": "error", "op": ">", "value": 8.0}],
+     "else": [{"param": "view", "op": "<", "value": 6.0}]},
+]
+
+
+def _wide_means(t: pa.Table) -> pd.DataFrame:
+    """A4 analog: long → wide pivot (implicit mean on duplicate cells,
+    like the reference's pivot_table, process_odr.py:934-936) per
+    (user, 5-min bucket)."""
+    df = t.to_pandas()
+    tms = df["ts"].astype("datetime64[ms]").astype("int64")
+    df["bucket"] = (tms // SLIDE_5M) * SLIDE_5M
+    w = df.pivot_table(index=["user_id", "bucket"], columns="event_type",
+                       values="value", aggfunc="mean")
+    return w.reindex(columns=EVENT_TYPES).reset_index()
+
+
+def _pivot_sweep(t: pa.Table) -> pd.DataFrame:
+    w = _wide_means(t)
+    out = w[["user_id", "bucket"]].copy()
+    for c in EVENT_TYPES:
+        v = w[c].to_numpy(dtype=np.float64)
+        cents = pd.array(np.floor(v * 100.0 + 0.5), dtype="Int64")
+        cents[np.isnan(v)] = pd.NA
+        out[f"avg_{c}_cents"] = cents
+    return out
+
+
+def q_pivot_wide(sf_dir: str):
+    """A4 analog: distributed long→wide pivot, one vectorized pivot_table
+    per user hash partition."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type", "value"])
+    return grouped_map(ds, ["user_id"], _pivot_sweep)
+
+
+SQL_PIVOT_WIDE = """
+SELECT user_id, (epoch_ms(ts) // 300000) * 300000 AS bucket,
+       CAST(floor(AVG(value) FILTER (event_type = 'click') * 100 + 0.5) AS BIGINT) AS avg_click_cents,
+       CAST(floor(AVG(value) FILTER (event_type = 'error') * 100 + 0.5) AS BIGINT) AS avg_error_cents,
+       CAST(floor(AVG(value) FILTER (event_type = 'purchase') * 100 + 0.5) AS BIGINT) AS avg_purchase_cents,
+       CAST(floor(AVG(value) FILTER (event_type = 'signup') * 100 + 0.5) AS BIGINT) AS avg_signup_cents,
+       CAST(floor(AVG(value) FILTER (event_type = 'view') * 100 + 0.5) AS BIGINT) AS avg_view_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def _rules_sweep(t: pa.Table) -> pd.DataFrame:
+    from ..functions.rules import evaluate_rules
+
+    w = _wide_means(t)
+    trig = evaluate_rules(w, RULES)
+    parts = []
+    for rid in trig.columns:
+        hit = w.loc[trig[rid].to_numpy(), ["user_id", "bucket"]].copy()
+        hit["rule_id"] = rid
+        parts.append(hit)
+    return pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
+        {"user_id": pd.Series([], dtype="int64"),
+         "bucket": pd.Series([], dtype="int64"),
+         "rule_id": pd.Series([], dtype="object")})
+
+
+def q_rule_alarms(sf_dir: str):
+    """§2.10 rule DSL: declarative AND/OR/IF rules with the reference's
+    operator set evaluated as vectorized masks over the per-(user, bucket)
+    wide frame; emits one row per (user, bucket, rule) trigger."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type", "value"])
+    return grouped_map(ds, ["user_id"], _rules_sweep)
+
+
+SQL_RULE_ALARMS = """
+WITH w AS (
+  SELECT user_id, (epoch_ms(ts) // 300000) * 300000 AS bucket,
+         AVG(value) FILTER (event_type = 'click') AS click,
+         AVG(value) FILTER (event_type = 'error') AS error,
+         AVG(value) FILTER (event_type = 'view') AS view
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, bucket, 'r_and' AS rule_id FROM w
+WHERE COALESCE(error > 10.0, FALSE) AND COALESCE(click <= 12.0, FALSE)
+UNION ALL
+SELECT user_id, bucket, 'r_or' FROM w
+WHERE COALESCE(view BETWEEN 5.0 AND 15.0, FALSE) OR COALESCE(abs(error) > 18.0, FALSE)
+UNION ALL
+SELECT user_id, bucket, 'r_if' FROM w
+WHERE CASE WHEN COALESCE(click > 10.0, FALSE)
+           THEN COALESCE(error > 8.0, FALSE)
+           ELSE COALESCE(view < 6.0, FALSE) END
+"""
+
+
+def q_value_counts(sf_dir: str):
+    """A2 analog: value_counts + percentage, sorted desc
+    (helpers.py:737-753)."""
+    ds = _read(sf_dir, "events", ["event_type"])
+    total = ds.count()
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return (pd.Series(batch["event_type"].to_pandas())
+                .value_counts().rename("n_events").rename_axis("event_type").reset_index())
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    final = grouped_map(parts, ["event_type"], _combine_partials,
+                        fn_kwargs={"keys": ["event_type"], "sums": ["n_events"]})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_events"].to_numpy().astype(np.int64)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "n_events": pa.array(n, pa.int64()),
+            "pct_micros": pa.array(_micros(n / total), pa.int64()),
+        })
+
+    return final.map_batches(finish, batch_format="pyarrow") \
+                .sort(["n_events", "event_type"], descending=[True, False])
+
+
+SQL_VALUE_COUNTS = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(floor(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM events) * 1000000 + 0.5) AS BIGINT) AS pct_micros
+FROM events GROUP BY 1 ORDER BY n_events DESC, event_type
+"""
+
+
+def _interval_join_sweep(t: pa.Table) -> pd.DataFrame:
+    """J1 batch analog: per-user error SESSIONS [first, last+gap) as the
+    build side, clicks as the probe side, interval predicate
+    window_start <= ts < window_end (save_fingerprints.py:148) counted via
+    composite-key binary search — vectorized across all users of the
+    partition."""
+    df = t.to_pandas()
+    tms = df["ts"].astype("datetime64[ms]").astype("int64").to_numpy()
+    uid = df["user_id"].to_numpy()
+    et = df["event_type"].to_numpy()
+    is_err = et == "error"
+    e_u, e_t = uid[is_err], tms[is_err]
+    o = np.lexsort((e_t, e_u))
+    e_u, e_t = e_u[o], e_t[o]
+    brk = np.ones(len(e_u), dtype=bool)
+    brk[1:] = (e_u[1:] != e_u[:-1]) | (e_t[1:] - e_t[:-1] > ERR_SESSION_GAP)
+    sid = np.cumsum(brk)
+    g = pd.DataFrame({"user_id": e_u, "tms": e_t, "sid": sid}).groupby("sid", sort=False)
+    sess = pd.DataFrame({
+        "user_id": g["user_id"].first(),
+        "window_start": g["tms"].min().astype(np.int64),
+        "window_end": (g["tms"].max() + ERR_SESSION_GAP).astype(np.int64),
+    }).reset_index(drop=True)
+    # composite key (user << 44 | tms) makes the per-user interval count
+    # two global binary searches
+    SHIFT = np.int64(1) << np.int64(44)
+    is_clk = et == "click"
+    ck = np.sort(uid[is_clk].astype(np.int64) * SHIFT + tms[is_clk])
+    lo = np.searchsorted(ck, sess["user_id"].to_numpy() * SHIFT + sess["window_start"].to_numpy())
+    hi = np.searchsorted(ck, sess["user_id"].to_numpy() * SHIFT + sess["window_end"].to_numpy())
+    sess["n_clicks"] = (hi - lo).astype(np.int64)
+    return sess
+
+
+def q_interval_join(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+    return grouped_map(ds, ["user_id"], _interval_join_sweep)
+
+
+SQL_INTERVAL_JOIN = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS tms, event_id FROM events WHERE event_type = 'error'),
+o AS (SELECT user_id, tms,
+             CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) > 1800000
+                  THEN 1 ELSE 0 END AS brk, event_id FROM e),
+g AS (SELECT user_id, tms,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY tms, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+s AS (SELECT user_id, MIN(tms) AS window_start, MAX(tms) + 1800000 AS window_end
+      FROM g GROUP BY user_id, sid),
+c AS (SELECT user_id, epoch_ms(ts) AS tms FROM events WHERE event_type = 'click')
+SELECT s.user_id, s.window_start, s.window_end, CAST(COUNT(c.tms) AS BIGINT) AS n_clicks
+FROM s LEFT JOIN c ON c.user_id = s.user_id AND c.tms >= s.window_start AND c.tms < s.window_end
+GROUP BY 1, 2, 3
+"""
+
+
+def q_obs_text(sf_dir: str):
+    """M10/M9 analog: observation text rendering + IST (+05:30) display
+    shift applied at the sink projection (internal time stays UTC)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def render(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        ist = df["ts"].astype("datetime64[ms]") + pd.Timedelta(hours=5, minutes=30)
+        cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "obs_text": ("user " + df["user_id"].astype(str) + ": " + df["event_type"]
+                         + " value_cents " + pd.Series(cents).astype(str)
+                         + " at " + ist.dt.strftime("%Y-%m-%d %H:%M:%S")),
+        })
+
+    return ds.map_batches(render, batch_format="pyarrow")
+
+
+SQL_OBS_TEXT = """
+SELECT event_id,
+       'user ' || CAST(user_id AS VARCHAR) || ': ' || event_type
+       || ' value_cents ' || CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR)
+       || ' at ' || strftime(ts + INTERVAL 330 MINUTE, '%Y-%m-%d %H:%M:%S') AS obs_text
+FROM events
+"""
+
+
+def q_json_extract(sf_dir: str):
+    """§2.8 json family: extract props->k (vectorized regex, compiled by
+    pandas' str engine) and aggregate per event_type."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        k = df["props"].str.extract(r'"k": (\d+)')[0].astype("float64")
+        out = pd.DataFrame({"event_type": df["event_type"], "k": k})
+        g = out.groupby("event_type", sort=False)["k"]
+        return g.agg(sum_k="sum", n_with_k="count").reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    final = grouped_map(parts, ["event_type"], _combine_partials,
+                        fn_kwargs={"keys": ["event_type"], "sums": ["sum_k", "n_with_k"]})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "sum_k": pa.array(batch["sum_k"].to_numpy().astype(np.int64), pa.int64()),
+            "n_with_k": pa.array(batch["n_with_k"].to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_JSON_EXTRACT = r"""
+SELECT event_type,
+       CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(regexp_extract(props, '"k": (\d+)', 1)) AS n_with_k
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -844,6 +1106,12 @@ QUERIES = {
     "filter_revenue": q_filter_revenue,
     "user_event_types": q_user_event_types,
     "derived_expr": q_derived_expr,
+    "pivot_wide": q_pivot_wide,
+    "rule_alarms": q_rule_alarms,
+    "value_counts": q_value_counts,
+    "interval_join": q_interval_join,
+    "obs_text": q_obs_text,
+    "json_extract": q_json_extract,
 }
 
 ORACLE_SQL = {
@@ -867,4 +1135,10 @@ ORACLE_SQL = {
     "filter_revenue": SQL_FILTER_REVENUE,
     "user_event_types": SQL_USER_EVENT_TYPES,
     "derived_expr": SQL_DERIVED_EXPR,
+    "pivot_wide": SQL_PIVOT_WIDE,
+    "rule_alarms": SQL_RULE_ALARMS,
+    "value_counts": SQL_VALUE_COUNTS,
+    "interval_join": SQL_INTERVAL_JOIN,
+    "obs_text": SQL_OBS_TEXT,
+    "json_extract": SQL_JSON_EXTRACT,
 }

@@ -150,3 +150,49 @@ def test_expr_compiler_rejects_unsafe():
     for bad in ("__import__('os')", "x.attr", "open('f')", "[1,2]", "x if y else 0"):
         with pytest.raises(ValueError):
             compile_expr(bad)
+
+
+# ---------------------------------------------------------------------------
+# Rule DSL (functions/rules.py — reference ops_map, helpers.py:47-60)
+# ---------------------------------------------------------------------------
+
+def test_rule_ops_and_logic():
+    import numpy as np
+    import pandas as pd
+
+    from flink_fingerprint_ray.functions.rules import evaluate_rule, evaluate_rules
+
+    df = pd.DataFrame({
+        "a": [1.0, 5.0, -7.0, np.nan, 3.0],
+        "b": [10.0, 2.0, 3.0, 4.0, np.nan],
+    })
+    assert evaluate_rule(df, {"id": "x", "logic": "AND", "checks": [
+        {"param": "a", "op": ">", "value": 0.0},
+        {"param": "b", "op": "<=", "value": 10.0},
+    ]}).tolist() == [True, True, False, False, False]  # NaN never triggers
+    assert evaluate_rule(df, {"id": "x", "logic": "OR", "checks": [
+        {"param": "a", "op": "abs_gt", "value": 6.0},
+        {"param": "b", "op": "between", "value": [9.0, 11.0]},
+    ]}).tolist() == [True, False, True, False, False]
+    assert evaluate_rule(df, {"id": "x", "logic": "AND", "checks": [
+        {"param": "a", "op": "outside", "value": [0.0, 4.0]},
+    ]}).tolist() == [False, True, True, False, False]
+    # deviation with a column base (helpers.py:378-383)
+    assert evaluate_rule(df, {"id": "x", "logic": "AND", "checks": [
+        {"param": "a", "op": "deviation", "base": "b", "value": 5.0},
+    ]}).tolist() == [True, False, True, False, False]
+    # IF/THEN/ELSE
+    r = evaluate_rule(df, {"id": "x", "logic": "IF",
+                           "if": [{"param": "a", "op": ">", "value": 2.0}],
+                           "then": [{"param": "b", "op": "<", "value": 3.0}],
+                           "else": [{"param": "b", "op": ">", "value": 5.0}]})
+    assert r.tolist() == [True, True, False, False, False]
+    # missing param never triggers; == / !=
+    assert evaluate_rule(df, {"id": "x", "logic": "AND", "checks": [
+        {"param": "zzz", "op": ">", "value": 0.0}]}).tolist() == [False] * 5
+    out = evaluate_rules(df, [
+        {"id": "eq", "logic": "AND", "checks": [{"param": "a", "op": "==", "value": 5.0}]},
+        {"id": "ne", "logic": "AND", "checks": [{"param": "a", "op": "!=", "value": 5.0}]},
+    ])
+    assert out["eq"].tolist() == [False, True, False, False, False]
+    assert out["ne"].tolist() == [True, False, True, False, True]

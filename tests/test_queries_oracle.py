@@ -27,6 +27,12 @@ FAST_SQL_QUERIES = [
     "filter_revenue",
     "user_event_types",
     "derived_expr",
+    "pivot_wide",
+    "rule_alarms",
+    "value_counts",
+    "interval_join",
+    "obs_text",
+    "json_extract",
 ]
 
 
