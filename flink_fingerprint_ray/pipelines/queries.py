@@ -861,6 +861,45 @@ def _pivot_sweep(t: pa.Table) -> pd.DataFrame:
     return out
 
 
+def _hampel_repair_sweep(t: pa.Table) -> pd.DataFrame:
+    """M6 repair variant: replace |value − rolling_median(7, centered)| >
+    Δ outliers WITH the rolling median (helpers.py:104-122), then sum the
+    repaired series per key."""
+    df = t.to_pandas().sort_values(["event_type", "ts", "event_id"], kind="stable")
+    g = df.groupby("event_type", sort=False)["value"]
+    med = g.transform(lambda s: s.rolling(7, center=True, min_periods=1).median())
+    v = df["value"].to_numpy()
+    m = med.to_numpy()
+    repaired = np.where(np.abs(v - m) > HAMPEL_DELTA, m, v)
+    # per-row cents BEFORE summing: integer sums are order-independent,
+    # so engine and SQL oracle agree exactly
+    out = pd.DataFrame({"event_type": df["event_type"].to_numpy(), "rc": _cents(repaired)})
+    gg = out.groupby("event_type", sort=False)["rc"]
+    res = gg.agg(sum_repaired_cents="sum", n_rows="size").reset_index()
+    res["sum_repaired_cents"] = res["sum_repaired_cents"].astype(np.int64)
+    res["n_rows"] = res["n_rows"].astype(np.int64)
+    return res[["event_type", "sum_repaired_cents", "n_rows"]]
+
+
+def q_hampel_repair(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts", "event_id", "event_type", "value"])
+    return grouped_map(ds, ["event_type"], _hampel_repair_sweep)
+
+
+SQL_HAMPEL_REPAIR = """
+WITH m AS (
+  SELECT event_type, value,
+         median(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS med
+  FROM events
+)
+SELECT event_type,
+       CAST(SUM(CAST(floor((CASE WHEN abs(value - med) > 25.0 THEN med ELSE value END) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_repaired_cents,
+       COUNT(*) AS n_rows
+FROM m GROUP BY 1
+"""
+
+
 def q_pivot_wide(sf_dir: str):
     """A4 analog: distributed long→wide pivot, one vectorized pivot_table
     per user hash partition."""
@@ -1112,6 +1151,7 @@ QUERIES = {
     "interval_join": q_interval_join,
     "obs_text": q_obs_text,
     "json_extract": q_json_extract,
+    "hampel_repair": q_hampel_repair,
 }
 
 ORACLE_SQL = {
@@ -1141,4 +1181,5 @@ ORACLE_SQL = {
     "interval_join": SQL_INTERVAL_JOIN,
     "obs_text": SQL_OBS_TEXT,
     "json_extract": SQL_JSON_EXTRACT,
+    "hampel_repair": SQL_HAMPEL_REPAIR,
 }

@@ -33,6 +33,7 @@ FAST_SQL_QUERIES = [
     "interval_join",
     "obs_text",
     "json_extract",
+    "hampel_repair",
 ]
 
 
