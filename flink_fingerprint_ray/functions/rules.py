@@ -95,3 +95,29 @@ def _combine(df: pd.DataFrame, checks: list[dict], logic: str) -> np.ndarray:
 def evaluate_rules(df: pd.DataFrame, rules: list[dict]) -> pd.DataFrame:
     """Wide frame -> one boolean column per rule id."""
     return pd.DataFrame({r["id"]: evaluate_rule(df, r) for r in rules}, index=df.index)
+
+
+def apply_overrides(rules: list[dict], overrides: list[dict]) -> list[dict]:
+    """Per-deployment rule patching keyed by (rule_id, param, op) — the
+    reference's equipment-specific threshold/duration overlay
+    (``process_odr.py:78-139``).  Each override:
+    ``{rule_id, param, op, value}`` replaces the matching check's value
+    (and may carry new ``op``/``base``).  Returns NEW rule dicts; input
+    is not mutated."""
+    import copy
+
+    by_key = {(o["rule_id"], o["param"], o["op"]): o for o in overrides}
+    out = copy.deepcopy(rules)
+    for rule in out:
+        checks = list(rule.get("checks", []))
+        for branch in ("if", "then", "else"):
+            checks += rule.get(branch, []) or []
+        for c in checks:
+            o = by_key.get((rule["id"], c["param"], c["op"]))
+            if o is not None:
+                c["value"] = o["value"]
+                if "new_op" in o:
+                    c["op"] = o["new_op"]
+                if "base" in o:
+                    c["base"] = o["base"]
+    return out

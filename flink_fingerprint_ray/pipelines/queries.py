@@ -1114,6 +1114,127 @@ FROM events GROUP BY 1
 """
 
 
+HOUR_MS = 3_600_000
+
+
+def _throttle_sweep(t: pa.Table) -> pd.DataFrame:
+    """T5 analog (per-key rate limiting, llm_job.py:58-70): emit only the
+    FIRST event per (user, 1-hour bucket) — deterministic tie-break by
+    (ts, event_id), vectorized across all keys of the partition."""
+    df = t.to_pandas()
+    tms = df["ts"].astype("datetime64[ms]").astype("int64").to_numpy()
+    df["bucket"] = (tms // HOUR_MS) * HOUR_MS
+    df = df.sort_values(["user_id", "bucket", "ts", "event_id"], kind="stable")
+    first = ~df.duplicated(["user_id", "bucket"])
+    out = df.loc[first, ["user_id", "bucket", "event_id"]].copy()
+    out["event_id"] = out["event_id"].astype(np.int64)
+    return out
+
+
+def q_throttle_first(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_id"])
+    return grouped_map(ds, ["user_id"], _throttle_sweep)
+
+
+SQL_THROTTLE_FIRST = """
+WITH r AS (
+  SELECT user_id, (epoch_ms(ts) // 3600000) * 3600000 AS bucket, event_id,
+         row_number() OVER (PARTITION BY user_id, (epoch_ms(ts) // 3600000)
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, bucket, event_id FROM r WHERE rn = 1
+"""
+
+
+def q_deterministic_sample(sf_dir: str):
+    """O5 analog, made deterministic: systematic 1-in-16 sample by id —
+    reproducible under any parallelism (seeded-RNG draws are not)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.equal(pc.bit_wise_and(batch["event_id"], 15), 3)
+        out = batch.filter(keep)
+        return pa.table({
+            "event_id": out["event_id"],
+            "event_type": out["event_type"],
+            "value_cents": pa.array(_cents(out["value"].to_numpy()), pa.int64()),
+        })
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+SQL_DETERMINISTIC_SAMPLE = """
+SELECT event_id, event_type,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+FROM events WHERE (event_id & 15) = 3
+"""
+
+
+def q_union_activity(sf_dir: str):
+    """§2.7 union-with-schema-coercion (llm_job.py:113-117 analog): two
+    differently-shaped sources normalized to one activity schema with
+    ds.union, then aggregated per day."""
+    ev = _read(sf_dir, "events", ["ts", "value"])
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def ev_norm(batch: pa.Table) -> pa.Table:
+        day = (batch["ts"].cast(pa.int64()).to_numpy() // 1000 // 86_400_000) * 86_400_000
+        return pa.table({
+            "day": pa.array(day, pa.int64()),
+            "kind": pa.array(["event"] * batch.num_rows, pa.string()),
+            "amount_cents": pa.array(_cents(batch["value"].to_numpy()), pa.int64()),
+        })
+
+    def ord_norm(batch: pa.Table) -> pa.Table:
+        day = (batch["o_orderdate"].cast(pa.int64()).to_numpy() // 1000 // 86_400_000) * 86_400_000
+        return pa.table({
+            "day": pa.array(day, pa.int64()),
+            "kind": pa.array(["order"] * batch.num_rows, pa.string()),
+            "amount_cents": pa.array(_cents(batch["o_totalprice"].to_numpy()), pa.int64()),
+        })
+
+    u = ev.map_batches(ev_norm, batch_format="pyarrow").union(
+        orders.map_batches(ord_norm, batch_format="pyarrow")
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        g = df.groupby(["day", "kind"], sort=False)["amount_cents"]
+        return g.agg(n_rows="size", sum_cents="sum").reset_index()
+
+    parts = u.map_batches(partial, batch_format="pyarrow")
+    final = grouped_map(parts, ["day", "kind"], _combine_partials,
+                        fn_kwargs={"keys": ["day", "kind"], "sums": ["n_rows", "sum_cents"]})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": batch["day"].cast(pa.int64()),
+            "kind": batch["kind"],
+            "n_rows": batch["n_rows"].cast(pa.int64()),
+            "sum_cents": batch["sum_cents"].cast(pa.int64()),
+        })
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_UNION_ACTIVITY = """
+WITH u AS (
+  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day, 'event' AS kind,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS amount_cents
+  FROM events
+  UNION ALL
+  SELECT (epoch_ms(o_orderdate) // 86400000) * 86400000 AS day, 'order' AS kind,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS amount_cents
+  FROM orders
+)
+SELECT day, kind, COUNT(*) AS n_rows, CAST(SUM(amount_cents) AS BIGINT) AS sum_cents
+FROM u GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1152,6 +1273,9 @@ QUERIES = {
     "obs_text": q_obs_text,
     "json_extract": q_json_extract,
     "hampel_repair": q_hampel_repair,
+    "throttle_first": q_throttle_first,
+    "deterministic_sample": q_deterministic_sample,
+    "union_activity": q_union_activity,
 }
 
 ORACLE_SQL = {
@@ -1182,4 +1306,7 @@ ORACLE_SQL = {
     "obs_text": SQL_OBS_TEXT,
     "json_extract": SQL_JSON_EXTRACT,
     "hampel_repair": SQL_HAMPEL_REPAIR,
+    "throttle_first": SQL_THROTTLE_FIRST,
+    "deterministic_sample": SQL_DETERMINISTIC_SAMPLE,
+    "union_activity": SQL_UNION_ACTIVITY,
 }

@@ -511,6 +511,8 @@ class StreamingFingerprintPipeline:
                 "rows_in": epoch.num_rows,
                 "fingerprints": n_out,
                 "join_evicted": evicted,
+                # S9 lag analog: epochs discovered but not yet committed
+                "epochs_behind": max(0, len(self.source) - epoch.index - 1),
                 "buffered": self.pool.buffered(),
                 "route_sec": round(pending["t_route"] - pending["t0"], 4),
                 "finalize_sec": round(t_fin - pending["t_route"], 4),

@@ -196,3 +196,23 @@ def test_rule_ops_and_logic():
     ])
     assert out["eq"].tolist() == [False, True, False, False, False]
     assert out["ne"].tolist() == [True, False, True, False, True]
+
+
+def test_rule_overrides():
+    from flink_fingerprint_ray.functions.rules import apply_overrides
+
+    rules = [{"id": "r1", "logic": "AND", "checks": [
+        {"param": "a", "op": ">", "value": 10.0},
+        {"param": "b", "op": "<", "value": 5.0},
+    ]}, {"id": "r2", "logic": "IF",
+         "if": [{"param": "a", "op": ">", "value": 1.0}],
+         "then": [{"param": "b", "op": ">", "value": 2.0}],
+         "else": [{"param": "b", "op": "<", "value": 0.0}]}]
+    out = apply_overrides(rules, [
+        {"rule_id": "r1", "param": "a", "op": ">", "value": 99.0},
+        {"rule_id": "r2", "param": "b", "op": ">", "value": 7.0, "new_op": ">="},
+    ])
+    assert out[0]["checks"][0]["value"] == 99.0
+    assert out[0]["checks"][1]["value"] == 5.0      # untouched
+    assert rules[0]["checks"][0]["value"] == 10.0   # input not mutated
+    assert out[1]["then"][0] == {"param": "b", "op": ">=", "value": 7.0}

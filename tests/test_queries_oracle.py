@@ -34,6 +34,9 @@ FAST_SQL_QUERIES = [
     "obs_text",
     "json_extract",
     "hampel_repair",
+    "throttle_first",
+    "deterministic_sample",
+    "union_activity",
 ]
 
 
