@@ -94,6 +94,22 @@ def _empty_fingerprints() -> pa.Table:
     return FINGERPRINT_SCHEMA.empty_table()
 
 
+def window_salt_hash(key_hash: np.ndarray, window_start: np.ndarray) -> np.ndarray:
+    """Skew mitigation for hot hosts (SURVEY.md §7.3/§7.4.5): partition by
+    hash(key, window) instead of hash(key), so a hot (lang, host)'s
+    windows spread across partitions/actors.  GROUP-PRESERVING salting:
+    every row of one (key, window) group still lands together, so
+    whole-group computations (median, dup clusters) stay exact — unlike
+    row-level salting, which cannot be de-salted for those.  Session rows
+    (data-dependent boundaries) are the documented exception: they stay
+    key-owned until close, then their stamped bounds salt the finalize."""
+    with np.errstate(over="ignore"):
+        return key_hash ^ (
+            window_start.astype(np.int64).view(np.uint64)
+            * np.uint64(0x9E3779B97F4A7C15)
+        )
+
+
 @ray.remote
 def finalize_partition(
     path: str,
@@ -119,7 +135,8 @@ def finalize_partition(
     for t in tables:
         if t is None or t.num_rows == 0:
             continue
-        mine = (t["key_hash"].to_numpy() % np.uint64(n_parts)).astype(np.int64) == my_part
+        h = window_salt_hash(t["key_hash"].to_numpy(), t["window_start"].to_numpy())
+        mine = (h % np.uint64(n_parts)).astype(np.int64) == my_part
         if mine.any():
             tabs.append(t.take(pa.array(np.flatnonzero(mine))))
     if not tabs:
@@ -266,7 +283,14 @@ def route_and_split(
 
     if block.num_rows == 0:
         return block, []
-    part = (block["key_hash"].to_numpy() % np.uint64(n_partitions)).astype(np.int64)
+    kh = block["key_hash"].to_numpy()
+    # sessions: key-owned (one actor must see ALL rows of a key to merge);
+    # open fixed windows: window-salted so a hot host's open windows
+    # spread across the actor pool
+    salted = window_salt_hash(kh, block["window_start"].to_numpy())
+    is_sess_np = np.asarray(block["window_kind"]) == "session"
+    part = np.where(is_sess_np, kh % np.uint64(n_partitions),
+                    salted % np.uint64(n_partitions)).astype(np.int64)
     block = block.append_column("part", pa.array(part, pa.int64()))
 
     is_session = pc.equal(block["window_kind"], "session")

@@ -46,8 +46,14 @@ def _concat(tables: list[pa.Table]) -> pa.Table | None:
     return pa.concat_tables(tables, promote_options="default").combine_chunks()
 
 
-@ray.remote(num_cpus=0.5)
+@ray.remote(num_cpus=0.25)
 class WindowStateActor:
+    # num_cpus=0.25: state actors are long-lived holders with intermittent
+    # work (mature/snapshot).  A larger reservation starves the
+    # map/finalize tasks (0.5/actor ate HALF the cluster and could
+    # deadlock a small session); 0 would let actor work escape the
+    # session's CPU budget entirely (dishonest under the two-level
+    # scaling proxy).
     """Owns one key partition's open fixed windows AND open sessions."""
 
     def __init__(self, partition_id: int, session_gap_ms: int = 0) -> None:
@@ -154,7 +160,7 @@ class WindowStateActor:
         self._session = [pq.read_table(paths["session"])] if "session" in paths else []
 
 
-@ray.remote(num_cpus=0.5)
+@ray.remote(num_cpus=0.25)
 class JoinStateActor:
     """Build side of the stream-stream join: buffers page updates per host
     partition with watermark-driven retention eviction (reference:

@@ -146,3 +146,31 @@ def test_arrival_order_invariance_within_epoch(ray_session, tmp_path, oracle_df,
         _norm(eng, oracle_df.columns), _norm(oracle_df, oracle_df.columns),
         check_dtype=False,
     )
+
+
+def test_extreme_host_skew_parity(ray_session, tmp_path):
+    """Hot-host skew (2 hosts, Zipf → one host ~70% of docs): the
+    window-salted partitioning must keep output row-exact vs the oracle."""
+    from flink_fingerprint_ray import fixtures
+    from flink_fingerprint_ray.oracle import oracle_fingerprints
+    from flink_fingerprint_ray.pipelines.streaming import (
+        PipelineConfig,
+        StreamingFingerprintPipeline,
+    )
+
+    pages = fixtures.make_pages(n_docs=1200, seed=7, n_hosts=2)
+    fixtures.write_epochs(pages, str(tmp_path), n_epochs=4, prefix="pages")
+    cfg = PipelineConfig(sliding=(120_000, 60_000), session_gap_ms=30_000,
+                         n_state_partitions=4)
+    pipe = StreamingFingerprintPipeline(
+        str(tmp_path / "pages"), str(tmp_path / "out"), cfg=cfg)
+    pipe.run()
+    eng = pipe.result_dataset().to_pandas()
+    ora = oracle_fingerprints(pages, 4, sliding=(120_000, 60_000),
+                              session_gap_ms=30_000)
+    sc = ["window_kind", "key_lang", "key_host", "window_start"]
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        eng.sort_values(sc).reset_index(drop=True)[ora.columns.tolist()],
+        ora.sort_values(sc).reset_index(drop=True), check_dtype=False)
+    pipe.shutdown()
