@@ -446,6 +446,16 @@ def q_minhash_lsh_clusters(sf_dir: str):
     return dd.cluster_table(edges)
 
 
+def q_minhash_lsh_clusters_dist(sf_dir: str):
+    """Same clusters as minhash_lsh_clusters but labeled via the
+    DISTRIBUTED connected-components path (hash-partitioned min-label
+    propagation) — the 10^12-doc route where the edge list no longer fits
+    the driver."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    edges = dd.minhash_lsh_edges(ds, "doc_id", threshold=0.8)
+    return dd.distributed_components(edges)
+
+
 def q_simhash_clusters(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     edges = dd.simhash_edges(ds, "doc_id", max_hamming=3)
@@ -1251,6 +1261,7 @@ QUERIES = {
     "fp_tumbling_windows": q_fp_tumbling_windows,
     "exact_dedup": q_exact_dedup,
     "minhash_lsh_clusters": q_minhash_lsh_clusters,
+    "minhash_lsh_clusters_dist": q_minhash_lsh_clusters_dist,
     "simhash_clusters": q_simhash_clusters,
     "ngram_jaccard_clusters": q_ngram_jaccard_clusters,
     "token_counts": q_token_counts,

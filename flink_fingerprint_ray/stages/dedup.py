@@ -378,6 +378,106 @@ def cluster_table(edges_ds: "ray.data.Dataset") -> pd.DataFrame:
     return edges_to_clusters(df)
 
 
+# -- distributed connected components (the 10^12-doc scale path) ------------
+
+def _cc_local_min(t: pa.Table) -> pd.DataFrame:
+    """One partition's rows: (node, cand_label) -> min label per node."""
+    df = t.to_pandas()
+    return df.groupby("node", sort=False)["label"].min().reset_index()
+
+
+def _cc_propagate(t: pa.Table) -> pd.DataFrame:
+    """One partition (co-located by node hash) holding label rows AND edge
+    endpoint rows for its nodes: join labels onto edges and emit the
+    label to the OTHER endpoint (plus keep own labels)."""
+    df = t.to_pandas()
+    labels = df[df["peer"] < 0][["node", "label"]]
+    edges = df[df["peer"] >= 0]
+    lab = labels.set_index("node")["label"]
+    out = [labels]
+    if len(edges):
+        lam = edges["node"].map(lab)
+        ok = lam.notna()
+        out.append(pd.DataFrame({
+            "node": edges.loc[ok, "peer"].to_numpy(np.int64),
+            "label": lam[ok].to_numpy(np.int64),
+        }))
+    return pd.concat(out, ignore_index=True)
+
+
+def distributed_components(
+    edges_ds: "ray.data.Dataset", max_iters: int = 50
+) -> pd.DataFrame:
+    """Connected components by hash-partitioned min-label propagation —
+    the scale path for edge lists too large for driver-side union-find
+    (``edges_to_clusters``).  Per iteration: co-partition label rows and
+    symmetrized edge endpoints by node hash, join locally, send each
+    node's current label across its edges, then take the per-node min.
+    Iterations ≈ cluster diameter (near-dup clusters are tiny).  Output
+    contract identical to ``edges_to_clusters``.
+    """
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy().astype(np.int64)
+        b = batch["b"].to_numpy().astype(np.int64)
+        return pa.table({
+            "node": pa.array(np.concatenate([a, b]), pa.int64()),
+            "peer": pa.array(np.concatenate([b, a]), pa.int64()),
+            "label": pa.array(np.concatenate([a, b]), pa.int64()),  # init: own id
+        })
+
+    sym = edges_ds.map_batches(symmetrize, batch_format="pyarrow")
+    # initial labels: min(node, neighbors) per node
+    labels = grouped_map(
+        sym.map_batches(
+            lambda t: pa.table({"node": t["node"], "label": t["peer"]}),
+            batch_format="pyarrow",
+        ).union(sym.map_batches(
+            lambda t: pa.table({"node": t["node"], "label": t["node"]}),
+            batch_format="pyarrow",
+        )),
+        ["node"], _cc_local_min,
+    )
+    edges_only = sym.map_batches(
+        lambda t: pa.table({"node": t["node"], "peer": t["peer"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    prev_sum = None
+    for _ in range(max_iters):
+        tagged_labels = labels.map_batches(
+            lambda t: pa.table({
+                "node": t["node"].combine_chunks().cast(pa.int64()),
+                "peer": pa.array(np.full(t.num_rows, -1, dtype=np.int64), pa.int64()),
+                "label": t["label"].combine_chunks().cast(pa.int64()),
+            }), batch_format="pyarrow",
+        )
+        tagged_edges = edges_only.map_batches(
+            lambda t: pa.table({
+                "node": t["node"].combine_chunks().cast(pa.int64()),
+                "peer": t["peer"].combine_chunks().cast(pa.int64()),
+                "label": pa.array(np.zeros(t.num_rows, dtype=np.int64), pa.int64()),
+            }), batch_format="pyarrow",
+        )
+        cand = grouped_map(tagged_labels.union(tagged_edges), ["node"], _cc_propagate)
+        labels = grouped_map(cand, ["node"], _cc_local_min).materialize()
+        chk = int(labels.map_batches(
+            lambda t: pa.table({"s": pa.array([int(np.sum(t["label"].to_numpy()))], pa.int64())}),
+            batch_format="pyarrow",
+        ).sum("s"))
+        if chk == prev_sum:  # labels are monotonically non-increasing mins
+            break
+        prev_sum = chk
+
+    mem = labels.to_pandas().rename(columns={"node": "member_id", "label": "cluster_id"})
+    sizes = mem.groupby("cluster_id")["member_id"].transform("size").astype(np.int64)
+    mem["cluster_size"] = sizes
+    return (
+        mem[mem["cluster_size"] >= 2]
+        .sort_values(["cluster_id", "member_id"], kind="stable")
+        .reset_index(drop=True)[["member_id", "cluster_id", "cluster_size"]]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------

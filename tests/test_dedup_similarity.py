@@ -129,3 +129,27 @@ def test_ivf_recall(vec_ds):
     exact = sim.brute_force_topk(ds, vecs[:8], ids[:8], k=5)
     approx = sim.ivf_topk(ds, vecs[:8], ids[:8], cents, k=5, n_probe=3)
     assert sim.ivf_recall(exact, approx) >= 0.9
+
+
+def test_distributed_components_matches_union_find(ray_session):
+    """Scale-path CC (hash-partitioned min-label propagation) must produce
+    the exact cluster table of the driver-side union-find."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from flink_fingerprint_ray.stages.dedup import (
+        distributed_components,
+        edges_to_clusters,
+    )
+
+    rng = np.random.RandomState(5)
+    # random graph: 300 nodes, chains + stars + isolated pairs
+    a = rng.randint(0, 300, size=250)
+    b = rng.randint(0, 300, size=250)
+    keep = a != b
+    edges = pd.DataFrame({"a": np.minimum(a, b)[keep].astype("int64"),
+                          "b": np.maximum(a, b)[keep].astype("int64")})
+    want = edges_to_clusters(edges)
+    got = distributed_components(ray.data.from_pandas(edges))
+    pd.testing.assert_frame_equal(got, want)
