@@ -283,6 +283,50 @@ def _ngram_edge_sweep(t: pa.Table, id_col: str, threshold: float) -> pd.DataFram
     return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"), "b": pd.Series(out_b, dtype="int64")})
 
 
+def _band_pairs_sweep(t: pa.Table, id_col: str) -> pd.DataFrame:
+    """Candidate (anchor, candidate) id pairs from all LSH buckets of one
+    partition — ids only (the heavy gram sets are joined on afterwards)."""
+    pre = _bucket_candidates(t, id_col)
+    if pre is None:
+        return _EMPTY_EDGES
+    t, anc, cand = pre
+    ids = t[id_col].to_numpy()
+    return pd.DataFrame({"a": ids[anc].astype(np.int64), "b": ids[cand].astype(np.int64)})
+
+
+def _dedupe_pairs_sweep(t: pa.Table) -> pd.DataFrame:
+    return t.to_pandas().drop_duplicates(["a", "b"])
+
+
+_GRAM_LIST = pa.list_(pa.uint64())
+
+
+def _list_column(values: list[list[int] | None]) -> pa.Array:
+    return pa.array(values, type=_GRAM_LIST)
+
+
+def _attach_grams_sweep(t: pa.Table, key: str, out_col: str) -> pa.Table:
+    """Co-partitioned hash join of candidate pairs with gram sets on one
+    endpoint: gram rows (pair partner == -1) carry the list for ``key``;
+    pair rows pick it up.  Gram payloads travel as explicit Arrow list
+    columns (never pandas object columns — Ray would coerce those to its
+    ragged-tensor extension, which can't round-trip through take)."""
+    is_gram = np.asarray(t["_gram"])
+    gram_t = t.filter(pa.array(is_gram))
+    pair_t = t.filter(pa.array(~is_gram))
+    glut = dict(zip(gram_t[key].to_pylist(), gram_t["ngrams"].to_pylist()))
+    keys = pair_t[key].to_pylist()
+    attached = [glut.get(k) for k in keys]
+    hit = np.array([a is not None for a in attached], dtype=bool)
+    pair_t = pair_t.filter(pa.array(hit))
+    attached = [a for a in attached if a is not None]
+    keep_cols = [c for c in pair_t.column_names if c not in ("_gram", "ngrams", out_col)]
+    out = pair_t.select(keep_cols)
+    if out_col == "ngrams" and "grams_a" in pair_t.column_names:
+        pass  # grams_a kept via keep_cols
+    return out.append_column(out_col, _list_column(attached))
+
+
 def ngram_jaccard_edges(
     ds: "ray.data.Dataset",
     id_col: str,
@@ -291,8 +335,17 @@ def ngram_jaccard_edges(
     n_bands: int = 16,
     threshold: float = 0.7,
 ) -> "ray.data.Dataset":
-    """EXACT n-gram Jaccard dedup: MinHash-LSH proposes buckets, the exact
-    n-gram-set Jaccard confirms — no estimation error in the final edges."""
+    """EXACT n-gram Jaccard dedup: MinHash-LSH proposes candidate pairs,
+    the exact n-gram-set Jaccard confirms — no estimation error in the
+    final edges.
+
+    Scale shape (no broadcast of the gram corpus): band sweep emits
+    candidate (a, b) ID pairs; grams join onto the pairs via TWO
+    co-partitioned hash joins (by a, then by b) so each doc's gram set is
+    shipped only to partitions holding its candidate pairs; the confirm
+    runs vectorized over the joined pairs.  Duplicate edges across
+    partitions collapse in the cluster stage.
+    """
     feats = ds.map_batches(
         _minhash_features,
         fn_kwargs={"id_col": id_col, "text_col": text_col, "n_bands": n_bands},
@@ -302,31 +355,79 @@ def ngram_jaccard_edges(
         _ngram_features, fn_kwargs={"id_col": id_col, "text_col": text_col, "n": n},
         batch_format="pyarrow",
     )
-    # zip sig-bands with ngram sets by id (both derive from the same rows;
-    # a cheap co-partitioned merge on id via groupby)
     exploded = feats.map_batches(_explode_bands, fn_kwargs={"id_col": id_col}, batch_format="pyarrow")
-    exploded = exploded.drop_columns(["sig"])
-    joined = _join_on_id(exploded, grams, id_col)
-    return grouped_map(
-        joined, ["band_no", "band_key"], _ngram_edge_sweep,
-        fn_kwargs={"id_col": id_col, "threshold": threshold},
+    pairs = grouped_map(
+        exploded, ["band_no", "band_key"], _band_pairs_sweep,
+        fn_kwargs={"id_col": id_col},
+    )
+    # a pair proposed by several bands lands in several partitions —
+    # dedupe once (cheap: id pairs only) before shipping gram sets
+    pairs = grouped_map(pairs, ["a", "b"], _dedupe_pairs_sweep)
+
+    def _gram_rows(batch: pa.Table, key: str) -> pa.Table:
+        other = "b" if key == "a" else "a"
+        n = batch.num_rows
+        return pa.table({
+            key: batch[id_col].combine_chunks().cast(pa.int64()),
+            other: pa.array(np.full(n, -1, dtype=np.int64), pa.int64()),
+            "ngrams": batch["ngrams"].combine_chunks().cast(_GRAM_LIST),
+            "_gram": pa.array(np.ones(n, dtype=bool)),
+        })
+
+    def _pair_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "a": batch["a"].combine_chunks().cast(pa.int64()),
+            "b": batch["b"].combine_chunks().cast(pa.int64()),
+            "ngrams": pa.nulls(n, _GRAM_LIST),
+            "_gram": pa.array(np.zeros(n, dtype=bool)),
+        })
+
+    # join grams onto pairs by a, then by b (both co-partitioned)
+    ga = grams.map_batches(_gram_rows, fn_kwargs={"key": "a"}, batch_format="pyarrow")
+    j1 = grouped_map(
+        pairs.map_batches(_pair_rows, batch_format="pyarrow").union(ga),
+        ["a"], _attach_grams_sweep, fn_kwargs={"key": "a", "out_col": "grams_a"},
     )
 
+    J2_COLS = ["a", "b", "grams_a", "ngrams", "_gram"]
 
-def _join_on_id(left: "ray.data.Dataset", right: "ray.data.Dataset", id_col: str) -> "ray.data.Dataset":
-    """Broadcast-hash join: RIGHT is the small side (one row per doc of the
-    dedup working set) — ship once via ray.put, probe inside map_batches."""
-    right_tbl = pa.concat_tables(ray.get(right.to_arrow_refs()), promote_options="default")
-    right_ref = ray.put(right_tbl)
+    def _tag_j1(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        batch = batch.append_column("ngrams", pa.nulls(n, _GRAM_LIST))
+        return batch.append_column("_gram", pa.array(np.zeros(n, dtype=bool))).select(J2_COLS)
 
-    def probe(batch: pa.Table) -> pa.Table:
-        r = ray.get(right_ref)
-        rdf = r.to_pandas().set_index(id_col)
-        ldf = batch.to_pandas()
-        merged = ldf.join(rdf, on=id_col, how="inner")
-        return pa.Table.from_pandas(merged, preserve_index=False)
+    gb = grams.map_batches(_gram_rows, fn_kwargs={"key": "b"}, batch_format="pyarrow")
 
-    return left.map_batches(probe, batch_format="pyarrow")
+    def _gb_pad(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "grams_a", pa.nulls(batch.num_rows, _GRAM_LIST)
+        ).select(J2_COLS)
+
+    j2 = grouped_map(
+        j1.map_batches(_tag_j1, batch_format="pyarrow").union(
+            gb.map_batches(_gb_pad, batch_format="pyarrow")
+        ),
+        ["b"], _attach_grams_sweep, fn_kwargs={"key": "b", "out_col": "ngrams"},
+    )
+
+    def confirm(batch: pa.Table) -> pd.DataFrame:
+        a_ids = batch["a"].to_pylist()
+        b_ids = batch["b"].to_pylist()
+        la_all = batch["grams_a"].to_pylist()
+        lb_all = batch["ngrams"].to_pylist()
+        out_a, out_b = [], []
+        for a, b, la, lb in zip(a_ids, b_ids, la_all, lb_all):
+            sa, sb = set(la), set(lb)
+            u = len(sa | sb)
+            jac = (len(sa & sb) / u) if u else 1.0
+            if jac >= threshold:
+                out_a.append(min(a, b))
+                out_b.append(max(a, b))
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64")})
+
+    return j2.map_batches(confirm, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
