@@ -544,6 +544,13 @@ def q_embedding_near_pairs(sf_dir: str):
     return dd.embedding_cosine_pairs(ds, threshold=0.4)
 
 
+def q_embedding_near_pairs_lsh(sf_dir: str):
+    """Scale path (rows-only): random-hyperplane LSH banding, no
+    full-matrix broadcast; recall vs brute force asserted in tests."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return dd.embedding_cosine_pairs_lsh(ds, threshold=0.9)
+
+
 SQL_EMBEDDING_NEAR_PAIRS = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1269,6 +1276,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "text_features": q_text_features,
     "embedding_near_pairs": q_embedding_near_pairs,
+    "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
     "pricing_summary": q_pricing_summary,

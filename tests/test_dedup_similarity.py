@@ -153,3 +153,43 @@ def test_distributed_components_matches_union_find(ray_session):
     want = edges_to_clusters(edges)
     got = distributed_components(ray.data.from_pandas(edges))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_embedding_lsh_recall_vs_exact(ray_session):
+    """LSH near-dup pairs at a near-dup threshold must (a) be a subset of
+    the exact pairs with identical sims, (b) reach high recall."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from flink_fingerprint_ray.stages.dedup import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_lsh,
+    )
+
+    rng = np.random.RandomState(9)
+    # 40 cluster centers; 4 jittered members each → many >=0.9-cos pairs
+    centers = rng.randn(40, 32)
+    vecs, ids = [], []
+    for i, c in enumerate(centers):
+        for j in range(4):
+            v = c + 0.05 * rng.randn(32)
+            vecs.append(v)
+            ids.append(i * 4 + j)
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float64())),
+    })
+    ds = ray.data.from_arrow(tbl)
+    exact = embedding_cosine_pairs(ds, threshold=0.9).to_pandas()
+    lsh = embedding_cosine_pairs_lsh(
+        ray.data.from_arrow(tbl), threshold=0.9).to_pandas()
+    assert len(exact) > 50
+    ek = set(zip(exact["id_a"], exact["id_b"]))
+    lk = set(zip(lsh["id_a"], lsh["id_b"]))
+    assert lk <= ek                      # no false pairs (exact confirm)
+    assert len(lk) / len(ek) >= 0.9      # high recall at near-dup threshold
+    merged = lsh.merge(exact, on=["id_a", "id_b"], suffixes=("_l", "_e"))
+    assert (merged["cos_sim_micros_l"] == merged["cos_sim_micros_e"]).all()
