@@ -60,6 +60,7 @@ class PipelineConfig:
     n_finalize_partitions: int | None = None  # default max(8, n_state_partitions)
     jaccard_threshold: float = 0.8
     read_blocks: int | None = None            # override_num_blocks on read
+    snapshot_compact_every: int = 8           # full-base rewrite cadence (delta checkpoints)
 
 
 FINGERPRINT_COLS = [
@@ -376,13 +377,14 @@ class StreamingFingerprintPipeline:
         self.sink = EpochSink(out_dir)
         self.manifest = CheckpointManifest(out_dir)
         self.pool = StatePool(
-            self.cfg.n_state_partitions, self.cfg.session_gap_ms, self.cfg.join_retention_ms
+            self.cfg.n_state_partitions, self.cfg.session_gap_ms,
+            self.cfg.join_retention_ms, self.cfg.snapshot_compact_every,
         )
         self.counter = MetricCounter.remote()
         self._metrics_log: list[dict] = []
         self._wm = self.manifest.watermark_ms  # in-memory watermark chain
         if self.manifest.cursor >= 0:  # resume: restore actor state snapshots
-            self.pool.restore(self.manifest.last_snapshot())
+            self.pool.restore(self.manifest.last_snapshot(), self.manifest.watermark_ms)
 
     # -- transform (Dataset execution; prefetchable) -----------------------
     def _transform_refs(self, epoch, late_cutoff_ms: int) -> list:

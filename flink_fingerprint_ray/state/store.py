@@ -56,21 +56,33 @@ class WindowStateActor:
     # scaling proxy).
     """Owns one key partition's open fixed windows AND open sessions."""
 
-    def __init__(self, partition_id: int, session_gap_ms: int = 0) -> None:
+    def __init__(self, partition_id: int, session_gap_ms: int = 0,
+                 compact_every: int = 8) -> None:
         self.partition_id = partition_id
         self.session_gap_ms = session_gap_ms
         self._fixed: list[pa.Table] = []    # rows with window_end > watermark
         self._session: list[pa.Table] = []  # rows of sessions not yet closed
+        # delta checkpointing: per-epoch snapshots write only rows ADDED
+        # since the last snapshot (O(new rows), not O(open state) — hot
+        # hosts keep sessions open for the whole stream, so full-state
+        # snapshots would grow linearly); restore reads all deltas and
+        # replays mature() to discard rows whose windows already fired.
+        self._delta: dict[str, list[pa.Table]] = {"fixed": [], "session": []}
+        self._snap_paths: dict[str, list[str]] = {"fixed": [], "session": []}
+        self._snaps_since_compact = 0
+        self._compact_every = compact_every
 
     # -- ingest ------------------------------------------------------------
     def add_fixed(self, table: pa.Table) -> int:
         if table.num_rows:
             self._fixed.append(table)
+            self._delta["fixed"].append(table)
         return table.num_rows
 
     def add_session(self, table: pa.Table) -> int:
         if table.num_rows:
             self._session.append(table)
+            self._delta["session"].append(table)
         return table.num_rows
 
     # -- watermark advance -------------------------------------------------
@@ -106,14 +118,23 @@ class WindowStateActor:
         lang = np.asarray(buf["key_lang"], dtype=object)
         host = np.asarray(buf["key_host"], dtype=object)
         ts = buf["ts_ms"].to_numpy()
-        order = np.lexsort((ts, host, lang))
-        lang_s, host_s, ts_s = lang[order], host[order], ts[order]
+        kh = buf["key_hash"].to_numpy().astype(np.uint64)
+        # numeric (key_hash, ts) sort — object-string lexsorts dominated
+        # this actor once buffers grew to 10^5+ rows; a uint64 hash
+        # collision between two live keys is repaired by the exact sort
+        order = np.lexsort((ts, kh))
+        lang_s, host_s, ts_s, kh_s = lang[order], host[order], ts[order], kh[order]
         n = len(ts_s)
+        key_change = np.ones(n, dtype=bool)
+        key_change[1:] = kh_s[1:] != kh_s[:-1]
+        str_change = np.ones(n, dtype=bool)
+        str_change[1:] = (lang_s[1:] != lang_s[:-1]) | (host_s[1:] != host_s[:-1])
+        if (str_change & ~key_change).any():  # true hash collision
+            order = np.lexsort((ts, host, lang))
+            lang_s, host_s, ts_s = lang[order], host[order], ts[order]
+            key_change[1:] = (lang_s[1:] != lang_s[:-1]) | (host_s[1:] != host_s[:-1])
         new_seg = np.ones(n, dtype=bool)
-        new_seg[1:] = (
-            (lang_s[1:] != lang_s[:-1]) | (host_s[1:] != host_s[:-1])
-            | (ts_s[1:] - ts_s[:-1] > gap)
-        )
+        new_seg[1:] = key_change[1:] | (ts_s[1:] - ts_s[:-1] > gap)
         starts = np.flatnonzero(new_seg)
         ends = np.append(starts[1:], n)
         sizes = ends - starts
@@ -144,20 +165,44 @@ class WindowStateActor:
             "session": sum(t.num_rows for t in self._session),
         }
 
-    def snapshot(self, snap_dir: str) -> dict[str, str]:
+    def snapshot(self, snap_dir: str) -> dict[str, list[str]]:
+        """Write this epoch's checkpoint.  Normally a DELTA (only rows
+        added since the last snapshot); every ``compact_every`` epochs a
+        full base is rewritten so restore cost stays bounded."""
         os.makedirs(snap_dir, exist_ok=True)
-        paths = {}
-        for name, buf in (("fixed", self._fixed), ("session", self._session)):
-            t = _concat(buf)
-            p = os.path.join(snap_dir, f"p{self.partition_id:04d}_{name}.parquet")
+        self._snaps_since_compact += 1
+        compact = self._snaps_since_compact >= self._compact_every
+        for name in ("fixed", "session"):
+            src = (self._fixed if name == "fixed" else self._session) if compact \
+                else self._delta[name]
+            t = _concat(src)
+            if compact:
+                self._snap_paths[name] = []
             if t is not None:
+                suffix = "base" if compact else "delta"
+                p = os.path.join(
+                    snap_dir, f"p{self.partition_id:04d}_{name}_{suffix}.parquet"
+                )
                 pq.write_table(t, p)
-                paths[name] = p
-        return paths
+                self._snap_paths[name].append(p)
+            self._delta[name] = []
+        if compact:
+            self._snaps_since_compact = 0
+        return {k: list(v) for k, v in self._snap_paths.items()}
 
-    def restore(self, paths: dict[str, str]) -> None:
-        self._fixed = [pq.read_table(paths["fixed"])] if "fixed" in paths else []
-        self._session = [pq.read_table(paths["session"])] if "session" in paths else []
+    def restore(self, paths: dict[str, list[str]], watermark_ms: int) -> None:
+        """Load all delta/base files, then replay mature() at the
+        committed watermark to drop rows whose windows already fired
+        (those outputs are in committed fences)."""
+        def _load(plist):
+            return [pq.read_table(p) for p in plist]
+
+        self._fixed = _load(paths.get("fixed", []))
+        self._session = _load(paths.get("session", []))
+        self._snap_paths = {k: list(paths.get(k, [])) for k in ("fixed", "session")}
+        self._delta = {"fixed": [], "session": []}
+        self.mature_fixed(watermark_ms)      # discard: already emitted
+        self.mature_sessions(watermark_ms)   # discard: already emitted
 
 
 @ray.remote(num_cpus=0.25)
@@ -166,15 +211,21 @@ class JoinStateActor:
     partition with watermark-driven retention eviction (reference:
     ``save_fingerprints.py:31-35,66-89`` — 5-min buffer per equip_id)."""
 
-    def __init__(self, partition_id: int, retention_ms: int) -> None:
+    def __init__(self, partition_id: int, retention_ms: int,
+                 compact_every: int = 8) -> None:
         self.partition_id = partition_id
         self.retention_ms = retention_ms
         self._buf: list[pa.Table] = []  # columns: key_host, update_ts_ms, change_kind
         self._index = None  # sorted probe index, rebuilt lazily after adds
+        self._delta: list[pa.Table] = []
+        self._snap_paths: list[str] = []
+        self._snaps_since_compact = 0
+        self._compact_every = compact_every
 
     def add(self, table: pa.Table) -> int:
         if table.num_rows:
             self._buf.append(table)
+            self._delta.append(table)
             self._index = None
         return table.num_rows
 
@@ -253,18 +304,30 @@ class JoinStateActor:
     def buffered_rows(self) -> int:
         return sum(t.num_rows for t in self._buf)
 
-    def snapshot(self, snap_dir: str) -> dict[str, str]:
+    def snapshot(self, snap_dir: str) -> dict[str, list[str]]:
+        """Delta checkpoint of the build side (see WindowStateActor.snapshot)."""
         os.makedirs(snap_dir, exist_ok=True)
-        t = _concat(self._buf)
-        if t is None:
-            return {}
-        p = os.path.join(snap_dir, f"p{self.partition_id:04d}_join.parquet")
-        pq.write_table(t, p)
-        return {"join": p}
+        self._snaps_since_compact += 1
+        compact = self._snaps_since_compact >= self._compact_every
+        src = self._buf if compact else self._delta
+        t = _concat(src)
+        if compact:
+            self._snap_paths = []
+            self._snaps_since_compact = 0
+        if t is not None:
+            suffix = "base" if compact else "delta"
+            p = os.path.join(snap_dir, f"p{self.partition_id:04d}_join_{suffix}.parquet")
+            pq.write_table(t, p)
+            self._snap_paths.append(p)
+        self._delta = []
+        return {"join": list(self._snap_paths)}
 
-    def restore(self, paths: dict[str, str]) -> None:
-        self._buf = [pq.read_table(paths["join"])] if "join" in paths else []
+    def restore(self, paths: dict[str, list[str]], watermark_ms: int) -> None:
+        self._buf = [pq.read_table(p) for p in paths.get("join", [])]
+        self._snap_paths = list(paths.get("join", []))
+        self._delta = []
         self._index = None
+        self.evict(watermark_ms)  # drop rows past retention at the cursor
 
 
 @ray.remote
@@ -291,13 +354,23 @@ def route_block(block: pa.Table, part_col: str, handles: list, method: str) -> i
 class StatePool:
     """Driver-side handle bundle for the window + join actor pools."""
 
-    def __init__(self, n_partitions: int, session_gap_ms: int, join_retention_ms: int) -> None:
+    def __init__(self, n_partitions: int, session_gap_ms: int, join_retention_ms: int,
+                 compact_every: int = 8) -> None:
         self.n = n_partitions
+        # adaptive reservation: never let the 2·n state actors claim more
+        # than ~40% of the cluster's scheduling budget, or map/finalize
+        # tasks starve (2·n·0.25 == num_cpus deadlocks outright)
+        cpus = float(ray.cluster_resources().get("CPU", 8))
+        per_actor = round(min(0.25, 0.4 * cpus / max(1, 2 * n_partitions)), 3)
         self.window_actors = [
-            WindowStateActor.remote(i, session_gap_ms) for i in range(n_partitions)
+            WindowStateActor.options(num_cpus=per_actor).remote(
+                i, session_gap_ms, compact_every)
+            for i in range(n_partitions)
         ]
         self.join_actors = [
-            JoinStateActor.remote(i, join_retention_ms) for i in range(n_partitions)
+            JoinStateActor.options(num_cpus=per_actor).remote(
+                i, join_retention_ms, compact_every)
+            for i in range(n_partitions)
         ]
 
     def mature(self, watermark_ms: int) -> list[pa.Table]:
@@ -336,12 +409,12 @@ class StatePool:
     def snapshot(self, snap_dir: str) -> dict[str, dict[str, str]]:
         return {**self.snapshot_windows(snap_dir), **self.snapshot_join(snap_dir)}
 
-    def restore(self, snap: dict[str, dict[str, str]]) -> None:
+    def restore(self, snap: dict[str, dict[str, list[str]]], watermark_ms: int) -> None:
         refs = []
         for i, a in enumerate(self.window_actors):
-            refs.append(a.restore.remote(snap.get(f"window_{i}", {})))
+            refs.append(a.restore.remote(snap.get(f"window_{i}", {}), watermark_ms))
         for i, a in enumerate(self.join_actors):
-            refs.append(a.restore.remote(snap.get(f"join_{i}", {})))
+            refs.append(a.restore.remote(snap.get(f"join_{i}", {}), watermark_ms))
         ray.get(refs)
 
     def shutdown(self) -> None:

@@ -174,3 +174,20 @@ def test_extreme_host_skew_parity(ray_session, tmp_path):
         eng.sort_values(sc).reset_index(drop=True)[ora.columns.tolist()],
         ora.sort_values(sc).reset_index(drop=True), check_dtype=False)
     pipe.shutdown()
+
+
+@pytest.mark.parametrize("kill_at", [2, 3])
+def test_resume_across_delta_and_compaction(ray_session, corpus, oracle_df, kill_at):
+    """Delta checkpoints with compact_every=2: resuming right after a
+    compaction epoch AND mid-delta must both reproduce the oracle."""
+    root, _, _ = corpus
+    out = f"out_compact_{kill_at}"
+    p1 = _run(root, out, max_epochs=kill_at,
+              cfg_extra={"snapshot_compact_every": 2})
+    p1.shutdown()
+    p2 = _run(root, out, cfg_extra={"snapshot_compact_every": 2})
+    eng = p2.result_dataset().to_pandas()
+    pd.testing.assert_frame_equal(
+        _norm(eng, oracle_df.columns), _norm(oracle_df, oracle_df.columns),
+        check_dtype=False)
+    p2.shutdown()
