@@ -33,8 +33,8 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # Headline corpus size: deterministic seeded page stream (FIXTURES.md F1).
-N_DOCS = int(os.environ.get("BENCH_N_DOCS", "60000"))
-N_EPOCHS = int(os.environ.get("BENCH_N_EPOCHS", "6"))
+N_DOCS = int(os.environ.get("BENCH_N_DOCS", "960000"))
+N_EPOCHS = int(os.environ.get("BENCH_N_EPOCHS", "4"))
 
 # Queries skipped in the timed suite (O(n^2) pair materialization is a
 # correctness oracle, not a throughput path).
@@ -209,6 +209,9 @@ def main() -> None:
         return
 
     _init_ray(NUM_CPUS)
+    # warm the worker pool so the first timed query doesn't pay startup
+    import ray.data
+    ray.data.range(NUM_CPUS * 2).map_batches(lambda b: b).materialize()
     headline = run_headline(NUM_CPUS)
     queries = {} if args.headline_only else run_queries(SF_DIR)
     result = {

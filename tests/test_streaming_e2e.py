@@ -191,3 +191,29 @@ def test_resume_across_delta_and_compaction(ray_session, corpus, oracle_df, kill
         _norm(eng, oracle_df.columns), _norm(oracle_df, oracle_df.columns),
         check_dtype=False)
     p2.shutdown()
+
+
+def test_all_late_and_empty_epochs(ray_session, tmp_path):
+    """Robustness: an epoch whose rows are ALL late (dropped at ingest)
+    and a final empty-output epoch must still commit fences and keep the
+    manifest cursor advancing."""
+    import pyarrow as pa
+
+    pages = fixtures.make_pages(n_docs=300, seed=21)
+    # epoch 1's rows moved far before epoch 0's → all late once wm advances
+    ts = pages["warc_ts"].cast(pa.int64()).to_numpy().copy()
+    ts[100:200] = ts[:100].min() - 10_000_000
+    shuffled = pages.set_column(
+        pages.schema.get_field_index("warc_ts"), "warc_ts",
+        pa.array(ts, pa.timestamp("ms")))
+    fixtures.write_epochs(shuffled, str(tmp_path), n_epochs=3, prefix="pages")
+    cfg = PipelineConfig(session_gap_ms=30_000, n_state_partitions=2)
+    pipe = StreamingFingerprintPipeline(
+        str(tmp_path / "pages"), str(tmp_path / "out"), cfg=cfg)
+    res = pipe.run()
+    assert res["epochs_run"] == 3
+    assert res["late_dropped"] >= 100          # the shifted rows dropped
+    assert pipe.manifest.cursor == 2
+    out = pipe.result_dataset().to_pandas()
+    assert len(out) > 0
+    pipe.shutdown()
