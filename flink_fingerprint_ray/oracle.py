@@ -201,6 +201,31 @@ def oracle_fingerprints(
     return pd.DataFrame(out)
 
 
+def oracle_alerts(fingerprints: pd.DataFrame) -> pd.DataFrame:
+    """Expected rising-edge alert rows from an oracle fingerprint table:
+    per (key_lang, key_host, window_kind) in window_start order, emit the
+    windows where dup_cluster_count > 0 transitions False→True
+    (reference: ``process_odr.py:1131-1145``).  Valid because per key a
+    window closes in window_start order (watermark monotonicity)."""
+    if len(fingerprints) == 0:
+        return pd.DataFrame(columns=["key_lang", "key_host", "window_kind",
+                                     "window_start", "window_end", "dup_cluster_count"])
+    df = fingerprints.sort_values(
+        ["key_lang", "key_host", "window_kind", "window_start"], kind="stable")
+    flags = (df["dup_cluster_count"].to_numpy() > 0)
+    keys = (df["key_lang"].astype(str) + "\x1f" + df["key_host"].astype(str)
+            + "\x1f" + df["window_kind"].astype(str)).to_numpy()
+    n = len(df)
+    new_key = np.ones(n, dtype=bool)
+    new_key[1:] = keys[1:] != keys[:-1]
+    prev = np.concatenate(([False], flags[:-1]))
+    prev[new_key] = False
+    rising = flags & ~prev
+    return df.loc[rising, ["key_lang", "key_host", "window_kind",
+                           "window_start", "window_end", "dup_cluster_count"]
+                  ].reset_index(drop=True)
+
+
 def _assign(rows: pd.DataFrame, tumbling_size_ms: int, sliding):
     """Yield (kind, {(lang,host,start,end): [row_idx]}) per configured kind."""
     ts = rows["ts_ms"].to_numpy()

@@ -111,7 +111,7 @@ def window_salt_hash(key_hash: np.ndarray, window_start: np.ndarray) -> np.ndarr
         )
 
 
-@ray.remote
+@ray.remote(num_returns=2)
 def finalize_partition(
     path: str,
     join_handles: list,
@@ -119,7 +119,7 @@ def finalize_partition(
     my_part: int,
     n_parts: int,
     *tables: pa.Table,
-) -> int:
+):
     """One task per hash partition: select rows with ``key_hash % P ==
     my_part`` from EVERY closable/matured block (zero-copy plasma reads —
     only this partition's 1/P of rows is ever copied), finalize all its
@@ -141,10 +141,10 @@ def finalize_partition(
         if mine.any():
             tabs.append(t.take(pa.array(np.flatnonzero(mine))))
     if not tabs:
-        return 0
+        return 0, None
     out = finalize_many(pa.concat_tables(tabs, promote_options="default").combine_chunks())
     if len(out) == 0:
-        return 0
+        return 0, None
     fps = pa.Table.from_pandas(out, preserve_index=False).select(
         FINGERPRINT_SCHEMA.names
     ).cast(FINGERPRINT_SCHEMA)
@@ -156,7 +156,13 @@ def finalize_partition(
         outs.append(join_handles[int(pid)].probe.remote(sub))
     enriched = pa.concat_tables(ray.get(outs))
     pq.write_table(enriched, path)
-    return enriched.num_rows
+    # second return: the closed-window rows the rising-edge alert state
+    # consumes (T3 analog) — tiny projection, one row per window
+    alert_rows = fps.select(
+        ["key_lang", "key_host", "window_kind", "window_start",
+         "window_end", "dup_cluster_count"]
+    )
+    return enriched.num_rows, alert_rows
 
 
 @ray.remote(num_cpus=0)
@@ -497,20 +503,23 @@ class StreamingFingerprintPipeline:
         if update_routes:
             ray.get(update_routes)  # build side complete before any probe
         staging = self.sink.staging_dir(epoch.index)
-        write_refs = [
-            finalize_partition.remote(
+        write_refs, alert_refs = [], []
+        for p in (range(P) if fin_refs else []):
+            cnt, al = finalize_partition.remote(
                 os.path.join(staging, f"part-{p:05d}.parquet"),
                 self.pool.join_actors, cfg.n_state_partitions,
                 p, P, *fin_refs,
             )
-            for p in range(P)
-        ] if fin_refs else []
+            write_refs.append(cnt)
+            alert_refs.append(al)
 
         self._wm = wm_new
         pending = {
             "epoch": epoch,
             "upd_epoch": upd_epoch,
             "write_refs": write_refs,
+            "alert_refs": alert_refs,
+            "staging": staging,
             "wm": wm_new,
             "snap_dir": snap_dir,
             "w_snap": w_snap,
@@ -527,15 +536,30 @@ class StreamingFingerprintPipeline:
         manifest commit for a pending epoch."""
         epoch = pending["epoch"]
         n_out = int(sum(ray.get(pending["write_refs"])))
+        # rising-edge alerts (T3 analog): strictly sequential per epoch —
+        # fed AFTER the finalize barrier, written into the staging dir so
+        # they ride the same idempotent fence, state snapshotted with it
+        n_alerts = 0
+        if pending["alert_refs"]:
+            alert_tabs = ray.get(self.pool.feed_alerts(pending["alert_refs"]))
+            alerts = pa.concat_tables([t for t in alert_tabs if t.num_rows])  \
+                if any(t.num_rows for t in alert_tabs) else None
+            if alerts is not None:
+                import pyarrow.parquet as _pq
+
+                _pq.write_table(alerts, os.path.join(pending["staging"], "alerts.parquet"))
+                n_alerts = alerts.num_rows
         t_fin = time.perf_counter()
         evicted = self.pool.evict_join(pending["wm"])
         j_snap = self.pool.snapshot_join(pending["snap_dir"])
-        snapshot = {**pending["w_snap"], **j_snap}
+        a_snap = self.pool.snapshot_alerts(pending["snap_dir"])
+        snapshot = {**pending["w_snap"], **j_snap, **a_snap}
         metrics = ray.get(self.counter.take_prefix.remote(f"e{epoch.index}:"))
         metrics.update(
             {
                 "rows_in": epoch.num_rows,
                 "fingerprints": n_out,
+                "alerts": n_alerts,
                 "join_evicted": evicted,
                 # S9 lag analog: epochs discovered but not yet committed
                 "epochs_behind": max(0, len(self.source) - epoch.index - 1),
@@ -612,8 +636,21 @@ class StreamingFingerprintPipeline:
     def result_dataset(self) -> "ray.data.Dataset":
         import glob
 
-        files = sorted(glob.glob(os.path.join(self.sink.out_dir, "epoch=*", "*.parquet")))
+        files = sorted(glob.glob(os.path.join(self.sink.out_dir, "epoch=*", "part-*.parquet")))
         return ray.data.read_parquet(files)
+
+    def alerts_df(self) -> pd.DataFrame:
+        """Committed rising-edge alert rows (T3 analog), all epochs."""
+        import glob
+
+        import pyarrow.parquet as _pq
+
+        files = sorted(glob.glob(os.path.join(self.sink.out_dir, "epoch=*", "alerts.parquet")))
+        if not files:
+            return pd.DataFrame(columns=[
+                "key_lang", "key_host", "window_kind",
+                "window_start", "window_end", "dup_cluster_count"])
+        return pa.concat_tables([_pq.read_table(f) for f in files]).to_pandas()
 
     def shutdown(self) -> None:
         self.pool.shutdown()

@@ -330,6 +330,96 @@ class JoinStateActor:
         self.evict(watermark_ms)  # drop rows past retention at the cursor
 
 
+ALERT_COLS = ["key_lang", "key_host", "window_kind", "window_start",
+              "window_end", "dup_cluster_count"]
+_ALERT_SEP = "\x1f"
+
+
+@ray.remote(num_cpus=0)
+class AlertStateActor:
+    """Incremental rising-edge alert state (reference:
+    ``src/data_input/process_odr.py:1131-1145`` + ``alerts_state.json``,
+    ``helpers.py:23-32``): per (key, window_kind) boolean "duplicates
+    active" flag; an alert row is emitted ONLY on the False→True
+    transition, suppressed while the condition stays active.
+
+    Fed once per epoch with that epoch's closed-window rows; per key,
+    windows close in window_start order across epochs (watermark
+    monotonicity), and the per-call sort orders them within the epoch —
+    so the scan order equals the oracle's global (key, window_start)
+    scan.  State is a tiny per-key bool map, snapshotted as JSON
+    (num_cpus=0: microseconds of work per epoch)."""
+
+    def __init__(self, partition_id: int) -> None:
+        self.partition_id = partition_id
+        self.state: dict[str, bool] = {}
+
+    def feed(self, *tables: pa.Table) -> pa.Table:
+        tabs = [t for t in tables if t is not None and t.num_rows]
+        schema = pa.schema([
+            ("key_lang", pa.string()), ("key_host", pa.string()),
+            ("window_kind", pa.string()), ("window_start", pa.int64()),
+            ("window_end", pa.int64()), ("dup_cluster_count", pa.int64()),
+        ])
+        if not tabs:
+            return schema.empty_table()
+        df = pa.concat_tables(tabs, promote_options="default").to_pandas()
+        df = df.sort_values(["key_lang", "key_host", "window_kind", "window_start"],
+                            kind="stable")
+        flags = (df["dup_cluster_count"].to_numpy() > 0)
+        keys = (df["key_lang"].astype(str) + _ALERT_SEP + df["key_host"].astype(str)
+                + _ALERT_SEP + df["window_kind"].astype(str)).to_numpy()
+        n = len(df)
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = keys[1:] != keys[:-1]
+        prev_seq = np.concatenate(([False], flags[:-1]))
+        # first row of each key takes its stored state as "previous"
+        for i in np.flatnonzero(new_key):
+            prev_seq[i] = self.state.get(keys[i], False)
+        rising = flags & ~prev_seq
+        # persist each key's LAST flag
+        key_end = np.append(np.flatnonzero(new_key)[1:], n) - 1
+        for i in key_end:
+            self.state[keys[i]] = bool(flags[i])
+        out = df.loc[rising, ALERT_COLS]
+        return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
+
+    def snapshot(self, snap_dir: str) -> dict[str, str]:
+        import json
+
+        os.makedirs(snap_dir, exist_ok=True)
+        p = os.path.join(snap_dir, f"p{self.partition_id:04d}_alerts.json")
+        with open(p, "w") as f:
+            json.dump(self.state, f)
+        return {"alerts": p}
+
+    def restore(self, paths: dict[str, str]) -> None:
+        import json
+
+        if "alerts" in paths:
+            with open(paths["alerts"]) as f:
+                self.state = json.load(f)
+        else:
+            self.state = {}
+
+
+@ray.remote
+def split_alert_rows(block: pa.Table, n_partitions: int) -> list[pa.Table | None]:
+    """Split one finalize partition's alert-input rows by key hash (NOT
+    window-salted: rising-edge state is per-key serial)."""
+    if block is None or block.num_rows == 0:
+        return [None] * n_partitions
+    key = (pd.Series(np.asarray(block["key_lang"], dtype=object)) + _ALERT_SEP
+           + pd.Series(np.asarray(block["key_host"], dtype=object))).to_numpy(dtype=object)
+    h = pd.util.hash_array(key, categorize=False)
+    part = (h % np.uint64(n_partitions)).astype(np.int64)
+    out: list[pa.Table | None] = []
+    for p in range(n_partitions):
+        m = part == p
+        out.append(block.take(pa.array(np.flatnonzero(m))) if m.any() else None)
+    return out
+
+
 @ray.remote
 def route_block(block: pa.Table, part_col: str, handles: list, method: str) -> int:
     """Distributed router: split one Arrow block by its partition column and
@@ -372,6 +462,25 @@ class StatePool:
                 i, join_retention_ms, compact_every)
             for i in range(n_partitions)
         ]
+        self.alert_actors = [AlertStateActor.remote(i) for i in range(n_partitions)]
+
+    def feed_alerts(self, alert_refs: list) -> list:
+        """Route finalize partitions' closed-window rows to the per-key
+        alert actors; ONE feed per actor per epoch (transition order must
+        be the in-feed sort, not RPC arrival order).  Returns refs of the
+        emitted alert tables."""
+        parted = [
+            split_alert_rows.options(num_returns=self.n).remote(r, self.n)
+            for r in alert_refs
+        ]
+        return [
+            self.alert_actors[p].feed.remote(*[row[p] for row in parted])
+            for p in range(self.n)
+        ]
+
+    def snapshot_alerts(self, snap_dir: str) -> dict[str, dict[str, str]]:
+        a = ray.get([x.snapshot.remote(os.path.join(snap_dir, "alerts")) for x in self.alert_actors])
+        return {f"alerts_{i}": p for i, p in enumerate(a)}
 
     def mature(self, watermark_ms: int) -> list[pa.Table]:
         refs = [a.mature_fixed.remote(watermark_ms) for a in self.window_actors]
@@ -415,10 +524,13 @@ class StatePool:
             refs.append(a.restore.remote(snap.get(f"window_{i}", {}), watermark_ms))
         for i, a in enumerate(self.join_actors):
             refs.append(a.restore.remote(snap.get(f"join_{i}", {}), watermark_ms))
+        for i, a in enumerate(self.alert_actors):
+            refs.append(a.restore.remote(snap.get(f"alerts_{i}", {})))
         ray.get(refs)
 
     def shutdown(self) -> None:
-        for a in self.window_actors + self.join_actors:
+        for a in self.window_actors + self.join_actors + self.alert_actors:
             ray.kill(a)
         self.window_actors = []
         self.join_actors = []
+        self.alert_actors = []

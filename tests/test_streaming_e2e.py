@@ -217,3 +217,32 @@ def test_all_late_and_empty_epochs(ray_session, tmp_path):
     out = pipe.result_dataset().to_pandas()
     assert len(out) > 0
     pipe.shutdown()
+
+
+def test_rising_edge_alerts_match_oracle(ray_session, corpus, oracle_df):
+    """T3 analog: incremental rising-edge alert state across epochs —
+    engine alert rows must equal the oracle's global (key, window) scan,
+    including after kill + resume (alert state snapshots in the manifest)."""
+    from flink_fingerprint_ray.oracle import oracle_alerts
+
+    root, _, _ = corpus
+    want = oracle_alerts(oracle_df)
+    assert len(want) > 0
+    ac = ["key_lang", "key_host", "window_kind", "window_start"]
+
+    p1 = _run(root, "out_alerts")
+    got = p1.alerts_df()
+    pd.testing.assert_frame_equal(
+        got.sort_values(ac).reset_index(drop=True),
+        want.sort_values(ac).reset_index(drop=True), check_dtype=False)
+    p1.shutdown()
+
+    # kill after 2 epochs, resume: committed alerts must be identical
+    p2 = _run(root, "out_alerts_resume", max_epochs=2)
+    p2.shutdown()
+    p3 = _run(root, "out_alerts_resume")
+    got2 = p3.alerts_df()
+    pd.testing.assert_frame_equal(
+        got2.sort_values(ac).reset_index(drop=True),
+        want.sort_values(ac).reset_index(drop=True), check_dtype=False)
+    p3.shutdown()
