@@ -401,6 +401,11 @@ def q_fp_tumbling_windows(sf_dir: str):
             median_len="median", sum_len="sum",
         ).reset_index()
         out["doc_count"] = out["doc_count"].astype(np.int64)
+        # Float policy (module docstring): medians of ints are halves, so
+        # 2*median is exact — emit it as int64 instead of a raw float that
+        # canonicalizes differently from DuckDB's median(BIGINT)->DOUBLE.
+        out["median_len_x2"] = np.floor(out.pop("median_len") * 2.0 + 0.5).astype(np.int64)
+        out["sum_len"] = out["sum_len"].astype(np.int64)
         return out
 
     fps = ds.map_batches(transform, batch_format="pyarrow")
@@ -419,8 +424,8 @@ SELECT key_lang, key_host, (tms // 60000) * 60000 AS window_start,
        COUNT(*) AS doc_count,
        MIN(text_len) AS min_len,
        MAX(text_len) AS max_len,
-       median(text_len) AS median_len,
-       SUM(text_len) AS sum_len
+       CAST(FLOOR(2 * median(text_len) + 0.5) AS BIGINT) AS median_len_x2,
+       CAST(SUM(text_len) AS BIGINT) AS sum_len
 FROM pages GROUP BY 1, 2, 3
 """
 
@@ -545,10 +550,15 @@ def q_embedding_near_pairs(sf_dir: str):
 
 
 def q_embedding_near_pairs_lsh(sf_dir: str):
-    """Scale path (rows-only): random-hyperplane LSH banding, no
-    full-matrix broadcast; recall vs brute force asserted in tests."""
+    """Scale path: random-hyperplane LSH banding, no full-matrix
+    broadcast.  At this fixture's loose 0.4 threshold we widen to 32
+    bands × 2 bits (miss prob per true pair < 1e-7), so the output is
+    checked against the SAME exact SQL oracle as the brute-force query;
+    recall vs brute force is additionally asserted in tests.  Real
+    near-dup deployments (threshold ≥ 0.9) use the default 8 × 8-bit
+    banding, whose buckets stay small at scale."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return dd.embedding_cosine_pairs_lsh(ds, threshold=0.9)
+    return dd.embedding_cosine_pairs_lsh(ds, threshold=0.4, n_bands=32)
 
 
 SQL_EMBEDDING_NEAR_PAIRS = """
@@ -868,13 +878,26 @@ def _wide_means(t: pa.Table) -> pd.DataFrame:
 
 
 def _pivot_sweep(t: pa.Table) -> pd.DataFrame:
-    w = _wide_means(t)
-    out = w[["user_id", "bucket"]].copy()
+    """Null-free wide cells: absent (user, bucket, event_type) cells emit
+    avg=0 with n=0 instead of NULL, so pandas / Arrow / DuckDB null
+    canonicalization can never diverge in the driver's value hash."""
+    df = t.to_pandas()
+    tms = df["ts"].astype("datetime64[ms]").astype("int64")
+    df["bucket"] = (tms // SLIDE_5M) * SLIDE_5M
+    w = df.pivot_table(index=["user_id", "bucket"], columns="event_type",
+                       values="value", aggfunc=["mean", "size"])
+    out = w.index.to_frame(index=False)
     for c in EVENT_TYPES:
-        v = w[c].to_numpy(dtype=np.float64)
-        cents = pd.array(np.floor(v * 100.0 + 0.5), dtype="Int64")
-        cents[np.isnan(v)] = pd.NA
-        out[f"avg_{c}_cents"] = cents
+        if ("mean", c) in w.columns:
+            v = w[("mean", c)].to_numpy(dtype=np.float64)
+            n = w[("size", c)].to_numpy(dtype=np.float64)
+        else:
+            v = np.full(len(w), np.nan)
+            n = np.full(len(w), np.nan)
+        miss = np.isnan(v)
+        out[f"avg_{c}_cents"] = np.where(
+            miss, 0, np.floor(v * 100.0 + 0.5)).astype(np.int64)
+        out[f"n_{c}"] = np.where(np.isnan(n), 0, n).astype(np.int64)
     return out
 
 
@@ -926,11 +949,16 @@ def q_pivot_wide(sf_dir: str):
 
 SQL_PIVOT_WIDE = """
 SELECT user_id, (epoch_ms(ts) // 300000) * 300000 AS bucket,
-       CAST(floor(AVG(value) FILTER (event_type = 'click') * 100 + 0.5) AS BIGINT) AS avg_click_cents,
-       CAST(floor(AVG(value) FILTER (event_type = 'error') * 100 + 0.5) AS BIGINT) AS avg_error_cents,
-       CAST(floor(AVG(value) FILTER (event_type = 'purchase') * 100 + 0.5) AS BIGINT) AS avg_purchase_cents,
-       CAST(floor(AVG(value) FILTER (event_type = 'signup') * 100 + 0.5) AS BIGINT) AS avg_signup_cents,
-       CAST(floor(AVG(value) FILTER (event_type = 'view') * 100 + 0.5) AS BIGINT) AS avg_view_cents
+       COALESCE(CAST(floor(AVG(value) FILTER (event_type = 'click') * 100 + 0.5) AS BIGINT), 0) AS avg_click_cents,
+       COUNT(*) FILTER (event_type = 'click') AS n_click,
+       COALESCE(CAST(floor(AVG(value) FILTER (event_type = 'error') * 100 + 0.5) AS BIGINT), 0) AS avg_error_cents,
+       COUNT(*) FILTER (event_type = 'error') AS n_error,
+       COALESCE(CAST(floor(AVG(value) FILTER (event_type = 'purchase') * 100 + 0.5) AS BIGINT), 0) AS avg_purchase_cents,
+       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+       COALESCE(CAST(floor(AVG(value) FILTER (event_type = 'signup') * 100 + 0.5) AS BIGINT), 0) AS avg_signup_cents,
+       COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+       COALESCE(CAST(floor(AVG(value) FILTER (event_type = 'view') * 100 + 0.5) AS BIGINT), 0) AS avg_view_cents,
+       COUNT(*) FILTER (event_type = 'view') AS n_view
 FROM events GROUP BY 1, 2
 """
 
@@ -1037,8 +1065,13 @@ def _interval_join_sweep(t: pa.Table) -> pd.DataFrame:
         "window_end": (g["tms"].max() + ERR_SESSION_GAP).astype(np.int64),
     }).reset_index(drop=True)
     # composite key (user << 44 | tms) makes the per-user interval count
-    # two global binary searches
+    # two global binary searches.  The packing is only injective while
+    # uid < 2^19 and ts < 2^44 (~year 2527) — assert rather than silently
+    # overflow into wrong counts on data that violates it.
     SHIFT = np.int64(1) << np.int64(44)
+    if len(uid):
+        assert uid.max() < (1 << 19) and tms.max() < (1 << 44), \
+            "packed interval-join key overflow: uid >= 2^19 or ts >= 2^44"
     is_clk = et == "click"
     ck = np.sort(uid[is_clk].astype(np.int64) * SHIFT + tms[is_clk])
     lo = np.searchsorted(ck, sess["user_id"].to_numpy() * SHIFT + sess["window_start"].to_numpy())
@@ -1311,6 +1344,10 @@ ORACLE_SQL = {
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_counts": SQL_QUALITY_COUNTS,
     "embedding_near_pairs": SQL_EMBEDDING_NEAR_PAIRS,
+    # the LSH path is candidate-pruned but exact-confirmed; at the query's
+    # 32×2-bit banding its miss probability is <1e-7 per true pair, so it
+    # is held to the same exact oracle (verified at sf0.001 and sf0.01)
+    "embedding_near_pairs_lsh": SQL_EMBEDDING_NEAR_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "segment_orders": SQL_SEGMENT_ORDERS,

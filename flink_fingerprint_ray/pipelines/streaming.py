@@ -208,8 +208,18 @@ def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix:
     batch = batch.filter(nonempty)
     text = text.filter(nonempty)
     if counter is not None:
-        counter.add.remote(metric_prefix + "late_dropped", n_late)
-        counter.add.remote(metric_prefix + "empty_dropped", n_empty)
+        # only nonzero counts (rare: ~1-3% of rows), and AWAIT the ack in
+        # this task: the count is inside the actor before this block can
+        # reach any downstream consumer, so the driver's take_prefix after
+        # the finalize barrier can never miss a late-delivered add (and no
+        # zero-valued keys accrete in the counter dict)
+        ack = []
+        if n_late:
+            ack.append(counter.add.remote(metric_prefix + "late_dropped", n_late))
+        if n_empty:
+            ack.append(counter.add.remote(metric_prefix + "empty_dropped", n_empty))
+        if ack:
+            ray.wait(ack, num_returns=len(ack))
 
     host = fp.host_of(batch["url"])
     lang = batch["lang"].combine_chunks().cast(pa.large_string()) if batch.num_rows else pa.array([], pa.large_string())

@@ -12,6 +12,7 @@ strategy of ``src/flink_job/kafka_config.py:46-49``).
 
 from __future__ import annotations
 
+import datetime
 import glob
 import os
 import re
@@ -54,7 +55,17 @@ class EpochSource:
                     st = md.row_group(rg).column(schema_idx).statistics
                     if st is not None and st.has_min_max:
                         v = st.max
-                        ts_ms = int(v.timestamp() * 1000) if hasattr(v, "timestamp") else int(v)
+                        if hasattr(v, "timestamp"):
+                            # parquet stats for timestamp[ms] come back as a
+                            # tz-NAIVE datetime; naive .timestamp() would
+                            # interpret it in the host's local timezone and
+                            # shift the watermark on any non-UTC host. Pin
+                            # it to UTC (stored epoch-ms are UTC by contract).
+                            if v.tzinfo is None:
+                                v = v.replace(tzinfo=datetime.timezone.utc)
+                            ts_ms = int(v.timestamp() * 1000)
+                        else:
+                            ts_ms = int(v)
                         max_ts = max(max_ts, ts_ms)
             out.append(Epoch(int(m.group(1)), files, max_ts, rows))
         return out

@@ -28,6 +28,46 @@ def _stack(batch_col) -> np.ndarray:
     return np.stack(batch_col.to_pandas().to_numpy()).astype(np.float64)
 
 
+# "masked out" similarity — NOT int64 min: the selection argsorts -micros,
+# and negating int64 min wraps back to itself, which would sort masked
+# entries FIRST instead of last
+_MICROS_SENTINEL = -(np.int64(1) << np.int64(62))
+
+
+def _select_block_topk(qids: np.ndarray, ids: np.ndarray,
+                       micros: np.ndarray, k: int) -> pa.Table:
+    """Exact per-block top-k in (micros desc, vec_id asc) order.
+
+    Working in the micros-scaled int domain with an explicit vec_id
+    tie-break makes the partial selection EXACT: when tied similarities
+    straddle the per-block k-th-place cutoff, the globally-merged result
+    still matches the SQL oracle's row_number ordering bit-for-bit (an
+    argpartition on raw floats keeps an arbitrary tied member)."""
+    kk = min(k, micros.shape[1])
+    # sort columns by vec_id once, then a stable argsort on -micros per
+    # query yields (micros desc, vec_id asc) exactly
+    perm = np.argsort(ids, kind="stable")
+    ids_s = ids[perm]
+    micros_s = micros[:, perm]
+    sel = np.argsort(-micros_s, axis=1, kind="stable")[:, :kk]
+    rows = np.repeat(np.arange(len(qids)), kk)
+    cols = sel.ravel()
+    return pa.table(
+        {
+            "query_id": pa.array(qids[rows], pa.int64()),
+            "vec_id": pa.array(ids_s[cols], pa.int64()),
+            "cos_sim_micros": pa.array(micros_s[rows, cols], pa.int64()),
+        }
+    )
+
+
+def _merge_topk(g: pd.DataFrame, k: int) -> pd.DataFrame:
+    g = g[g["cos_sim_micros"] != _MICROS_SENTINEL].copy()
+    g = g.sort_values(["cos_sim_micros", "vec_id"], ascending=[False, True], kind="stable").head(k)
+    g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+    return g[["query_id", "rank", "vec_id", "cos_sim_micros"]]
+
+
 def brute_force_topk(
     ds: "ray.data.Dataset",
     queries: np.ndarray,
@@ -37,12 +77,13 @@ def brute_force_topk(
     vec_col: str = "embedding",
     exclude_self: bool = True,
 ) -> pd.DataFrame:
-    """Exact cosine top-k per query: (query_id, rank, vec_id, cos_sim).
+    """Exact cosine top-k per query: (query_id, rank, vec_id, cos_sim_micros).
 
     Per-block partial top-k inside ``map_batches`` (so only n_queries × k
     candidate rows per block leave the worker), then a final merge per
-    query.  Deterministic ordering: sim desc, vec_id asc; sims rounded to
-    6 dp for cross-engine comparability.
+    query.  Deterministic ordering: micros desc, vec_id asc, enforced in
+    BOTH the block partial and the merge (floor(x*1e6+0.5) sidesteps
+    round-half-even vs half-away drift across engines).
     """
     q_n = _normalize(np.asarray(queries, dtype=np.float64))
     q_ref = ray.put((np.asarray(query_ids, dtype=np.int64), q_n))
@@ -52,34 +93,14 @@ def brute_force_topk(
         ids = batch[id_col].to_numpy().astype(np.int64)
         mat = _normalize(_stack(batch[vec_col]))
         sims = qmat @ mat.T  # (nq, nb)
+        micros = np.floor(sims * 1e6 + 0.5).astype(np.int64)
         if exclude_self:
-            mask = qids[:, None] == ids[None, :]
-            sims = np.where(mask, -np.inf, sims)
-        kk = min(k, sims.shape[1])
-        # partial top-k per query within this block
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        rows = np.repeat(np.arange(len(qids)), kk)
-        cols = part.ravel()
-        return pa.table(
-            {
-                "query_id": pa.array(qids[rows], pa.int64()),
-                "vec_id": pa.array(ids[cols], pa.int64()),
-                "cos_sim": pa.array(sims[rows, cols], pa.float64()),
-            }
-        )
+            micros[qids[:, None] == ids[None, :]] = _MICROS_SENTINEL
+        return _select_block_topk(qids, ids, micros, k)
 
     cands = ds.map_batches(block_topk, batch_format="pyarrow")
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[np.isfinite(g["cos_sim"])].copy()
-        # micros-scaled int ordering: identical tie-breaks across engines
-        # (floor(x*1e6+0.5) sidesteps round-half-even vs half-away drift)
-        g["cos_sim_micros"] = np.floor(g["cos_sim"] * 1e6 + 0.5).astype(np.int64)
-        g = g.sort_values(["cos_sim_micros", "vec_id"], ascending=[False, True], kind="stable").head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-        return g[["query_id", "rank", "vec_id", "cos_sim_micros"]]
-
-    out = cands.groupby("query_id").map_groups(merge, batch_format="pandas")
+    out = cands.groupby("query_id").map_groups(
+        lambda g: _merge_topk(g, k), batch_format="pandas")
     return out.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
@@ -152,35 +173,17 @@ def ivf_topk(
         cells = batch["cell"].to_numpy().astype(np.int64)
         mat = _normalize(_stack(batch[vec_col]))
         sims = qmat @ mat.T
+        micros = np.floor(sims * 1e6 + 0.5).astype(np.int64)
         # mask out vectors in cells this query does not probe
         probe_mask = (cells[None, :, None] == qcells[:, None, :]).any(axis=2)
         if exclude_self:
             probe_mask &= qids[:, None] != ids[None, :]
-        sims = np.where(probe_mask, sims, -np.inf)
-        kk = min(k, sims.shape[1])
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        rows = np.repeat(np.arange(len(qids)), kk)
-        cols = part.ravel()
-        return pa.table(
-            {
-                "query_id": pa.array(qids[rows], pa.int64()),
-                "vec_id": pa.array(ids[cols], pa.int64()),
-                "cos_sim": pa.array(sims[rows, cols], pa.float64()),
-            }
-        )
+        micros[~probe_mask] = _MICROS_SENTINEL
+        return _select_block_topk(qids, ids, micros, k)
 
     cands = tagged.map_batches(block_topk, batch_format="pyarrow")
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[np.isfinite(g["cos_sim"])].copy()
-        # micros-scaled int ordering: identical tie-breaks across engines
-        # (floor(x*1e6+0.5) sidesteps round-half-even vs half-away drift)
-        g["cos_sim_micros"] = np.floor(g["cos_sim"] * 1e6 + 0.5).astype(np.int64)
-        g = g.sort_values(["cos_sim_micros", "vec_id"], ascending=[False, True], kind="stable").head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-        return g[["query_id", "rank", "vec_id", "cos_sim_micros"]]
-
-    out = cands.groupby("query_id").map_groups(merge, batch_format="pandas")
+    out = cands.groupby("query_id").map_groups(
+        lambda g: _merge_topk(g, k), batch_format="pandas")
     return out.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 

@@ -230,8 +230,16 @@ class JoinStateActor:
         return table.num_rows
 
     def _build_index(self):
-        """Sorted-by-(host, ts) probe index with per-kind cumulative counts:
-        an interval count becomes two binary searches + cumsum diffs."""
+        """Sorted composite-key probe index with per-kind cumulative counts:
+        ALL interval counts of a probe table become two GLOBAL binary
+        searches + cumsum diffs (no per-row Python loop — an epoch can
+        close 10^5-10^6 windows per partition at scale).
+
+        Composite key = (host_rank << span_bits) + (ts − ts_min): the ts
+        offset is bounded by the buffer's time span (≤ retention + epoch
+        slack), so span_bits stays ~20 and host_rank keeps 40+ bits —
+        unlike packing raw epoch-ms, this cannot overflow for any realistic
+        host cardinality (asserted anyway)."""
         if self._index is not None:
             return self._index
         buf = _concat(self._buf)
@@ -245,12 +253,18 @@ class JoinStateActor:
         hosts, ts, kinds = hosts[order], ts[order], kinds[order]
         uniq, starts = np.unique(hosts, return_index=True)
         ends = np.append(starts[1:], len(ts))
-        spans = {h: (int(s), int(e)) for h, s, e in zip(uniq, starts, ends)}
+        ts0 = int(ts.min())
+        dt = ts - ts0
+        span_max = int(dt.max())
+        span_bits = max(span_max, 1).bit_length() + 1
+        assert len(uniq) < (1 << (63 - span_bits)), "join index key overflow"
+        rank_per_row = np.repeat(np.arange(len(uniq), dtype=np.int64), ends - starts)
+        key = (rank_per_row << np.int64(span_bits)) + dt
         cums = {
             k: np.concatenate(([0], np.cumsum(kinds == k)))
             for k in ("modified", "deleted", "redirected")
         }
-        self._index = (spans, ts, cums)
+        self._index = (pd.Index(uniq), key, cums, ts0, span_bits, span_max)
         return self._index
 
     def probe(self, fps: pa.Table) -> pa.Table:
@@ -263,22 +277,22 @@ class JoinStateActor:
         counts = {k: zeros.copy() for k in ("update_count", "update_modified", "update_deleted", "update_redirected")}
         idx = self._build_index()
         if idx and n:
-            spans, ts, cums = idx
+            host_index, key, cums, ts0, span_bits, span_max = idx
             f_host = np.asarray(fps["key_host"], dtype=object)
-            f_start = fps["window_start"].to_numpy()
-            f_end = fps["window_end"].to_numpy()
-            for i in range(n):
-                span = spans.get(f_host[i])
-                if span is None:
-                    continue
-                s, e = span
-                lo = s + np.searchsorted(ts[s:e], f_start[i], "left")
-                hi = s + np.searchsorted(ts[s:e], f_end[i], "left")
-                if hi <= lo:
-                    continue
-                counts["update_count"][i] = hi - lo
+            r = host_index.get_indexer(f_host)  # vectorized C lookup, -1 = absent
+            found = np.flatnonzero(r >= 0)
+            if len(found):
+                rf = r[found].astype(np.int64) << np.int64(span_bits)
+                # clip offsets into [0, span_max+1]: out-of-span windows
+                # clamp to the host's span boundary (count 0), and the
+                # clipped offset always fits under 2^span_bits
+                qs = np.clip(fps["window_start"].to_numpy()[found] - ts0, 0, span_max + 1)
+                qe = np.clip(fps["window_end"].to_numpy()[found] - ts0, 0, span_max + 1)
+                lo = np.searchsorted(key, rf + qs, "left")
+                hi = np.searchsorted(key, rf + qe, "left")
+                counts["update_count"][found] = hi - lo
                 for k in ("modified", "deleted", "redirected"):
-                    counts[f"update_{k}"][i] = cums[k][hi] - cums[k][lo]
+                    counts[f"update_{k}"][found] = cums[k][hi] - cums[k][lo]
         out = fps
         for k, v in counts.items():
             out = out.append_column(k, pa.array(v, pa.int64()))

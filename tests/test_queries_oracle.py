@@ -20,6 +20,7 @@ FAST_SQL_QUERIES = [
     "exact_dedup",
     "token_counts",
     "embedding_near_pairs",
+    "embedding_near_pairs_lsh",
     "ann_topk",
     "pricing_summary",
     "segment_orders",
