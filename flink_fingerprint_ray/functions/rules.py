@@ -15,9 +15,16 @@ Reference semantics being re-created (SURVEY.md §2.10):
 - AND/OR combine check masks (``helpers.py:409-477``); IF selects the
   ``then`` branch mask where the ``if`` mask holds, else the ``else``
   branch (``kiln_rules.json`` IF rules);
-- duration-based streak triggering (``process_odr.py:269-303``) is the
-  separate ordered-scan operator (queries ``streak_duration`` /
-  ``rising_edges``); rules here are the instantaneous mask layer.
+- thresholds may NAME A COLUMN: a string ``value`` resolves to that
+  column row-wise for any comparison op (``helpers.py:397-400``), like
+  ``deviation``'s column ``base``;
+- duration-based streak triggering (``process_odr.py:269-303``):
+  ``duration_alarms`` composes the instantaneous mask layer with the
+  reference's per-rule streak gate — one alarm per continuous streak,
+  fired at the first row where the accumulated time-delta streak reaches
+  ``max(duration_s)`` over the rule's checks (duration 0 → first row of
+  the streak), step = delta to the previous present row (first row uses
+  the nominal cadence, ``row_duration``).
 """
 
 from __future__ import annotations
@@ -35,6 +42,13 @@ def _mask(df: pd.DataFrame, check: dict) -> np.ndarray:
     ok = ~np.isnan(x)
     op = check["op"]
     v = check.get("value")
+    # value-as-column-name (helpers.py:397-400): a string threshold
+    # resolves to that column, row-wise; NaN threshold never triggers
+    if isinstance(v, str) and op not in ("between", "outside"):
+        if v not in df.columns:
+            return np.zeros(len(df), dtype=bool)
+        v = df[v].to_numpy(dtype=np.float64)
+        ok = ok & ~np.isnan(v)
     with np.errstate(invalid="ignore"):
         if op == ">":
             m = x > v
@@ -95,6 +109,76 @@ def _combine(df: pd.DataFrame, checks: list[dict], logic: str) -> np.ndarray:
 def evaluate_rules(df: pd.DataFrame, rules: list[dict]) -> pd.DataFrame:
     """Wide frame -> one boolean column per rule id."""
     return pd.DataFrame({r["id"]: evaluate_rule(df, r) for r in rules}, index=df.index)
+
+
+def rule_duration_ms(rule: dict) -> int:
+    """max(duration_s) over every check of the rule (all branches), like
+    the reference's ``duration_needed`` (``process_odr.py:269``)."""
+    checks = list(rule.get("checks", []))
+    for branch in ("if", "then", "else"):
+        checks += rule.get(branch, []) or []
+    return 1000 * max((int(c.get("duration_s", 0)) for c in checks), default=0)
+
+
+def duration_alarms(
+    df: pd.DataFrame,
+    rules: list[dict],
+    key_cols: list[str],
+    ts_col: str,
+    row_duration_ms: int,
+) -> pd.DataFrame:
+    """Duration-gated rule alarms over a wide keyed time series — the
+    end-to-end composition the reference runs per batch
+    (``process_odr.py:269-303``): "error > 10 for 120 s" as ONE operator.
+
+    One alarm per (key, rule, continuous true-streak), emitted at the
+    first row where the accumulated step sum reaches the rule's duration
+    (``rule_duration_ms``); the step of a row is the time delta to the
+    previous present row of the same key (first row: ``row_duration_ms``,
+    the reference's nominal cadence fallback).  Fully vectorized: one
+    global sort + per-rule cumulative scans, no per-row Python loop.
+
+    Returns columns ``key_cols + [ts_col, "rule_id"]``.
+    """
+    df = df.sort_values(key_cols + [ts_col], kind="stable").reset_index(drop=True)
+    n = len(df)
+    if n == 0:
+        return pd.DataFrame({**{k: pd.Series([], dtype="int64") for k in key_cols},
+                             ts_col: pd.Series([], dtype="int64"),
+                             "rule_id": pd.Series([], dtype="object")})
+    ts = df[ts_col].to_numpy(dtype=np.int64)
+    newkey = np.zeros(n, dtype=bool)
+    newkey[0] = True
+    for k in key_cols:
+        kv = df[k].to_numpy()
+        newkey[1:] |= kv[1:] != kv[:-1]
+    step = np.empty(n, dtype=np.int64)
+    step[0] = row_duration_ms
+    step[1:] = ts[1:] - ts[:-1]
+    step[newkey] = row_duration_ms
+
+    parts = []
+    for rule in rules:
+        m = evaluate_rule(df, rule)
+        dur_ms = rule_duration_ms(rule)
+        # streak groups: a reset (false row or key boundary) opens a new
+        # group; the trues that follow share it
+        grp = np.cumsum((~m) | newkey)
+        streak = pd.Series(np.where(m, step, 0)).groupby(grp).cumsum().to_numpy()
+        cross = m & (streak >= dur_ms)
+        # first crossing per group (cross is monotone along a streak)
+        prev_cross_same = np.zeros(n, dtype=bool)
+        prev_cross_same[1:] = cross[:-1] & (grp[1:] == grp[:-1])
+        trigger = cross & ~prev_cross_same
+        if trigger.any():
+            hit = df.loc[trigger, key_cols + [ts_col]].copy()
+            hit["rule_id"] = rule["id"]
+            parts.append(hit)
+    if not parts:
+        return pd.DataFrame({**{k: pd.Series([], dtype="int64") for k in key_cols},
+                             ts_col: pd.Series([], dtype="int64"),
+                             "rule_id": pd.Series([], dtype="object")})
+    return pd.concat(parts, ignore_index=True)
 
 
 def apply_overrides(rules: list[dict], overrides: list[dict]) -> list[dict]:

@@ -719,6 +719,44 @@ GROUP BY 1
 """
 
 
+def q_mapped_lookup(sf_dir: str):
+    """S10 analog: metadata mapping loaded from a FILE by the generic
+    mapping-table loader (``sources/mapping.py``, the Excel-sheet
+    ingestion analog of process_odr.py:699-711), broadcast once via
+    ray.put and probed inside map_batches."""
+    from ..sources.mapping import load_mapping_table
+
+    lut = load_mapping_table(os.path.join(sf_dir, "nation.parquet"),
+                             "n_nationkey", "n_name")
+    lut_ref = ray.put(lut)
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def probe(batch: pa.Table) -> pd.DataFrame:
+        m = ray.get(lut_ref)
+        name = pd.Series(batch["c_nationkey"].to_numpy()).map(m)
+        return (name.value_counts().rename("n_customers")
+                .rename_axis("nation_name").reset_index())
+
+    parts = ds.map_batches(probe, batch_format="pyarrow")
+    final = grouped_map(parts, ["nation_name"], _combine_partials,
+                        fn_kwargs={"keys": ["nation_name"], "sums": ["n_customers"]})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "nation_name": batch["nation_name"],
+            "n_customers": batch["n_customers"].cast(pa.int64()),
+        })
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_MAPPED_LOOKUP = """
+SELECT n.n_name AS nation_name, COUNT(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+
 def q_top_orders(sf_dir: str):
     """O3 analog: global sort + limit (top-k by totalprice)."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
@@ -1008,11 +1046,85 @@ WHERE CASE WHEN COALESCE(click > 10.0, FALSE)
 """
 
 
+RULES_DURATION = [
+    # "error > 8 held for 600 s" — the reference's per-check duration_s
+    # gate (process_odr.py:269-303; durations in kiln_rules.json)
+    {"id": "rd_err600", "logic": "AND", "checks": [
+        {"param": "error", "op": ">", "value": 8.0, "duration_s": 600}]},
+    {"id": "rd_viewclick", "logic": "AND", "checks": [
+        {"param": "view", "op": ">", "value": 5.0, "duration_s": 900},
+        {"param": "click", "op": ">", "value": 3.0}]},
+    {"id": "rd_purchase0", "logic": "OR", "checks": [
+        {"param": "purchase", "op": ">", "value": 15.0, "duration_s": 0}]},
+    # value-as-column threshold (helpers.py:397-400): error above click
+    {"id": "rd_err_gt_click", "logic": "AND", "checks": [
+        {"param": "error", "op": ">", "value": "click", "duration_s": 600}]},
+]
+
+
+def _rules_duration_sweep(t: pa.Table) -> pd.DataFrame:
+    from ..functions.rules import duration_alarms
+
+    return duration_alarms(_wide_means(t), RULES_DURATION,
+                           ["user_id"], "bucket", SLIDE_5M)
+
+
+def q_rule_alarms_duration(sf_dir: str):
+    """§2.10 + duration composition: "condition held for duration_s"
+    end-to-end — instantaneous rule masks gated by the reference's
+    per-streak duration scan, one alarm per streak at the crossing row
+    (process_odr.py:269-303)."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type", "value"])
+    return grouped_map(ds, ["user_id"], _rules_duration_sweep)
+
+
+SQL_RULE_ALARMS_DURATION = """
+WITH w AS (
+  SELECT user_id, (epoch_ms(ts) // 300000) * 300000 AS bucket,
+         AVG(value) FILTER (event_type = 'click') AS click,
+         AVG(value) FILTER (event_type = 'error') AS error,
+         AVG(value) FILTER (event_type = 'view') AS v_view,
+         AVG(value) FILTER (event_type = 'purchase') AS purchase
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT *, COALESCE(bucket - lag(bucket) OVER (PARTITION BY user_id ORDER BY bucket), 300000) AS step
+  FROM w
+),
+m AS (
+  SELECT user_id, bucket, step,
+         COALESCE(error > 8.0, FALSE) AS m1,
+         (COALESCE(v_view > 5.0, FALSE) AND COALESCE(click > 3.0, FALSE)) AS m2,
+         COALESCE(purchase > 15.0, FALSE) AS m3,
+         COALESCE(error > click, FALSE) AS m4
+  FROM seq
+),
+g AS (
+  SELECT *,
+         SUM(CASE WHEN m1 THEN 0 ELSE 1 END) OVER win AS g1,
+         SUM(CASE WHEN m2 THEN 0 ELSE 1 END) OVER win AS g2,
+         SUM(CASE WHEN m3 THEN 0 ELSE 1 END) OVER win AS g3,
+         SUM(CASE WHEN m4 THEN 0 ELSE 1 END) OVER win AS g4
+  FROM m WINDOW win AS (PARTITION BY user_id ORDER BY bucket)
+),
+s1 AS (SELECT user_id, bucket, g1, SUM(step) OVER (PARTITION BY user_id, g1 ORDER BY bucket) AS streak FROM g WHERE m1),
+s2 AS (SELECT user_id, bucket, g2, SUM(step) OVER (PARTITION BY user_id, g2 ORDER BY bucket) AS streak FROM g WHERE m2),
+s3 AS (SELECT user_id, bucket, g3 FROM g WHERE m3),
+s4 AS (SELECT user_id, bucket, g4, SUM(step) OVER (PARTITION BY user_id, g4 ORDER BY bucket) AS streak FROM g WHERE m4)
+SELECT user_id, MIN(bucket) AS bucket, 'rd_err600' AS rule_id FROM s1 WHERE streak >= 600000 GROUP BY user_id, g1
+UNION ALL
+SELECT user_id, MIN(bucket) AS bucket, 'rd_viewclick' AS rule_id FROM s2 WHERE streak >= 900000 GROUP BY user_id, g2
+UNION ALL
+SELECT user_id, MIN(bucket) AS bucket, 'rd_purchase0' AS rule_id FROM s3 GROUP BY user_id, g3
+UNION ALL
+SELECT user_id, MIN(bucket) AS bucket, 'rd_err_gt_click' AS rule_id FROM s4 WHERE streak >= 600000 GROUP BY user_id, g4
+"""
+
+
 def q_value_counts(sf_dir: str):
     """A2 analog: value_counts + percentage, sorted desc
     (helpers.py:737-753)."""
     ds = _read(sf_dir, "events", ["event_type"])
-    total = ds.count()
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         return (pd.Series(batch["event_type"].to_pandas())
@@ -1021,17 +1133,18 @@ def q_value_counts(sf_dir: str):
     parts = ds.map_batches(partial, batch_format="pyarrow")
     final = grouped_map(parts, ["event_type"], _combine_partials,
                         fn_kwargs={"keys": ["event_type"], "sums": ["n_events"]})
-
-    def finish(batch: pa.Table) -> pa.Table:
-        n = batch["n_events"].to_numpy().astype(np.int64)
-        return pa.table({
-            "event_type": batch["event_type"],
-            "n_events": pa.array(n, pa.int64()),
-            "pct_micros": pa.array(_micros(n / total), pa.int64()),
-        })
-
-    return final.map_batches(finish, batch_format="pyarrow") \
-                .sort(["n_events", "event_type"], descending=[True, False])
+    # the combined table is tiny (one row per distinct type): fold the
+    # total into this single pass instead of a separate ds.count()
+    # execution of the whole input
+    df = final.to_pandas()
+    n = df["n_events"].to_numpy().astype(np.int64)
+    out = pd.DataFrame({
+        "event_type": df["event_type"],
+        "n_events": n,
+        "pct_micros": _micros(n / n.sum()),
+    })
+    return out.sort_values(["n_events", "event_type"], ascending=[False, True],
+                           kind="stable").reset_index(drop=True)
 
 
 SQL_VALUE_COUNTS = """
@@ -1314,12 +1427,14 @@ QUERIES = {
     "ann_topk_ivf": q_ann_topk_ivf,
     "pricing_summary": q_pricing_summary,
     "segment_orders": q_segment_orders,
+    "mapped_lookup": q_mapped_lookup,
     "top_orders": q_top_orders,
     "filter_revenue": q_filter_revenue,
     "user_event_types": q_user_event_types,
     "derived_expr": q_derived_expr,
     "pivot_wide": q_pivot_wide,
     "rule_alarms": q_rule_alarms,
+    "rule_alarms_duration": q_rule_alarms_duration,
     "value_counts": q_value_counts,
     "interval_join": q_interval_join,
     "obs_text": q_obs_text,
@@ -1357,6 +1472,8 @@ ORACLE_SQL = {
     "derived_expr": SQL_DERIVED_EXPR,
     "pivot_wide": SQL_PIVOT_WIDE,
     "rule_alarms": SQL_RULE_ALARMS,
+    "rule_alarms_duration": SQL_RULE_ALARMS_DURATION,
+    "mapped_lookup": SQL_MAPPED_LOOKUP,
     "value_counts": SQL_VALUE_COUNTS,
     "interval_join": SQL_INTERVAL_JOIN,
     "obs_text": SQL_OBS_TEXT,

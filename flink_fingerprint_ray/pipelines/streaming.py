@@ -356,10 +356,12 @@ def feed_updates(files: list[str], n_partitions: int, join_handles: list) -> int
     would dominate (the probe side still flows through Ray Data)."""
     import pyarrow.parquet as pq
 
+    from ..sources.retry import with_retries
+
     total = 0
     refs = []
     for f in files:
-        t = pq.read_table(f, columns=["url", "update_ts", "change_kind"])
+        t = with_retries(lambda f=f: pq.read_table(f, columns=["url", "update_ts", "change_kind"]))
         b = update_transform(t, n_partitions)
         total += b.num_rows
         p = b["part"].to_numpy()

@@ -20,6 +20,8 @@ from dataclasses import dataclass
 
 import pyarrow.parquet as pq
 
+from .retry import with_retries
+
 
 @dataclass
 class Epoch:
@@ -48,7 +50,9 @@ class EpochSource:
             max_ts = 0
             rows = 0
             for f in files:
-                md = pq.read_metadata(f)
+                # transient-IO retry (S6 analog): stats reads hit storage
+                # per file; a blip must not kill epoch discovery
+                md = with_retries(lambda f=f: pq.read_metadata(f))
                 rows += md.num_rows
                 schema_idx = md.schema.to_arrow_schema().get_field_index(self.ts_col)
                 for rg in range(md.num_row_groups):

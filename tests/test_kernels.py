@@ -196,6 +196,59 @@ def test_rule_ops_and_logic():
     ])
     assert out["eq"].tolist() == [False, True, False, False, False]
     assert out["ne"].tolist() == [True, False, True, False, True]
+    # value-as-column-name threshold (helpers.py:397-400): a > b row-wise,
+    # NaN on either side never triggers; unknown column never triggers
+    assert evaluate_rule(df, {"id": "x", "logic": "AND", "checks": [
+        {"param": "a", "op": ">", "value": "b"}]}).tolist() == \
+        [False, True, False, False, False]
+    assert evaluate_rule(df, {"id": "x", "logic": "AND", "checks": [
+        {"param": "a", "op": "<=", "value": "b"}]}).tolist() == \
+        [True, False, True, False, False]
+    assert evaluate_rule(df, {"id": "x", "logic": "AND", "checks": [
+        {"param": "a", "op": ">", "value": "zzz"}]}).tolist() == [False] * 5
+
+
+def test_duration_alarms_streak_gate():
+    """Reference semantics (process_odr.py:269-303): one alarm per
+    continuous streak, fired when the accumulated step sum reaches
+    max(duration_s); step = delta to the previous present row, first row
+    of a key uses row_duration."""
+    import pandas as pd
+
+    from flink_fingerprint_ray.functions.rules import duration_alarms
+
+    # key 1: ts 0,60,120,180 all triggering -> streak 60,120,180,240
+    # key 2: trigger at 0 and 60, gap (false) at 120, trigger 180,240
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2, 2, 2, 2, 2],
+        "ts": [0, 60_000, 120_000, 180_000, 0, 60_000, 120_000, 180_000, 240_000],
+        "x": [9.0, 9.0, 9.0, 9.0, 9.0, 9.0, 1.0, 9.0, 9.0],
+    })
+    rules = [{"id": "r120", "logic": "AND", "checks": [
+        {"param": "x", "op": ">", "value": 5.0, "duration_s": 120}]}]
+    out = duration_alarms(df, rules, ["k"], "ts", 60_000)
+    # key 1: streak 60(row0),120(row1) -> crossing at ts=60000
+    # key 2: first streak 60,120 -> ts=60000; second streak starts at
+    # ts=180000 with step 60000 (delta from the FALSE row), 120000 at
+    # ts=240000 -> crossing at 240000
+    got = sorted(zip(out["k"], out["ts"]))
+    assert got == [(1, 60_000), (2, 60_000), (2, 240_000)]
+
+    # duration 0: one alarm at the FIRST row of each streak
+    rules0 = [{"id": "r0", "logic": "AND", "checks": [
+        {"param": "x", "op": ">", "value": 5.0, "duration_s": 0}]}]
+    out0 = duration_alarms(df, rules0, ["k"], "ts", 60_000)
+    assert sorted(zip(out0["k"], out0["ts"])) == [(1, 0), (2, 0), (2, 180_000)]
+
+    # a streak that never reaches the duration emits nothing
+    rules_long = [{"id": "rlong", "logic": "AND", "checks": [
+        {"param": "x", "op": ">", "value": 5.0, "duration_s": 600}]}]
+    assert len(duration_alarms(df, rules_long, ["k"], "ts", 60_000)) == 0
+
+    # irregular cadence: a 10-min gap inside a streak counts as its step
+    df2 = pd.DataFrame({"k": [1, 1], "ts": [0, 600_000], "x": [9.0, 9.0]})
+    out2 = duration_alarms(df2, rules_long, ["k"], "ts", 60_000)
+    assert sorted(zip(out2["k"], out2["ts"])) == [(1, 600_000)]
 
 
 def test_rule_overrides():

@@ -30,6 +30,8 @@ FAST_SQL_QUERIES = [
     "derived_expr",
     "pivot_wide",
     "rule_alarms",
+    "rule_alarms_duration",
+    "mapped_lookup",
     "value_counts",
     "interval_join",
     "obs_text",
