@@ -74,21 +74,32 @@ def _consume(res) -> int:
     return 0
 
 
-def run_headline(num_cpus: int, n_docs: int = N_DOCS, n_epochs: int = N_EPOCHS) -> dict:
-    """The flagship streaming pipeline on a seeded page stream; returns
-    wall seconds + docs/sec."""
+def write_corpus(dest: str, n_docs: int, n_epochs: int) -> None:
+    """Seeded deterministic page + update stream on disk (FIXTURES.md F1/F2)."""
     from flink_fingerprint_ray import fixtures
+
+    pages = fixtures.make_pages(n_docs=n_docs, seed=42, n_hosts=200)
+    updates = fixtures.make_page_updates(pages, seed=43)
+    fixtures.write_epochs(pages, dest, n_epochs=n_epochs, prefix="pages")
+    fixtures.write_epochs(updates, dest, n_epochs=n_epochs, prefix="updates")
+
+
+def run_headline(num_cpus: int, n_docs: int = N_DOCS, n_epochs: int = N_EPOCHS,
+                 corpus_dir: str | None = None) -> dict:
+    """The flagship streaming pipeline on a seeded page stream; returns
+    wall seconds + docs/sec.  ``corpus_dir``: pre-generated corpus to
+    reuse (the --scaling parent writes it ONCE so both parallelism levels
+    read identical files)."""
     from flink_fingerprint_ray.pipelines.streaming import (
         PipelineConfig,
         StreamingFingerprintPipeline,
     )
 
-    tmp = tempfile.mkdtemp(prefix="ffr_bench_")
+    tmp = corpus_dir or tempfile.mkdtemp(prefix="ffr_bench_")
+    out = tempfile.mkdtemp(prefix="ffr_bench_out_")
     try:
-        pages = fixtures.make_pages(n_docs=n_docs, seed=42, n_hosts=200)
-        updates = fixtures.make_page_updates(pages, seed=43)
-        fixtures.write_epochs(pages, tmp, n_epochs=n_epochs, prefix="pages")
-        fixtures.write_epochs(updates, tmp, n_epochs=n_epochs, prefix="updates")
+        if corpus_dir is None:
+            write_corpus(tmp, n_docs, n_epochs)
         cfg = PipelineConfig(
             sliding=(120_000, 60_000),
             session_gap_ms=120_000,
@@ -96,7 +107,7 @@ def run_headline(num_cpus: int, n_docs: int = N_DOCS, n_epochs: int = N_EPOCHS) 
         )
         pipe = StreamingFingerprintPipeline(
             os.path.join(tmp, "pages"),
-            os.path.join(tmp, "out"),
+            os.path.join(out, "out"),
             updates_root=os.path.join(tmp, "updates"),
             cfg=cfg,
         )
@@ -113,7 +124,9 @@ def run_headline(num_cpus: int, n_docs: int = N_DOCS, n_epochs: int = N_EPOCHS) 
             "n_fingerprints": n_out,
         }
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        if corpus_dir is None:
+            shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def run_queries(sf_dir: str) -> dict[str, float]:
@@ -153,11 +166,13 @@ def _cpu_calibration(lo: int, hi: int) -> float:
     return rates[hi] / ((hi / lo) * rates[lo])
 
 
-def _scaling_child(num_cpus: int) -> dict:
-    """Run in a FRESH process per parallelism level (fresh Ray session)."""
+def _scaling_child(num_cpus: int, corpus_dir: str) -> dict:
+    """Run in a FRESH process per parallelism level (fresh Ray session),
+    reading the parent's pre-generated corpus."""
     env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus),
                BENCH_N_DOCS=os.environ["BENCH_N_DOCS"],
-               BENCH_N_EPOCHS=os.environ["BENCH_N_EPOCHS"])
+               BENCH_N_EPOCHS=os.environ["BENCH_N_EPOCHS"],
+               BENCH_CORPUS_DIR=corpus_dir)
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--_headline-only"],
         env=env, capture_output=True, text=True, check=True,
@@ -174,18 +189,25 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.scaling:
-        # scaling evidence needs a compute-dominated workload: larger
-        # epochs so per-epoch fixed latency (executor startup, actor
-        # round-trips) doesn't mask the parallel speedup
-        os.environ.setdefault("BENCH_N_DOCS", "960000")
+        # scaling evidence needs a compute-dominated workload: epochs big
+        # enough that the per-epoch serial section (watermark barrier +
+        # state snapshot + manifest commit, O(state) not O(data)) is <10%
+        # of epoch wall time at BOTH parallelism levels
+        os.environ.setdefault("BENCH_N_DOCS", "3840000")
         os.environ.setdefault("BENCH_N_EPOCHS", "4")
         lo, hi = 8, 32
+        corpus = tempfile.mkdtemp(prefix="ffr_scaling_corpus_")
+        write_corpus(corpus, int(os.environ["BENCH_N_DOCS"]),
+                     int(os.environ["BENCH_N_EPOCHS"]))
         # best-of-2 per level: the sandbox VM's host contention swings
         # single-run wall times by up to 1.5x
-        r_lo = max((_scaling_child(lo) for _ in range(2)),
-                   key=lambda r: r["headline"]["docs_per_sec"])
-        r_hi = max((_scaling_child(hi) for _ in range(2)),
-                   key=lambda r: r["headline"]["docs_per_sec"])
+        try:
+            r_lo = max((_scaling_child(lo, corpus) for _ in range(2)),
+                       key=lambda r: r["headline"]["docs_per_sec"])
+            r_hi = max((_scaling_child(hi, corpus) for _ in range(2)),
+                       key=lambda r: r["headline"]["docs_per_sec"])
+        finally:
+            shutil.rmtree(corpus, ignore_errors=True)
         eff = r_hi["headline"]["docs_per_sec"] / (
             (hi / lo) * r_lo["headline"]["docs_per_sec"]
         )
@@ -212,7 +234,12 @@ def main() -> None:
     # warm the worker pool so the first timed query doesn't pay startup
     import ray.data
     ray.data.range(NUM_CPUS * 2).map_batches(lambda b: b).materialize()
-    headline = run_headline(NUM_CPUS)
+    headline = run_headline(
+        NUM_CPUS,
+        n_docs=int(os.environ.get("BENCH_N_DOCS", N_DOCS)),
+        n_epochs=int(os.environ.get("BENCH_N_EPOCHS", N_EPOCHS)),
+        corpus_dir=os.environ.get("BENCH_CORPUS_DIR"),
+    )
     queries = {} if args.headline_only else run_queries(SF_DIR)
     result = {
         "metric": "streaming fingerprint pipeline wall time (sec) + per-query suite",

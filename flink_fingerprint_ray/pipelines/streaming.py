@@ -132,19 +132,24 @@ def finalize_partition(
     ARE the all-to-all exchange (SURVEY.md §7.3)."""
     import pyarrow.parquet as pq
 
+    t_start = time.perf_counter()
     tabs = []
+    n_scanned = 0
     for t in tables:
         if t is None or t.num_rows == 0:
             continue
+        n_scanned += t.num_rows
         h = window_salt_hash(t["key_hash"].to_numpy(), t["window_start"].to_numpy())
         mine = (h % np.uint64(n_parts)).astype(np.int64) == my_part
         if mine.any():
             tabs.append(t.take(pa.array(np.flatnonzero(mine))))
+    t_sel = time.perf_counter()
     if not tabs:
-        return 0, None
+        return (0, {}), None
     out = finalize_many(pa.concat_tables(tabs, promote_options="default").combine_chunks())
+    t_fin = time.perf_counter()
     if len(out) == 0:
-        return 0, None
+        return (0, {}), None
     fps = pa.Table.from_pandas(out, preserve_index=False).select(
         FINGERPRINT_SCHEMA.names
     ).cast(FINGERPRINT_SCHEMA)
@@ -155,6 +160,7 @@ def finalize_partition(
         sub = fps.take(pa.array(np.flatnonzero(part == pid)))
         outs.append(join_handles[int(pid)].probe.remote(sub))
     enriched = pa.concat_tables(ray.get(outs))
+    t_probe = time.perf_counter()
     pq.write_table(enriched, path)
     # second return: the closed-window rows the rising-edge alert state
     # consumes (T3 analog) — tiny projection, one row per window
@@ -162,7 +168,16 @@ def finalize_partition(
         ["key_lang", "key_host", "window_kind", "window_start",
          "window_end", "dup_cluster_count"]
     )
-    return enriched.num_rows, alert_rows
+    timings = {
+        "sel": round(t_sel - t_start, 4),
+        "fin": round(t_fin - t_sel, 4),
+        "probe": round(t_probe - t_fin, 4),
+        "write": round(time.perf_counter() - t_probe, 4),
+        "rows_scanned": n_scanned,
+        "rows_mine": sum(t.num_rows for t in tabs),
+        "groups": len(out),
+    }
+    return (enriched.num_rows, timings), alert_rows
 
 
 @ray.remote(num_cpus=0)
@@ -181,6 +196,21 @@ class MetricCounter:
         for k in list(self.c):
             if k.startswith(prefix):
                 del self.c[k]
+        return out
+
+    def take_stale(self, before_epoch: int) -> dict[str, int]:
+        """Return-and-remove counters of epochs < ``before_epoch`` whose
+        adds were delivered AFTER that epoch's take_prefix (fire-and-forget
+        sends have no delivery barrier).  Reclaimed into the collecting
+        epoch's metrics: cross-epoch totals stay exact, and no stale keys
+        accrete in the dict."""
+        import re
+
+        out: dict[str, int] = {}
+        for k in list(self.c):
+            m = re.match(r"e(\d+):(.*)", k)
+            if m and int(m.group(1)) < before_epoch:
+                out[m.group(2)] = out.get(m.group(2), 0) + self.c.pop(k)
         return out
 
     def get_all(self) -> dict[str, int]:
@@ -208,18 +238,15 @@ def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix:
     batch = batch.filter(nonempty)
     text = text.filter(nonempty)
     if counter is not None:
-        # only nonzero counts (rare: ~1-3% of rows), and AWAIT the ack in
-        # this task: the count is inside the actor before this block can
-        # reach any downstream consumer, so the driver's take_prefix after
-        # the finalize barrier can never miss a late-delivered add (and no
-        # zero-valued keys accrete in the counter dict)
-        ack = []
+        # fire-and-forget, nonzero counts only: blocking on the ack here
+        # makes the raylet oversubscribe map workers (~25% slower epochs).
+        # An add delivered after this epoch's take_prefix is reclaimed by
+        # the driver's stale-drain at the next epoch's finish, so totals
+        # stay exact and no keys accrete in the counter dict.
         if n_late:
-            ack.append(counter.add.remote(metric_prefix + "late_dropped", n_late))
+            counter.add.remote(metric_prefix + "late_dropped", n_late)
         if n_empty:
-            ack.append(counter.add.remote(metric_prefix + "empty_dropped", n_empty))
-        if ack:
-            ray.wait(ack, num_returns=len(ack))
+            counter.add.remote(metric_prefix + "empty_dropped", n_empty)
 
     host = fp.host_of(batch["url"])
     lang = batch["lang"].combine_chunks().cast(pa.large_string()) if batch.num_rows else pa.array([], pa.large_string())
@@ -287,6 +314,7 @@ def route_and_split(
     watermark_ms: int,
     window_handles: list,
     n_partitions: int,
+    *snapshot_barrier,
 ):
     """Per-block three-way split (distributed — no driver funnel):
     session rows → owning state actor; open fixed-window rows → owning
@@ -295,7 +323,9 @@ def route_and_split(
     Returns (closable_table, ack_refs): the task does NOT block on the
     actor adds — it hands their ObjectRefs back so the driver awaits them
     (blocked ray.get inside tasks forces the raylet to oversubscribe
-    worker processes)."""
+    worker processes).  ``snapshot_barrier``: the previous epoch's window
+    snapshot refs; Ray resolves them before this task starts, so the adds
+    below cannot race a still-running snapshot."""
     import pyarrow.compute as pc
 
     if block.num_rows == 0:
@@ -466,17 +496,26 @@ class StreamingFingerprintPipeline:
         #    call, so these adds can't leak into that snapshot.
         closable_refs = []
         ack_list_refs = []
+        # the previous epoch's window snapshots ride in as barrier args:
+        # Ray resolves them before any route task RUNS, so no add of this
+        # epoch can reach an actor before the prior snapshot completed
+        # (explicit happens-before, no driver-side blocking)
+        snap_barrier = tuple(prev_pending.get("w_snap_refs", ())) if prev_pending else ()
         for ref in transform_refs:
             closable, acks = route_and_split.remote(
-                ref, wm_new, self.pool.window_actors, cfg.n_state_partitions
+                ref, wm_new, self.pool.window_actors, cfg.n_state_partitions,
+                *snap_barrier,
             )
             closable_refs.append(closable)
             ack_list_refs.append(acks)
+
+        t_route_launch = time.perf_counter()
 
         # 3) finish the previous epoch: finalize barrier → join evict →
         #    join snapshot → commit fence
         if prev_pending is not None:
             self._finish_epoch(prev_pending)
+        t_prev_fin = time.perf_counter()
 
         # 4) feed this epoch's page updates into the join state (build
         #    side) — after the previous epoch's probes completed
@@ -497,12 +536,7 @@ class StreamingFingerprintPipeline:
         #    rows — taken as refs straight from the actors (no driver copy)
         fin_refs = list(closable_refs) + self.pool.mature_refs(wm_new)
 
-        # 7) window-state snapshot NOW (actors quiesced until the next
-        #    epoch's route) — snapshot-then-commit, SURVEY.md §7.4.4
-        snap_dir = os.path.join(self.sink.out_dir, "_state", f"epoch={epoch.index:05d}")
-        w_snap = self.pool.snapshot_windows(snap_dir)
-
-        # 8) finalize per (key, window) + join probe + staged write: ONE
+        # 7) finalize per (key, window) + join probe + staged write: ONE
         #    task per hash partition selects its key range from every
         #    closable/matured block (map-side-select shuffle), sweeps all
         #    its windows, probes the co-partitioned join state, and writes
@@ -525,6 +559,14 @@ class StreamingFingerprintPipeline:
             write_refs.append(cnt)
             alert_refs.append(al)
 
+        # 8) window-state snapshot, ASYNC (actors quiesced: adds acked and
+        #    mature calls precede the snapshot in each actor's mailbox) —
+        #    runs concurrently with the finalize tasks above; the refs are
+        #    resolved before the commit fence (snapshot-then-commit,
+        #    SURVEY.md §7.4.4) and gate the NEXT epoch's route tasks.
+        snap_dir = os.path.join(self.sink.out_dir, "_state", f"epoch={epoch.index:05d}")
+        w_snap_refs = self.pool.snapshot_windows_refs(snap_dir)
+
         self._wm = wm_new
         pending = {
             "epoch": epoch,
@@ -534,9 +576,11 @@ class StreamingFingerprintPipeline:
             "staging": staging,
             "wm": wm_new,
             "snap_dir": snap_dir,
-            "w_snap": w_snap,
+            "w_snap_refs": w_snap_refs,
             "t0": t0,
             "t_route": t_route,
+            "t_route_launch": t_route_launch,
+            "t_prev_fin": t_prev_fin,
             "t_launch": time.perf_counter(),
         }
         if defer_commit:
@@ -544,29 +588,66 @@ class StreamingFingerprintPipeline:
         return self._finish_epoch(pending)
 
     def _finish_epoch(self, pending: dict) -> dict:
-        """Finalize barrier → join evict → join snapshot → publish fence →
-        manifest commit for a pending epoch."""
+        """Finalize barrier → (alert feed ∥ join evict ∥ snapshots) →
+        publish fence → manifest commit for a pending epoch.
+
+        Everything between the finalize barrier and the commit is LAUNCHED
+        first and awaited in one combined ``ray.get``: per-actor mailbox
+        ordering (same submitter) guarantees evict-before-join-snapshot
+        and feed-before-alert-snapshot, so the six former sequential
+        round-trip barriers collapse into one."""
         epoch = pending["epoch"]
-        n_out = int(sum(ray.get(pending["write_refs"])))
+        t_enter = time.perf_counter()
+        fin_results = ray.get(pending["write_refs"])
+        n_out = int(sum(r[0] for r in fin_results))
+        fin_timings = [r[1] for r in fin_results if r[1]]
+        t_barrier = time.perf_counter()
         # rising-edge alerts (T3 analog): strictly sequential per epoch —
         # fed AFTER the finalize barrier, written into the staging dir so
         # they ride the same idempotent fence, state snapshotted with it
-        n_alerts = 0
-        if pending["alert_refs"]:
-            alert_tabs = ray.get(self.pool.feed_alerts(pending["alert_refs"]))
-            alerts = pa.concat_tables([t for t in alert_tabs if t.num_rows])  \
-                if any(t.num_rows for t in alert_tabs) else None
-            if alerts is not None:
-                import pyarrow.parquet as _pq
+        alert_feed_refs = (
+            self.pool.feed_alerts(pending["alert_refs"]) if pending["alert_refs"] else []
+        )
+        evict_refs = self.pool.evict_join_refs(pending["wm"])
+        j_snap_refs = self.pool.snapshot_join_refs(pending["snap_dir"])
+        a_snap_refs = self.pool.snapshot_alerts_refs(pending["snap_dir"])
+        buf_w_refs, buf_j_refs = self.pool.buffered_refs()
+        metrics_ref = self.counter.take_prefix.remote(f"e{epoch.index}:")
+        stale_ref = self.counter.take_stale.remote(epoch.index)
 
-                _pq.write_table(alerts, os.path.join(pending["staging"], "alerts.parquet"))
-                n_alerts = alerts.num_rows
+        flat = ray.get(
+            list(pending["w_snap_refs"]) + alert_feed_refs + evict_refs
+            + j_snap_refs + a_snap_refs + buf_w_refs + buf_j_refs
+            + [metrics_ref, stale_ref]
+        )
+        i = 0
+        def _take(n):
+            nonlocal i
+            out = flat[i:i + n]
+            i += n
+            return out
+        w_snap = {f"window_{k}": p for k, p in enumerate(_take(len(pending["w_snap_refs"])))}
+        alert_tabs = _take(len(alert_feed_refs))
+        evicted = int(sum(_take(len(evict_refs))))
+        j_snap = {f"join_{k}": p for k, p in enumerate(_take(len(j_snap_refs)))}
+        a_snap = {f"alerts_{k}": p for k, p in enumerate(_take(len(a_snap_refs)))}
+        buf_w = _take(len(buf_w_refs))
+        buf_j = _take(len(buf_j_refs))
+        metrics, stale = _take(2)
+
+        n_alerts = 0
+        alerts = pa.concat_tables([t for t in alert_tabs if t.num_rows]) \
+            if any(t.num_rows for t in alert_tabs) else None
+        if alerts is not None:
+            import pyarrow.parquet as _pq
+
+            _pq.write_table(alerts, os.path.join(pending["staging"], "alerts.parquet"))
+            n_alerts = alerts.num_rows
         t_fin = time.perf_counter()
-        evicted = self.pool.evict_join(pending["wm"])
-        j_snap = self.pool.snapshot_join(pending["snap_dir"])
-        a_snap = self.pool.snapshot_alerts(pending["snap_dir"])
-        snapshot = {**pending["w_snap"], **j_snap, **a_snap}
-        metrics = ray.get(self.counter.take_prefix.remote(f"e{epoch.index}:"))
+        snapshot = {**w_snap, **j_snap, **a_snap}
+        # reclaim counts of EARLIER epochs delivered after their collection
+        for k, v in stale.items():
+            metrics[k] = metrics.get(k, 0) + v
         metrics.update(
             {
                 "rows_in": epoch.num_rows,
@@ -575,11 +656,26 @@ class StreamingFingerprintPipeline:
                 "join_evicted": evicted,
                 # S9 lag analog: epochs discovered but not yet committed
                 "epochs_behind": max(0, len(self.source) - epoch.index - 1),
-                "buffered": self.pool.buffered(),
+                "buffered": {
+                    "fixed": sum(x["fixed"] for x in buf_w),
+                    "session": sum(x["session"] for x in buf_w),
+                    "join": sum(buf_j),
+                },
                 "route_sec": round(pending["t_route"] - pending["t0"], 4),
                 "finalize_sec": round(t_fin - pending["t_route"], 4),
                 "commit_sec": round(time.perf_counter() - t_fin, 4),
                 "wall_sec": round(time.perf_counter() - pending["t0"], 4),
+                # fine-grained phase diagnostics (driver-side waits)
+                "ph_route_launch_sec": round(pending["t_route_launch"] - pending["t0"], 4),
+                "ph_prev_finish_sec": round(pending["t_prev_fin"] - pending["t_route_launch"], 4),
+                "ph_ack_sec": round(pending["t_route"] - pending["t_prev_fin"], 4),
+                "ph_launch_sec": round(pending["t_launch"] - pending["t_route"], 4),
+                "ph_fin_barrier_sec": round(t_barrier - t_enter, 4),
+                "ph_fin_combined_sec": round(t_fin - t_barrier, 4),
+                "fin_tasks": {
+                    k: (max(t.get(k, 0) for t in fin_timings) if fin_timings else 0)
+                    for k in ("sel", "fin", "probe", "write", "rows_mine", "groups")
+                },
             }
         )
         upd_epoch = pending["upd_epoch"]

@@ -85,12 +85,23 @@ def compute_stats(values: np.ndarray) -> dict[str, float]:
     n = len(v)
     if n == 0:
         return {"min": 0.0, "max": 0.0, "median": 0.0, "mean": 0.0, "std_dev": 0.0}
-    mean = float(np.mean(v))
-    std = 0.0 if n == 1 else float(np.std(v))
+    # SEQUENTIAL sums via single-segment reduceat — the exact reduction
+    # the vectorized segment path (finalize_many) performs per group, so
+    # scalar (oracle) and segmented (engine) floats are bit-identical
+    # (np.mean/np.std pairwise summation would differ in the last ulp)
+    seg0 = np.array([0], dtype=np.int64)
+    mean = float(np.add.reduceat(v, seg0)[0] / n)
+    if n == 1:
+        std = 0.0
+    else:
+        dev = v - mean
+        std = float(np.sqrt(np.add.reduceat(dev * dev, seg0)[0] / n))
+    half = n // 2
+    median = float(v[half]) if n % 2 else float(0.5 * (v[half - 1] + v[half]))
     return {
         "min": float(v[0]),
         "max": float(v[-1]),
-        "median": float(np.median(v)),
+        "median": median,
         "mean": mean,
         "std_dev": std,
     }
@@ -332,37 +343,46 @@ def finalize_many(table) -> pd.DataFrame:
     ends = np.append(starts[1:], n)
     sizes = ends - starts
 
-    # Singleton fast path (the majority of real windows): doc_count == 1
-    # means exact/near/cluster counts are 0 and every stat equals the one
-    # value with std 0 — identical to compute_stats/dup_cluster_counts on
-    # a 1-row group, no per-group Python.
+    # Vectorized per-group stats: one lexsort puts tlen ascending inside
+    # each group segment, then segmented 1-D reduceat reductions produce
+    # EXACTLY compute_stats' outputs (same ascending order, same
+    # sequential per-segment summation — see compute_stats) with no
+    # per-group Python.  (1-D contiguous reduceat is fast on this numpy
+    # build; 2-D reduceat/cumsum are not.)
     g_lang, g_host, g_kind = lang[starts], host[starts], kind[starts]
     g_ws, g_we = ws[starts].astype(np.int64), we[starts].astype(np.int64)
     n_g = len(starts)
+    gid_row = np.repeat(np.arange(n_g), sizes)
+    stat_order = np.lexsort((tlen, gid_row))
+    tl_s = tlen[stat_order]
+    starts64 = starts.astype(np.int64)
+    sums = np.add.reduceat(tl_s, starts64)
+    min_a = tl_s[starts]
+    max_a = tl_s[ends - 1]
+    mean_a = sums / sizes
+    half = starts + sizes // 2
+    med_a = np.where(sizes % 2 == 1, tl_s[half],
+                     0.5 * (tl_s[np.maximum(half - 1, starts)] + tl_s[half]))
+    dev = tl_s - np.repeat(mean_a, sizes)
+    std_a = np.sqrt(np.add.reduceat(dev * dev, starts64) / sizes)
+    std_a[sizes == 1] = 0.0  # n==1 -> 0.0 rule (aggregations.py:15)
+
     exact_a = np.zeros(n_g, dtype=np.int64)
     near_a = np.zeros(n_g, dtype=np.int64)
     clus_a = np.zeros(n_g, dtype=np.int64)
-    min_a = np.empty(n_g); max_a = np.empty(n_g)
-    med_a = np.empty(n_g); mean_a = np.empty(n_g)
-    std_a = np.zeros(n_g)
-    single = sizes == 1
-    v1 = tlen[starts[single]]
-    min_a[single] = v1; max_a[single] = v1
-    med_a[single] = v1; mean_a[single] = v1
-
-    multi = np.flatnonzero(~single)
+    multi_mask = sizes > 1
+    multi = np.flatnonzero(multi_mask)
     if len(multi):
         # dup counts for ALL multi-row groups in one vectorized pass
-        m_rows = np.concatenate([np.arange(starts[gi], ends[gi]) for gi in multi])
-        m_gid = np.repeat(np.arange(len(multi)), sizes[multi])
+        # (row order inside groups is the group-sorted arrival order the
+        # oracle uses — the stats sort above works on a separate copy)
+        m_rows = np.flatnonzero(multi_mask[gid_row])
+        comp = np.cumsum(multi_mask) - 1
+        m_gid = comp[gid_row[m_rows]]
         ex_m, ne_m, cl_m = dup_cluster_counts_many(
             m_gid, thash[m_rows], bands[m_rows], sig[m_rows], len(multi)
         )
         exact_a[multi], near_a[multi], clus_a[multi] = ex_m, ne_m, cl_m
-        for j, gi in enumerate(multi):
-            stats = compute_stats(tlen[starts[gi]:ends[gi]])
-            min_a[gi], max_a[gi] = stats["min"], stats["max"]
-            med_a[gi], mean_a[gi], std_a[gi] = stats["median"], stats["mean"], stats["std_dev"]
 
     fids = [
         fingerprint_id(str(la), str(ho), str(ki), int(s_), int(e_))

@@ -522,12 +522,33 @@ class StatePool:
         }
 
     def snapshot_windows(self, snap_dir: str) -> dict[str, dict[str, str]]:
-        w = ray.get([a.snapshot.remote(os.path.join(snap_dir, "window")) for a in self.window_actors])
+        w = ray.get(self.snapshot_windows_refs(snap_dir))
         return {f"window_{i}": p for i, p in enumerate(w)}
 
+    def snapshot_windows_refs(self, snap_dir: str) -> list:
+        """Async variant: submit the per-actor snapshot tasks and return
+        their refs — the driver overlaps them with the finalize tasks and
+        resolves them before the manifest commit (snapshot-then-commit is
+        preserved; only the WAIT moves)."""
+        return [a.snapshot.remote(os.path.join(snap_dir, "window")) for a in self.window_actors]
+
     def snapshot_join(self, snap_dir: str) -> dict[str, dict[str, str]]:
-        j = ray.get([a.snapshot.remote(os.path.join(snap_dir, "join")) for a in self.join_actors])
+        j = ray.get(self.snapshot_join_refs(snap_dir))
         return {f"join_{i}": p for i, p in enumerate(j)}
+
+    def snapshot_join_refs(self, snap_dir: str) -> list:
+        return [a.snapshot.remote(os.path.join(snap_dir, "join")) for a in self.join_actors]
+
+    def snapshot_alerts_refs(self, snap_dir: str) -> list:
+        return [x.snapshot.remote(os.path.join(snap_dir, "alerts")) for x in self.alert_actors]
+
+    def evict_join_refs(self, watermark_ms: int) -> list:
+        return [a.evict.remote(watermark_ms) for a in self.join_actors]
+
+    def buffered_refs(self) -> tuple[list, list]:
+        w = [a.buffered_rows.remote() for a in self.window_actors]
+        j = [a.buffered_rows.remote() for a in self.join_actors]
+        return w, j
 
     def snapshot(self, snap_dir: str) -> dict[str, dict[str, str]]:
         return {**self.snapshot_windows(snap_dir), **self.snapshot_join(snap_dir)}
