@@ -74,14 +74,26 @@ def _consume(res) -> int:
     return 0
 
 
-def write_corpus(dest: str, n_docs: int, n_epochs: int) -> None:
-    """Seeded deterministic page + update stream on disk (FIXTURES.md F1/F2)."""
+def _doc_tokens() -> tuple[int, int]:
+    lo, hi = os.environ.get("BENCH_DOC_TOKENS", "12-40").split("-")
+    return int(lo), int(hi)
+
+
+def write_corpus(dest: str, n_docs: int, n_epochs: int) -> int:
+    """Seeded deterministic page + update stream on disk (FIXTURES.md
+    F1/F2).  Returns total html bytes (for MB/s reporting)."""
+    import pyarrow.compute as pc
+
     from flink_fingerprint_ray import fixtures
 
-    pages = fixtures.make_pages(n_docs=n_docs, seed=42, n_hosts=200)
+    lo, hi = _doc_tokens()
+    pages = fixtures.make_pages(n_docs=n_docs, seed=42, n_hosts=200,
+                                tokens_lo=lo, tokens_hi=hi)
     updates = fixtures.make_page_updates(pages, seed=43)
+    n_bytes = int(pc.sum(pc.binary_length(pages["html"])).as_py())
     fixtures.write_epochs(pages, dest, n_epochs=n_epochs, prefix="pages")
     fixtures.write_epochs(updates, dest, n_epochs=n_epochs, prefix="updates")
+    return n_bytes
 
 
 def run_headline(num_cpus: int, n_docs: int = N_DOCS, n_epochs: int = N_EPOCHS,
@@ -97,9 +109,10 @@ def run_headline(num_cpus: int, n_docs: int = N_DOCS, n_epochs: int = N_EPOCHS,
 
     tmp = corpus_dir or tempfile.mkdtemp(prefix="ffr_bench_")
     out = tempfile.mkdtemp(prefix="ffr_bench_out_")
+    n_bytes = int(os.environ.get("BENCH_CORPUS_BYTES", "0"))
     try:
         if corpus_dir is None:
-            write_corpus(tmp, n_docs, n_epochs)
+            n_bytes = write_corpus(tmp, n_docs, n_epochs)
         cfg = PipelineConfig(
             sliding=(120_000, 60_000),
             session_gap_ms=120_000,
@@ -119,6 +132,8 @@ def run_headline(num_cpus: int, n_docs: int = N_DOCS, n_epochs: int = N_EPOCHS,
         return {
             "sec": round(elapsed, 3),
             "docs_per_sec": round(n_docs / elapsed, 1),
+            "mb_per_sec": round(n_bytes / 1e6 / elapsed, 1) if n_bytes else None,
+            "corpus_mb": round(n_bytes / 1e6, 1) if n_bytes else None,
             "n_docs": n_docs,
             "n_epochs": n_epochs,
             "n_fingerprints": n_out,
@@ -142,6 +157,17 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return times
 
 
+def approx_quality(sf_dir: str) -> dict[str, float]:
+    """Quality numbers for the approximate paths, so BENCH records not
+    just their speed: IVF recall@k vs the brute-force ground truth."""
+    from flink_fingerprint_ray.pipelines.queries import q_ann_topk, q_ann_topk_ivf
+    from flink_fingerprint_ray.stages.similarity import ivf_recall
+
+    exact = q_ann_topk(sf_dir)
+    approx = q_ann_topk_ivf(sf_dir)
+    return {"ann_topk_ivf_recall": round(ivf_recall(exact, approx), 4)}
+
+
 def _burn(_):
     x = 0
     for i in range(30_000_000):
@@ -149,21 +175,57 @@ def _burn(_):
     return x
 
 
-def _cpu_calibration(lo: int, hi: int) -> float:
-    """Measured hardware scaling ceiling of THIS machine: perfectly
-    parallel ALU-bound work at lo vs hi processes.  The sandbox VM's
-    vCPUs are oversubscribed, so even ideal code cannot reach 1.0 —
-    report the ceiling so the pipeline's efficiency can be judged
-    against what the hardware physically delivers."""
+_CAL_HTML = None  # built once in the parent; shared copy-on-write via fork
+
+
+def _workload_burn(_):
+    """One dose of the pipeline's OWN per-doc kernel chain (extract →
+    simhash+minhash → band keys → content hash) over a fixed batch —
+    embarrassingly parallel, no Ray, no coordination."""
+    from flink_fingerprint_ray.functions import fingerprint as fp
+
+    for _ in range(4):
+        t = fp.extract_text(_CAL_HTML)
+        sh, mh = fp.simhash_and_minhash(t)
+        fp.minhash_band_keys(mh, 16)
+        fp.text_hash64(t)
+    return 0
+
+
+def _calibrations(lo: int, hi: int) -> dict[str, float]:
+    """Measured hardware scaling ceilings of THIS machine at lo vs hi
+    processes, for perfectly parallel work with ZERO orchestration.
+
+    The sandbox VM's vCPUs are oversubscribed at the host, so even ideal
+    code cannot reach 1.0.  Two yardsticks:
+
+    - ``alu``: register-only integer math (no memory traffic);
+    - ``workload``: the pipeline's own per-doc kernel chain over a fixed
+      batch — same instruction/memory mix as the engine's hot path, so
+      it is the honest "what would dedicated nodes deliver" ceiling for
+      THIS workload (streaming fingerprint kernels are memory-bandwidth
+      heavy, which the ALU burn does not capture).
+    """
+    global _CAL_HTML
     import multiprocessing as mp
 
-    rates = {}
-    for n in (lo, hi):
-        t0 = time.perf_counter()
-        with mp.Pool(n) as p:
-            p.map(_burn, range(n))
-        rates[n] = n / (time.perf_counter() - t0)
-    return rates[hi] / ((hi / lo) * rates[lo])
+    if _CAL_HTML is None:
+        from flink_fingerprint_ray import fixtures
+
+        tlo, thi = _doc_tokens()
+        _CAL_HTML = fixtures.make_pages(
+            n_docs=4000, seed=7, n_hosts=50, tokens_lo=tlo, tokens_hi=thi
+        )["html"].combine_chunks()
+    out = {}
+    for name, fn in (("alu", _burn), ("workload", _workload_burn)):
+        rates = {}
+        for n in (lo, hi):
+            t0 = time.perf_counter()
+            with mp.Pool(n) as p:
+                p.map(fn, range(n))
+            rates[n] = n / (time.perf_counter() - t0)
+        out[name] = round(rates[hi] / ((hi / lo) * rates[lo]), 3)
+    return out
 
 
 def _scaling_child(num_cpus: int, corpus_dir: str) -> dict:
@@ -189,44 +251,78 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.scaling:
-        # scaling evidence needs a compute-dominated workload: epochs big
-        # enough that the per-epoch serial section (watermark barrier +
-        # state snapshot + manifest commit, O(state) not O(data)) is <10%
-        # of epoch wall time at BOTH parallelism levels
-        os.environ.setdefault("BENCH_N_DOCS", "3840000")
+        # scaling evidence needs a compute-dominated workload:
+        # (a) epochs big enough that the per-epoch serial section
+        #     (watermark barrier + state snapshot + manifest commit,
+        #     O(state) not O(data)) is <10% of epoch wall time;
+        # (b) REALISTICALLY-SIZED documents (~10 KB html, like real web
+        #     pages) so per-doc compute — extraction + fingerprints, the
+        #     part that dominates at the 100 TB design point — outweighs
+        #     per-row coordination, which tiny ~200 B test docs do not
+        #     (at this size the 8-CPU level is ~100% kernel-saturated).
+        os.environ.setdefault("BENCH_N_DOCS", "120000")
         os.environ.setdefault("BENCH_N_EPOCHS", "4")
+        os.environ.setdefault("BENCH_DOC_TOKENS", "768-2560")
         lo, hi = 8, 32
+        rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "3"))
         corpus = tempfile.mkdtemp(prefix="ffr_scaling_corpus_")
-        write_corpus(corpus, int(os.environ["BENCH_N_DOCS"]),
-                     int(os.environ["BENCH_N_EPOCHS"]))
-        # best-of-2 per level: the sandbox VM's host contention swings
-        # single-run wall times by up to 1.5x
+        n_bytes = write_corpus(corpus, int(os.environ["BENCH_N_DOCS"]),
+                               int(os.environ["BENCH_N_EPOCHS"]))
+        os.environ["BENCH_CORPUS_BYTES"] = str(n_bytes)
+        # PAIRED rounds with a per-round hardware calibration: the host's
+        # vCPUs are oversubscribed by other tenants and the available
+        # capacity swings minute-to-minute (measured ALU ceiling varies
+        # 0.57-0.98 across minutes!), so a single pair of runs — or a
+        # calibration taken at a different moment than the runs — is
+        # noise.  Each round runs lo then hi back-to-back on the same
+        # corpus in fresh processes; the reported efficiency is the
+        # MEDIAN across rounds, with every round's raw numbers included.
+        pairs = []
         try:
-            r_lo = max((_scaling_child(lo, corpus) for _ in range(2)),
-                       key=lambda r: r["headline"]["docs_per_sec"])
-            r_hi = max((_scaling_child(hi, corpus) for _ in range(2)),
-                       key=lambda r: r["headline"]["docs_per_sec"])
+            for _ in range(rounds):
+                r_lo = _scaling_child(lo, corpus)["headline"]
+                r_hi = _scaling_child(hi, corpus)["headline"]
+                cal = _calibrations(lo, hi)
+                pairs.append({
+                    f"num_cpus={lo}": r_lo,
+                    f"num_cpus={hi}": r_hi,
+                    "efficiency": round(
+                        r_hi["docs_per_sec"] / ((hi / lo) * r_lo["docs_per_sec"]), 3),
+                    "hardware_ceiling_alu": cal["alu"],
+                    "hardware_ceiling_workload": cal["workload"],
+                })
         finally:
             shutil.rmtree(corpus, ignore_errors=True)
-        eff = r_hi["headline"]["docs_per_sec"] / (
-            (hi / lo) * r_lo["headline"]["docs_per_sec"]
-        )
-        ceiling = _cpu_calibration(lo, hi)
+        effs = sorted(p["efficiency"] for p in pairs)
+        alu = sorted(p["hardware_ceiling_alu"] for p in pairs)
+        wl = sorted(p["hardware_ceiling_workload"] for p in pairs)
+        med_eff = effs[len(effs) // 2]
+        med_alu = alu[len(alu) // 2]
+        med_wl = wl[len(wl) // 2]
+        best = max(pairs, key=lambda p: p["efficiency"])
         print(json.dumps({
             "metric": "streaming fingerprint pipeline scaling (fresh ray sessions, same input)",
-            "value": round(eff, 3),
+            "value": med_eff,
             "unit": "efficiency",
             "sf": SF_DIR,
-            "runs": {
-                f"num_cpus={lo}": r_lo["headline"],
-                f"num_cpus={hi}": r_hi["headline"],
-            },
-            "throughput_lo": r_lo["headline"]["docs_per_sec"],
-            "throughput_hi": r_hi["headline"]["docs_per_sec"],
+            "rounds": pairs,
+            "throughput_lo": best[f"num_cpus={lo}"]["docs_per_sec"],
+            "throughput_hi": best[f"num_cpus={hi}"]["docs_per_sec"],
             "cpu_ratio": hi / lo,
-            "scaling_efficiency": round(eff, 3),
-            "hardware_ceiling": round(ceiling, 3),
-            "efficiency_vs_hardware": round(eff / ceiling, 3),
+            "scaling_efficiency": med_eff,
+            "scaling_efficiency_best": best["efficiency"],
+            "hardware_ceiling_alu": med_alu,
+            "hardware_ceiling_workload": med_wl,
+            # normalize against the ALU ceiling — the HIGHEST scaling any
+            # work achieves on this oversubscribed host (pure register
+            # math, no memory traffic), so this ratio is conservative.
+            # The workload ceiling (same kernels, zero orchestration,
+            # naive multiprocessing) is usually LOWER than the pipeline's
+            # own efficiency: Ray's shared object store + block
+            # backpressure manage memory pressure better than fork-joined
+            # processes each holding private copies.
+            "efficiency_vs_hardware": round(med_eff / med_alu, 3),
+            "efficiency_vs_workload_ceiling": round(med_eff / med_wl, 3),
         }))
         return
 
@@ -241,6 +337,7 @@ def main() -> None:
         corpus_dir=os.environ.get("BENCH_CORPUS_DIR"),
     )
     queries = {} if args.headline_only else run_queries(SF_DIR)
+    quality = {} if args.headline_only else approx_quality(SF_DIR)
     result = {
         "metric": "streaming fingerprint pipeline wall time (sec) + per-query suite",
         "value": headline["sec"],
@@ -249,6 +346,7 @@ def main() -> None:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "headline": headline,
+        "quality": quality,
     }
     print(json.dumps(result))
     import ray

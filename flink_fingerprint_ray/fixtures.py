@@ -34,9 +34,14 @@ _VOCAB = (
 ).split()
 
 
-def _gen_texts(rng: np.random.RandomState, n: int) -> list[str]:
+def _gen_texts(rng: np.random.RandomState, n: int,
+               tokens_lo: int = 12, tokens_hi: int = 40) -> list[str]:
     """Seeded texts with injected duplicate structure:
     ~70% unique, ~15% exact-dup clusters, ~15% near-dup clusters.
+
+    ``tokens_lo``/``tokens_hi`` size the documents: the defaults make
+    tiny (~200 B) docs for fast tests; bench corpora pass larger ranges
+    so per-doc compute matches real KB-sized web pages.
 
     Vectorized (one randint sweep for every original token) so million-doc
     bench corpora generate in seconds, not minutes."""
@@ -44,7 +49,7 @@ def _gen_texts(rng: np.random.RandomState, n: int) -> list[str]:
     is_orig = kind >= 0.30
     if n:
         is_orig[0] = True  # a dup needs an earlier original to copy
-    lengths = rng.randint(12, 40, size=n)
+    lengths = rng.randint(tokens_lo, tokens_hi, size=n)
     vocab = np.array(_VOCAB, dtype=object)
 
     # all original token sequences in one flat draw
@@ -83,6 +88,8 @@ def make_pages(
     late_frac: float = 0.01,
     ooo_frac: float = 0.05,
     empty_frac: float = 0.02,
+    tokens_lo: int = 12,
+    tokens_hi: int = 40,
 ) -> pa.Table:
     """F1 `pages` table: (url, warc_ts, html, text, lang).
 
@@ -110,7 +117,7 @@ def make_pages(
     late = rng.rand(n_docs) < late_frac
     ts[late] -= lateness_ms * 3 + rng.randint(0, lateness_ms, size=late.sum())
 
-    texts = _gen_texts(rng, n_docs)
+    texts = _gen_texts(rng, n_docs, tokens_lo, tokens_hi)
     empty = rng.rand(n_docs) < empty_frac
     for i in np.flatnonzero(empty):
         texts[i] = ""
@@ -168,26 +175,33 @@ def write_epochs(
     n_epochs: int = 8,
     prefix: str = "pages",
     rows_per_file: int = 40_000,
+    target_file_bytes: int = 32 << 20,
+    target_rg_bytes: int = 4 << 20,
 ) -> list[str]:
     """Split rows by ARRIVAL position into Parquet files per epoch:
     ``{out_dir}/{prefix}/epoch=K/part-*.parquet`` (the source-cursor unit
-    that the checkpoint manifest records).  Epochs larger than
-    ``rows_per_file`` are sharded into several files with bounded row
-    groups so readers parallelize along file/row-group boundaries instead
-    of re-decoding one monolith per split. Returns epoch dir paths."""
+    that the checkpoint manifest records).  Files and row groups are
+    sized by BYTES (capped at ``rows_per_file`` rows) so readers
+    parallelize along file/row-group boundaries for any document size —
+    a row-count-only shard turns KB-sized docs into one monolithic file
+    whose every read split re-decodes the whole thing. Returns epoch dir
+    paths."""
     paths = []
+    row_bytes = max(1, table.nbytes // max(1, table.num_rows))
+    rpf = int(max(1000, min(rows_per_file, target_file_bytes // row_bytes)))
+    rg = int(max(250, min(10_000, target_rg_bytes // row_bytes)))
     bounds = np.linspace(0, table.num_rows, n_epochs + 1).astype(int)
     for k in range(n_epochs):
         d = os.path.join(out_dir, prefix, f"epoch={k:05d}")
         os.makedirs(d, exist_ok=True)
         ep = table.slice(bounds[k], bounds[k + 1] - bounds[k])
-        n_files = max(1, -(-ep.num_rows // rows_per_file))
+        n_files = max(1, -(-ep.num_rows // rpf))
         fb = np.linspace(0, ep.num_rows, n_files + 1).astype(int)
         for j in range(n_files):
             pq.write_table(
                 ep.slice(fb[j], fb[j + 1] - fb[j]),
                 os.path.join(d, f"part-{j:04d}.parquet"),
-                row_group_size=10_000,
+                row_group_size=rg,
             )
         paths.append(d)
     return paths
