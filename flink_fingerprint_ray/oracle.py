@@ -79,6 +79,7 @@ def oracle_fingerprints(
     session_gap_ms: int = 0,
     lateness_ms: int = 10_000,
     join_retention_ms: int = 300_000,
+    session_max_ms: int = 0,
 ) -> pd.DataFrame:
     """Expected engine output (F3 schema + update counts) for `pages`
     split into `n_epochs` arrival epochs."""
@@ -181,7 +182,11 @@ def oracle_fingerprints(
                 for s_id in np.unique(sid):
                     sg = g[sid == s_id]
                     last = int(sg["ts_ms"].iloc[-1])
-                    if last + session_gap_ms <= wm:
+                    first = int(sg["ts_ms"].iloc[0])
+                    # session_max_ms: state-bounding force-close (engine:
+                    # WindowStateActor.mature_sessions cap)
+                    if last + session_gap_ms <= wm or (
+                            session_max_ms and first + session_max_ms <= wm):
                         out.append(
                             _finalize(
                                 "session", skey, int(sg["ts_ms"].iloc[0]),

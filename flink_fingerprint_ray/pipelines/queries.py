@@ -606,7 +606,11 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_sim_micros FROM r WHE
 
 def q_ann_topk_ivf(sf_dir: str):
     """IVF approximate ANN (rows-only; recall vs brute force is asserted
-    in tests)."""
+    in tests and reported by bench.py).  The fixture's embeddings are
+    near-uniform on the sphere (no cluster structure), so true neighbors
+    smear across coarse cells and a large probe fraction (6 of 8 cells)
+    is needed for recall ≥ 0.9; real embedding corpora cluster, allowing
+    n_cells ~ sqrt(n) with n_probe a small fraction."""
     import pyarrow.parquet as pq
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -614,7 +618,7 @@ def q_ann_topk_ivf(sf_dir: str):
     sample = np.stack(t["embedding"].to_pandas().head(2000).to_numpy())
     cents = sim.train_centroids(sample, n_cells=8, seed=0)
     q, qids = _query_vectors(sf_dir)
-    return sim.ivf_topk(ds, q, qids, cents, k=ANN_K, n_probe=4)
+    return sim.ivf_topk(ds, q, qids, cents, k=ANN_K, n_probe=6)
 
 
 # ---------------------------------------------------------------------------

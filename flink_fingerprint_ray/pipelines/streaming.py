@@ -54,6 +54,10 @@ class PipelineConfig:
     tumbling_size_ms: int = 60_000            # reference: 1-min window (config.py:36)
     sliding: tuple[int, int] | None = None    # (size_ms, slide_ms)
     session_gap_ms: int = 0                   # 0 = session windows off
+    session_max_ms: int = 0                   # 0 = unbounded; >0 force-closes
+                                              # sessions older than this vs the
+                                              # watermark (bounds open state for
+                                              # hot keys that never idle)
     lateness_ms: int = 10_000                 # reference: 10 s (config.py:37)
     join_retention_ms: int = 300_000          # reference: 5 min (save_fingerprints.py:85)
     n_state_partitions: int = 8
@@ -427,6 +431,7 @@ class StreamingFingerprintPipeline:
         self.pool = StatePool(
             self.cfg.n_state_partitions, self.cfg.session_gap_ms,
             self.cfg.join_retention_ms, self.cfg.snapshot_compact_every,
+            self.cfg.session_max_ms,
         )
         self.counter = MetricCounter.remote()
         self._metrics_log: list[dict] = []

@@ -251,36 +251,71 @@ def _ngram_features(batch: pa.Table, id_col: str, text_col: str, n: int) -> pa.T
     )
 
 
+def _gather_pair_side(offs: np.ndarray, vals: np.ndarray, rows: np.ndarray
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """(pair_idx, gram) rows for one side of every candidate pair:
+    pair p's side takes vals[offs[rows[p]]:offs[rows[p]+1]] — a fully
+    vectorized ragged gather."""
+    lens = (offs[rows + 1] - offs[rows]).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, vals.dtype)
+    seg_start = np.cumsum(lens) - lens
+    within = np.arange(total, dtype=np.int64) - np.repeat(seg_start, lens)
+    flat_idx = np.repeat(offs[rows].astype(np.int64), lens) + within
+    return np.repeat(np.arange(len(rows), dtype=np.int64), lens), vals[flat_idx]
+
+
+def _set_jaccard_many(ia: np.ndarray, va: np.ndarray,
+                      ib: np.ndarray, vb: np.ndarray, n_pairs: int) -> np.ndarray:
+    """Exact SET Jaccard per pair, vectorized: dedupe each side per pair,
+    count (pair, gram) values present on BOTH sides via one sort, then
+    |A∩B| / |A∪B| (empty∪empty → 1.0, matching the scalar set version)."""
+    def _uniq(idx, vals):
+        if len(idx) == 0:
+            return idx, vals
+        o = np.lexsort((vals, idx))
+        i2, v2 = idx[o], vals[o]
+        keep = np.ones(len(v2), dtype=bool)
+        keep[1:] = (i2[1:] != i2[:-1]) | (v2[1:] != v2[:-1])
+        return i2[keep], v2[keep]
+
+    ia, va = _uniq(ia, va)
+    ib, vb = _uniq(ib, vb)
+    na = np.bincount(ia, minlength=n_pairs)
+    nb = np.bincount(ib, minlength=n_pairs)
+    pi = np.concatenate([ia, ib])
+    pv = np.concatenate([va, vb])
+    if len(pi):
+        o = np.lexsort((pv, pi))
+        pi, pv = pi[o], pv[o]
+        match = (pi[1:] == pi[:-1]) & (pv[1:] == pv[:-1])
+        inter = np.bincount(pi[1:][match], minlength=n_pairs)
+    else:
+        inter = np.zeros(n_pairs, dtype=np.int64)
+    union = na + nb - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+
+
 def _ngram_edge_sweep(t: pa.Table, id_col: str, threshold: float) -> pd.DataFrame:
-    """Exact n-gram-set Jaccard confirm, anchor-based.  Sets are built
-    ONLY for rows that participate in a unique candidate pair (buckets of
-    size 1 — the vast majority — never touch Python)."""
+    """Exact n-gram-set Jaccard confirm, anchor-based — vectorized over
+    every candidate pair of the partition (one ragged gather per side +
+    one sort; no per-pair Python)."""
     pre = _bucket_candidates(t, id_col)
     if pre is None:
         return _EMPTY_EDGES
     t, anc, cand = pre
     ids = t[id_col].to_numpy()
     grams = t["ngrams"].combine_chunks()
-    offs = grams.offsets.to_numpy()
+    offs = grams.offsets.to_numpy().astype(np.int64)
     vals = grams.values.to_numpy()
-    cache: dict[int, frozenset] = {}
-
-    def get_set(i: int) -> frozenset:
-        s = cache.get(i)
-        if s is None:
-            s = frozenset(vals[offs[i]:offs[i + 1]])
-            cache[i] = s
-        return s
-
-    out_a, out_b = [], []
-    for ai, ci in zip(anc.tolist(), cand.tolist()):
-        sa, sc = get_set(ai), get_set(ci)
-        u = len(sa | sc)
-        jac = (len(sa & sc) / u) if u else 1.0
-        if jac >= threshold:
-            out_a.append(min(ids[ai], ids[ci]))
-            out_b.append(max(ids[ai], ids[ci]))
-    return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"), "b": pd.Series(out_b, dtype="int64")})
+    ia, va = _gather_pair_side(offs, vals, anc)
+    ib, vb = _gather_pair_side(offs, vals, cand)
+    jac = _set_jaccard_many(ia, va, ib, vb, len(anc))
+    hit = jac >= threshold
+    a = np.minimum(ids[anc][hit], ids[cand][hit])
+    b = np.maximum(ids[anc][hit], ids[cand][hit])
+    return pd.DataFrame({"a": a.astype(np.int64), "b": b.astype(np.int64)})
 
 
 def _band_pairs_sweep(t: pa.Table, id_col: str) -> pd.DataFrame:
@@ -412,20 +447,24 @@ def ngram_jaccard_edges(
     )
 
     def confirm(batch: pa.Table) -> pd.DataFrame:
-        a_ids = batch["a"].to_pylist()
-        b_ids = batch["b"].to_pylist()
-        la_all = batch["grams_a"].to_pylist()
-        lb_all = batch["ngrams"].to_pylist()
-        out_a, out_b = [], []
-        for a, b, la, lb in zip(a_ids, b_ids, la_all, lb_all):
-            sa, sb = set(la), set(lb)
-            u = len(sa | sb)
-            jac = (len(sa & sb) / u) if u else 1.0
-            if jac >= threshold:
-                out_a.append(min(a, b))
-                out_b.append(max(a, b))
-        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                             "b": pd.Series(out_b, dtype="int64")})
+        n = batch.num_rows
+        if n == 0:
+            return _EMPTY_EDGES
+        a_ids = batch["a"].to_numpy()
+        b_ids = batch["b"].to_numpy()
+        ga = batch["grams_a"].combine_chunks()
+        gb = batch["ngrams"].combine_chunks()
+        rows = np.arange(n, dtype=np.int64)
+        ia, va = _gather_pair_side(ga.offsets.to_numpy().astype(np.int64),
+                                   ga.values.to_numpy(), rows)
+        ib, vb = _gather_pair_side(gb.offsets.to_numpy().astype(np.int64),
+                                   gb.values.to_numpy(), rows)
+        jac = _set_jaccard_many(ia, va, ib, vb, n)
+        hit = jac >= threshold
+        return pd.DataFrame({
+            "a": np.minimum(a_ids[hit], b_ids[hit]).astype(np.int64),
+            "b": np.maximum(a_ids[hit], b_ids[hit]).astype(np.int64),
+        })
 
     return j2.map_batches(confirm, batch_format="pyarrow")
 

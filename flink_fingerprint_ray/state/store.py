@@ -57,9 +57,15 @@ class WindowStateActor:
     """Owns one key partition's open fixed windows AND open sessions."""
 
     def __init__(self, partition_id: int, session_gap_ms: int = 0,
-                 compact_every: int = 8) -> None:
+                 compact_every: int = 8, session_max_ms: int = 0) -> None:
         self.partition_id = partition_id
         self.session_gap_ms = session_gap_ms
+        # state-bounding cap: a session whose FIRST event is more than
+        # session_max_ms behind the watermark force-closes with the rows
+        # seen so far — hot keys that never idle otherwise grow open
+        # session state linearly with stream length (BASELINE.md round-1
+        # lesson). 0 = off (exact unbounded-session semantics).
+        self.session_max_ms = session_max_ms
         self._fixed: list[pa.Table] = []    # rows with window_end > watermark
         self._session: list[pa.Table] = []  # rows of sessions not yet closed
         # delta checkpointing: per-epoch snapshots write only rows ADDED
@@ -141,6 +147,8 @@ class WindowStateActor:
         seg_first = ts_s[starts]
         seg_last = ts_s[ends - 1]
         closed_seg = seg_last + gap <= np.int64(watermark_ms)
+        if self.session_max_ms > 0:
+            closed_seg |= seg_first + np.int64(self.session_max_ms) <= np.int64(watermark_ms)
         if not closed_seg.any():
             self._session = [buf]
             return None
@@ -459,7 +467,7 @@ class StatePool:
     """Driver-side handle bundle for the window + join actor pools."""
 
     def __init__(self, n_partitions: int, session_gap_ms: int, join_retention_ms: int,
-                 compact_every: int = 8) -> None:
+                 compact_every: int = 8, session_max_ms: int = 0) -> None:
         self.n = n_partitions
         # adaptive reservation: never let the 2·n state actors claim more
         # than ~40% of the cluster's scheduling budget, or map/finalize
@@ -468,7 +476,7 @@ class StatePool:
         per_actor = round(min(0.25, 0.4 * cpus / max(1, 2 * n_partitions)), 3)
         self.window_actors = [
             WindowStateActor.options(num_cpus=per_actor).remote(
-                i, session_gap_ms, compact_every)
+                i, session_gap_ms, compact_every, session_max_ms)
             for i in range(n_partitions)
         ]
         self.join_actors = [

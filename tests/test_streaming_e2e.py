@@ -246,3 +246,29 @@ def test_rising_edge_alerts_match_oracle(ray_session, corpus, oracle_df):
         got2.sort_values(ac).reset_index(drop=True),
         want.sort_values(ac).reset_index(drop=True), check_dtype=False)
     p3.shutdown()
+
+
+def test_session_max_cap_matches_oracle_and_bounds_state(ray_session, corpus):
+    """session_max_ms force-closes long-running sessions (state-bounding
+    cap for hot keys that never idle): engine output must still match the
+    oracle exactly, and capped sessions must actually occur."""
+    root, pages, updates = corpus
+    cap = 90_000  # < the stream's hottest-host activity span
+    pipe = _run(root, "out_cap", cfg_extra={"session_max_ms": cap})
+    eng = pipe.result_dataset().to_pandas()
+    pipe.shutdown()
+    ora = oracle_fingerprints(
+        pages, N_EPOCHS, updates=updates,
+        sliding=CFG["sliding"], session_gap_ms=CFG["session_gap_ms"],
+        session_max_ms=cap,
+    )
+    assert len(eng) == len(ora) > 0
+    pd.testing.assert_frame_equal(
+        _norm(eng, ora.columns), _norm(ora, ora.columns), check_dtype=False)
+    # the cap actually split sessions: more session windows than uncapped
+    ora_uncapped = oracle_fingerprints(
+        pages, N_EPOCHS, updates=updates,
+        sliding=CFG["sliding"], session_gap_ms=CFG["session_gap_ms"])
+    n_cap = (ora["window_kind"] == "session").sum()
+    n_free = (ora_uncapped["window_kind"] == "session").sum()
+    assert n_cap > n_free
