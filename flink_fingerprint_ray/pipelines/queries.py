@@ -526,6 +526,124 @@ FROM documents
 """
 
 
+N_BENCH_DOCS = 10  # docs 0..9 stand in for the held-out benchmark set
+
+
+def q_contamination_check(sf_dir: str):
+    """Decontamination: flag documents sharing ≥1 token TRIGRAM with a
+    held-out benchmark set (docs 0..9 stand in for it) — the test-set
+    overlap filter every LLM training pipeline needs.
+
+    Scale shape: the benchmark gram set is small (even real eval suites
+    are ~10^6 grams) → sorted hash array broadcast ONCE via ray.put; the
+    corpus streams through map_batches with one searchsorted per batch.
+    Gram hashes come from the shared shingle kernel, so membership
+    matches the SQL oracle's exact string trigrams (64-bit collisions:
+    p < 1e-10 at fixture scale, verified at both SFs)."""
+    import pyarrow.parquet as pq
+
+    from ..functions.textstats import ngram_set_hashes
+
+    bench_t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"])
+    bench_t = bench_t.filter(pc.less(bench_t["doc_id"], N_BENCH_DOCS))
+    bh, _ = ngram_set_hashes(bench_t["text"], n=3)
+    bench_ref = ray.put(np.unique(bh))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def flag(batch: pa.Table) -> pd.DataFrame:
+        bench = ray.get(bench_ref)
+        hashes, counts = ngram_set_hashes(batch["text"], n=3)
+        doc_ids = batch["doc_id"].to_numpy()
+        gram_doc = np.repeat(np.arange(len(doc_ids)), counts)
+        pos = np.searchsorted(bench, hashes)
+        pos_c = np.minimum(pos, len(bench) - 1) if len(bench) else pos
+        hit = len(bench) > 0 and (bench[pos_c] == hashes)
+        hit = hit & (doc_ids[gram_doc] >= N_BENCH_DOCS)
+        # distinct shared grams per doc: dedupe (doc, gram) among hits
+        hd, hg = gram_doc[hit], hashes[hit]
+        if len(hd):
+            o = np.lexsort((hg, hd))
+            hd, hg = hd[o], hg[o]
+            keep = np.ones(len(hd), dtype=bool)
+            keep[1:] = (hd[1:] != hd[:-1]) | (hg[1:] != hg[:-1])
+            n_shared = np.bincount(hd[keep], minlength=len(doc_ids))
+        else:
+            n_shared = np.zeros(len(doc_ids), dtype=np.int64)
+        mask = n_shared > 0
+        return pd.DataFrame({
+            "doc_id": doc_ids[mask].astype(np.int64),
+            "n_shared_grams": n_shared[mask].astype(np.int64),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_CONTAMINATION_CHECK = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk
+  FROM documents WHERE text <> ''
+),
+tri AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+),
+bench AS (SELECT DISTINCT gram FROM tri WHERE doc_id < 10)
+SELECT d.doc_id, COUNT(DISTINCT d.gram) AS n_shared_grams
+FROM tri d JOIN bench b USING (gram)
+WHERE d.doc_id >= 10
+GROUP BY 1
+"""
+
+
+def q_repetition_ratio(sf_dir: str):
+    """Gopher-style within-doc repetition filter: fraction of duplicate
+    token trigrams per document (high ratio ⇒ boilerplate / spam)."""
+    from ..functions.textstats import ngram_set_hashes
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def ratio(batch: pa.Table) -> pd.DataFrame:
+        hashes, counts = ngram_set_hashes(batch["text"], n=3)
+        doc_ids = batch["doc_id"].to_numpy()
+        gram_doc = np.repeat(np.arange(len(doc_ids)), counts)
+        if len(hashes):
+            o = np.lexsort((hashes, gram_doc))
+            gd, gh = gram_doc[o], hashes[o]
+            first = np.ones(len(gd), dtype=bool)
+            first[1:] = (gd[1:] != gd[:-1]) | (gh[1:] != gh[:-1])
+            n_distinct = np.bincount(gd[first], minlength=len(doc_ids))
+        else:
+            n_distinct = np.zeros(len(doc_ids), dtype=np.int64)
+        mask = counts > 0
+        n_grams = counts[mask].astype(np.int64)
+        n_dist = n_distinct[mask].astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": doc_ids[mask].astype(np.int64),
+            "n_grams": n_grams,
+            "n_distinct": n_dist,
+            "rep_micros": _micros(1.0 - n_dist / n_grams),
+        })
+
+    return ds.map_batches(ratio, batch_format="pyarrow")
+
+
+SQL_REPETITION_RATIO = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk
+  FROM documents WHERE text <> ''
+),
+tri AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+)
+SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT gram) AS n_distinct,
+       CAST(floor((1.0 - COUNT(DISTINCT gram) * 1.0 / COUNT(*)) * 1000000 + 0.5) AS BIGINT) AS rep_micros
+FROM tri GROUP BY 1
+"""
+
+
 def q_lang_id(sf_dir: str):
     """Language-ID heuristic (actor-pool stage; rows-only check)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1423,6 +1541,8 @@ QUERIES = {
     "ngram_jaccard_clusters": q_ngram_jaccard_clusters,
     "token_counts": q_token_counts,
     "quality_counts": q_quality_counts,
+    "contamination_check": q_contamination_check,
+    "repetition_ratio": q_repetition_ratio,
     "lang_id": q_lang_id,
     "text_features": q_text_features,
     "embedding_near_pairs": q_embedding_near_pairs,
@@ -1462,6 +1582,8 @@ ORACLE_SQL = {
     "exact_dedup": SQL_EXACT_DEDUP,
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_counts": SQL_QUALITY_COUNTS,
+    "contamination_check": SQL_CONTAMINATION_CHECK,
+    "repetition_ratio": SQL_REPETITION_RATIO,
     "embedding_near_pairs": SQL_EMBEDDING_NEAR_PAIRS,
     # the LSH path is candidate-pruned but exact-confirmed; at the query's
     # 32×2-bit banding its miss probability is <1e-7 per true pair, so it

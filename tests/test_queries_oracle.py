@@ -19,6 +19,8 @@ FAST_SQL_QUERIES = [
     "fp_tumbling_windows",
     "exact_dedup",
     "token_counts",
+    "contamination_check",
+    "repetition_ratio",
     "embedding_near_pairs",
     "embedding_near_pairs_lsh",
     "ann_topk",
