@@ -1243,6 +1243,41 @@ SELECT user_id, MIN(bucket) AS bucket, 'rd_err_gt_click' AS rule_id FROM s4 WHER
 """
 
 
+def _lowess_sweep(t: pa.Table) -> pd.DataFrame:
+    from ..functions.smooth import lowess_smooth
+
+    df = t.to_pandas()
+    tms = df["ts"].astype("datetime64[ms]").astype("int64")
+    df["bucket"] = (tms // SLIDE_5M) * SLIDE_5M
+    g = (df.groupby(["event_type", "bucket"], sort=True)["value"]
+           .mean().reset_index())
+    parts = []
+    for et, sub in g.groupby("event_type", sort=False):
+        y = sub["value"].to_numpy(dtype=np.float64)
+        frac = min(1.0, max(0.01, 7 / max(len(y), 1)))
+        sm = lowess_smooth(y, frac=frac, it=3)
+        parts.append(pd.DataFrame({
+            "event_type": et,
+            "bucket": sub["bucket"].to_numpy(),
+            "mean_cents": _cents(y),
+            "smooth_cents": _cents(sm),
+        }))
+    return pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
+        {"event_type": pd.Series([], dtype="object"),
+         "bucket": pd.Series([], dtype="int64"),
+         "mean_cents": pd.Series([], dtype="int64"),
+         "smooth_cents": pd.Series([], dtype="int64")})
+
+
+def q_lowess_smooth(sf_dir: str):
+    """M7 analog (dead code in the reference — call commented out at
+    process_odr.py:943): robust LOWESS over each event type's 5-min mean
+    series.  Rows-only (iterative robust regression is not
+    SQL-expressible); kernel behavior is pinned by tests."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    return grouped_map(ds, ["event_type"], _lowess_sweep)
+
+
 def q_value_counts(sf_dir: str):
     """A2 analog: value_counts + percentage, sorted desc
     (helpers.py:737-753)."""
@@ -1559,6 +1594,7 @@ QUERIES = {
     "pivot_wide": q_pivot_wide,
     "rule_alarms": q_rule_alarms,
     "rule_alarms_duration": q_rule_alarms_duration,
+    "lowess_smooth": q_lowess_smooth,
     "value_counts": q_value_counts,
     "interval_join": q_interval_join,
     "obs_text": q_obs_text,

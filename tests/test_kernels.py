@@ -269,3 +269,37 @@ def test_rule_overrides():
     assert out[0]["checks"][1]["value"] == 5.0      # untouched
     assert rules[0]["checks"][0]["value"] == 10.0   # input not mutated
     assert out[1]["then"][0] == {"param": "b", "op": ">=", "value": 7.0}
+
+
+def test_lowess_smooth_kernel():
+    """M7 analog (Cleveland LOWESS): constant series unchanged, noisy
+    line recovered, single outlier suppressed by the robustness passes."""
+    import numpy as np
+
+    from flink_fingerprint_ray.functions.smooth import lowess_smooth, lowess_smooth_df
+
+    # constant series -> exactly constant
+    c = np.full(50, 3.25)
+    assert np.allclose(lowess_smooth(c, frac=0.3), c)
+
+    # noisy line: smoothed curve much closer to the line than the noise
+    rng = np.random.RandomState(0)
+    x = np.arange(200, dtype=float)
+    line = 0.5 * x + 2.0
+    noisy = line + rng.normal(0, 3.0, size=200)
+    sm = lowess_smooth(noisy, frac=0.15)
+    assert np.abs(sm - line).mean() < 0.5 * np.abs(noisy - line).mean()
+
+    # robustness: one huge outlier barely moves the fit at its position
+    y = line.copy()
+    y[100] += 500.0
+    sm_r = lowess_smooth(y, frac=0.15, it=3)
+    assert abs(sm_r[100] - line[100]) < 5.0
+
+    # df wrapper: skips non-numeric, propagates NaN, needs >=3 finite
+    import pandas as pd
+    df = pd.DataFrame({"a": noisy, "b": ["x"] * 200, "c": [np.nan] * 200})
+    out = lowess_smooth_df(df, window_points=30, exclude_cols=[])
+    assert (out["b"] == "x").all()
+    assert out["c"].isna().all()
+    assert np.abs(out["a"].to_numpy() - line).mean() < np.abs(noisy - line).mean()
