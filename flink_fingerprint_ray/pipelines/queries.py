@@ -644,6 +644,21 @@ FROM tri GROUP BY 1
 """
 
 
+def q_media_image_features(sf_dir: str):
+    """Multimodal (rows-only): REAL netpbm image decode through the
+    actor-pool stage — deterministic seeded P6 payloads (the driver's
+    testdata ships no media table), decoded from genuine encoded bytes,
+    features extracted, binary dropped before any shuffle."""
+    from ..stages.media import ImageDecodeStage, make_real_media
+
+    ds = ray.data.from_arrow(make_real_media(256, kind="image", seed=9))
+    out = ds.map_batches(
+        ImageDecodeStage, fn_constructor_kwargs={"decoder": "netpbm"},
+        concurrency=2, batch_size=32, batch_format="pyarrow",
+    )
+    return out.drop_columns(["thumb"])
+
+
 def q_lang_id(sf_dir: str):
     """Language-ID heuristic (actor-pool stage; rows-only check)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1595,6 +1610,7 @@ QUERIES = {
     "rule_alarms": q_rule_alarms,
     "rule_alarms_duration": q_rule_alarms_duration,
     "lowess_smooth": q_lowess_smooth,
+    "media_image_features": q_media_image_features,
     "value_counts": q_value_counts,
     "interval_join": q_interval_join,
     "obs_text": q_obs_text,

@@ -1,12 +1,16 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The decode kernels themselves are STUBBED (the image/audio libraries are
-not in this container): ``FakeDecoder`` produces deterministic
-hash-derived pixels/samples so the Ray-side plumbing — schema, batch
-size, actor signature, output layout — is real and tested, and
-``LibraryDecoder`` raises ``NotImplementedError`` with the exact place a
-real codec plugs in.
+Decode support in this container:
+
+- ``NetpbmDecoder`` — REAL decoding of netpbm P5/P6 images and PCM16
+  RIFF/WAVE audio, pure numpy (these formats need no codec library), so
+  the media path runs on genuine encoded bytes end-to-end;
+- ``FakeDecoder`` — deterministic hash-derived pixels/samples for
+  plumbing tests;
+- ``LibraryDecoder`` — the compressed-codec slot (JPEG/Opus/H.264);
+  raises ``NotImplementedError`` with the exact place a PIL/libav
+  handle plugs in (loaded once per actor).
 
 Usage (actor pool — decoder state built once per actor in __init__):
 
@@ -56,17 +60,156 @@ def make_fake_media(n: int, kind: str = "image", seed: int = 0) -> pa.Table:
 
 
 class LibraryDecoder:
-    """The real-codec slot. In production this would hold a PIL/libav
-    handle loaded once per actor; the libraries are not in this container."""
+    """The compressed-codec slot (JPEG/PNG/Opus/H.264). In production this
+    would hold a PIL/libav handle loaded once per actor; those libraries
+    are not in this container — uncompressed formats decode for REAL via
+    ``NetpbmDecoder`` below."""
 
     def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
         raise NotImplementedError(
-            "real image decode requires PIL/opencv — not available in this "
-            "container; plug the codec in here (loaded once per actor)"
+            "compressed image decode requires PIL/opencv — not available in "
+            "this container; plug the codec in here (loaded once per actor)"
         )
 
     def decode_audio(self, payload: bytes, sample_rate: int) -> np.ndarray:
-        raise NotImplementedError("real audio decode requires libav/soundfile")
+        raise NotImplementedError("compressed audio decode requires libav/soundfile")
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders: netpbm images + PCM WAV audio, pure numpy
+# ---------------------------------------------------------------------------
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """uint8 image → netpbm bytes: (h, w, 3) → P6, (h, w) → P5."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 3 and img.shape[2] == 3:
+        magic = b"P6"
+    elif img.ndim == 2:
+        magic = b"P5"
+    else:
+        raise ValueError("expected (h, w, 3) RGB or (h, w) gray uint8")
+    h, w = img.shape[:2]
+    return magic + f"\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """float [-1, 1] mono samples → minimal PCM16 RIFF/WAVE bytes."""
+    import struct
+
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = (pcm * 32767.0).round().astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    data = b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(data)) + b"WAVE" + data
+
+
+def _pnm_header(payload: bytes) -> tuple[bytes, int, int, int, int]:
+    """Parse a P5/P6 header: (magic, width, height, maxval, data_offset);
+    handles comments and arbitrary whitespace per the netpbm spec."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary netpbm payload: {magic!r}")
+    fields, i, n = [], 2, len(payload)
+    while len(fields) < 3 and i < n:
+        c = payload[i:i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":  # comment to end of line
+            while i < n and payload[i:i + 1] not in (b"\n", b"\r"):
+                i += 1
+        else:
+            j = i
+            while j < n and not payload[j:j + 1].isspace():
+                j += 1
+            fields.append(int(payload[i:j]))
+            i = j
+    i += 1  # single whitespace after maxval
+    if len(fields) != 3:
+        raise ValueError("truncated netpbm header")
+    w, h, maxval = fields
+    return magic, w, h, maxval, i
+
+
+class NetpbmDecoder:
+    """REAL image/audio decode with no external libraries: netpbm P6
+    (RGB) / P5 (gray) images and PCM16 RIFF/WAVE audio are simple enough
+    to parse with numpy alone, so the media pipeline is exercised with
+    genuine encoded bytes in this container.  Compressed codecs plug
+    into ``LibraryDecoder``."""
+
+    def decode_image(self, payload: bytes, width: int = 0, height: int = 0) -> np.ndarray:
+        magic, w, h, maxval, off = _pnm_header(payload)
+        ch = 3 if magic == b"P6" else 1
+        need = w * h * ch
+        raw = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+        img = raw.reshape(h, w, ch) if ch == 3 else raw.reshape(h, w)
+        if maxval != 255:
+            img = (img.astype(np.float64) * (255.0 / maxval)).round().astype(np.uint8)
+        return img if ch == 3 else np.repeat(img[:, :, None], 3, axis=2)
+
+    def decode_audio(self, payload: bytes, sample_rate: int = 0) -> np.ndarray:
+        import struct
+
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        i, n = 12, len(payload)
+        n_channels, bits = 1, 16
+        data = b""
+        while i + 8 <= n:
+            cid = payload[i:i + 4]
+            (size,) = struct.unpack("<I", payload[i + 4:i + 8])
+            body = payload[i + 8:i + 8 + size]
+            if cid == b"fmt ":
+                fmt_tag, n_channels, _rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+                if fmt_tag != 1 or bits != 16:
+                    raise ValueError("only PCM16 WAV is decodable without libav")
+            elif cid == b"data":
+                data = body
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+        if n_channels > 1:
+            x = x[: (len(x) // n_channels) * n_channels]
+            x = x.reshape(-1, n_channels).mean(axis=1)
+        return x
+
+
+def make_real_media(n: int, kind: str = "image", seed: int = 0) -> pa.Table:
+    """Fixture with GENUINE encoded payloads: seeded gradient+noise P6
+    images, or seeded sine-mix PCM16 WAVs (0.25–1 s at 16 kHz)."""
+    rng = np.random.RandomState(seed)
+    widths = rng.randint(16, 64, n).astype(np.int32)
+    heights = rng.randint(16, 64, n).astype(np.int32)
+    rates = np.full(n, 16000, np.int32)
+    payloads = []
+    for i in range(n):
+        if kind == "image":
+            h, w = int(heights[i]), int(widths[i])
+            gx = np.linspace(0, 255, w, dtype=np.float64)[None, :]
+            gy = np.linspace(0, 255, h, dtype=np.float64)[:, None]
+            img = np.stack([
+                np.broadcast_to(gx, (h, w)),
+                np.broadcast_to(gy, (h, w)),
+                rng.randint(0, 256, (h, w)).astype(np.float64),
+            ], axis=2).astype(np.uint8)
+            payloads.append(encode_ppm(img))
+        else:
+            sr = int(rates[i])
+            t = np.arange(int(sr * rng.uniform(0.25, 1.0))) / sr
+            f1, f2 = rng.uniform(100, 2000, 2)
+            payloads.append(encode_wav(
+                0.5 * np.sin(2 * np.pi * f1 * t) + 0.3 * np.sin(2 * np.pi * f2 * t), sr))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array([kind] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(widths),
+            "height": pa.array(heights),
+            "sample_rate": pa.array(rates),
+            "n_frames": pa.array(rng.randint(8, 32, n).astype(np.int32)),
+        }
+    )
 
 
 class FakeDecoder:
@@ -85,13 +228,24 @@ class FakeDecoder:
         return (raw.astype(np.float32) - 127.5) / 127.5
 
 
+_DECODERS = {"fake": FakeDecoder, "netpbm": NetpbmDecoder, "library": LibraryDecoder}
+
+
+def _pick_decoder(decoder: str | None, use_fake: bool):
+    if decoder is not None:
+        return _DECODERS[decoder]()
+    return FakeDecoder() if use_fake else LibraryDecoder()
+
+
 class ImageDecodeStage:
     """Actor-pool stage: decode → resize (nearest-neighbor, pure numpy) →
-    per-image features. Decoder built ONCE per actor in __init__."""
+    per-image features. Decoder built ONCE per actor in __init__;
+    ``decoder="netpbm"`` decodes REAL P5/P6 payloads."""
 
-    def __init__(self, target_size: tuple[int, int] = (32, 32), use_fake: bool = True) -> None:
+    def __init__(self, target_size: tuple[int, int] = (32, 32), use_fake: bool = True,
+                 decoder: str | None = None) -> None:
         self.target = target_size
-        self.decoder = FakeDecoder() if use_fake else LibraryDecoder()
+        self.decoder = _pick_decoder(decoder, use_fake)
 
     def _resize(self, img: np.ndarray) -> np.ndarray:
         th, tw = self.target
@@ -127,9 +281,10 @@ class ImageDecodeStage:
 class AudioFeatureStage:
     """Actor-pool stage: decode audio → frame energy features."""
 
-    def __init__(self, frame: int = 400, use_fake: bool = True) -> None:
+    def __init__(self, frame: int = 400, use_fake: bool = True,
+                 decoder: str | None = None) -> None:
         self.frame = frame
-        self.decoder = FakeDecoder() if use_fake else LibraryDecoder()
+        self.decoder = _pick_decoder(decoder, use_fake)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
@@ -154,9 +309,10 @@ class VideoFrameSampleStage:
     """Actor-pool stage: sample every k-th frame of a fake video payload
     and emit one row per sampled frame (flat_map-shaped output)."""
 
-    def __init__(self, every: int = 4, use_fake: bool = True) -> None:
+    def __init__(self, every: int = 4, use_fake: bool = True,
+                 decoder: str | None = None) -> None:
         self.every = every
-        self.decoder = FakeDecoder() if use_fake else LibraryDecoder()
+        self.decoder = _pick_decoder(decoder, use_fake)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, frames_out, frame_nos = [], [], []
