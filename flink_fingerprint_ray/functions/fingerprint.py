@@ -120,7 +120,13 @@ def _tokenize(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray
         # polars' seeded hash runs directly over the Arrow string buffer —
         # no per-token Python objects (pandas hash_array needs an object
         # array: ~25M PyStr allocations per epoch at real doc sizes) and
-        # deterministic across processes for a fixed seed
+        # deterministic across processes for a fixed seed.  Pin polars to
+        # ONE thread before its first import: its default pool is
+        # os.cpu_count() threads PER WORKER, and 32 workers x 32 threads
+        # thrashed large epochs 1.5x (Ray already gives each worker 1 CPU).
+        import os as _os
+
+        _os.environ.setdefault("POLARS_MAX_THREADS", "1")
         import polars as pl
 
         h = pl.from_arrow(flat).hash(seed=_SEED).to_numpy().astype(np.uint64)

@@ -467,6 +467,15 @@ def q_simhash_clusters(sf_dir: str):
     return dd.cluster_table(edges)
 
 
+def q_simhash_clusters_dist(sf_dir: str):
+    """Same clusters as simhash_clusters via the distributed
+    connected-components path (hash-partitioned min-label propagation) —
+    the 10^12-doc route where the edge list no longer fits the driver."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    edges = dd.simhash_edges(ds, "doc_id", max_hamming=3)
+    return dd.distributed_components(edges)
+
+
 def q_ngram_jaccard_clusters(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     edges = dd.ngram_jaccard_edges(ds, "doc_id", threshold=0.7)
@@ -1611,6 +1620,7 @@ QUERIES = {
     "rule_alarms_duration": q_rule_alarms_duration,
     "lowess_smooth": q_lowess_smooth,
     "media_image_features": q_media_image_features,
+    "simhash_clusters_dist": q_simhash_clusters_dist,
     "value_counts": q_value_counts,
     "interval_join": q_interval_join,
     "obs_text": q_obs_text,
