@@ -548,6 +548,10 @@ class StreamingFingerprintPipeline:
         #    its own staged parquet part (resumable layout, never one
         #    giant file).  Replaces groupby().map_groups, whose per-group
         #    UDF dispatch dominates when an epoch closes 10^4-10^6 windows.
+        # one finalize task per CPU: paired A/B at 4x epoch size showed
+        # finer partitioning (2 tasks/CPU) is a wash — each extra task
+        # re-scans every block, cancelling its better packing around
+        # large atomic (key, window) groups
         P = cfg.n_finalize_partitions or max(
             8, min(64, int(ray.cluster_resources().get("CPU", 8)))
         )
