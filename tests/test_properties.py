@@ -94,3 +94,91 @@ def test_fingerprints_permutation_equivariant(texts):
     sh_p, mh_p = fp.simhash_and_minhash(arr_p)
     assert np.array_equal(sh[perm], sh_p)
     assert np.array_equal(mh[perm], mh_p)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 kernels
+# ---------------------------------------------------------------------------
+
+@settings(deadline=None)
+@given(st.lists(st.lists(st.integers(0, 30), max_size=12), min_size=1, max_size=10),
+       st.lists(st.lists(st.integers(0, 30), max_size=12), min_size=1, max_size=10))
+def test_set_jaccard_many_matches_scalar(sides_a, sides_b):
+    """Vectorized per-pair set Jaccard == frozenset arithmetic, for any
+    ragged pair lists (duplicates inside a side must be deduped)."""
+    from flink_fingerprint_ray.stages.dedup import _set_jaccard_many
+
+    n = min(len(sides_a), len(sides_b))
+    sides_a, sides_b = sides_a[:n], sides_b[:n]
+    ia = np.repeat(np.arange(n), [len(s) for s in sides_a])
+    va = np.array([v for s in sides_a for v in s], dtype=np.uint64)
+    ib = np.repeat(np.arange(n), [len(s) for s in sides_b])
+    vb = np.array([v for s in sides_b for v in s], dtype=np.uint64)
+    got = _set_jaccard_many(ia, va, ib, vb, n)
+    for p in range(n):
+        sa, sb = frozenset(sides_a[p]), frozenset(sides_b[p])
+        u = len(sa | sb)
+        expect = (len(sa & sb) / u) if u else 1.0
+        assert got[p] == expect
+
+
+@given(st.lists(st.tuples(st.integers(0, 2),            # key
+                          st.integers(0, 40),           # bucket step
+                          st.booleans()),               # mask flag
+                min_size=1, max_size=40),
+       st.integers(0, 5))
+@settings(deadline=None)
+def test_duration_alarms_matches_naive_scan(rows, dur_units):
+    """Vectorized streak gate == a direct per-row reference scan."""
+    import pandas as pd
+
+    from flink_fingerprint_ray.functions.rules import duration_alarms
+
+    STEP = 10_000
+    # build per-key increasing ts from the step deltas
+    recs = []
+    next_ts = {}
+    for k, d, flag in rows:
+        t = next_ts.get(k, 0) + (d + 1) * STEP
+        next_ts[k] = t
+        recs.append((k, t, 1.0 if flag else 0.0))
+    df = pd.DataFrame(recs, columns=["k", "ts", "x"])
+    dur_ms = dur_units * 3 * STEP
+    rules = [{"id": "r", "logic": "AND", "checks": [
+        {"param": "x", "op": ">", "value": 0.5, "duration_s": dur_ms // 1000}]}]
+    out = duration_alarms(df, rules, ["k"], "ts", STEP)
+    got = sorted(zip(out["k"], out["ts"]))
+
+    # naive reference: reference-style per-key scan (process_odr.py:269-303)
+    expect = []
+    for k, g in df.sort_values(["k", "ts"]).groupby("k"):
+        streak, triggered, prev = 0.0, False, None
+        for _, row in g.iterrows():
+            step = STEP if prev is None else row["ts"] - prev
+            prev = row["ts"]
+            if row["x"] <= 0.5:
+                streak, triggered = 0.0, False
+                continue
+            streak += step
+            if dur_ms <= 0:
+                if not triggered:
+                    expect.append((k, int(row["ts"])))
+                    triggered = True
+            elif not triggered and streak >= dur_ms:
+                expect.append((k, int(row["ts"])))
+                triggered = True
+    assert got == sorted(expect)
+
+
+@settings(deadline=None)
+@given(st.lists(st.floats(-100, 100), min_size=3, max_size=60),
+       st.floats(0.05, 1.0))
+def test_lowess_constant_and_linear_exact(vals, frac):
+    from flink_fingerprint_ray.functions.smooth import lowess_smooth
+
+    n = len(vals)
+    const = np.full(n, float(vals[0]))
+    assert np.allclose(lowess_smooth(const, frac=frac), const, atol=1e-9)
+    # exact linear data: a locally-weighted LINEAR fit reproduces it
+    line = 0.75 * np.arange(n) - 3.0
+    assert np.allclose(lowess_smooth(line, frac=frac), line, atol=1e-6)
