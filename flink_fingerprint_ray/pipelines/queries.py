@@ -653,6 +653,77 @@ FROM tri GROUP BY 1
 """
 
 
+def q_clean_corpus(sf_dir: str):
+    """The canonical LLM data-curation chain as ONE streaming pipeline:
+    quality gate (min length) → decontamination (drop docs sharing a
+    trigram with the benchmark set) → exact dedup (keep min doc_id per
+    text).  One read, one pass for the row-local stages, one 16-byte
+    (hash, id) shuffle for the dedup — document text never enters the
+    exchange (the 100 TB shape)."""
+    import pyarrow.parquet as pq
+
+    from ..functions.textstats import ngram_set_hashes
+
+    bench_t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"])
+    bench_t = bench_t.filter(pc.less(bench_t["doc_id"], N_BENCH_DOCS))
+    bh, _ = ngram_set_hashes(bench_t["text"], n=3)
+    bench_ref = ray.put(np.unique(bh))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        t = batch["text"].combine_chunks().cast(pa.large_string())
+        doc_ids = batch["doc_id"].to_numpy()
+        quality = (pc.utf8_length(t).to_numpy() >= 50) & (doc_ids >= N_BENCH_DOCS)
+        hashes, counts = ngram_set_hashes(batch["text"], n=3)
+        gram_doc = np.repeat(np.arange(len(doc_ids)), counts)
+        if len(bench) and len(hashes):
+            pos = np.minimum(np.searchsorted(bench, hashes), len(bench) - 1)
+            hits = bench[pos] == hashes
+            contaminated = np.zeros(len(doc_ids), dtype=bool)
+            contaminated[np.unique(gram_doc[hits])] = True
+        else:
+            contaminated = np.zeros(len(doc_ids), dtype=bool)
+        keep = quality & ~contaminated
+        return pa.table({
+            "doc_id": pa.array(doc_ids[keep].astype(np.int64), pa.int64()),
+            "text_hash": pa.array(fp.text_hash64(t.filter(pa.array(keep))), pa.uint64()),
+        })
+
+    surv = ds.map_batches(stage, batch_format="pyarrow")
+
+    def keep_min(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        g = df.groupby("text_hash", sort=False)["doc_id"]
+        out = g.agg(doc_id="min", n_dups="size").reset_index(drop=True)
+        return pd.DataFrame({"doc_id": out["doc_id"].astype(np.int64),
+                             "n_dups": out["n_dups"].astype(np.int64)})
+
+    return grouped_map(surv, ["text_hash"], keep_min)
+
+
+SQL_CLEAN_CORPUS = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk
+  FROM documents WHERE text <> ''
+),
+tri AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+),
+bench AS (SELECT DISTINCT gram FROM tri WHERE doc_id < 10),
+contam AS (SELECT DISTINCT d.doc_id FROM tri d JOIN bench b USING (gram) WHERE d.doc_id >= 10),
+clean AS (
+  SELECT o.doc_id, o.text FROM documents o
+  LEFT JOIN contam c USING (doc_id)
+  WHERE length(o.text) >= 50 AND o.doc_id >= 10 AND c.doc_id IS NULL
+)
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM clean GROUP BY text
+"""
+
+
 def q_media_image_features(sf_dir: str):
     """Multimodal (rows-only): REAL netpbm image decode through the
     actor-pool stage — deterministic seeded P6 payloads (the driver's
@@ -1602,6 +1673,7 @@ QUERIES = {
     "quality_counts": q_quality_counts,
     "contamination_check": q_contamination_check,
     "repetition_ratio": q_repetition_ratio,
+    "clean_corpus": q_clean_corpus,
     "lang_id": q_lang_id,
     "text_features": q_text_features,
     "embedding_near_pairs": q_embedding_near_pairs,
@@ -1646,6 +1718,7 @@ ORACLE_SQL = {
     "quality_counts": SQL_QUALITY_COUNTS,
     "contamination_check": SQL_CONTAMINATION_CHECK,
     "repetition_ratio": SQL_REPETITION_RATIO,
+    "clean_corpus": SQL_CLEAN_CORPUS,
     "embedding_near_pairs": SQL_EMBEDDING_NEAR_PAIRS,
     # the LSH path is candidate-pruned but exact-confirmed; at the query's
     # 32×2-bit banding its miss probability is <1e-7 per true pair, so it

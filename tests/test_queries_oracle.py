@@ -21,6 +21,7 @@ FAST_SQL_QUERIES = [
     "token_counts",
     "contamination_check",
     "repetition_ratio",
+    "clean_corpus",
     "embedding_near_pairs",
     "embedding_near_pairs_lsh",
     "ann_topk",
