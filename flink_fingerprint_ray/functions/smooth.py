@@ -65,13 +65,18 @@ def lowess_smooth(y: np.ndarray, frac: float, it: int = 3) -> np.ndarray:
             b = ((w * dxc * (yi - ym)).sum() / b_den) if b_den > 1e-12 else 0.0
             out[i] = ym + b * (i - xm)
         r = y - out
+        tiny = 1e-12 * max(1.0, float(np.max(np.abs(y))))
         mad = np.median(np.abs(r))
-        # median 0 with nonzero residuals happens when most of the series
-        # fits exactly (e.g. linear data + isolated outliers) — fall back
-        # to the mean so the bisquare can still downweight the outliers
-        scale = 6.0 * (mad if mad > 0 else np.mean(np.abs(r)))
-        if scale <= 0:
-            break  # perfect fit everywhere: robustness passes are no-ops
+        # a (near-)zero median with real residuals elsewhere happens when
+        # most of the series fits exactly (e.g. linear data + isolated
+        # outliers) — fall back to the mean so the bisquare can still
+        # downweight the outliers; machine-epsilon dust counts as zero
+        scale = 6.0 * (mad if mad > tiny else float(np.mean(np.abs(r))))
+        # converged (all residuals are fp dust): without this guard the
+        # bisquare zero-weights points over noise and a window can
+        # collapse to one effective point
+        if scale <= tiny:
+            break
         delta = np.clip(1.0 - (r / scale) ** 2, 0.0, 1.0) ** 2
     return out
 
