@@ -272,3 +272,25 @@ def test_session_max_cap_matches_oracle_and_bounds_state(ray_session, corpus):
     n_cap = (ora["window_kind"] == "session").sum()
     n_free = (ora_uncapped["window_kind"] == "session").sum()
     assert n_cap > n_free
+
+
+def test_resume_after_kill_with_session_cap(ray_session, corpus):
+    """Kill + resume with session_max_ms active: force-closed sessions
+    already committed must not re-emit, still-open capped state must
+    restore and continue — output identical to the one-shot oracle."""
+    root, pages, updates = corpus
+    cap = 90_000
+    extra = {"session_max_ms": cap}
+    p1 = _run(root, "out_cap_resume", max_epochs=2, cfg_extra=extra)
+    p1.shutdown()
+    p2 = _run(root, "out_cap_resume", cfg_extra=extra)
+    assert p2.manifest.cursor == N_EPOCHS - 1
+    eng = p2.result_dataset().to_pandas()
+    p2.shutdown()
+    ora = oracle_fingerprints(
+        pages, N_EPOCHS, updates=updates,
+        sliding=CFG["sliding"], session_gap_ms=CFG["session_gap_ms"],
+        session_max_ms=cap,
+    )
+    pd.testing.assert_frame_equal(
+        _norm(eng, ora.columns), _norm(ora, ora.columns), check_dtype=False)
