@@ -44,6 +44,30 @@ _SH_C = (_rng.randint(0, 2**63, size=_MAX_SHINGLE_W, dtype=np.uint64) * 2 + 1).a
 _EMPTY_MINHASH = np.full(MINHASH_K, np.iinfo(np.uint32).max, dtype=np.uint32)
 
 
+def hash_fingerprint() -> str:
+    """Hex digest of the seeded token-hash over a fixed sentinel token set.
+
+    polars does not guarantee ``Series.hash`` stable across versions, and
+    minhash/simhash/band keys derived from it persist in window-state
+    checkpoints.  The checkpoint manifest records this fingerprint and
+    REFUSES resume on mismatch — a polars upgrade must not silently mix
+    incompatible hashes into dup-cluster state.
+    """
+    import hashlib
+
+    sentinel = pa.array(
+        ["the", "quick", "brown", "fox", "0", "ß", "日本語", "a" * 64],
+        pa.large_string(),
+    )
+    import os as _os
+
+    _os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import polars as pl
+
+    h = pl.from_arrow(sentinel).hash(seed=_SEED).to_numpy().astype(np.uint64)
+    return hashlib.sha1(h.tobytes()).hexdigest()
+
+
 # ---------------------------------------------------------------------------
 # HTML wrap / extract (invertible; fixture writes, engine extracts)
 # ---------------------------------------------------------------------------

@@ -156,6 +156,10 @@ def duration_alarms(
     step[0] = row_duration_ms
     step[1:] = ts[1:] - ts[:-1]
     step[newkey] = row_duration_ms
+    # duplicate/unsorted timestamps within a key: the reference coerces
+    # zero/NaN deltas to the nominal cadence (process_odr.py step
+    # handling), so a repeated timestamp still accrues row_duration_ms
+    step[step <= 0] = row_duration_ms
 
     parts = []
     for rule in rules:

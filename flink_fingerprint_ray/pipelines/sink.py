@@ -35,6 +35,24 @@ class CheckpointManifest:
         if os.path.exists(self.path):
             with open(self.path) as f:
                 self.state = json.load(f)
+            # persisted minhash/simhash state embeds polars' seeded token
+            # hash, which is not guaranteed stable across polars versions:
+            # refuse resume if the recorded hash fingerprint differs from
+            # what this build computes (better a loud error than silently
+            # corrupted dup-cluster counts).
+            recorded = self.state.get("token_hash_fp")
+            if recorded is not None and self.state["cursor"] >= 0:
+                from ..functions.fingerprint import hash_fingerprint
+
+                current = hash_fingerprint()
+                if recorded != current:
+                    raise RuntimeError(
+                        "checkpoint manifest was written with an incompatible "
+                        f"token-hash build (recorded {recorded[:12]}…, current "
+                        f"{current[:12]}…) — persisted fingerprint state cannot "
+                        "be resumed; rerun from scratch or restore the original "
+                        "polars version"
+                    )
 
     @property
     def cursor(self) -> int:
@@ -60,6 +78,10 @@ class CheckpointManifest:
         metrics: dict,
         lineage: dict,
     ) -> None:
+        if "token_hash_fp" not in self.state:
+            from ..functions.fingerprint import hash_fingerprint
+
+            self.state["token_hash_fp"] = hash_fingerprint()
         self.state["epochs"][str(epoch)] = {
             "watermark_ms": watermark_ms,
             "state_snapshot": state_snapshot,

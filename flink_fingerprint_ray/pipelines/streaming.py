@@ -451,7 +451,15 @@ class StreamingFingerprintPipeline:
         if blocks is None:
             cpus = int(ray.cluster_resources().get("CPU", 8))
             blocks = max(len(epoch.files), min(2 * cpus, max(1, epoch.num_rows // 2000)))
-        ds = ray.data.read_parquet(epoch.files, override_num_blocks=blocks)
+        # Project at the scan: the fixture table carries the full
+        # Common-Crawl shape (url, warc_ts, html, text, lang) but the
+        # transform re-extracts text from html — reading `text` too would
+        # double scan I/O at the 100-TB design point.
+        ds = ray.data.read_parquet(
+            epoch.files,
+            columns=["url", "warc_ts", "html", "lang"],
+            override_num_blocks=blocks,
+        )
         ds = ds.map_batches(
             page_transform,
             fn_kwargs={
@@ -736,7 +744,16 @@ class StreamingFingerprintPipeline:
                     transform_refs=refs, prev_pending=pending, defer_commit=True,
                 )
         if pending is not None:
-            self._finish_epoch(pending)
+            final = self._finish_epoch(pending)
+            # final drain: fire-and-forget adds delivered AFTER the last
+            # epoch's take_prefix/take_stale would otherwise be lost (the
+            # mid-run stale-drain only runs at the NEXT epoch's finish) —
+            # merge them into the last epoch's in-memory metrics so run()
+            # totals stay exact.
+            for k, v in ray.get(
+                self.counter.take_stale.remote(pending["epoch"].index + 1)
+            ).items():
+                final[k] = final.get(k, 0) + v
         all_metrics = self._metrics_log[n_before:]
         total_rows = sum(m["rows_in"] for m in all_metrics)
         total_wall = time.perf_counter() - run_t0

@@ -25,6 +25,16 @@ T = TypeVar("T")
 # blips, NFS timeouts, and Arrow-level IO failures alike
 TRANSIENT_ERRORS: tuple[type[BaseException], ...] = (OSError,)
 
+# ...but some OSError subclasses signal permanent configuration errors
+# (missing file, bad permissions, wrong path kind) that the reference's
+# retry loop would surface immediately, not after backoff
+NON_TRANSIENT_ERRORS: tuple[type[BaseException], ...] = (
+    FileNotFoundError,
+    PermissionError,
+    NotADirectoryError,
+    IsADirectoryError,
+)
+
 
 def with_retries(
     fn: Callable[[], T],
@@ -33,10 +43,13 @@ def with_retries(
     transient: tuple[type[BaseException], ...] = TRANSIENT_ERRORS,
 ) -> T:
     """Call ``fn``, retrying up to ``retries`` times on transient errors
-    with exponential backoff.  Raises the last error when exhausted."""
+    with exponential backoff.  Raises the last error when exhausted;
+    permanent-config OSError subclasses propagate immediately."""
     for attempt in range(retries + 1):
         try:
             return fn()
+        except NON_TRANSIENT_ERRORS:
+            raise
         except transient:
             if attempt == retries:
                 raise

@@ -139,7 +139,9 @@ def test_duration_alarms_matches_naive_scan(rows, dur_units):
     recs = []
     next_ts = {}
     for k, d, flag in rows:
-        t = next_ts.get(k, 0) + (d + 1) * STEP
+        # d == 0 produces duplicate timestamps within a key, exercising
+        # the reference's zero-delta → row_duration fallback
+        t = next_ts.get(k, 0) + d * STEP
         next_ts[k] = t
         recs.append((k, t, 1.0 if flag else 0.0))
     df = pd.DataFrame(recs, columns=["k", "ts", "x"])
@@ -151,10 +153,12 @@ def test_duration_alarms_matches_naive_scan(rows, dur_units):
 
     # naive reference: reference-style per-key scan (process_odr.py:269-303)
     expect = []
-    for k, g in df.sort_values(["k", "ts"]).groupby("k"):
+    for k, g in df.sort_values(["k", "ts"], kind="stable").groupby("k"):
         streak, triggered, prev = 0.0, False, None
         for _, row in g.iterrows():
             step = STEP if prev is None else row["ts"] - prev
+            if step <= 0:  # duplicate ts: reference coerces to cadence
+                step = STEP
             prev = row["ts"]
             if row["x"] <= 0.5:
                 streak, triggered = 0.0, False

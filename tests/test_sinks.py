@@ -29,3 +29,30 @@ def test_csv_json_parquet_sinks(ray_session):
         for back in (back_csv, back_pq, back_json):
             b = back[base.columns.tolist()].sort_values(["event_type", "window_start"]).reset_index(drop=True)
             pd.testing.assert_frame_equal(b, base, check_dtype=False)
+
+
+def test_manifest_refuses_resume_on_token_hash_mismatch(tmp_path):
+    """Persisted minhash/simhash state embeds polars' seeded token hash;
+    a manifest written by an incompatible hash build must refuse resume
+    rather than silently corrupting dup-cluster counts."""
+    import json
+
+    from flink_fingerprint_ray.pipelines.sink import CheckpointManifest
+
+    out = str(tmp_path)
+    m = CheckpointManifest(out)
+    m.commit(0, 1000, {}, {}, {})
+    assert "token_hash_fp" in m.state
+
+    # same build → loads fine
+    m2 = CheckpointManifest(out)
+    assert m2.cursor == 0
+
+    # tamper: simulate a polars upgrade changing the hash
+    with open(m.path) as f:
+        state = json.load(f)
+    state["token_hash_fp"] = "0" * 40
+    with open(m.path, "w") as f:
+        json.dump(state, f)
+    with pytest.raises(RuntimeError, match="incompatible token-hash"):
+        CheckpointManifest(out)

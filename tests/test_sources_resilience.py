@@ -48,6 +48,17 @@ def test_with_retries_does_not_catch_application_errors():
     assert f.calls == 1  # no retry on non-transient
 
 
+@pytest.mark.parametrize("exc", [FileNotFoundError, PermissionError,
+                                 NotADirectoryError, IsADirectoryError])
+def test_with_retries_does_not_retry_permanent_config_errors(exc):
+    """Missing/unreadable paths are permanent config errors, not transport
+    blips — they must propagate immediately despite subclassing OSError."""
+    f = _Flaky(1, exc=exc)
+    with pytest.raises(exc):
+        with_retries(f, retries=3, backoff_s=0)
+    assert f.calls == 1
+
+
 def test_epoch_commits_despite_transient_read_faults(
         ray_session, tmp_path, monkeypatch):
     """Inject transient IO failures into the per-file parquet stats reads
