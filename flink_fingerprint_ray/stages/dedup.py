@@ -349,17 +349,72 @@ def _attach_grams_sweep(t: pa.Table, key: str, out_col: str) -> pa.Table:
     is_gram = np.asarray(t["_gram"])
     gram_t = t.filter(pa.array(is_gram))
     pair_t = t.filter(pa.array(~is_gram))
-    glut = dict(zip(gram_t[key].to_pylist(), gram_t["ngrams"].to_pylist()))
-    keys = pair_t[key].to_pylist()
-    attached = [glut.get(k) for k in keys]
-    hit = np.array([a is not None for a in attached], dtype=bool)
+    # vectorized probe: int64 hash-index on the gram keys + Arrow take on
+    # the list column — no per-key Python dict and no list materialization
+    gram_keys = gram_t[key].to_numpy()
+    index = pd.Index(gram_keys)
+    if index.has_duplicates:  # defensive: dict semantics kept last row
+        keep_last = ~index.duplicated(keep="last")
+        gram_t = gram_t.filter(pa.array(keep_last))
+        index = pd.Index(gram_keys[keep_last])
+    idx = index.get_indexer(pair_t[key].to_numpy())
+    hit = idx >= 0
     pair_t = pair_t.filter(pa.array(hit))
-    attached = [a for a in attached if a is not None]
+    attached = gram_t["ngrams"].combine_chunks().take(
+        pa.array(idx[hit], pa.int64())
+    )
     keep_cols = [c for c in pair_t.column_names if c not in ("_gram", "ngrams", out_col)]
     out = pair_t.select(keep_cols)
-    if out_col == "ngrams" and "grams_a" in pair_t.column_names:
-        pass  # grams_a kept via keep_cols
-    return out.append_column(out_col, _list_column(attached))
+    return out.append_column(out_col, attached.cast(_GRAM_LIST))
+
+
+def _ngram_all_features(batch: pa.Table, id_col: str, text_col: str,
+                        n_bands: int, n: int) -> pa.Table:
+    """ONE tokenize pass per doc → LSH band keys (for candidate proposal)
+    AND the exact n-gram hash set (for the confirm).  Tokenization is the
+    dominant cost of both feature extractors; computing them together and
+    materializing once halves the corpus passes of ngram_jaccard_edges."""
+    ids = batch[id_col].cast(pa.int64())
+    tok_h, n_per_doc = fp._tokenize(batch[text_col])
+    sh_mh, cnt_mh = fp._shingle_hashes(tok_h, n_per_doc)
+    mh = fp._minhash_from_shingles(sh_mh, cnt_mh, fp.MINHASH_K)
+    bands = fp.minhash_band_keys(mh, n_bands)
+    if n == fp.SHINGLE_W:
+        grams, cnt_g = sh_mh, cnt_mh
+    else:
+        grams, cnt_g = fp._shingle_hashes(tok_h, n_per_doc, w=n)
+    offsets = np.concatenate(([0], np.cumsum(cnt_g))).astype(np.int32)
+    return pa.table(
+        {
+            id_col: ids,
+            "bands": pa.FixedSizeListArray.from_arrays(
+                pa.array(bands.ravel(), pa.uint64()), n_bands
+            ),
+            "ngrams": pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(grams, pa.uint64())
+            ),
+        }
+    )
+
+
+def _explode_band_keys(batch: pa.Table, id_col: str) -> pa.Table:
+    """(doc, bands[list]) → one (id, band_no, band_key) row per band —
+    WITHOUT the minhash signature (the n-gram confirm never reads it, so
+    the band shuffle ships ~32-byte rows instead of ~290)."""
+    n = batch.num_rows
+    bands = batch["bands"]
+    n_bands = bands.type.list_size
+    ids = batch[id_col].to_numpy()
+    return pa.table(
+        {
+            id_col: pa.array(np.repeat(ids, n_bands), pa.int64()),
+            "band_no": pa.array(np.tile(np.arange(n_bands, dtype=np.int64), n)),
+            "band_key": pa.array(
+                np.asarray(bands.combine_chunks().flatten(), dtype=np.uint64),
+                pa.uint64(),
+            ),
+        }
+    )
 
 
 def ngram_jaccard_edges(
@@ -380,17 +435,26 @@ def ngram_jaccard_edges(
     shipped only to partitions holding its candidate pairs; the confirm
     runs vectorized over the joined pairs.  Duplicate edges across
     partitions collapse in the cluster stage.
+
+    The per-doc features (band keys + gram set) are computed in ONE
+    tokenize pass and materialized to object-store refs, then re-read by
+    the band explode and both gram-join sides — recomputing the corpus
+    features per consumer (3×) costs far more than letting plasma hold
+    (and at scale, spill) the narrow feature table.
     """
-    feats = ds.map_batches(
-        _minhash_features,
-        fn_kwargs={"id_col": id_col, "text_col": text_col, "n_bands": n_bands},
+    feat_refs = ds.map_batches(
+        _ngram_all_features,
+        fn_kwargs={"id_col": id_col, "text_col": text_col,
+                   "n_bands": n_bands, "n": n},
         batch_format="pyarrow",
+    ).to_arrow_refs()
+
+    def _feats() -> "ray.data.Dataset":
+        return ray.data.from_arrow_refs(list(feat_refs))
+
+    exploded = _feats().map_batches(
+        _explode_band_keys, fn_kwargs={"id_col": id_col}, batch_format="pyarrow"
     )
-    grams = ds.map_batches(
-        _ngram_features, fn_kwargs={"id_col": id_col, "text_col": text_col, "n": n},
-        batch_format="pyarrow",
-    )
-    exploded = feats.map_batches(_explode_bands, fn_kwargs={"id_col": id_col}, batch_format="pyarrow")
     pairs = grouped_map(
         exploded, ["band_no", "band_key"], _band_pairs_sweep,
         fn_kwargs={"id_col": id_col},
@@ -419,7 +483,7 @@ def ngram_jaccard_edges(
         })
 
     # join grams onto pairs by a, then by b (both co-partitioned)
-    ga = grams.map_batches(_gram_rows, fn_kwargs={"key": "a"}, batch_format="pyarrow")
+    ga = _feats().map_batches(_gram_rows, fn_kwargs={"key": "a"}, batch_format="pyarrow")
     j1 = grouped_map(
         pairs.map_batches(_pair_rows, batch_format="pyarrow").union(ga),
         ["a"], _attach_grams_sweep, fn_kwargs={"key": "a", "out_col": "grams_a"},
@@ -432,7 +496,7 @@ def ngram_jaccard_edges(
         batch = batch.append_column("ngrams", pa.nulls(n, _GRAM_LIST))
         return batch.append_column("_gram", pa.array(np.zeros(n, dtype=bool))).select(J2_COLS)
 
-    gb = grams.map_batches(_gram_rows, fn_kwargs={"key": "b"}, batch_format="pyarrow")
+    gb = _feats().map_batches(_gram_rows, fn_kwargs={"key": "b"}, batch_format="pyarrow")
 
     def _gb_pad(batch: pa.Table) -> pa.Table:
         return batch.append_column(
