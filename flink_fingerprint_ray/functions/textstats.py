@@ -60,11 +60,17 @@ def quality_features(texts: pa.Array | pa.ChunkedArray) -> dict[str, np.ndarray]
     n_punct = pc.count_substring_regex(t, r"[\.,;:!\?\"'\(\)\[\]]").to_numpy(zero_copy_only=False).astype(np.float64)
     n_upper = pc.count_substring_regex(t, r"[A-Z]").to_numpy(zero_copy_only=False).astype(np.float64)
     n_digit = pc.count_substring_regex(t, r"[0-9]").to_numpy(zero_copy_only=False).astype(np.float64)
-    # stopword hits: count each stopword as a standalone word (\b anchors
-    # are not in RE2; use explicit boundary classes)
+    # stopword hits: exact token membership (split on whitespace, count
+    # tokens in the stopword set) — boundary-regex counting differs
+    # between Arrow (overlapping restarts) and RE2-consuming engines, so
+    # membership is the portable, SQL-mirrorable semantics
     low = pc.utf8_lower(t)
-    stop_pat = r"(^|\s)(" + "|".join(STOPWORDS) + r")(\s|$)"
-    n_stop = pc.count_substring_regex(low, stop_pat).to_numpy(zero_copy_only=False).astype(np.float64)
+    toks = pc.split_pattern_regex(low, r"\s+")
+    flat = toks.flatten()
+    n_per = pc.list_value_length(toks).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    hits = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(zero_copy_only=False)
+    doc_ids = np.repeat(np.arange(len(n_per)), n_per)
+    n_stop = np.bincount(doc_ids[hits], minlength=len(n_per)).astype(np.float64)
 
     safe_tokens = np.maximum(n_tokens, 1.0)
     safe_chars = np.maximum(n_chars, 1.0)

@@ -29,7 +29,7 @@ from ..functions.exprs import DerivedColumnStage
 from ..stages import dedup as dd
 from ..stages import similarity as sim
 from ..stages.shuffle import grouped_map
-from ..stages.textops import LangIdStage, TextFeatureStage
+from ..stages.textops import LangIdStage
 from ..stages.windows import sliding_window_starts, tumbling_window_start
 
 MIN_60S = 60_000
@@ -452,13 +452,15 @@ def q_minhash_lsh_clusters(sf_dir: str):
 
 
 def q_minhash_lsh_clusters_dist(sf_dir: str):
-    """Same clusters as minhash_lsh_clusters but labeled via the
-    DISTRIBUTED connected-components path (hash-partitioned min-label
-    propagation) — the 10^12-doc route where the edge list no longer fits
-    the driver."""
+    """DISTRIBUTED connected-components path (hash-partitioned min-label
+    propagation — the 10^12-doc route where the edge list no longer fits
+    the driver) cross-checked inline against the driver union-find on the
+    SAME edges.  Returns the count of disagreeing member rows; the SQL
+    oracle pins the expected value (0) since the invariant itself is not
+    SQL-expressible.  The actual cluster table is `minhash_lsh_clusters`."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     edges = dd.minhash_lsh_edges(ds, "doc_id", threshold=0.8)
-    return dd.distributed_components(edges)
+    return dd.distributed_vs_driver_mismatch(edges)
 
 
 def q_simhash_clusters(sf_dir: str):
@@ -468,12 +470,12 @@ def q_simhash_clusters(sf_dir: str):
 
 
 def q_simhash_clusters_dist(sf_dir: str):
-    """Same clusters as simhash_clusters via the distributed
-    connected-components path (hash-partitioned min-label propagation) —
-    the 10^12-doc route where the edge list no longer fits the driver."""
+    """Distributed CC vs driver union-find cross-check on the simhash
+    edge list (see q_minhash_lsh_clusters_dist); oracle pins 0 mismatches.
+    The actual cluster table is `simhash_clusters`."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     edges = dd.simhash_edges(ds, "doc_id", max_hamming=3)
-    return dd.distributed_components(edges)
+    return dd.distributed_vs_driver_mismatch(edges)
 
 
 def q_ngram_jaccard_clusters(sf_dir: str):
@@ -740,17 +742,137 @@ def q_media_image_features(sf_dir: str):
 
 
 def q_lang_id(sf_dir: str):
-    """Language-ID heuristic (actor-pool stage; rows-only check)."""
+    """Language-ID heuristic (actor-pool stage).  The marker-count vote
+    is exact integer arithmetic, so it has a full SQL oracle: per-language
+    scores as non-overlapping substring counts (replace-based in DuckDB,
+    count_substring in Arrow — identical greedy-left semantics), argmax
+    with first-wins tie-break over the fixed language order, 'und' when
+    all scores are zero."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(LangIdStage, concurrency=2, batch_format="pyarrow")
     return out.select_columns(["doc_id", "lang_pred"])
 
 
+SQL_LANG_ID = r"""
+WITH s AS (SELECT doc_id, lower(text) AS t FROM documents),
+sc AS (
+  SELECT doc_id,
+     (length(t) - length(replace(t, ' the ', ''))) // 5
+   + (length(t) - length(replace(t, ' and ', ''))) // 5
+   + (length(t) - length(replace(t, ' of ', '')))  // 4
+   + (length(t) - length(replace(t, 'ing ', '')))  // 4
+   + (length(t) - length(replace(t, ' to ', '')))  // 4 AS en,
+     (length(t) - length(replace(t, ' der ', ''))) // 5
+   + (length(t) - length(replace(t, ' und ', ''))) // 5
+   + (length(t) - length(replace(t, ' die ', ''))) // 5
+   + (length(t) - length(replace(t, ' ist ', ''))) // 5
+   + (length(t) - length(replace(t, 'sch', '')))   // 3 AS de,
+     (length(t) - length(replace(t, ' le ', '')))  // 4
+   + (length(t) - length(replace(t, ' la ', '')))  // 4
+   + (length(t) - length(replace(t, ' les ', ''))) // 5
+   + (length(t) - length(replace(t, ' est ', ''))) // 5
+   + (length(t) - length(replace(t, ' de ', '')))  // 4 AS fr,
+     (length(t) - length(replace(t, ' el ', '')))  // 4
+   + (length(t) - length(replace(t, ' la ', '')))  // 4
+   + (length(t) - length(replace(t, ' que ', ''))) // 5
+   + (length(t) - length(replace(t, ' los ', ''))) // 5
+   + (length(t) - length(replace(t, 'ción', '')))  // 4 AS es,
+     (length(t) - length(replace(t, ' il ', '')))  // 4
+   + (length(t) - length(replace(t, ' che ', ''))) // 5
+   + (length(t) - length(replace(t, ' di ', '')))  // 4
+   + (length(t) - length(replace(t, ' per ', ''))) // 5
+   + (length(t) - length(replace(t, 'zione', ''))) // 5 AS it
+  FROM s)
+SELECT doc_id,
+  CASE WHEN greatest(en, de, fr, es, it) = 0 THEN 'und'
+       WHEN en >= de AND en >= fr AND en >= es AND en >= it THEN 'en'
+       WHEN de >= fr AND de >= es AND de >= it THEN 'de'
+       WHEN fr >= es AND fr >= it THEN 'fr'
+       WHEN es >= it THEN 'es'
+       ELSE 'it' END AS lang_pred
+FROM sc
+"""
+
+
 def q_text_features(sf_dir: str):
-    """Full text-feature stage (quality score, fingerprints; rows-only)."""
+    """Quality/text-feature stage with a full SQL oracle: counts as
+    BIGINT, every ratio and the composite quality score as
+    floor(x*1e6+0.5) micros over raw doubles — the engine and DuckDB
+    evaluate the identical IEEE expression tree.  The non-SQL sketch
+    columns (rolling fingerprint, simhash) stay on TextFeatureStage and
+    are pytest-covered."""
+    from ..functions.textstats import (
+        bpe_ish_token_count,
+        quality_features,
+        whitespace_token_count,
+    )
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.map_batches(TextFeatureStage, concurrency=2, batch_format="pyarrow")
-    return out.drop_columns(["text"])
+
+    def micros(batch: pa.Table) -> pa.Table:
+        t = batch["text"]
+        f = quality_features(t)
+        cols = {
+            "doc_id": batch["doc_id"],
+            "n_chars": pa.array(f["n_chars"], pa.int64()),
+            "n_tokens_ws": whitespace_token_count(t).cast(pa.int64()),
+            "n_tokens_bpe": bpe_ish_token_count(t).cast(pa.int64()),
+        }
+        for name in ("mean_token_len", "punct_ratio", "stopword_ratio",
+                     "upper_ratio", "digit_ratio", "quality_score"):
+            cols[name + "_micros"] = pa.array(
+                np.floor(f[name] * 1e6 + 0.5).astype(np.int64), pa.int64()
+            )
+        return pa.table(cols)
+
+    return ds.map_batches(micros, batch_format="pyarrow")
+
+
+_SQL_STOPWORD_ALT = ",".join(
+    f"'{w}'" for w in (
+        "the a an and or of to in is are was be on for with as at by it "
+        "this that from not have has had but they you we he she i"
+    ).split()
+)
+
+SQL_TEXT_FEATURES = r"""
+WITH f AS (
+  SELECT doc_id,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(COALESCE(array_length(regexp_extract_all(text, '\S+')), 0) AS DOUBLE) AS n_tokens,
+    CAST(COALESCE(array_length(regexp_extract_all(text, '[\.,;:!\?"''\(\)\[\]]')), 0) AS DOUBLE) AS n_punct,
+    CAST(COALESCE(array_length(regexp_extract_all(text, '[A-Z]')), 0) AS DOUBLE) AS n_upper,
+    CAST(COALESCE(array_length(regexp_extract_all(text, '[0-9]')), 0) AS DOUBLE) AS n_digit,
+    CAST(COALESCE(array_length(regexp_extract_all(text, '\s')), 0) AS DOUBLE) AS n_ws,
+    CAST(COALESCE(length(list_filter(string_split_regex(lower(text), '\s+'),
+         x -> x IN (__STOP__))), 0) AS DOUBLE) AS n_stop,
+    CAST(COALESCE(array_length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 0) AS BIGINT) AS n_tokens_bpe
+  FROM documents),
+r AS (
+  SELECT doc_id,
+    CAST(n_chars AS BIGINT) AS n_chars,
+    CAST(n_tokens AS BIGINT) AS n_tokens_ws,
+    n_tokens_bpe,
+    (n_chars - n_ws) / greatest(n_tokens, 1.0) AS mean_token_len,
+    n_punct / greatest(n_chars, 1.0) AS punct_ratio,
+    n_stop / greatest(n_tokens, 1.0) AS stopword_ratio,
+    n_upper / greatest(n_chars, 1.0) AS upper_ratio,
+    n_digit / greatest(n_chars, 1.0) AS digit_ratio,
+    least(greatest(n_tokens / 20.0, 0.0), 1.0) AS length_score
+  FROM f)
+SELECT doc_id, n_chars, n_tokens_ws, n_tokens_bpe,
+  CAST(floor(mean_token_len * 1000000 + 0.5) AS BIGINT) AS mean_token_len_micros,
+  CAST(floor(punct_ratio * 1000000 + 0.5) AS BIGINT) AS punct_ratio_micros,
+  CAST(floor(stopword_ratio * 1000000 + 0.5) AS BIGINT) AS stopword_ratio_micros,
+  CAST(floor(upper_ratio * 1000000 + 0.5) AS BIGINT) AS upper_ratio_micros,
+  CAST(floor(digit_ratio * 1000000 + 0.5) AS BIGINT) AS digit_ratio_micros,
+  CAST(floor(least(greatest(
+        0.4 * length_score
+      + 0.3 * least(greatest(stopword_ratio * 5.0, 0.0), 1.0)
+      + 0.3 * (1.0 - least(greatest(punct_ratio * 5.0 + digit_ratio * 2.0, 0.0), 1.0)),
+      0.0), 1.0) * 1000000 + 0.5) AS BIGINT) AS quality_score_micros
+FROM r
+""".replace("__STOP__", _SQL_STOPWORD_ALT)
 
 
 # ---------------------------------------------------------------------------
@@ -1716,6 +1838,14 @@ ORACLE_SQL = {
     "exact_dedup": SQL_EXACT_DEDUP,
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_counts": SQL_QUALITY_COUNTS,
+    "lang_id": SQL_LANG_ID,
+    "text_features": SQL_TEXT_FEATURES,
+    # the dist-CC queries return an inline invariant (distributed label
+    # propagation ≡ driver union-find on identical edges, as a mismatch
+    # row count); the invariant is not SQL-expressible, so the oracle
+    # pins its expected value
+    "minhash_lsh_clusters_dist": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
+    "simhash_clusters_dist": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
     "contamination_check": SQL_CONTAMINATION_CHECK,
     "repetition_ratio": SQL_REPETITION_RATIO,
     "clean_corpus": SQL_CLEAN_CORPUS,

@@ -682,6 +682,29 @@ def distributed_components(
     )
 
 
+def distributed_vs_driver_mismatch(edges_ds: "ray.data.Dataset") -> pd.DataFrame:
+    """Run BOTH connected-components paths on the SAME materialized edge
+    list — distributed min-label propagation and driver union-find — and
+    return the count of member rows on which they disagree (expected 0).
+
+    The invariant itself (two independent CC algorithms agree row-exactly)
+    is not SQL-expressible, so the query's oracle pins the expected
+    violation count instead; this gives the correctness driver a checkable
+    value for the distributed path rather than a bare row count."""
+    refs = edges_ds.to_arrow_refs()
+    dist = distributed_components(ray.data.from_arrow_refs(list(refs)))
+    drv = cluster_table(ray.data.from_arrow_refs(list(refs)))
+    merged = dist.merge(drv, on="member_id", how="outer",
+                        suffixes=("_dist", "_drv"), indicator=True)
+    both = merged["_merge"] == "both"
+    diff = (
+        (merged.loc[both, "cluster_id_dist"] != merged.loc[both, "cluster_id_drv"])
+        | (merged.loc[both, "cluster_size_dist"] != merged.loc[both, "cluster_size_drv"])
+    ).sum()
+    mismatch = int((~both).sum() + diff)
+    return pd.DataFrame({"mismatch_rows": pd.Series([mismatch], dtype="int64")})
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------

@@ -19,6 +19,10 @@ FAST_SQL_QUERIES = [
     "fp_tumbling_windows",
     "exact_dedup",
     "token_counts",
+    "lang_id",
+    "text_features",
+    "minhash_lsh_clusters_dist",
+    "simhash_clusters_dist",
     "contamination_check",
     "repetition_ratio",
     "clean_corpus",
@@ -80,7 +84,7 @@ def test_rows_only_queries_nonempty(ray_session):
     import __ray_entry__ as entrymod
 
     q = entrymod.queries()
-    for name in ("minhash_lsh_clusters", "lang_id", "ann_topk_ivf"):
+    for name in ("minhash_lsh_clusters", "ann_topk_ivf"):
         df = _to_df(q[name](SF))
         assert len(df) > 0, name
 
