@@ -206,6 +206,77 @@ def oracle_fingerprints(
     return pd.DataFrame(out)
 
 
+def oracle_clean_stream(
+    pages: pa.Table,
+    n_epochs: int,
+    min_chars: int,
+    bench_hashes: np.ndarray | None = None,
+    lateness_ms: int = 10_000,
+) -> pd.DataFrame:
+    """Expected STREAMING curation output (url, ts_ms, text_hash): per
+    epoch, non-late non-empty rows pass the quality gate (extracted-text
+    length >= min_chars) and decontamination (no trigram in
+    ``bench_hashes``); across epochs the FIRST epoch containing a
+    text_hash wins, and within an epoch the row with min (ts_ms, url).
+    Mirrors the engine's DedupStateActor contract bit-for-bit."""
+    from .functions.textstats import ngram_set_hashes
+
+    text = fp.extract_text(pages["html"])
+    ts_all = pages["warc_ts"].cast(pa.int64()).to_numpy()
+    url_all = np.asarray(pages["url"], dtype=object)
+    text_np = np.asarray(text, dtype=object)
+    import pyarrow.compute as pc
+
+    text_len = pc.utf8_length(text).cast(pa.int64()).to_numpy()
+    th_all = fp.text_hash64(text)
+    contaminated = np.zeros(pages.num_rows, dtype=bool)
+    if bench_hashes is not None and len(bench_hashes):
+        bench = np.unique(np.asarray(bench_hashes, dtype=np.uint64))
+        hashes, counts = ngram_set_hashes(text, n=3)
+        if len(hashes):
+            gram_doc = np.repeat(np.arange(pages.num_rows), counts)
+            pos = np.minimum(np.searchsorted(bench, hashes), len(bench) - 1)
+            contaminated[np.unique(gram_doc[bench[pos] == hashes])] = True
+
+    bounds = _epoch_bounds(pages.num_rows, n_epochs)
+    wm = 0
+    seen: set[int] = set()
+    out: list[tuple] = []
+    for e_i in range(n_epochs):
+        lo, hi = bounds[e_i], bounds[e_i + 1]
+        if hi <= lo:
+            continue
+        wm_prev = wm
+        wm = max(wm, int(ts_all[lo:hi].max()) - lateness_ms)
+        idx = np.arange(lo, hi)
+        ok = (
+            (ts_all[idx] >= wm_prev)
+            & (text_len[idx] > 0)
+            & (text_len[idx] >= min_chars)
+            & ~contaminated[idx]
+        )
+        cand = idx[ok]
+        # within-epoch winner per hash: min (ts_ms, url); first epoch wins
+        order = np.lexsort((url_all[cand], ts_all[cand], th_all[cand]))
+        c = cand[order]
+        first = np.ones(len(c), dtype=bool)
+        first[1:] = th_all[c][1:] != th_all[c][:-1]
+        for i in c[first]:
+            h = int(th_all[i])
+            if h not in seen:
+                seen.add(h)
+                out.append((str(url_all[i]), int(ts_all[i]), h, e_i))
+        _ = text_np  # (text retained for debuggability)
+    df = pd.DataFrame(out, columns=["url", "ts_ms", "text_hash", "_epoch"])
+    df["ts_ms"] = df["ts_ms"].astype(np.int64)
+    df["text_hash"] = df["text_hash"].astype(np.uint64)
+    return (
+        df.sort_values(["_epoch", "ts_ms", "url"], kind="stable")
+        .drop(columns=["_epoch"])
+        .reset_index(drop=True)
+    )
+
+
 def oracle_alerts(fingerprints: pd.DataFrame) -> pd.DataFrame:
     """Expected rising-edge alert rows from an oracle fingerprint table:
     per (key_lang, key_host, window_kind) in window_start order, emit the

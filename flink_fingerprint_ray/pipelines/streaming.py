@@ -65,6 +65,14 @@ class PipelineConfig:
     jaccard_threshold: float = 0.8
     read_blocks: int | None = None            # override_num_blocks on read
     snapshot_compact_every: int = 8           # full-base rewrite cadence (delta checkpoints)
+    # -- streaming curation path (batch analog: queries.q_clean_corpus) --
+    # >0 enables: quality gate (min extracted-text chars) + optional
+    # decontamination + cross-epoch exact dedup, all under the same
+    # watermark / snapshot / exactly-once-commit contract as the windows
+    curation_min_chars: int = 0
+    # sorted uint64 benchmark trigram hashes (ngram_set_hashes output) for
+    # decontamination; None = gate+dedup only
+    curation_bench: object = None
 
 
 FINGERPRINT_COLS = [
@@ -221,7 +229,8 @@ class MetricCounter:
         return dict(self.c)
 
 
-def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix: str = "") -> pa.Table:
+def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix: str = "",
+                   curation_min_chars: int = 0, bench_ref=None) -> pa.Table:
     """Stateless per-batch transform: late-drop, extract, fingerprint.
 
     Emits a NARROW table (html/text projected away) so only ~300-byte rows
@@ -278,6 +287,27 @@ def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix:
             pa.array(mh.ravel(), pa.uint32()), mh.shape[1] if mh.size else 64
         ),
     }
+    if curation_min_chars > 0:
+        # streaming curation side-channel: per-doc survival of the quality
+        # gate + decontamination, decided row-locally here (the cross-epoch
+        # dedup decision lives in the DedupStateActor pool).  url rides
+        # along only on the per-doc table — _transform_refs strips these
+        # columns before the window explode so the shuffle stays narrow.
+        keep = text_len.to_numpy() >= curation_min_chars
+        bench = ray.get(bench_ref) if bench_ref is not None else None
+        if bench is not None and len(bench) and batch.num_rows:
+            from ..functions.textstats import ngram_set_hashes
+
+            hashes, counts = ngram_set_hashes(text, n=3)
+            if len(hashes):
+                gram_doc = np.repeat(np.arange(batch.num_rows), counts)
+                pos = np.minimum(np.searchsorted(bench, hashes), len(bench) - 1)
+                contaminated = np.zeros(batch.num_rows, dtype=bool)
+                contaminated[np.unique(gram_doc[bench[pos] == hashes])] = True
+                keep &= ~contaminated
+        cols["url"] = batch["url"].combine_chunks().cast(pa.large_string()) \
+            if batch.num_rows else pa.array([], pa.large_string())
+        cols["clean_keep"] = pa.array(keep, pa.bool_())
     return pa.table(cols)
 
 
@@ -367,6 +397,50 @@ def route_and_split(
     return closable.drop_columns(["part"]), refs
 
 
+@ray.remote
+def route_clean(block: pa.Table, n_partitions: int, dedup_handles: list,
+                *close_barrier):
+    """Curation routing: the per-doc block's surviving candidate rows
+    (url, ts_ms, text_hash) go to their owning dedup actor by
+    ``text_hash % n``.  ``close_barrier`` carries the PREVIOUS epoch's
+    close_epoch refs — Ray resolves them before this task runs, so this
+    epoch's adds cannot leak into the previous epoch's survivor sweep.
+    Returns the add ack refs (awaited by the driver with the window-route
+    acks — no blocking inside the task)."""
+    if block.num_rows == 0 or "clean_keep" not in block.column_names:
+        return []
+    keep = block["clean_keep"].to_numpy(zero_copy_only=False)
+    if not keep.any():
+        return []
+    cand = block.select(["url", "ts_ms", "text_hash"]).take(
+        pa.array(np.flatnonzero(keep))
+    )
+    part = (cand["text_hash"].to_numpy().astype(np.uint64)
+            % np.uint64(n_partitions)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    sp = part[order]
+    bounds = np.flatnonzero(np.concatenate(([True], sp[1:] != sp[:-1])))
+    bounds = np.append(bounds, len(sp))
+    refs = []
+    for i in range(len(bounds) - 1):
+        s, e = bounds[i], bounds[i + 1]
+        sub = cand.take(pa.array(order[s:e]))
+        refs.append(dedup_handles[int(sp[s])].add_candidates.remote(sub))
+    return refs
+
+
+@ray.remote
+def write_clean_part(path: str, table: pa.Table | None) -> int:
+    """Write one dedup partition's epoch survivors into the staging dir
+    (rides the same epoch fence as the fingerprint parts)."""
+    import pyarrow.parquet as pq
+
+    if table is None or table.num_rows == 0:
+        return 0
+    pq.write_table(table, path)
+    return table.num_rows
+
+
 def update_transform(batch: pa.Table, n_partitions: int) -> pa.Table:
     """Page-update stream → narrow build-side rows for the join state."""
     host = fp.host_of(batch["url"])
@@ -434,6 +508,12 @@ class StreamingFingerprintPipeline:
             self.cfg.session_max_ms,
         )
         self.counter = MetricCounter.remote()
+        # curation: broadcast the benchmark gram set ONCE (ray.put), read
+        # from local plasma inside every transform task
+        self._bench_ref = None
+        if self.cfg.curation_min_chars > 0 and self.cfg.curation_bench is not None:
+            bench = np.unique(np.asarray(self.cfg.curation_bench, dtype=np.uint64))
+            self._bench_ref = ray.put(bench)
         self._metrics_log: list[dict] = []
         self._wm = self.manifest.watermark_ms  # in-memory watermark chain
         if self.manifest.cursor >= 0:  # resume: restore actor state snapshots
@@ -460,17 +540,27 @@ class StreamingFingerprintPipeline:
             columns=["url", "warc_ts", "html", "lang"],
             override_num_blocks=blocks,
         )
-        ds = ds.map_batches(
-            page_transform,
-            fn_kwargs={
-                "late_cutoff_ms": late_cutoff_ms,
-                "counter": self.counter,
-                "metric_prefix": f"e{epoch.index}:",
-            },
-            batch_format="pyarrow",
-        )
-        ds = ds.map_batches(explode_windows, fn_kwargs={"cfg": cfg}, batch_format="pyarrow")
-        return ds.to_arrow_refs()
+        fn_kwargs = {
+            "late_cutoff_ms": late_cutoff_ms,
+            "counter": self.counter,
+            "metric_prefix": f"e{epoch.index}:",
+        }
+        if cfg.curation_min_chars > 0:
+            fn_kwargs["curation_min_chars"] = cfg.curation_min_chars
+            fn_kwargs["bench_ref"] = self._bench_ref
+        ds = ds.map_batches(page_transform, fn_kwargs=fn_kwargs, batch_format="pyarrow")
+        if cfg.curation_min_chars <= 0:
+            # fused single pass (no curation side-channel)
+            ds = ds.map_batches(explode_windows, fn_kwargs={"cfg": cfg}, batch_format="pyarrow")
+            return ds.to_arrow_refs(), None
+        # curation on: materialize the per-doc narrow rows once; the window
+        # explode re-reads them from plasma minus the curation columns, and
+        # the SAME refs feed the dedup routing — one corpus pass either way
+        doc_refs = ds.to_arrow_refs()
+        win = ray.data.from_arrow_refs(list(doc_refs)).map_batches(
+            lambda t: t.drop_columns(["url", "clean_keep"]), batch_format="pyarrow"
+        ).map_batches(explode_windows, fn_kwargs={"cfg": cfg}, batch_format="pyarrow")
+        return win.to_arrow_refs(), doc_refs
 
     # -- single epoch ------------------------------------------------------
     def run_epoch(
@@ -501,6 +591,7 @@ class StreamingFingerprintPipeline:
         #    tasks), unless already prefetched by run()
         if transform_refs is None:
             transform_refs = self._transform_refs(epoch, wm_prev)
+        win_refs, doc_refs = transform_refs
 
         # 2) per-block routing LAUNCH: open/session rows into state
         #    actors, closable rows back as refs (single pass).  Launched
@@ -514,13 +605,24 @@ class StreamingFingerprintPipeline:
         # epoch can reach an actor before the prior snapshot completed
         # (explicit happens-before, no driver-side blocking)
         snap_barrier = tuple(prev_pending.get("w_snap_refs", ())) if prev_pending else ()
-        for ref in transform_refs:
+        for ref in win_refs:
             closable, acks = route_and_split.remote(
                 ref, wm_new, self.pool.window_actors, cfg.n_state_partitions,
                 *snap_barrier,
             )
             closable_refs.append(closable)
             ack_list_refs.append(acks)
+
+        # 2b) curation routing (optional): surviving candidate rows to the
+        #     dedup actors, gated on the PREVIOUS epoch's close_epoch refs
+        #     (this epoch's adds must not leak into that survivor sweep)
+        if doc_refs:
+            close_barrier = tuple(prev_pending.get("d_close_refs", ())) if prev_pending else ()
+            for ref in doc_refs:
+                ack_list_refs.append(route_clean.remote(
+                    ref, cfg.n_state_partitions, self.pool.dedup_actors,
+                    *close_barrier,
+                ))
 
         t_route_launch = time.perf_counter()
 
@@ -544,6 +646,14 @@ class StreamingFingerprintPipeline:
         if acks:
             ray.wait(acks, num_returns=len(acks))
         t_route = time.perf_counter()
+
+        # 5b) curation epoch close: every candidate add is acked, so the
+        #     dedup actors can sweep this epoch's first-seen survivors.
+        #     Submitted before the dedup snapshot (same driver → mailbox
+        #     order); the write tasks land in the staging dir below.
+        d_close_refs: list = []
+        if doc_refs:
+            d_close_refs = self.pool.close_dedup_refs()
 
         # 6) matured rows from earlier epochs join this epoch's closable
         #    rows — taken as refs straight from the actors (no driver copy)
@@ -584,6 +694,19 @@ class StreamingFingerprintPipeline:
         snap_dir = os.path.join(self.sink.out_dir, "_state", f"epoch={epoch.index:05d}")
         w_snap_refs = self.pool.snapshot_windows_refs(snap_dir)
 
+        # curation: stage survivor parts + snapshot the seen-hash state
+        # (close → snapshot mailbox order; both resolved pre-commit)
+        clean_write_refs: list = []
+        d_snap_refs: list = []
+        if d_close_refs:
+            clean_write_refs = [
+                write_clean_part.remote(
+                    os.path.join(staging, f"clean-p{i:04d}.parquet"), ref
+                )
+                for i, ref in enumerate(d_close_refs)
+            ]
+            d_snap_refs = self.pool.snapshot_dedup_refs(snap_dir)
+
         self._wm = wm_new
         pending = {
             "epoch": epoch,
@@ -594,6 +717,9 @@ class StreamingFingerprintPipeline:
             "wm": wm_new,
             "snap_dir": snap_dir,
             "w_snap_refs": w_snap_refs,
+            "d_close_refs": d_close_refs,
+            "clean_write_refs": clean_write_refs,
+            "d_snap_refs": d_snap_refs,
             "t0": t0,
             "t_route": t_route,
             "t_route_launch": t_route_launch,
@@ -632,9 +758,12 @@ class StreamingFingerprintPipeline:
         metrics_ref = self.counter.take_prefix.remote(f"e{epoch.index}:")
         stale_ref = self.counter.take_stale.remote(epoch.index)
 
+        clean_write_refs = pending.get("clean_write_refs", [])
+        d_snap_refs = pending.get("d_snap_refs", [])
         flat = ray.get(
             list(pending["w_snap_refs"]) + alert_feed_refs + evict_refs
             + j_snap_refs + a_snap_refs + buf_w_refs + buf_j_refs
+            + clean_write_refs + d_snap_refs
             + [metrics_ref, stale_ref]
         )
         i = 0
@@ -650,6 +779,8 @@ class StreamingFingerprintPipeline:
         a_snap = {f"alerts_{k}": p for k, p in enumerate(_take(len(a_snap_refs)))}
         buf_w = _take(len(buf_w_refs))
         buf_j = _take(len(buf_j_refs))
+        n_clean = int(sum(_take(len(clean_write_refs))))
+        d_snap = {f"dedup_{k}": p for k, p in enumerate(_take(len(d_snap_refs)))}
         metrics, stale = _take(2)
 
         n_alerts = 0
@@ -661,7 +792,7 @@ class StreamingFingerprintPipeline:
             _pq.write_table(alerts, os.path.join(pending["staging"], "alerts.parquet"))
             n_alerts = alerts.num_rows
         t_fin = time.perf_counter()
-        snapshot = {**w_snap, **j_snap, **a_snap}
+        snapshot = {**w_snap, **j_snap, **a_snap, **d_snap}
         # reclaim counts of EARLIER epochs delivered after their collection
         for k, v in stale.items():
             metrics[k] = metrics.get(k, 0) + v
@@ -670,6 +801,7 @@ class StreamingFingerprintPipeline:
                 "rows_in": epoch.num_rows,
                 "fingerprints": n_out,
                 "alerts": n_alerts,
+                "clean_docs": n_clean,
                 "join_evicted": evicted,
                 # S9 lag analog: epochs discovered but not yet committed
                 "epochs_behind": max(0, len(self.source) - epoch.index - 1),
@@ -761,6 +893,7 @@ class StreamingFingerprintPipeline:
             "epochs_run": len(all_metrics),
             "rows_in": total_rows,
             "fingerprints": sum(m["fingerprints"] for m in all_metrics),
+            "clean_docs": sum(m.get("clean_docs", 0) for m in all_metrics),
             "late_dropped": sum(m.get("late_dropped", 0) for m in all_metrics),
             "wall_sec": round(total_wall, 4),
             "docs_per_sec": round(total_rows / total_wall, 2) if total_wall else 0.0,
@@ -772,6 +905,19 @@ class StreamingFingerprintPipeline:
 
         files = sorted(glob.glob(os.path.join(self.sink.out_dir, "epoch=*", "part-*.parquet")))
         return ray.data.read_parquet(files)
+
+    def clean_df(self) -> pd.DataFrame:
+        """Committed curation survivors (url, ts_ms, text_hash), all epochs."""
+        import glob
+
+        import pyarrow.parquet as _pq
+
+        files = sorted(glob.glob(os.path.join(self.sink.out_dir, "epoch=*", "clean-p*.parquet")))
+        if not files:
+            return pd.DataFrame(columns=["url", "ts_ms", "text_hash"])
+        return pa.concat_tables(
+            [_pq.read_table(f) for f in files], promote_options="default"
+        ).to_pandas()
 
     def alerts_df(self) -> pd.DataFrame:
         """Committed rising-edge alert rows (T3 analog), all epochs."""

@@ -425,6 +425,100 @@ class AlertStateActor:
             self.state = {}
 
 
+@ray.remote(num_cpus=0)
+class DedupStateActor:
+    """Cross-epoch exact-dedup state for the STREAMING curation path (the
+    batch analog is ``queries.q_clean_corpus``): owns one hash partition
+    of the text_hash space; a document survives iff its hash was never
+    seen in an earlier committed epoch (first epoch wins) nor earlier
+    within its own epoch (min (ts_ms, url) wins — deterministic under any
+    route-task arrival order).  State is the sorted uint64 seen-hash
+    array; snapshots are per-epoch deltas of newly-seen hashes with
+    periodic full-base compaction, exactly like the window/join actors."""
+
+    def __init__(self, partition_id: int, compact_every: int = 8) -> None:
+        self.partition_id = partition_id
+        self.seen = np.empty(0, dtype=np.uint64)   # sorted
+        self._cand: list[pa.Table] = []            # this epoch's candidates
+        self._delta: list[np.ndarray] = []         # hashes added since last snapshot
+        self._snap_paths: list[str] = []
+        self._snaps_since_compact = 0
+        self._compact_every = compact_every
+
+    def add_candidates(self, table: pa.Table) -> int:
+        if table.num_rows:
+            self._cand.append(table)
+        return table.num_rows
+
+    def close_epoch(self) -> pa.Table | None:
+        """First-seen winners among this epoch's candidates; records their
+        hashes.  Crash before the commit fence is safe: actors restart and
+        restore from the last COMMITTED snapshot, so a replayed epoch
+        recomputes identical survivors."""
+        buf = _concat(self._cand)
+        self._cand = []
+        if buf is None:
+            return None
+        h = buf["text_hash"].to_numpy().astype(np.uint64)
+        ts = buf["ts_ms"].to_numpy()
+        url = np.asarray(buf["url"], dtype=object)
+        order = np.lexsort((url, ts, h))
+        h_s = h[order]
+        first = np.ones(len(h_s), dtype=bool)
+        first[1:] = h_s[1:] != h_s[:-1]
+        win = order[first]
+        hw = h[win]
+        if len(self.seen):
+            pos = np.minimum(np.searchsorted(self.seen, hw), len(self.seen) - 1)
+            new_mask = self.seen[pos] != hw
+        else:
+            new_mask = np.ones(len(hw), dtype=bool)
+        win = win[new_mask]
+        new_h = hw[new_mask]
+        if len(new_h):
+            self.seen = np.union1d(self.seen, new_h)
+            self._delta.append(new_h)
+        if len(win) == 0:
+            return None
+        # deterministic output order regardless of add arrival order
+        out_order = win[np.lexsort((url[win], ts[win]))]
+        return buf.take(pa.array(out_order))
+
+    def buffered_rows(self) -> int:
+        return int(len(self.seen))
+
+    def snapshot(self, snap_dir: str) -> dict[str, list[str]]:
+        os.makedirs(snap_dir, exist_ok=True)
+        self._snaps_since_compact += 1
+        compact = self._snaps_since_compact >= self._compact_every
+        if compact:
+            arrs = [self.seen] if len(self.seen) else []
+            self._snap_paths = []
+            self._snaps_since_compact = 0
+        else:
+            arrs = self._delta
+        h = np.concatenate(arrs) if arrs else None
+        if h is not None and len(h):
+            suffix = "base" if compact else "delta"
+            p = os.path.join(snap_dir, f"p{self.partition_id:04d}_dedup_{suffix}.parquet")
+            pq.write_table(pa.table({"h": pa.array(h, pa.uint64())}), p)
+            self._snap_paths.append(p)
+        self._delta = []
+        return {"dedup": list(self._snap_paths)}
+
+    def restore(self, paths: dict[str, list[str]]) -> None:
+        arrs = [
+            pq.read_table(p)["h"].to_numpy().astype(np.uint64)
+            for p in paths.get("dedup", [])
+        ]
+        self.seen = (
+            np.unique(np.concatenate(arrs)) if arrs else np.empty(0, dtype=np.uint64)
+        )
+        self._snap_paths = list(paths.get("dedup", []))
+        self._delta = []
+        self._cand = []
+
+
 @ray.remote
 def split_alert_rows(block: pa.Table, n_partitions: int) -> list[pa.Table | None]:
     """Split one finalize partition's alert-input rows by key hash (NOT
@@ -485,6 +579,11 @@ class StatePool:
             for i in range(n_partitions)
         ]
         self.alert_actors = [AlertStateActor.remote(i) for i in range(n_partitions)]
+        # curation dedup state (num_cpus=0, like alerts: microseconds of
+        # work per epoch — does not count against the ~40% actor budget)
+        self.dedup_actors = [
+            DedupStateActor.remote(i, compact_every) for i in range(n_partitions)
+        ]
 
     def feed_alerts(self, alert_refs: list) -> list:
         """Route finalize partitions' closed-window rows to the per-key
@@ -550,6 +649,12 @@ class StatePool:
     def snapshot_alerts_refs(self, snap_dir: str) -> list:
         return [x.snapshot.remote(os.path.join(snap_dir, "alerts")) for x in self.alert_actors]
 
+    def close_dedup_refs(self) -> list:
+        return [a.close_epoch.remote() for a in self.dedup_actors]
+
+    def snapshot_dedup_refs(self, snap_dir: str) -> list:
+        return [a.snapshot.remote(os.path.join(snap_dir, "dedup")) for a in self.dedup_actors]
+
     def evict_join_refs(self, watermark_ms: int) -> list:
         return [a.evict.remote(watermark_ms) for a in self.join_actors]
 
@@ -569,11 +674,15 @@ class StatePool:
             refs.append(a.restore.remote(snap.get(f"join_{i}", {}), watermark_ms))
         for i, a in enumerate(self.alert_actors):
             refs.append(a.restore.remote(snap.get(f"alerts_{i}", {})))
+        for i, a in enumerate(self.dedup_actors):
+            refs.append(a.restore.remote(snap.get(f"dedup_{i}", {})))
         ray.get(refs)
 
     def shutdown(self) -> None:
-        for a in self.window_actors + self.join_actors + self.alert_actors:
+        for a in (self.window_actors + self.join_actors + self.alert_actors
+                  + self.dedup_actors):
             ray.kill(a)
         self.window_actors = []
         self.join_actors = []
         self.alert_actors = []
+        self.dedup_actors = []

@@ -294,3 +294,47 @@ def test_resume_after_kill_with_session_cap(ray_session, corpus):
     )
     pd.testing.assert_frame_equal(
         _norm(eng, ora.columns), _norm(ora, ora.columns), check_dtype=False)
+
+
+def test_streaming_curation_matches_oracle_and_resumes(ray_session, corpus):
+    """VERDICT r2 item 5: the LLM-curation chain (quality gate →
+    decontamination → cross-epoch exact dedup) runs INSIDE the epoch
+    driver — inheriting watermarks, snapshots and the exactly-once fence —
+    and a kill/resume run matches the single-process curation oracle."""
+    from flink_fingerprint_ray.functions.textstats import ngram_set_hashes
+    from flink_fingerprint_ray.oracle import oracle_clean_stream
+
+    root, pages, _ = corpus
+    MIN_CHARS = 120
+    # held-out benchmark: trigrams of a few fixture docs (their exact and
+    # near copies downstream must be decontaminated away)
+    bench, _ = ngram_set_hashes(pages["text"].slice(10, 5))
+    cur = {"curation_min_chars": MIN_CHARS, "curation_bench": bench}
+
+    ora = oracle_clean_stream(pages, N_EPOCHS, MIN_CHARS, bench)
+    ora_nobench = oracle_clean_stream(pages, N_EPOCHS, MIN_CHARS, None)
+    # the gates are all non-vacuous on this fixture
+    assert 0 < len(ora) < len(ora_nobench) < pages.num_rows
+
+    def _cmp(df: pd.DataFrame):
+        cols = ["url", "ts_ms", "text_hash"]
+        a = df[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+        b = ora[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    pipe = _run(root, "out_curation", cfg_extra=cur)
+    eng = pipe.clean_df()
+    # the fingerprint/window path is unaffected by the curation side-channel
+    n_fps = len(pipe.result_dataset().to_pandas())
+    pipe.shutdown()
+    assert n_fps > 0
+    _cmp(eng)
+
+    # kill after 2 epochs; a fresh pipeline restores the seen-hash state
+    # from the committed snapshot and finishes with identical output
+    p1 = _run(root, "out_curation_resume", max_epochs=2, cfg_extra=cur)
+    p1.shutdown()
+    p2 = _run(root, "out_curation_resume", cfg_extra=cur)
+    eng2 = p2.clean_df()
+    p2.shutdown()
+    _cmp(eng2)
