@@ -90,12 +90,18 @@ def make_pages(
     empty_frac: float = 0.02,
     tokens_lo: int = 12,
     tokens_hi: int = 40,
+    media_frac: float = 0.0,
 ) -> pa.Table:
-    """F1 `pages` table: (url, warc_ts, html, text, lang).
+    """F1 `pages` table: (url, warc_ts, html, text, lang [, media]).
 
     warc_ts is mostly increasing with jitter; ~ooo_frac rows out of order
     within the watermark bound; ~late_frac rows later than the bound
     (must be dropped as late and counted in metrics).
+
+    ``media_frac > 0`` attaches a GENUINE netpbm P6 payload (seeded
+    gradient+noise image) to that fraction of pages — the multimodal
+    column the flagship's media side-channel decodes under the streaming
+    contract; other rows carry null.
     """
     rng = np.random.RandomState(seed)
     # Zipf-skewed host choice: a few hot hosts exercise salting
@@ -123,15 +129,30 @@ def make_pages(
         texts[i] = ""
     html = [wrap_html(t) for t in texts]
 
-    return pa.table(
-        {
-            "url": pa.array(urls, type=pa.string()),
-            "warc_ts": pa.array(ts, type=pa.timestamp("ms")),
-            "html": pa.array(html, type=pa.binary()),
-            "text": pa.array(texts, type=pa.string()),
-            "lang": pa.array(langs, type=pa.string()),
-        }
-    )
+    cols = {
+        "url": pa.array(urls, type=pa.string()),
+        "warc_ts": pa.array(ts, type=pa.timestamp("ms")),
+        "html": pa.array(html, type=pa.binary()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(langs, type=pa.string()),
+    }
+    if media_frac > 0:
+        from .stages.media import encode_ppm
+
+        has_media = rng.rand(n_docs) < media_frac
+        payloads: list[bytes | None] = [None] * n_docs
+        for i in np.flatnonzero(has_media):
+            h, w = int(rng.randint(16, 48)), int(rng.randint(16, 48))
+            gx = np.linspace(0, 255, w, dtype=np.float64)[None, :]
+            gy = np.linspace(0, 255, h, dtype=np.float64)[:, None]
+            img = np.stack([
+                np.broadcast_to(gx, (h, w)),
+                np.broadcast_to(gy, (h, w)),
+                rng.randint(0, 256, (h, w)).astype(np.float64),
+            ], axis=2).astype(np.uint8)
+            payloads[int(i)] = encode_ppm(img)
+        cols["media"] = pa.array(payloads, type=pa.binary())
+    return pa.table(cols)
 
 
 def make_page_updates(pages: pa.Table, seed: int = 43, hit_frac: float = 0.3) -> pa.Table:

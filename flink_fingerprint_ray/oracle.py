@@ -277,6 +277,45 @@ def oracle_clean_stream(
     )
 
 
+def oracle_media_stream(
+    pages: pa.Table,
+    n_epochs: int,
+    lateness_ms: int = 10_000,
+) -> pd.DataFrame:
+    """Expected media side-channel output (url, ts_ms, media_mean,
+    media_std): per epoch, non-late non-empty-text rows whose ``media``
+    payload is present decode via NetpbmDecoder; identical numpy ops to
+    the engine's PageMediaStage so float equality is exact."""
+    from .stages.media import NetpbmDecoder
+
+    text = fp.extract_text(pages["html"])
+    ts_all = pages["warc_ts"].cast(pa.int64()).to_numpy()
+    url_all = np.asarray(pages["url"], dtype=object)
+    import pyarrow.compute as pc
+
+    nonempty = pc.not_equal(text, "").to_numpy(zero_copy_only=False)
+    media = pages["media"].combine_chunks()
+    valid = media.is_valid().to_numpy(zero_copy_only=False)
+    dec = NetpbmDecoder()
+    bounds = _epoch_bounds(pages.num_rows, n_epochs)
+    wm = 0
+    out: list[tuple] = []
+    for e_i in range(n_epochs):
+        lo, hi = bounds[e_i], bounds[e_i + 1]
+        if hi <= lo:
+            continue
+        wm_prev = wm
+        wm = max(wm, int(ts_all[lo:hi].max()) - lateness_ms)
+        for i in range(lo, hi):
+            if ts_all[i] >= wm_prev and nonempty[i] and valid[i]:
+                img = dec.decode_image(media[i].as_py())
+                out.append((str(url_all[i]), int(ts_all[i]),
+                            float(img.mean()), float(img.std())))
+    df = pd.DataFrame(out, columns=["url", "ts_ms", "media_mean", "media_std"])
+    df["ts_ms"] = df["ts_ms"].astype(np.int64)
+    return df.reset_index(drop=True)
+
+
 def oracle_alerts(fingerprints: pd.DataFrame) -> pd.DataFrame:
     """Expected rising-edge alert rows from an oracle fingerprint table:
     per (key_lang, key_host, window_kind) in window_start order, emit the

@@ -73,6 +73,10 @@ class PipelineConfig:
     # sorted uint64 benchmark trigram hashes (ngram_set_hashes output) for
     # decontamination; None = gate+dedup only
     curation_bench: object = None
+    # decode the optional `media` column (netpbm payloads) in an
+    # actor-pool stage and stage per-epoch media features under the same
+    # watermark/fence contract (multimodal under streaming, VERDICT r2 #6)
+    media_features: bool = False
 
 
 FINGERPRINT_COLS = [
@@ -305,10 +309,48 @@ def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix:
                 contaminated = np.zeros(batch.num_rows, dtype=bool)
                 contaminated[np.unique(gram_doc[bench[pos] == hashes])] = True
                 keep &= ~contaminated
+        cols["clean_keep"] = pa.array(keep, pa.bool_())
+    if curation_min_chars > 0 or "media_mean" in batch.column_names:
         cols["url"] = batch["url"].combine_chunks().cast(pa.large_string()) \
             if batch.num_rows else pa.array([], pa.large_string())
-        cols["clean_keep"] = pa.array(keep, pa.bool_())
+    if "media_mean" in batch.column_names:
+        # media side-channel features computed upstream (PageMediaStage) —
+        # forwarded on the per-doc table only, null where the page had no
+        # media payload
+        cols["media_mean"] = batch["media_mean"].combine_chunks()
+        cols["media_std"] = batch["media_std"].combine_chunks()
     return pa.table(cols)
+
+
+class PageMediaStage:
+    """Actor-pool media side-channel of the flagship: decode the optional
+    netpbm ``media`` payload (decoder built once per actor), append
+    per-page pixel features, and DROP the binary before the fingerprint
+    transform — large payloads must never reach a shuffle.  Pages without
+    media get null features."""
+
+    def __init__(self) -> None:
+        from ..stages.media import NetpbmDecoder
+
+        self.decoder = NetpbmDecoder()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if "media" not in batch.column_names:
+            return batch
+        col = batch["media"].combine_chunks()
+        n = batch.num_rows
+        mean = np.zeros(n)
+        std = np.zeros(n)
+        valid = col.is_valid().to_numpy(zero_copy_only=False)
+        for i in np.flatnonzero(valid):
+            img = self.decoder.decode_image(col[int(i)].as_py())
+            mean[i] = float(img.mean())
+            std[i] = float(img.std())
+        batch = batch.drop_columns(["media"])
+        batch = batch.append_column(
+            "media_mean", pa.array(mean, pa.float64(), mask=~valid))
+        return batch.append_column(
+            "media_std", pa.array(std, pa.float64(), mask=~valid))
 
 
 def explode_windows(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
@@ -430,6 +472,24 @@ def route_clean(block: pa.Table, n_partitions: int, dedup_handles: list,
 
 
 @ray.remote
+def write_media_part(path: str, block: pa.Table) -> int:
+    """Stage one per-doc block's media-feature rows (url, ts_ms,
+    media_mean, media_std) under the epoch fence; stateless, so replay is
+    a pure overwrite."""
+    import pyarrow.parquet as pq
+
+    if block.num_rows == 0 or "media_mean" not in block.column_names:
+        return 0
+    sub = block.select(["url", "ts_ms", "media_mean", "media_std"]).filter(
+        block["media_mean"].combine_chunks().is_valid()
+    )
+    if sub.num_rows == 0:
+        return 0
+    pq.write_table(sub, path)
+    return sub.num_rows
+
+
+@ray.remote
 def write_clean_part(path: str, table: pa.Table | None) -> int:
     """Write one dedup partition's epoch survivors into the staging dir
     (rides the same epoch fence as the fingerprint parts)."""
@@ -535,11 +595,18 @@ class StreamingFingerprintPipeline:
         # Common-Crawl shape (url, warc_ts, html, text, lang) but the
         # transform re-extracts text from html — reading `text` too would
         # double scan I/O at the 100-TB design point.
+        side_channel = cfg.curation_min_chars > 0 or cfg.media_features
+        read_cols = ["url", "warc_ts", "html", "lang"]
+        if cfg.media_features:
+            read_cols.append("media")
         ds = ray.data.read_parquet(
-            epoch.files,
-            columns=["url", "warc_ts", "html", "lang"],
-            override_num_blocks=blocks,
+            epoch.files, columns=read_cols, override_num_blocks=blocks,
         )
+        if cfg.media_features:
+            # actor-pool decode: payloads dropped before any other stage
+            ds = ds.map_batches(
+                PageMediaStage, concurrency=2, batch_format="pyarrow",
+            )
         fn_kwargs = {
             "late_cutoff_ms": late_cutoff_ms,
             "counter": self.counter,
@@ -549,16 +616,22 @@ class StreamingFingerprintPipeline:
             fn_kwargs["curation_min_chars"] = cfg.curation_min_chars
             fn_kwargs["bench_ref"] = self._bench_ref
         ds = ds.map_batches(page_transform, fn_kwargs=fn_kwargs, batch_format="pyarrow")
-        if cfg.curation_min_chars <= 0:
-            # fused single pass (no curation side-channel)
+        if not side_channel:
+            # fused single pass (no curation/media side-channel)
             ds = ds.map_batches(explode_windows, fn_kwargs={"cfg": cfg}, batch_format="pyarrow")
             return ds.to_arrow_refs(), None
-        # curation on: materialize the per-doc narrow rows once; the window
-        # explode re-reads them from plasma minus the curation columns, and
-        # the SAME refs feed the dedup routing — one corpus pass either way
+        # side channels on: materialize the per-doc narrow rows once; the
+        # window explode re-reads them from plasma minus the side-channel
+        # columns, and the SAME refs feed the dedup routing / media writes
+        # — one corpus pass either way
         doc_refs = ds.to_arrow_refs()
+        side_cols = ["url"]
+        if cfg.curation_min_chars > 0:
+            side_cols.append("clean_keep")
+        if cfg.media_features:
+            side_cols += ["media_mean", "media_std"]
         win = ray.data.from_arrow_refs(list(doc_refs)).map_batches(
-            lambda t: t.drop_columns(["url", "clean_keep"]), batch_format="pyarrow"
+            lambda t: t.drop_columns(side_cols), batch_format="pyarrow"
         ).map_batches(explode_windows, fn_kwargs={"cfg": cfg}, batch_format="pyarrow")
         return win.to_arrow_refs(), doc_refs
 
@@ -706,6 +779,14 @@ class StreamingFingerprintPipeline:
                 for i, ref in enumerate(d_close_refs)
             ]
             d_snap_refs = self.pool.snapshot_dedup_refs(snap_dir)
+        media_write_refs: list = []
+        if doc_refs and cfg.media_features:
+            media_write_refs = [
+                write_media_part.remote(
+                    os.path.join(staging, f"media-b{i:04d}.parquet"), ref
+                )
+                for i, ref in enumerate(doc_refs)
+            ]
 
         self._wm = wm_new
         pending = {
@@ -720,6 +801,7 @@ class StreamingFingerprintPipeline:
             "d_close_refs": d_close_refs,
             "clean_write_refs": clean_write_refs,
             "d_snap_refs": d_snap_refs,
+            "media_write_refs": media_write_refs,
             "t0": t0,
             "t_route": t_route,
             "t_route_launch": t_route_launch,
@@ -760,10 +842,11 @@ class StreamingFingerprintPipeline:
 
         clean_write_refs = pending.get("clean_write_refs", [])
         d_snap_refs = pending.get("d_snap_refs", [])
+        media_write_refs = pending.get("media_write_refs", [])
         flat = ray.get(
             list(pending["w_snap_refs"]) + alert_feed_refs + evict_refs
             + j_snap_refs + a_snap_refs + buf_w_refs + buf_j_refs
-            + clean_write_refs + d_snap_refs
+            + clean_write_refs + d_snap_refs + media_write_refs
             + [metrics_ref, stale_ref]
         )
         i = 0
@@ -781,6 +864,7 @@ class StreamingFingerprintPipeline:
         buf_j = _take(len(buf_j_refs))
         n_clean = int(sum(_take(len(clean_write_refs))))
         d_snap = {f"dedup_{k}": p for k, p in enumerate(_take(len(d_snap_refs)))}
+        n_media = int(sum(_take(len(media_write_refs))))
         metrics, stale = _take(2)
 
         n_alerts = 0
@@ -802,6 +886,7 @@ class StreamingFingerprintPipeline:
                 "fingerprints": n_out,
                 "alerts": n_alerts,
                 "clean_docs": n_clean,
+                "media_docs": n_media,
                 "join_evicted": evicted,
                 # S9 lag analog: epochs discovered but not yet committed
                 "epochs_behind": max(0, len(self.source) - epoch.index - 1),
@@ -894,6 +979,7 @@ class StreamingFingerprintPipeline:
             "rows_in": total_rows,
             "fingerprints": sum(m["fingerprints"] for m in all_metrics),
             "clean_docs": sum(m.get("clean_docs", 0) for m in all_metrics),
+            "media_docs": sum(m.get("media_docs", 0) for m in all_metrics),
             "late_dropped": sum(m.get("late_dropped", 0) for m in all_metrics),
             "wall_sec": round(total_wall, 4),
             "docs_per_sec": round(total_rows / total_wall, 2) if total_wall else 0.0,
@@ -905,6 +991,19 @@ class StreamingFingerprintPipeline:
 
         files = sorted(glob.glob(os.path.join(self.sink.out_dir, "epoch=*", "part-*.parquet")))
         return ray.data.read_parquet(files)
+
+    def media_df(self) -> pd.DataFrame:
+        """Committed media features (url, ts_ms, media_mean, media_std)."""
+        import glob
+
+        import pyarrow.parquet as _pq
+
+        files = sorted(glob.glob(os.path.join(self.sink.out_dir, "epoch=*", "media-b*.parquet")))
+        if not files:
+            return pd.DataFrame(columns=["url", "ts_ms", "media_mean", "media_std"])
+        return pa.concat_tables(
+            [_pq.read_table(f) for f in files], promote_options="default"
+        ).to_pandas()
 
     def clean_df(self) -> pd.DataFrame:
         """Committed curation survivors (url, ts_ms, text_hash), all epochs."""

@@ -338,3 +338,60 @@ def test_streaming_curation_matches_oracle_and_resumes(ray_session, corpus):
     eng2 = p2.clean_df()
     p2.shutdown()
     _cmp(eng2)
+
+
+def test_streaming_media_features_match_oracle(ray_session, tmp_path):
+    """VERDICT r2 item 6: the multimodal column runs under the streaming
+    contract — the optional netpbm `media` payload decodes in an
+    actor-pool stage inside the epoch driver, features ride the epoch
+    fence, and neither the window path nor the curation path is
+    disturbed."""
+    from flink_fingerprint_ray.functions.textstats import ngram_set_hashes
+    from flink_fingerprint_ray.oracle import (
+        oracle_clean_stream,
+        oracle_media_stream,
+    )
+
+    root = str(tmp_path)
+    pages = fixtures.make_pages(n_docs=600, seed=33, media_frac=0.15)
+    updates = fixtures.make_page_updates(pages, seed=34)
+    fixtures.write_epochs(pages, root, n_epochs=3, prefix="pages")
+    fixtures.write_epochs(updates, root, n_epochs=3, prefix="updates")
+    bench, _ = ngram_set_hashes(pages["text"].slice(3, 4))
+    cfg = PipelineConfig(
+        sliding=(120_000, 60_000), session_gap_ms=30_000, n_state_partitions=2,
+        media_features=True, curation_min_chars=100, curation_bench=bench,
+    )
+    pipe = StreamingFingerprintPipeline(
+        os.path.join(root, "pages"), os.path.join(root, "out"),
+        updates_root=os.path.join(root, "updates"), cfg=cfg,
+    )
+    res = pipe.run()
+    med = pipe.media_df()
+    clean = pipe.clean_df()
+    fps = pipe.result_dataset().to_pandas()
+    pipe.shutdown()
+
+    ora_m = oracle_media_stream(pages, 3)
+    assert len(ora_m) > 0 and res["media_docs"] == len(ora_m)
+    mcols = ["url", "ts_ms", "media_mean", "media_std"]
+    pd.testing.assert_frame_equal(
+        med[mcols].sort_values(["url", "ts_ms"]).reset_index(drop=True),
+        ora_m[mcols].sort_values(["url", "ts_ms"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+    # fingerprint/window path unaffected by BOTH side-channels
+    ora_f = oracle_fingerprints(
+        pages, 3, updates=updates, sliding=(120_000, 60_000), session_gap_ms=30_000,
+    )
+    pd.testing.assert_frame_equal(
+        _norm(fps, ora_f.columns), _norm(ora_f, ora_f.columns), check_dtype=False,
+    )
+    # curation stays exact with media enabled
+    ora_c = oracle_clean_stream(pages, 3, 100, bench)
+    ccols = ["url", "ts_ms", "text_hash"]
+    pd.testing.assert_frame_equal(
+        clean[ccols].sort_values(ccols).reset_index(drop=True),
+        ora_c[ccols].sort_values(ccols).reset_index(drop=True),
+        check_dtype=False,
+    )
