@@ -125,10 +125,21 @@ def run_headline(num_cpus: int, n_docs: int = N_DOCS, n_epochs: int = N_EPOCHS,
             cfg=cfg,
         )
         t0 = time.perf_counter()
-        pipe.run()
+        res = pipe.run()
         elapsed = time.perf_counter() - t0
         n_out = _consume(pipe.result_dataset())
         pipe.shutdown()
+        # scale telemetry riding every bench run (S9 lag + state gauges):
+        # epochs_behind is the source-lag analog, buffered rows bound the
+        # actor-state footprint the 100-TB design depends on
+        per = res.get("per_epoch", [])
+        telemetry = {
+            "epochs_behind_max": max((m.get("epochs_behind", 0) for m in per), default=0),
+            "buffered_rows_max": max(
+                (sum(m.get("buffered", {}).values()) for m in per), default=0),
+            "buffered_rows_final": sum(per[-1].get("buffered", {}).values()) if per else 0,
+            "late_dropped": res.get("late_dropped", 0),
+        }
         return {
             "sec": round(elapsed, 3),
             "docs_per_sec": round(n_docs / elapsed, 1),
@@ -137,6 +148,7 @@ def run_headline(num_cpus: int, n_docs: int = N_DOCS, n_epochs: int = N_EPOCHS,
             "n_docs": n_docs,
             "n_epochs": n_epochs,
             "n_fingerprints": n_out,
+            "telemetry": telemetry,
         }
     finally:
         if corpus_dir is None:

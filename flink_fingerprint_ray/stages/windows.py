@@ -384,6 +384,12 @@ def finalize_many(table) -> pd.DataFrame:
         )
         exact_a[multi], near_a[multi], clus_a[multi] = ex_m, ne_m, cl_m
 
+    # per-WINDOW sha1 (not per row): stdlib hashlib has no batch API and
+    # numpy no sha1 kernel; at ~1 µs/digest this is ≤0.1 s even when a
+    # partition closes 10^5 windows — two orders below the stats/cluster
+    # sweeps above.  Swapping to a vectorized non-crypto hash would tie
+    # the PERSISTED output ids to a library's hash stability (the polars
+    # lesson in ADVICE r2) for no measurable win.
     fids = [
         fingerprint_id(str(la), str(ho), str(ki), int(s_), int(e_))
         for la, ho, ki, s_, e_ in zip(g_lang, g_host, g_kind, g_ws, g_we)
