@@ -609,8 +609,57 @@ def _cc_propagate(t: pa.Table) -> pd.DataFrame:
     return pd.concat(out, ignore_index=True)
 
 
+def _cc_symmetrize(batch: pa.Table) -> pa.Table:
+    a = batch["a"].to_numpy().astype(np.int64)
+    b = batch["b"].to_numpy().astype(np.int64)
+    return pa.table({
+        "node": pa.array(np.concatenate([a, b]), pa.int64()),
+        "peer": pa.array(np.concatenate([b, a]), pa.int64()),
+    })
+
+
+@ray.remote
+def _cc_nrows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+@ray.remote
+def _cc_init_labels(t: pa.Table) -> pa.Table:
+    """Initial label candidates per node: its own id and each neighbor."""
+    node = t["node"].to_numpy()
+    peer = t["peer"].to_numpy()
+    return pa.table({
+        "node": pa.array(np.concatenate([node, node]), pa.int64()),
+        "label": pa.array(np.concatenate([node, peer]), pa.int64()),
+    })
+
+
+@ray.remote
+def _cc_tag_labels(t: pa.Table) -> pa.Table:
+    return pa.table({
+        "node": t["node"].combine_chunks().cast(pa.int64()),
+        "peer": pa.array(np.full(t.num_rows, -1, dtype=np.int64), pa.int64()),
+        "label": t["label"].combine_chunks().cast(pa.int64()),
+    })
+
+
+@ray.remote
+def _cc_tag_edges(t: pa.Table) -> pa.Table:
+    return pa.table({
+        "node": t["node"].combine_chunks().cast(pa.int64()),
+        "peer": t["peer"].combine_chunks().cast(pa.int64()),
+        "label": pa.array(np.zeros(t.num_rows, dtype=np.int64), pa.int64()),
+    })
+
+
+@ray.remote
+def _cc_label_sum(t: pa.Table) -> int:
+    return int(np.sum(t["label"].to_numpy()))
+
+
 def distributed_components(
-    edges_ds: "ray.data.Dataset", max_iters: int = 50
+    edges_ds: "ray.data.Dataset", max_iters: int = 50,
+    n_partitions: int | None = None,
 ) -> pd.DataFrame:
     """Connected components by hash-partitioned min-label propagation —
     the scale path for edge lists too large for driver-side union-find
@@ -619,60 +668,47 @@ def distributed_components(
     node's current label across its edges, then take the per-node min.
     Iterations ≈ cluster diameter (near-dup clusters are tiny).  Output
     contract identical to ``edges_to_clusters``.
-    """
-    def symmetrize(batch: pa.Table) -> pa.Table:
-        a = batch["a"].to_numpy().astype(np.int64)
-        b = batch["b"].to_numpy().astype(np.int64)
-        return pa.table({
-            "node": pa.array(np.concatenate([a, b]), pa.int64()),
-            "peer": pa.array(np.concatenate([b, a]), pa.int64()),
-            "label": pa.array(np.concatenate([a, b]), pa.int64()),  # init: own id
-        })
 
-    sym = edges_ds.map_batches(symmetrize, batch_format="pyarrow")
-    # initial labels: min(node, neighbors) per node
-    labels = grouped_map(
-        sym.map_batches(
-            lambda t: pa.table({"node": t["node"], "label": t["peer"]}),
-            batch_format="pyarrow",
-        ).union(sym.map_batches(
-            lambda t: pa.table({"node": t["node"], "label": t["node"]}),
-            batch_format="pyarrow",
-        )),
-        ["node"], _cc_local_min,
+    The loop runs entirely on plasma refs (``grouped_map`` list-in /
+    refs-out) with partition count sized to the edge volume — per-step
+    Dataset executor spin-up would otherwise dominate the tiny-cluster
+    case while changing nothing at scale.
+    """
+    sym_refs = edges_ds.map_batches(
+        _cc_symmetrize, batch_format="pyarrow"
+    ).to_arrow_refs()
+    n_half_edges = int(sum(ray.get([_cc_nrows.remote(r) for r in sym_refs])))
+    if n_partitions is None:
+        # size the exchange to the edge volume: a tiny edge list on 32
+        # fixed partitions pays 32 tasks/stage of pure overhead
+        n_partitions = int(max(4, min(32, n_half_edges // 20_000 + 4)))
+
+    # everything below runs on plasma refs (grouped_map list-in/refs-out):
+    # each iteration is two hash exchanges and a driver checksum, with no
+    # per-step Dataset executor spin-up
+    label_refs = grouped_map(
+        [_cc_init_labels.remote(r) for r in sym_refs],
+        ["node"], _cc_local_min, n_partitions=n_partitions, return_refs=True,
     )
-    edges_only = sym.map_batches(
-        lambda t: pa.table({"node": t["node"], "peer": t["peer"]}),
-        batch_format="pyarrow",
-    ).materialize()
+    edge_tagged = [_cc_tag_edges.remote(r) for r in sym_refs]
 
     prev_sum = None
     for _ in range(max_iters):
-        tagged_labels = labels.map_batches(
-            lambda t: pa.table({
-                "node": t["node"].combine_chunks().cast(pa.int64()),
-                "peer": pa.array(np.full(t.num_rows, -1, dtype=np.int64), pa.int64()),
-                "label": t["label"].combine_chunks().cast(pa.int64()),
-            }), batch_format="pyarrow",
-        )
-        tagged_edges = edges_only.map_batches(
-            lambda t: pa.table({
-                "node": t["node"].combine_chunks().cast(pa.int64()),
-                "peer": t["peer"].combine_chunks().cast(pa.int64()),
-                "label": pa.array(np.zeros(t.num_rows, dtype=np.int64), pa.int64()),
-            }), batch_format="pyarrow",
-        )
-        cand = grouped_map(tagged_labels.union(tagged_edges), ["node"], _cc_propagate)
-        labels = grouped_map(cand, ["node"], _cc_local_min).materialize()
-        chk = int(labels.map_batches(
-            lambda t: pa.table({"s": pa.array([int(np.sum(t["label"].to_numpy()))], pa.int64())}),
-            batch_format="pyarrow",
-        ).sum("s"))
+        tagged = [_cc_tag_labels.remote(r) for r in label_refs] + edge_tagged
+        cand = grouped_map(tagged, ["node"], _cc_propagate,
+                           n_partitions=n_partitions, return_refs=True)
+        label_refs = grouped_map(cand, ["node"], _cc_local_min,
+                                 n_partitions=n_partitions, return_refs=True)
+        chk = int(sum(ray.get([_cc_label_sum.remote(r) for r in label_refs])))
         if chk == prev_sum:  # labels are monotonically non-increasing mins
             break
         prev_sum = chk
 
-    mem = labels.to_pandas().rename(columns={"node": "member_id", "label": "cluster_id"})
+    tabs = [t for t in ray.get(label_refs) if t is not None and t.num_rows]
+    mem = (
+        pa.concat_tables(tabs, promote_options="default").to_pandas()
+        if tabs else pd.DataFrame({"node": [], "label": []})
+    ).rename(columns={"node": "member_id", "label": "cluster_id"})
     sizes = mem.groupby("cluster_id")["member_id"].transform("size").astype(np.int64)
     mem["cluster_size"] = sizes
     return (

@@ -67,19 +67,25 @@ def _apply_partition(fn, fn_kwargs: dict | None, *slices: pa.Table | None) -> pa
 
 
 def grouped_map(
-    ds: "ray.data.Dataset",
+    ds: "ray.data.Dataset | list",
     key_cols: list[str],
     fn,
     fn_kwargs: dict | None = None,
     n_partitions: int | None = None,
-) -> "ray.data.Dataset":
+    return_refs: bool = False,
+):
     """Hash-partition ``ds`` by ``key_cols`` and apply ``fn`` once per
     partition (pa.Table -> pa.Table | pd.DataFrame).  ``fn`` sees every
-    row of each of its keys and must be vectorized across groups."""
+    row of each of its keys and must be vectorized across groups.
+
+    ``ds`` may be a list of Arrow block ObjectRefs instead of a Dataset
+    (iterative callers like distributed CC keep everything in plasma and
+    skip per-step Dataset executor spin-up); with ``return_refs`` the
+    non-empty output partitions come back as refs for the same reason."""
     if n_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         n_partitions = max(8, min(64, cpus))
-    refs = ds.to_arrow_refs()
+    refs = ds if isinstance(ds, list) else ds.to_arrow_refs()
     parted = [
         _split_block.options(num_returns=n_partitions).remote(r, key_cols, n_partitions)
         for r in refs
@@ -92,6 +98,8 @@ def grouped_map(
     # keep only non-empty partitions WITHOUT fetching the tables
     sizes = ray.get([_nrows.remote(r) for r in out_refs])
     done = [r for r, s in zip(out_refs, sizes) if s]
+    if return_refs:
+        return done
     if not done:
         return ray.data.from_items([])
     return ray.data.from_arrow_refs(done)
