@@ -479,9 +479,62 @@ def q_simhash_clusters_dist(sf_dir: str):
 
 
 def q_ngram_jaccard_clusters(sf_dir: str):
+    """EXACT token-trigram-set Jaccard clusters (threshold 0.7).
+
+    Candidates come from MinHash-LSH at 32 bands × 2 rows (miss
+    probability per true pair at J=0.7 is (1-0.49)^32 < 5e-10), the
+    confirm recomputes exact set Jaccard — so the result is held to the
+    exact all-pairs SQL oracle below (verified row-identical at sf0.001
+    and sf0.01)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    edges = dd.ngram_jaccard_edges(ds, "doc_id", threshold=0.7)
+    edges = dd.ngram_jaccard_edges(ds, "doc_id", threshold=0.7, n_bands=32)
     return dd.cluster_table(edges)
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (  -- distinct token trigrams per doc (mirrors _shingle_hashes w=3)
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS i
+  FROM grams g1 JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+  GROUP BY 1, 2
+),
+edges0 AS (  -- integer form of i/(sa+sb-i) >= 0.7: exact at the boundary
+  SELECT a, b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE i * 10 >= 7 * (sa.sz + sb.sz - i)
+),
+-- docs with < 3 tokens have the empty gram set; the engine's set
+-- Jaccard defines empty-vs-empty as 1.0, so they all pair up
+empties AS (SELECT doc_id FROM toks WHERE len(t) < 3),
+edges AS (
+  SELECT a, b FROM edges0
+  UNION ALL
+  SELECT e1.doc_id, e2.doc_id FROM empties e1 JOIN empties e2
+  ON e1.doc_id < e2.doc_id
+),
+und AS (SELECT a AS x, b AS y FROM edges UNION SELECT b, a FROM edges),
+reach(x, y) AS (  -- transitive closure; (x,x) arrives via any 2-cycle
+  SELECT x, y FROM und
+  UNION
+  SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x
+)
+SELECT CAST(x AS BIGINT) AS member_id,
+       CAST(MIN(y) AS BIGINT) AS cluster_id,
+       CAST(COUNT(DISTINCT y) AS BIGINT) AS cluster_size
+FROM reach GROUP BY x
+ORDER BY cluster_id, member_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1846,6 +1899,11 @@ ORACLE_SQL = {
     # pins its expected value
     "minhash_lsh_clusters_dist": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
     "simhash_clusters_dist": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
+    # LSH-candidate + EXACT trigram-Jaccard confirm at 32x2 banding: miss
+    # probability < 5e-10 per true pair, so held to the exact all-pairs
+    # SQL (recursive-CTE connected components; small-scale oracle only —
+    # the engine path stays banded/co-partitioned)
+    "ngram_jaccard_clusters": SQL_NGRAM_JACCARD,
     "contamination_check": SQL_CONTAMINATION_CHECK,
     "repetition_ratio": SQL_REPETITION_RATIO,
     "clean_corpus": SQL_CLEAN_CORPUS,

@@ -23,6 +23,7 @@ FAST_SQL_QUERIES = [
     "text_features",
     "minhash_lsh_clusters_dist",
     "simhash_clusters_dist",
+    "ngram_jaccard_clusters",
     "contamination_check",
     "repetition_ratio",
     "clean_corpus",
