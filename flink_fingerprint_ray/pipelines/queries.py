@@ -1642,6 +1642,76 @@ GROUP BY 1, 2, 3
 """
 
 
+def _asof_join_sweep(t: pa.Table) -> pd.DataFrame:
+    """As-of join — the temporal operator Ray Data lacks natively (cf.
+    pandas ``merge_asof`` / Flink temporal table join, and the
+    reference's latest-state lookups in save_fingerprints.py:148): for
+    each *purchase* event, the LATEST *click* of the same user with
+    click.ts <= purchase.ts (last-touch attribution).
+
+    Both sides arrive co-partitioned by user_id; the whole partition is
+    ONE lexsort + ONE searchsorted over the same packed (user << 44 | ts)
+    composite key the interval join uses — vectorized across every user
+    in the partition, no per-key loop.  Ties on click ts break to the
+    larger event_id (sorted as the secondary key, so ``side="right"``
+    lands on it)."""
+    df = t.to_pandas()
+    tms = df["ts"].astype("datetime64[ms]").astype("int64").to_numpy()
+    uid = df["user_id"].to_numpy().astype(np.int64)
+    et = df["event_type"].to_numpy()
+    eid = df["event_id"].to_numpy().astype(np.int64)
+    SHIFT = np.int64(1) << np.int64(44)
+    if len(uid):
+        assert uid.max() < (1 << 19) and tms.max() < (1 << 44), \
+            "packed asof-join key overflow: uid >= 2^19 or ts >= 2^44"
+    is_c = et == "click"
+    c_u, c_t, c_id = uid[is_c], tms[is_c], eid[is_c]
+    o = np.lexsort((c_id, c_t, c_u))
+    c_u, c_t, c_id = c_u[o], c_t[o], c_id[o]
+    ck = c_u * SHIFT + c_t
+    is_p = et == "purchase"
+    p_u, p_t, p_id = uid[is_p], tms[is_p], eid[is_p]
+    pos = np.searchsorted(ck, p_u * SHIFT + p_t, side="right") - 1
+    safe = np.maximum(pos, 0)
+    # a hit must stay inside the same user's run of clicks
+    valid = (pos >= 0) & (c_u[safe] == p_u) if len(ck) else np.zeros(len(p_u), bool)
+    pv = safe[valid]
+    return pd.DataFrame({
+        "purchase_id": p_id[valid],
+        "user_id": p_u[valid],
+        "purchase_tms": p_t[valid],
+        "click_id": c_id[pv],
+        "click_tms": c_t[pv],
+        "lag_ms": p_t[valid] - c_t[pv],
+    })
+
+
+def q_asof_join(sf_dir: str):
+    """Last-touch attribution via as-of join: purchases matched to the
+    latest same-user click at or before them.  groupby(user_id) is the
+    single hash exchange; each partition then resolves all its users with
+    two vectorized array passes (scale note: key = user_id, so hot users
+    stay single-partition — same skew budget as the session operator)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return grouped_map(ds, ["user_id"], _asof_join_sweep)
+
+
+SQL_ASOF_JOIN = """
+WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS tms FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, epoch_ms(ts) AS tms FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT p.event_id AS purchase_id, p.user_id, p.tms AS purchase_tms,
+         c.event_id AS click_id, c.tms AS click_tms,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY c.tms DESC, c.event_id DESC) AS rn
+  FROM p JOIN c ON c.user_id = p.user_id AND c.tms <= p.tms
+)
+SELECT purchase_id, user_id, purchase_tms, click_id, click_tms,
+       purchase_tms - click_tms AS lag_ms
+FROM j WHERE rn = 1
+"""
+
+
 def q_obs_text(sf_dir: str):
     """M10/M9 analog: observation text rendering + IST (+05:30) display
     shift applied at the sink projection (internal time stays UTC)."""
@@ -1870,6 +1940,7 @@ QUERIES = {
     "simhash_clusters_dist": q_simhash_clusters_dist,
     "value_counts": q_value_counts,
     "interval_join": q_interval_join,
+    "asof_join": q_asof_join,
     "obs_text": q_obs_text,
     "json_extract": q_json_extract,
     "hampel_repair": q_hampel_repair,
@@ -1925,6 +1996,7 @@ ORACLE_SQL = {
     "mapped_lookup": SQL_MAPPED_LOOKUP,
     "value_counts": SQL_VALUE_COUNTS,
     "interval_join": SQL_INTERVAL_JOIN,
+    "asof_join": SQL_ASOF_JOIN,
     "obs_text": SQL_OBS_TEXT,
     "json_extract": SQL_JSON_EXTRACT,
     "hampel_repair": SQL_HAMPEL_REPAIR,

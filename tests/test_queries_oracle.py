@@ -42,6 +42,7 @@ FAST_SQL_QUERIES = [
     "mapped_lookup",
     "value_counts",
     "interval_join",
+    "asof_join",
     "obs_text",
     "json_extract",
     "hampel_repair",
