@@ -27,6 +27,7 @@ from ..fixtures import BASE_TS_MS, pages_from_documents
 from ..functions import fingerprint as fp
 from ..functions.exprs import DerivedColumnStage
 from ..stages import dedup as dd
+from ..stages import semantic as sm
 from ..stages import similarity as sim
 from ..stages.shuffle import grouped_map
 from ..stages.textops import LangIdStage
@@ -956,6 +957,29 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) AS BIGINT) >= 400000
 """
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: spherical
+    k-means semantic clusters, then keep an item iff no LOWER-id member
+    of its cluster reaches the cosine threshold.  The fixture's planted
+    near-pairs sit at >= 0.4, so the query runs at that threshold to be
+    non-vacuous (real deployments use ~0.95).  Rows-only for the driver
+    (iterative k-means is not SQL-expressible); the companion
+    `semantic_dedup_check` pins the distributed run to a single-process
+    reference recompute, and known-duplicate behavior is pytest-covered
+    (tests/test_dedup_similarity.py)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return sm.semantic_dedup_table(ds, threshold=0.4, k=16, iters=8)
+
+
+def q_semantic_dedup_check(sf_dir: str):
+    """Inline invariant (same contract as the dist-CC checks): the
+    block-parallel EM + hash-exchanged intra-cluster confirm must equal
+    a no-blocking single-process recompute row-for-row across all four
+    output columns.  Expected mismatch_rows = 0."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return sm.semantic_dedup_mismatch(ds, threshold=0.4, k=16, iters=8)
+
 
 N_ANN_QUERIES = 8
 ANN_K = 5
@@ -1923,6 +1947,8 @@ QUERIES = {
     "text_features": q_text_features,
     "embedding_near_pairs": q_embedding_near_pairs,
     "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
+    "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_check": q_semantic_dedup_check,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
     "pricing_summary": q_pricing_summary,
@@ -1983,6 +2009,10 @@ ORACLE_SQL = {
     # 32×2-bit banding its miss probability is <1e-7 per true pair, so it
     # is held to the same exact oracle (verified at sf0.001 and sf0.01)
     "embedding_near_pairs_lsh": SQL_EMBEDDING_NEAR_PAIRS,
+    # SemDeDup's k-means is iterative (not SQL-expressible); the check
+    # query returns the engine-vs-reference mismatch count and the
+    # oracle pins its expected value, as with the dist-CC checks above
+    "semantic_dedup_check": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
     "ann_topk": SQL_ANN_TOPK,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "segment_orders": SQL_SEGMENT_ORDERS,

@@ -193,3 +193,53 @@ def test_embedding_lsh_recall_vs_exact(ray_session):
     assert len(lk) / len(ek) >= 0.9      # high recall at near-dup threshold
     merged = lsh.merge(exact, on=["id_a", "id_b"], suffixes=("_l", "_e"))
     assert (merged["cos_sim_micros_l"] == merged["cos_sim_micros_e"]).all()
+
+
+def test_semantic_dedup_matches_reference_across_splits(vec_ds):
+    """Distributed SemDeDup (block-parallel EM + hash-exchanged confirm)
+    must be bit-identical to the single-process reference regardless of
+    how rows are blocked."""
+    from flink_fingerprint_ray.stages import semantic as sm
+
+    ds, vecs, ids = vec_ds
+    for n_blocks in (1, 5):
+        mm = sm.semantic_dedup_mismatch(
+            ds.repartition(n_blocks), threshold=0.95, k=6, iters=6)
+        assert int(mm["mismatch_rows"][0]) == 0
+
+
+def test_semantic_dedup_keeps_one_per_planted_group(ray_session):
+    """Planted duplicate groups (cos > 0.99 within, far apart between):
+    exactly the lowest id of each group survives; singletons all survive."""
+    import ray.data
+
+    from flink_fingerprint_ray.stages import semantic as sm
+
+    rng = np.random.RandomState(17)
+    dim = 48
+    vecs, ids, group_of = [], [], {}
+    next_id = 0
+    for g in range(30):
+        base = rng.randn(dim)
+        base /= np.linalg.norm(base)
+        n_members = 3 if g < 10 else 1   # 10 dup triples, 20 singletons
+        for _ in range(n_members):
+            v = base + 0.01 * rng.randn(dim)   # cos > 0.99 within group
+            vecs.append(v)
+            group_of[next_id] = g
+            ids.append(next_id)
+            next_id += 1
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float64())),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    df = sm.semantic_dedup_table(ds, threshold=0.95, k=8, iters=8)
+    kept = set(df.loc[df["is_kept"] == 1, "vec_id"])
+    by_group = {}
+    for vid, g in group_of.items():
+        by_group.setdefault(g, []).append(vid)
+    for g, members in by_group.items():
+        kept_members = sorted(m for m in members if m in kept)
+        assert kept_members == [min(members)], (g, kept_members)

@@ -29,6 +29,7 @@ FAST_SQL_QUERIES = [
     "clean_corpus",
     "embedding_near_pairs",
     "embedding_near_pairs_lsh",
+    "semantic_dedup_check",
     "ann_topk",
     "pricing_summary",
     "segment_orders",
