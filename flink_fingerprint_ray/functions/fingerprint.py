@@ -43,6 +43,54 @@ _SH_C = (_rng.randint(0, 2**63, size=_MAX_SHINGLE_W, dtype=np.uint64) * 2 + 1).a
 
 _EMPTY_MINHASH = np.full(MINHASH_K, np.iinfo(np.uint32).max, dtype=np.uint32)
 
+_PL = None  # cached healthy polars module, probed once per process
+
+
+def _polars():
+    """Import polars with a self-heal for the stale-partial-import trap.
+
+    ``polars._utils.wrap`` binds ``polars._reexport`` at module import.  If
+    a worker's FIRST ``import polars`` dies midway (transient resource blip
+    during the 32-worker import storm of a fresh session), Python removes
+    ``polars`` / ``polars._reexport`` from ``sys.modules`` but leaves the
+    already-complete submodules (including ``_utils.wrap``) cached.  The
+    retrying import then rebuilds ``_reexport`` fresh, while the cached
+    ``wrap`` still points at the DEAD first-attempt module — and every
+    ``wrap_s`` call raises ``AttributeError: polars._reexport has no
+    attribute 'Series'`` forever in that process (observed aborting whole
+    bench runs).  The heal: dereference the exact attribute ``wrap_s``
+    uses (a pure attribute probe — running a real polars op here instead
+    measurably slowed whole-pipeline runs); on failure purge every
+    ``polars*`` entry from ``sys.modules`` so the next import rebinds the
+    whole circular chain.
+    """
+    global _PL
+    if _PL is not None:
+        return _PL
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    # pin BEFORE first import: polars' default pool is os.cpu_count()
+    # threads PER WORKER; 32 workers x 32 threads thrashed large epochs
+    _os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    last: Exception | None = None
+    for attempt in range(4):
+        try:
+            import polars as pl
+            from polars._utils import wrap as _w
+
+            _w.pl.Series  # noqa: B018 — the attribute wrap_s dereferences
+            _PL = pl
+            return pl
+        except (AttributeError, ImportError) as exc:
+            last = exc
+            for k in [m for m in list(_sys.modules)
+                      if m == "polars" or m.startswith("polars.")]:
+                _sys.modules.pop(k, None)
+            _time.sleep(0.05 * (attempt + 1))
+    raise last  # type: ignore[misc]
+
 
 def hash_fingerprint() -> str:
     """Hex digest of the seeded token-hash over a fixed sentinel token set.
@@ -59,10 +107,7 @@ def hash_fingerprint() -> str:
         ["the", "quick", "brown", "fox", "0", "ß", "日本語", "a" * 64],
         pa.large_string(),
     )
-    import os as _os
-
-    _os.environ.setdefault("POLARS_MAX_THREADS", "1")
-    import polars as pl
+    pl = _polars()
 
     h = pl.from_arrow(sentinel).hash(seed=_SEED).to_numpy().astype(np.uint64)
     return hashlib.sha1(h.tobytes()).hexdigest()
@@ -144,14 +189,8 @@ def _tokenize(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray
         # polars' seeded hash runs directly over the Arrow string buffer —
         # no per-token Python objects (pandas hash_array needs an object
         # array: ~25M PyStr allocations per epoch at real doc sizes) and
-        # deterministic across processes for a fixed seed.  Pin polars to
-        # ONE thread before its first import: its default pool is
-        # os.cpu_count() threads PER WORKER, and 32 workers x 32 threads
-        # thrashed large epochs 1.5x (Ray already gives each worker 1 CPU).
-        import os as _os
-
-        _os.environ.setdefault("POLARS_MAX_THREADS", "1")
-        import polars as pl
+        # deterministic across processes for a fixed seed.
+        pl = _polars()
 
         h = pl.from_arrow(flat).hash(seed=_SEED).to_numpy().astype(np.uint64)
     else:

@@ -42,6 +42,35 @@ def test_hash_determinism_across_calls():
     assert (m1 == m2).all()
 
 
+def test_polars_self_heal_rebinds_broken_import_chain():
+    """A transiently failed first `import polars` in a worker leaves
+    polars._utils.wrap bound to a dead _reexport module; every wrap_s then
+    raises AttributeError forever in that process.  _polars() must detect
+    the broken chain via its end-to-end probe, purge sys.modules, and
+    re-import a working module — with the token hash unchanged."""
+    before = fp.hash_fingerprint()
+    h_before, _ = fp._tokenize(pa.array(["a b c"], pa.large_string()))
+
+    import polars._utils.wrap as w
+
+    class _DeadReexport:  # what wrap sees after a failed-then-retried import
+        pass
+
+    w.pl = _DeadReexport()
+    fp._PL = None  # force a fresh probe, as a new worker process would
+    with pytest.raises(AttributeError):
+        import polars as pl_broken
+
+        pl_broken.from_arrow(pa.array(["x"], pa.large_string())).hash(seed=0)
+
+    healed = fp._polars()
+    h_after, n = fp._tokenize(pa.array(["a b c"], pa.large_string()))
+    assert (h_after == h_before).all() and n.tolist() == [3]
+    assert fp.hash_fingerprint() == before
+    # the healed module really is a fresh, correctly-bound chain
+    healed.from_arrow(pa.array(["x"], pa.large_string())).hash(seed=0)
+
+
 def test_minhash_jaccard_estimate():
     base = "w%d " * 100
     t1 = base % tuple(range(100))
