@@ -1857,6 +1857,320 @@ FROM events WHERE (event_id & 15) = 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Curation-time sampling / quantiles / per-group ranking over `documents`
+# (domain-rebalancing + corpus-statistics ops an LLM data pipeline needs)
+# ---------------------------------------------------------------------------
+
+STRATA_QUOTA = 50
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2_147_483_648
+
+
+def _sample_key(ids: np.ndarray) -> np.ndarray:
+    """Two LCG rounds over the id: a deterministic pseudo-random sample
+    key computable identically in SQL (pure int64 arithmetic, no hash
+    builtin needed; intermediates stay < 2^62 for ids < 8.3e9)."""
+    h = (ids.astype(np.int64) * _LCG_A + _LCG_C) % _LCG_M
+    return (h * _LCG_A + _LCG_C) % _LCG_M
+
+
+def _rank_partition(t: pa.Table, by: list[str], asc: list[bool],
+                    quota: int, out_cols: list[str]) -> pd.DataFrame:
+    """Per-lang rank+cut inside one hash partition (all rows of a lang
+    co-located; input already cut to <= quota per lang per block)."""
+    df = t.to_pandas()
+    df = df.sort_values(["lang"] + by, ascending=[True] + asc, kind="stable")
+    rn = df.groupby("lang", sort=False).cumcount().to_numpy() + 1
+    df["rn"] = rn.astype(np.int64)
+    return df.loc[df["rn"] <= quota, out_cols].reset_index(drop=True)
+
+
+def _partial_per_lang_topk(batch: pa.Table, by: list[str], asc: list[bool],
+                           quota: int, cols: list[str]) -> pd.DataFrame:
+    """Block-local candidate cut: each block forwards at most `quota`
+    rows per lang, so the exchange carries O(quota x n_langs) rows per
+    block instead of the whole table (partial top-k, the same shape as
+    q_top_orders but per stratum)."""
+    df = pa.Table.from_arrays([batch[c] for c in cols], names=cols).to_pandas()
+    df = df.sort_values(["lang"] + by, ascending=[True] + asc, kind="stable")
+    keep = df.groupby("lang", sort=False).cumcount().to_numpy() < quota
+    return df.loc[keep].reset_index(drop=True)
+
+
+def q_stratified_sample(sf_dir: str):
+    """Stratified (per-language) deterministic sampling — the domain
+    rebalancing step of a curation pipeline: keep STRATA_QUOTA docs per
+    lang, chosen by a seedless LCG sample key over doc_id so any
+    parallelism (and the SQL oracle) selects the identical docs.
+    Scale: block-local per-stratum top-k cut, then one small exchange."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        sk = _sample_key(batch["doc_id"].to_numpy())
+        df = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(),
+                           "lang": batch["lang"].to_pandas(), "sk": sk})
+        df = df.sort_values(["lang", "sk", "doc_id"], kind="stable")
+        keep = df.groupby("lang", sort=False).cumcount().to_numpy() < STRATA_QUOTA
+        return df.loc[keep].reset_index(drop=True)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_map(parts, ["lang"], _rank_partition,
+                       fn_kwargs={"by": ["sk", "doc_id"], "asc": [True, True],
+                                  "quota": STRATA_QUOTA,
+                                  "out_cols": ["doc_id", "lang", "rn"]})
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, rn FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (((doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M})
+                     * {_LCG_A} + {_LCG_C}) % {_LCG_M}, doc_id) AS rn
+  FROM documents)
+WHERE rn <= {STRATA_QUOTA}
+"""
+
+
+TOP_DOCS_K = 3
+
+
+def q_top_docs_per_lang(sf_dir: str):
+    """Window-function shape (row_number over a partition): top-K longest
+    docs per language, rank included.  Same partial-top-k exchange as
+    the stratified sample — blocks forward K candidates per lang."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    parts = ds.map_batches(
+        _partial_per_lang_topk, batch_format="pyarrow",
+        fn_kwargs={"by": ["n_chars", "doc_id"], "asc": [False, True],
+                   "quota": TOP_DOCS_K, "cols": ["doc_id", "lang", "n_chars"]})
+    return grouped_map(parts, ["lang"], _rank_partition,
+                       fn_kwargs={"by": ["n_chars", "doc_id"],
+                                  "asc": [False, True], "quota": TOP_DOCS_K,
+                                  "out_cols": ["doc_id", "lang", "n_chars", "rn"]})
+
+
+SQL_TOP_DOCS_PER_LANG = f"""
+SELECT doc_id, lang, n_chars, rn FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents)
+WHERE rn <= {TOP_DOCS_K}
+"""
+
+
+_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def _quantiles_sweep(t: pa.Table) -> pd.DataFrame:
+    """Exact per-lang quantiles from (lang, n_chars, n) count partials:
+    sort by value, cumulative counts, pick sorted[ceil(q*n)-1] — the
+    DuckDB quantile_disc rule (verified empirically for n=1..11)."""
+    df = t.to_pandas().groupby(["lang", "n_chars"], sort=False)["n"].sum().reset_index()
+    df = df.sort_values(["lang", "n_chars"], kind="stable")
+    out = []
+    for lang, g in df.groupby("lang", sort=False):
+        vals = g["n_chars"].to_numpy()
+        cnt = g["n"].to_numpy()
+        cum = np.cumsum(cnt)  # rows = distinct values per lang: tiny
+        n = int(cum[-1])
+        row = {"lang": lang, "n_docs": n}
+        for q in _QUANTILES:
+            target = max(int(np.ceil(q * n)), 1)  # 1-based rank
+            row[f"p{int(q * 100)}_chars"] = int(vals[np.searchsorted(cum, target, "left")])
+        out.append(row)
+    return pd.DataFrame(out)
+
+
+def q_group_quantiles(sf_dir: str):
+    """Exact distributed quantiles (corpus length statistics): per-block
+    (lang, n_chars) value-count partials — the only thing shuffled —
+    then per-lang cumulative-count quantile pick.  Exact at any scale
+    while the value domain stays bounded (doc lengths); no full sort."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"lang": batch["lang"].to_pandas(),
+                           "n_chars": batch["n_chars"].to_numpy()})
+        return df.groupby(["lang", "n_chars"], sort=False).size().rename("n").reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_map(parts, ["lang"], _quantiles_sweep)
+
+
+SQL_GROUP_QUANTILES = """
+SELECT lang, COUNT(*) AS n_docs,
+       quantile_disc(n_chars, 0.5) AS p50_chars,
+       quantile_disc(n_chars, 0.9) AS p90_chars,
+       quantile_disc(n_chars, 0.99) AS p99_chars
+FROM documents GROUP BY lang
+"""
+
+
+def _anti_join_sweep(t: pa.Table) -> pd.DataFrame:
+    """One hash partition of the tagged union: drop customer rows whose
+    custkey also appears on the orders side, partial-agg the survivors."""
+    df = t.to_pandas()
+    ordered = pd.Index(df.loc[df["side"] == 1, "custkey"].unique())
+    cust = df[df["side"] == 0]
+    keep = cust[~cust["custkey"].isin(ordered)]
+    if keep.empty:
+        return pd.DataFrame({"c_mktsegment": pd.Series([], dtype="object"),
+                             "n_customers": pd.Series([], dtype="int64"),
+                             "acctbal_cents": pd.Series([], dtype="int64")})
+    g = keep.groupby("c_mktsegment", sort=False)["acctbal_cents"]
+    return g.agg(n_customers="size", acctbal_cents="sum").reset_index() \
+            [["c_mktsegment", "n_customers", "acctbal_cents"]]
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti join (NOT EXISTS shape): customers with no OPEN order
+    (the fixture gives every customer SOME order, so the anti-join is
+    held to the open-status subset to be non-vacuous), rolled up per
+    market segment.  Scale shape: both sides tagged and hash-
+    co-partitioned on custkey (orders side deduped per block first, so
+    the exchange carries distinct keys, not order rows); no broadcast of
+    the potentially-huge orders key set."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+
+    def cust_tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "custkey": batch["c_custkey"].cast(pa.int64()),
+            "c_mktsegment": batch["c_mktsegment"].cast(pa.string()),
+            "acctbal_cents": pa.array(_cents(batch["c_acctbal"].to_numpy()), pa.int64()),
+            "side": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+        })
+
+    def orders_tag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.equal(batch["o_orderstatus"], "O"))
+        keys = np.unique(batch["o_custkey"].to_numpy().astype(np.int64))
+        n = len(keys)
+        return pa.table({
+            "custkey": pa.array(keys, pa.int64()),
+            "c_mktsegment": pa.array([""] * n, pa.string()),
+            "acctbal_cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "side": pa.array(np.ones(n, np.int64), pa.int64()),
+        })
+
+    tagged = cust.map_batches(cust_tag, batch_format="pyarrow").union(
+        orders.map_batches(orders_tag, batch_format="pyarrow"))
+    parts = grouped_map(tagged, ["custkey"], _anti_join_sweep)
+    # survivors' partials: <= n_partitions x n_segments rows — small final
+    pdf = parts.to_pandas()
+    if pdf.empty:
+        return pd.DataFrame({"c_mktsegment": pd.Series([], dtype="object"),
+                             "n_customers": pd.Series([], dtype="int64"),
+                             "acctbal_cents": pd.Series([], dtype="int64")})
+    return (pdf.groupby("c_mktsegment", sort=False)
+            .agg(n_customers=("n_customers", "sum"),
+                 acctbal_cents=("acctbal_cents", "sum")).reset_index())
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS acctbal_cents
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+GROUP BY c_mktsegment
+"""
+
+
+def q_rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP shape: order revenue by (segment, priority), by
+    (segment), and grand total, with 'ALL' standing in for the rolled-up
+    level (no NULL cells to canonicalize).  The broadcast-join + partial
+    aggregate run once; the two coarser levels re-aggregate the tiny
+    (segment, priority) final on the driver — no second scan."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
+                                  cust["c_mktsegment"].to_pylist())))
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderpriority"])
+
+    def probe(batch: pa.Table) -> pd.DataFrame:
+        lut = ray.get(lookup_ref)
+        seg = pd.Series(batch["o_custkey"].to_numpy()).map(lut)
+        df = pd.DataFrame({"c_mktsegment": seg,
+                           "o_orderpriority": batch["o_orderpriority"].to_pandas(),
+                           "cents": _cents(batch["o_totalprice"].to_numpy())})
+        g = df.groupby(["c_mktsegment", "o_orderpriority"], sort=False)["cents"]
+        return g.agg(n_orders="size", revenue_cents="sum").reset_index()
+
+    parts = ds.map_batches(probe, batch_format="pyarrow")
+    fine = grouped_map(parts, ["c_mktsegment", "o_orderpriority"], _combine_partials,
+                       fn_kwargs={"keys": ["c_mktsegment", "o_orderpriority"],
+                                  "sums": ["n_orders", "revenue_cents"]}).to_pandas()
+    mid = (fine.groupby("c_mktsegment", sort=False)
+           .agg(n_orders=("n_orders", "sum"), revenue_cents=("revenue_cents", "sum"))
+           .reset_index().assign(o_orderpriority="ALL"))
+    top = pd.DataFrame({"c_mktsegment": ["ALL"], "o_orderpriority": ["ALL"],
+                        "n_orders": [int(fine["n_orders"].sum())],
+                        "revenue_cents": [int(fine["revenue_cents"].sum())]})
+    cols = ["c_mktsegment", "o_orderpriority", "n_orders", "revenue_cents"]
+    return pd.concat([fine[cols], mid[cols], top[cols]], ignore_index=True)
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT COALESCE(c.c_mktsegment, 'ALL') AS c_mktsegment,
+       COALESCE(o.o_orderpriority, 'ALL') AS o_orderpriority,
+       COUNT(*) AS n_orders,
+       SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY ROLLUP(c.c_mktsegment, o.o_orderpriority)
+"""
+
+
+def _running_sweep(t: pa.Table) -> pd.DataFrame:
+    """Segmented cumulative sum over one hash partition: sort by
+    (custkey, date, orderkey), global int cumsum, subtract each key
+    group's starting offset — no per-group dispatch."""
+    df = t.to_pandas().sort_values(["o_custkey", "date_ms", "o_orderkey"],
+                                   kind="stable").reset_index(drop=True)
+    cents = df["cents"].to_numpy()
+    cs = np.cumsum(cents)
+    key = df["o_custkey"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+    seg_base = np.repeat(np.r_[0, cs[starts[1:] - 1]], np.diff(np.r_[starts, len(cs)]))
+    df["cum_cents"] = (cs - seg_base).astype(np.int64)
+    return df[["o_orderkey", "o_custkey", "cum_cents"]]
+
+
+def q_running_revenue(sf_dir: str):
+    """Running-total window function (SUM OVER PARTITION BY ... ORDER BY):
+    per-customer cumulative order revenue in order-date order.  Cents are
+    rounded per row BEFORE summing so the cumulative value is independent
+    of float summation order.  One hash exchange on custkey; the cumsum
+    is a vectorized segmented scan per partition."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+            "o_custkey": batch["o_custkey"].cast(pa.int64()),
+            "date_ms": pa.array(batch["o_orderdate"].cast(pa.int64()).to_numpy() // 1000, pa.int64()),
+            "cents": pa.array(_cents(batch["o_totalprice"].to_numpy()), pa.int64()),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return grouped_map(prepped, ["o_custkey"], _running_sweep)
+
+
+SQL_RUNNING_REVENUE = """
+SELECT o_orderkey, o_custkey,
+       SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+FROM orders
+"""
+
+
 def q_union_activity(sf_dir: str):
     """§2.7 union-with-schema-coercion (llm_job.py:113-117 analog): two
     differently-shaped sources normalized to one activity schema with
@@ -1972,6 +2286,12 @@ QUERIES = {
     "hampel_repair": q_hampel_repair,
     "throttle_first": q_throttle_first,
     "deterministic_sample": q_deterministic_sample,
+    "stratified_sample": q_stratified_sample,
+    "top_docs_per_lang": q_top_docs_per_lang,
+    "group_quantiles": q_group_quantiles,
+    "customers_without_orders": q_customers_without_orders,
+    "rollup_revenue": q_rollup_revenue,
+    "running_revenue": q_running_revenue,
     "union_activity": q_union_activity,
 }
 
@@ -2032,5 +2352,11 @@ ORACLE_SQL = {
     "hampel_repair": SQL_HAMPEL_REPAIR,
     "throttle_first": SQL_THROTTLE_FIRST,
     "deterministic_sample": SQL_DETERMINISTIC_SAMPLE,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
+    "group_quantiles": SQL_GROUP_QUANTILES,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "rollup_revenue": SQL_ROLLUP_REVENUE,
+    "running_revenue": SQL_RUNNING_REVENUE,
     "union_activity": SQL_UNION_ACTIVITY,
 }

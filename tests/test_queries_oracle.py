@@ -49,6 +49,12 @@ FAST_SQL_QUERIES = [
     "hampel_repair",
     "throttle_first",
     "deterministic_sample",
+    "stratified_sample",
+    "top_docs_per_lang",
+    "group_quantiles",
+    "customers_without_orders",
+    "rollup_revenue",
+    "running_revenue",
     "union_activity",
 ]
 
