@@ -445,6 +445,43 @@ SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text
 """
 
 
+def _canonical_sweep(t: pa.Table) -> pd.DataFrame:
+    """Per text_hash group: the (source, doc_id)-minimal row + group size,
+    one lexsort over the partition (no per-group dispatch)."""
+    df = t.to_pandas().sort_values(["text_hash", "source", "doc_id"],
+                                   kind="stable").reset_index(drop=True)
+    h = df["text_hash"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+    sizes = np.diff(np.r_[starts, len(h)])
+    keep = df.iloc[starts]
+    return pd.DataFrame({"doc_id": keep["doc_id"].to_numpy(),
+                         "source": keep["source"].to_numpy(),
+                         "n_dups": sizes.astype(np.int64)})
+
+
+def q_canonical_docs(sf_dir: str):
+    """Canonical-copy selection: exact dedup that keeps the PREFERRED
+    copy of each duplicate group (priority = source order, doc_id
+    tie-break) instead of blindly the min id — the curation step that
+    chooses which of N mirrored copies enters the training set.  Scale
+    shape is exact_dedup's: only (hash, id, source) rows shuffle, the
+    text never leaves its block."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    narrow = ds.map_batches(
+        lambda b: dd.add_text_hash(b).select(["text_hash", "doc_id", "source"]),
+        batch_format="pyarrow")
+    return grouped_map(narrow, ["text_hash"], _canonical_sweep)
+
+
+SQL_CANONICAL_DOCS = """
+SELECT doc_id, source, n_dups FROM (
+  SELECT doc_id, source,
+         COUNT(*) OVER (PARTITION BY text) AS n_dups,
+         row_number() OVER (PARTITION BY text ORDER BY source, doc_id) AS rn
+  FROM documents) WHERE rn = 1
+"""
+
+
 def q_minhash_lsh_clusters(sf_dir: str):
     """Near-dup clusters via MinHash-LSH (no SQL oracle — sketch-based)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -2286,6 +2323,7 @@ QUERIES = {
     "hampel_repair": q_hampel_repair,
     "throttle_first": q_throttle_first,
     "deterministic_sample": q_deterministic_sample,
+    "canonical_docs": q_canonical_docs,
     "stratified_sample": q_stratified_sample,
     "top_docs_per_lang": q_top_docs_per_lang,
     "group_quantiles": q_group_quantiles,
@@ -2352,6 +2390,7 @@ ORACLE_SQL = {
     "hampel_repair": SQL_HAMPEL_REPAIR,
     "throttle_first": SQL_THROTTLE_FIRST,
     "deterministic_sample": SQL_DETERMINISTIC_SAMPLE,
+    "canonical_docs": SQL_CANONICAL_DOCS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
     "group_quantiles": SQL_GROUP_QUANTILES,

@@ -195,6 +195,50 @@ def test_embedding_lsh_recall_vs_exact(ray_session):
     assert (merged["cos_sim_micros_l"] == merged["cos_sim_micros_e"]).all()
 
 
+def test_canonical_docs_priority_keep_on_planted_dups(ray_session):
+    """Exact-dup groups spanning sources must keep the (source, doc_id)-
+    minimal copy; held to DuckDB's window-function answer on the same
+    table (the sf fixtures have no exact dups below sf0.1, so the
+    priority-keep branch is exercised here)."""
+    import duckdb
+    import ray.data
+
+    from flink_fingerprint_ray.pipelines.queries import (
+        SQL_CANONICAL_DOCS, _canonical_sweep)
+    from flink_fingerprint_ray.stages.shuffle import grouped_map
+
+    rng = np.random.RandomState(11)
+    texts, sources, ids = [], [], []
+    nid = 0
+    for g in range(12):
+        body = " ".join(f"w{rng.randint(400)}" for _ in range(25))
+        n_copies = 3 if g < 5 else 1
+        for c in range(n_copies):
+            texts.append(body)
+            # later copies get LOWER-priority ids but varied sources so
+            # min-(source, id) differs from min-id for some groups
+            sources.append(f"src{(g * 7 + c * 3) % 5}")
+            ids.append(nid)
+            nid += 1
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "source": pa.array(sources, pa.string())})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    narrow = ds.map_batches(
+        lambda b: dd.add_text_hash(b).select(["text_hash", "doc_id", "source"]),
+        batch_format="pyarrow")
+    eng = (grouped_map(narrow, ["text_hash"], _canonical_sweep).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    ora = (con.execute(SQL_CANONICAL_DOCS).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(eng[["doc_id", "source", "n_dups"]],
+                                  ora[["doc_id", "source", "n_dups"]],
+                                  check_dtype=False)
+    assert (eng["n_dups"] > 1).sum() == 5  # the planted triples collapsed
+
+
 def test_semantic_dedup_matches_reference_across_splits(vec_ds):
     """Distributed SemDeDup (block-parallel EM + hash-exchanged confirm)
     must be bit-identical to the single-process reference regardless of

@@ -49,6 +49,7 @@ FAST_SQL_QUERIES = [
     "hampel_repair",
     "throttle_first",
     "deterministic_sample",
+    "canonical_docs",
     "stratified_sample",
     "top_docs_per_lang",
     "group_quantiles",
