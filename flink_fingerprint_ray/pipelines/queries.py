@@ -2208,6 +2208,47 @@ FROM orders
 """
 
 
+def _gap_sweep(t: pa.Table) -> pd.DataFrame:
+    """lag() per key over one hash partition: sort by (user, ts, id),
+    shifted diff, first row of each key gets the NULL analog (-1)."""
+    df = t.to_pandas().sort_values(["user_id", "ts_us", "event_id"],
+                                   kind="stable").reset_index(drop=True)
+    ts = df["ts_us"].to_numpy()
+    uid = df["user_id"].to_numpy()
+    gap = np.empty(len(ts), dtype=np.int64)
+    gap[0] = -1
+    gap[1:] = ts[1:] - ts[:-1]
+    gap[np.r_[True, uid[1:] != uid[:-1]]] = -1
+    df["gap_us"] = gap
+    return df[["event_id", "user_id", "gap_us"]]
+
+
+def q_event_gaps(sf_dir: str):
+    """lag() window function: per-user time since the previous event
+    (-1 for each user's first event, standing in for SQL NULL so the
+    value-hash compare is well-defined).  One hash exchange on user_id,
+    then a vectorized shifted diff per partition."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "ts_us": batch["ts"].cast(pa.int64()),
+        })
+
+    return grouped_map(ds.map_batches(prep, batch_format="pyarrow"),
+                       ["user_id"], _gap_sweep)
+
+
+SQL_EVENT_GAPS = """
+SELECT event_id, user_id,
+       COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us
+FROM events
+"""
+
+
 def q_union_activity(sf_dir: str):
     """§2.7 union-with-schema-coercion (llm_job.py:113-117 analog): two
     differently-shaped sources normalized to one activity schema with
@@ -2330,6 +2371,7 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "rollup_revenue": q_rollup_revenue,
     "running_revenue": q_running_revenue,
+    "event_gaps": q_event_gaps,
     "union_activity": q_union_activity,
 }
 
@@ -2397,5 +2439,6 @@ ORACLE_SQL = {
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "running_revenue": SQL_RUNNING_REVENUE,
+    "event_gaps": SQL_EVENT_GAPS,
     "union_activity": SQL_UNION_ACTIVITY,
 }

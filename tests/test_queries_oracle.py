@@ -56,6 +56,7 @@ FAST_SQL_QUERIES = [
     "customers_without_orders",
     "rollup_revenue",
     "running_revenue",
+    "event_gaps",
     "union_activity",
 ]
 
