@@ -482,6 +482,35 @@ SELECT doc_id, source, n_dups FROM (
 """
 
 
+def q_approx_distinct(sf_dir: str):
+    """HyperLogLog approximate distinct-text count cross-checked inline
+    against the exact distributed count (stages/sketch.py).
+
+    The sketch itself is not SQL-expressible, so the row carries the
+    EXACT count (oracle: COUNT(DISTINCT text)) plus a pinned
+    ``within_bound`` flag asserting the HLL estimate landed inside the
+    p=12 3-sigma error band (±4.9%) — the same pin pattern as the
+    dist-CC mismatch checks."""
+    import math
+
+    from ..stages import sketch as sk
+
+    ds = _read(sf_dir, "documents", ["text"])
+    exact = sk.exact_distinct(ds, "text")
+    est = sk.hll_distinct(_read(sf_dir, "documents", ["text"]), "text")
+    bound = 3.0 * 1.04 / math.sqrt(sk.HLL_M)
+    within = 1 if abs(est - exact) <= bound * max(exact, 1) else 0
+    return pd.DataFrame({"exact_distinct": np.array([exact], dtype=np.int64),
+                         "within_bound": np.array([within], dtype=np.int64)})
+
+
+SQL_APPROX_DISTINCT = """
+SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct,
+       CAST(1 AS BIGINT) AS within_bound
+FROM documents
+"""
+
+
 def q_minhash_lsh_clusters(sf_dir: str):
     """Near-dup clusters via MinHash-LSH (no SQL oracle — sketch-based)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -2326,6 +2355,7 @@ QUERIES = {
     "fp_extract_parity": q_fp_extract_parity,
     "fp_tumbling_windows": q_fp_tumbling_windows,
     "exact_dedup": q_exact_dedup,
+    "approx_distinct": q_approx_distinct,
     "minhash_lsh_clusters": q_minhash_lsh_clusters,
     "minhash_lsh_clusters_dist": q_minhash_lsh_clusters_dist,
     "simhash_clusters": q_simhash_clusters,
@@ -2390,6 +2420,10 @@ ORACLE_SQL = {
     "quality_counts": SQL_QUALITY_COUNTS,
     "lang_id": SQL_LANG_ID,
     "text_features": SQL_TEXT_FEATURES,
+    # the HLL sketch is not SQL-expressible; the row carries the exact
+    # distinct count (SQL-checked) plus a pinned in-error-band flag for
+    # the estimate, per the inline-invariant pattern below
+    "approx_distinct": SQL_APPROX_DISTINCT,
     # the dist-CC queries return an inline invariant (distributed label
     # propagation ≡ driver union-find on identical edges, as a mismatch
     # row count); the invariant is not SQL-expressible, so the oracle

@@ -1,0 +1,114 @@
+"""Distributed cardinality sketch (HyperLogLog) for web-scale corpora.
+
+New target functionality beside the dedup suite (SURVEY.md §2.7): a
+COUNT(DISTINCT) over 10^12 rows without shuffling the values — every
+block folds into a 2^p-register sketch (p=12 → 4 KB), and partials merge
+by elementwise max, which is associative + commutative so any merge tree
+works.  At 100 TB the per-block partial stays 4 KB regardless of block
+size; the final merge is O(blocks × 4 KB) of byte arrays on the driver
+(a tree-reduce `groupby` handles the last hop if the block count ever
+outgrows the driver — the partial row already carries a constant
+``part`` key for that).
+
+Algorithm: Flajolet–Fusy–Gandouet–Meunier 2007 (public), with the
+original small-range linear-counting correction; no large-range
+correction is needed for 64-bit hashes.  The hash is the repo's stable
+``text_hash64`` (pandas hash_array with a pinned key), so the estimate
+is deterministic across runs and partitionings.
+
+The reference has no sketch ops (its exact dedup is pandas
+``drop_duplicates``, src/data_input/process_odr.py:1152-1164); this is
+the approximate path a 100-TB corpus needs for cheap cardinality
+telemetry (e.g. sizing the dedup shuffle before running it).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions import fingerprint as fp
+
+HLL_P = 12                      # 4096 registers, ~1.04/sqrt(m) = 1.6% std error
+HLL_M = 1 << HLL_P
+
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                      axis=1).sum(axis=1).astype(np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array (byte-LUT; this numpy build
+    predates np.bitwise_count)."""
+    return _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
+
+
+def _clz_rank(w: np.ndarray, width: int) -> np.ndarray:
+    """rho(w) = 1 + leading-zero count within a ``width``-bit suffix word
+    stored left-aligned in uint64 (0 → width + 1), vectorized via bit-smear
+    + popcount (exact — no float log2 rounding)."""
+    s = w.copy()
+    for k in (1, 2, 4, 8, 16, 32):
+        s |= s >> np.uint64(k)
+    return np.minimum(np.int64(65) - _popcount64(s), np.int64(width + 1))
+
+
+def hll_fold(h: np.ndarray, registers: np.ndarray | None = None) -> np.ndarray:
+    """Fold uint64 hashes into a register array (uint8[HLL_M]), in place
+    if one is passed.  Top p bits pick the register; rho of the remaining
+    64-p bits is the value."""
+    if registers is None:
+        registers = np.zeros(HLL_M, dtype=np.uint8)
+    if len(h) == 0:
+        return registers
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rho = _clz_rank(h << np.uint64(HLL_P), 64 - HLL_P).astype(np.uint8)
+    # sort-based per-register max: this numpy's ufunc.at is slow (memory/
+    # sandbox-perf-quirks), a sort + reduceat over 1-D contiguous data is not
+    order = np.argsort(idx, kind="stable")
+    si, sr = idx[order], rho[order]
+    starts = np.flatnonzero(np.r_[True, si[1:] != si[:-1]])
+    per = np.maximum.reduceat(sr, starts)
+    regs_idx = si[starts]
+    registers[regs_idx] = np.maximum(registers[regs_idx], per)
+    return registers
+
+
+def hll_estimate(registers: np.ndarray) -> float:
+    """Cardinality estimate from a merged register array (FFGM'07 with the
+    small-range linear-counting correction)."""
+    m = float(HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.power(2.0, -registers.astype(np.float64)).sum()
+    zeros = int((registers == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_distinct(ds: "ray.data.Dataset", col: str) -> float:
+    """Approximate COUNT(DISTINCT col) over a Dataset: per-block 4 KB
+    partial sketches, driver max-merge, one estimate."""
+    def _partial(batch: pa.Table) -> pa.Table:
+        regs = hll_fold(fp.text_hash64(batch[col]))
+        return pa.table({"part": pa.array([0], pa.int32()),
+                         "regs": pa.array([regs.tobytes()], pa.binary())})
+
+    merged = np.zeros(HLL_M, dtype=np.uint8)
+    for part in ds.map_batches(_partial, batch_format="pyarrow") \
+                  .iter_batches(batch_format="pyarrow"):
+        for buf in part["regs"].to_pylist():
+            merged = np.maximum(merged, np.frombuffer(buf, dtype=np.uint8))
+    return hll_estimate(merged)
+
+
+def exact_distinct(ds: "ray.data.Dataset", col: str) -> int:
+    """Exact distributed COUNT(DISTINCT col): 8-byte hash rows shuffle
+    (never the values), groupby(hash) → row count.  The hash is
+    reinterpreted as int64 — uint64 values above 2^63 trip Ray's Arrow
+    sort/aggregate into a pickled-object fallback block format."""
+    def _h(batch: pa.Table) -> pa.Table:
+        h = np.unique(fp.text_hash64(batch[col])).view(np.int64)
+        return pa.table({"h": pa.array(h, pa.int64())})
+
+    return ds.map_batches(_h, batch_format="pyarrow").groupby("h").count().count()

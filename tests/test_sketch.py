@@ -1,0 +1,54 @@
+"""HyperLogLog sketch correctness: exact rank kernel, merge invariance,
+estimate accuracy at several cardinalities, and the Dataset path."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from flink_fingerprint_ray.stages import sketch as sk
+
+BOUND = 3.0 * 1.04 / math.sqrt(sk.HLL_M)   # 3-sigma relative error, p=12
+
+
+def test_clz_rank_exact_bit_positions():
+    width = 64 - sk.HLL_P
+    w = np.array([1 << 63, 1 << 62, 1 << (64 - width), 0], dtype=np.uint64)
+    # leftmost set bit at offset 0, 1, width-1; all-zero suffix -> width+1
+    assert sk._clz_rank(w, width).tolist() == [1, 2, width, width + 1]
+
+
+def test_fold_merge_equals_single_pass():
+    rng = np.random.RandomState(7)
+    h = rng.randint(0, 2**63, size=20_000).astype(np.uint64) * np.uint64(2) + \
+        rng.randint(0, 2, size=20_000).astype(np.uint64)
+    one = sk.hll_fold(h)
+    merged = np.maximum(sk.hll_fold(h[:9_000]), sk.hll_fold(h[9_000:]))
+    assert np.array_equal(one, merged)
+    # idempotent under re-fold of the same values
+    assert np.array_equal(one, sk.hll_fold(h, one.copy()))
+
+
+@pytest.mark.parametrize("n", [50, 500, 20_000, 300_000])
+def test_estimate_within_three_sigma(n):
+    rng = np.random.RandomState(n)
+    # uniform 64-bit "hashes" with known distinct count (duplicates folded
+    # to the same registers by construction)
+    h = rng.randint(0, 2**63, size=n).astype(np.uint64) * np.uint64(2)
+    h = np.unique(h)
+    est = sk.hll_estimate(sk.hll_fold(h))
+    assert abs(est - len(h)) <= BOUND * len(h)
+
+
+def test_dataset_hll_vs_exact(ray_session):
+    import ray.data
+
+    texts = [f"document number {i} payload" for i in range(4_000)]
+    texts += texts[:500]                          # 500 exact dups
+    tbl = pa.table({"text": pa.array(texts)})
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    exact = sk.exact_distinct(ds, "text")
+    assert exact == 4_000
+    est = sk.hll_distinct(ds, "text")
+    assert abs(est - exact) <= BOUND * exact
