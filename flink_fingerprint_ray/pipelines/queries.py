@@ -511,6 +511,25 @@ FROM documents
 """
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Exact distributed phi-heavy hitters over events.user_id
+    (stages/sketch.py two-pass local-candidates algorithm — the hot-key
+    detector behind the streaming window-salting decision)."""
+    from ..stages import sketch as sk
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return sk.heavy_hitters(ds, "user_id", phi=0.008)
+
+
+SQL_HEAVY_HITTERS = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM events
+GROUP BY user_id
+HAVING COUNT(*) >= 0.008 * (SELECT COUNT(*) FROM events)
+ORDER BY n_rows DESC, user_id
+"""
+
+
 def q_minhash_lsh_clusters(sf_dir: str):
     """Near-dup clusters via MinHash-LSH (no SQL oracle — sketch-based)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -2356,6 +2375,7 @@ QUERIES = {
     "fp_tumbling_windows": q_fp_tumbling_windows,
     "exact_dedup": q_exact_dedup,
     "approx_distinct": q_approx_distinct,
+    "heavy_hitters": q_heavy_hitters,
     "minhash_lsh_clusters": q_minhash_lsh_clusters,
     "minhash_lsh_clusters_dist": q_minhash_lsh_clusters_dist,
     "simhash_clusters": q_simhash_clusters,
@@ -2424,6 +2444,7 @@ ORACLE_SQL = {
     # distinct count (SQL-checked) plus a pinned in-error-band flag for
     # the estimate, per the inline-invariant pattern below
     "approx_distinct": SQL_APPROX_DISTINCT,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
     # the dist-CC queries return an inline invariant (distributed label
     # propagation ≡ driver union-find on identical edges, as a mismatch
     # row count); the invariant is not SQL-expressible, so the oracle

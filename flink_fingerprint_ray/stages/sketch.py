@@ -102,6 +102,59 @@ def hll_distinct(ds: "ray.data.Dataset", col: str) -> float:
     return hll_estimate(merged)
 
 
+def heavy_hitters(ds: "ray.data.Dataset", col: str, phi: float,
+                  total: int | None = None) -> "pd.DataFrame":
+    """EXACT distributed phi-heavy hitters (freq >= phi*N) in two streaming
+    passes with no all-to-all shuffle.
+
+    Pass 1 keeps each block's LOCAL phi-heavy items: by the averaging
+    argument a globally phi-heavy item is phi-heavy in at least one
+    block, so the union (<= 1/phi items per block) is a complete
+    candidate set.  Pass 2 broadcasts the sorted candidate array once
+    (``ray.put``) and each block emits one fixed-length partial count
+    vector (searchsorted + bincount); the driver sums the tiny vectors
+    and applies the global threshold.  This is the hot-key detector that
+    feeds the window-salting decision in the streaming pipeline; a
+    Count-Min sketch gives the same two-pass shape with bounded memory
+    if 1/phi x blocks ever outgrows the driver.
+    """
+    import pandas as pd
+
+    if total is None:
+        total = ds.count()
+
+    def _local_heavy(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(v, return_counts=True)
+        return pa.table({col: pa.array(vals[cnts >= phi * len(v)], pa.int64())})
+
+    cand_parts = ds.map_batches(_local_heavy, batch_format="pyarrow") \
+                   .take_all()
+    cands = np.unique(np.array([r[col] for r in cand_parts], dtype=np.int64))
+    if cands.size == 0:
+        return pd.DataFrame({col: np.empty(0, np.int64),
+                             "n_rows": np.empty(0, np.int64)})
+    cand_ref = ray.put(cands)
+
+    def _count(batch: pa.Table) -> pa.Table:
+        c = ray.get(cand_ref)
+        v = batch[col].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(c, v)
+        ok = (idx < len(c)) & (c[np.minimum(idx, len(c) - 1)] == v)
+        counts = np.bincount(idx[ok], minlength=len(c))
+        return pa.table({"slot": pa.array(np.arange(len(c)), pa.int64()),
+                         "cnt": pa.array(counts, pa.int64())})
+
+    totals = np.zeros(len(cands), dtype=np.int64)
+    for part in ds.map_batches(_count, batch_format="pyarrow") \
+                  .iter_batches(batch_format="pyarrow"):
+        np.add.at(totals, part["slot"].to_numpy(), part["cnt"].to_numpy())
+    keep = totals >= phi * total
+    out = pd.DataFrame({col: cands[keep], "n_rows": totals[keep]})
+    return out.sort_values(["n_rows", col], ascending=[False, True]) \
+              .reset_index(drop=True)
+
+
 def exact_distinct(ds: "ray.data.Dataset", col: str) -> int:
     """Exact distributed COUNT(DISTINCT col): 8-byte hash rows shuffle
     (never the values), groupby(hash) → row count.  The hash is

@@ -41,6 +41,38 @@ def test_estimate_within_three_sigma(n):
     assert abs(est - len(h)) <= BOUND * len(h)
 
 
+def test_heavy_hitters_exact_on_planted_skew(ray_session):
+    import pandas as pd
+    import ray.data
+
+    rng = np.random.RandomState(11)
+    # 3 planted heavy keys (5% each) over a long uniform tail
+    vals = np.concatenate([
+        np.repeat([1001, 1002, 1003], 600),
+        rng.randint(0, 5_000, size=10_200),
+    ]).astype(np.int64)
+    rng.shuffle(vals)
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(vals)})).repartition(16)
+    got = sk.heavy_hitters(ds, "k", phi=0.04)
+    exp = (pd.Series(vals).value_counts().rename_axis("k")
+           .reset_index(name="n_rows"))
+    exp = exp[exp["n_rows"] >= 0.04 * len(vals)]
+    exp = exp.sort_values(["n_rows", "k"], ascending=[False, True]) \
+             .reset_index(drop=True).astype(np.int64)
+    pd.testing.assert_frame_equal(got, exp)
+    # planted keys must be exactly the hitters at phi=4%
+    assert set(got["k"]) == {1001, 1002, 1003}
+
+
+def test_heavy_hitters_empty_when_uniform(ray_session):
+    import ray.data
+
+    vals = np.arange(20_000, dtype=np.int64) % 4_000   # all freq = 5
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(vals)})).repartition(8)
+    got = sk.heavy_hitters(ds, "k", phi=0.01)
+    assert len(got) == 0 and list(got.columns) == ["k", "n_rows"]
+
+
 def test_dataset_hll_vs_exact(ray_session):
     import ray.data
 
