@@ -530,6 +530,44 @@ ORDER BY n_rows DESC, user_id
 """
 
 
+def q_tfidf_top_term(sf_dir: str):
+    """TF-IDF keyword extraction: each document's top-scoring term
+    (score = tf * ln(N/df), ties by term asc) — the fully distributed
+    shape: token counts shuffle by term (df attaches inside the term
+    partition, no vocabulary broadcast — open web vocabularies outgrow a
+    driver-side map), scored rows shuffle by doc for the per-doc argmax.
+    Cents rounding bounds ln() libm ulp skew, as in derived_expr."""
+    from ..stages import textops as tx
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+    counts = ds.map_batches(tx.tfidf_doc_term_counts, batch_format="pyarrow")
+    scored = grouped_map(counts, ["term"], tx.tfidf_attach_idf,
+                         fn_kwargs={"n_docs": n_docs})
+    return grouped_map(scored, ["doc_id"], tx.tfidf_top_term_sweep)
+
+
+SQL_TFIDF_TOP_TERM = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS d FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.term,
+             tf.c * ln(CAST(n.n AS DOUBLE) / df.d) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+r AS (SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rn
+      FROM s)
+SELECT doc_id, term AS top_term,
+       CAST(floor(score * 100 + 0.5) AS BIGINT) AS score_cents
+FROM r WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
 def q_minhash_lsh_clusters(sf_dir: str):
     """Near-dup clusters via MinHash-LSH (no SQL oracle — sketch-based)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -2376,6 +2414,7 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "approx_distinct": q_approx_distinct,
     "heavy_hitters": q_heavy_hitters,
+    "tfidf_top_term": q_tfidf_top_term,
     "minhash_lsh_clusters": q_minhash_lsh_clusters,
     "minhash_lsh_clusters_dist": q_minhash_lsh_clusters_dist,
     "simhash_clusters": q_simhash_clusters,
@@ -2445,6 +2484,7 @@ ORACLE_SQL = {
     # the estimate, per the inline-invariant pattern below
     "approx_distinct": SQL_APPROX_DISTINCT,
     "heavy_hitters": SQL_HEAVY_HITTERS,
+    "tfidf_top_term": SQL_TFIDF_TOP_TERM,
     # the dist-CC queries return an inline invariant (distributed label
     # propagation ≡ driver union-find on identical edges, as a mismatch
     # row count); the invariant is not SQL-expressible, so the oracle

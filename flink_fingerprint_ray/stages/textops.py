@@ -53,3 +53,62 @@ class LangIdStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         pred = self.model.predict(batch[self.text_col])
         return batch.append_column(self.out_col, pa.array(pred, pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+def tfidf_doc_term_counts(batch: pa.Table, id_col: str = "doc_id",
+                          text_col: str = "text") -> pa.Table:
+    """Per-block (doc_id, term, c) rows: lowercase ``[a-z0-9]+`` tokens,
+    counted per document (polars extract_all/explode — no Python row
+    loop).  Rows are distinct (doc, term) pairs, so a downstream
+    per-term row count IS the document frequency."""
+    from ..functions.fingerprint import _polars
+
+    pl = _polars()
+    df = pl.DataFrame({
+        "doc_id": pl.Series(batch[id_col].to_numpy(zero_copy_only=False)),
+        "text": pl.from_arrow(batch[text_col].cast(pa.large_string())),
+    })
+    out = (
+        df.with_columns(pl.col("text").str.to_lowercase()
+                        .str.extract_all(r"[a-z0-9]+").alias("term"))
+          .drop("text").explode("term").drop_nulls("term")
+          .group_by(["doc_id", "term"]).len(name="c")
+    )
+    return pa.table({"doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+                     "term": pa.array(out["term"].to_list(), pa.string()),
+                     "c": pa.array(out["c"].to_numpy(), pa.int64())})
+
+
+def tfidf_attach_idf(t: pa.Table, n_docs: int) -> "pd.DataFrame":
+    """Per term-partition sweep: every row of a term is co-located, so the
+    partition row count per term is its global document frequency;
+    idf = ln(n_docs / df) attaches without any broadcast."""
+    import pandas as pd
+
+    pdf = t.to_pandas()
+    dfreq = pdf.groupby("term", sort=False)["c"].transform("size")
+    pdf["idf"] = np.log(np.float64(n_docs) / dfreq.to_numpy())
+    return pdf
+
+
+def tfidf_top_term_sweep(t: pa.Table) -> "pd.DataFrame":
+    """Per doc-partition sweep: score = c * idf, keep each document's
+    top-scoring term (ties broken by term asc — multi-key stable sort,
+    no per-group dispatch)."""
+    import pandas as pd
+
+    pdf = t.to_pandas()
+    pdf["score"] = pdf["c"].to_numpy() * pdf["idf"].to_numpy()
+    pdf = pdf.sort_values(["doc_id", "score", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+    top = pdf.drop_duplicates("doc_id", keep="first")
+    return pd.DataFrame({
+        "doc_id": top["doc_id"].to_numpy(),
+        "top_term": top["term"].to_numpy(),
+        "score_cents": np.floor(top["score"].to_numpy() * 100.0 + 0.5)
+                         .astype(np.int64),
+    })

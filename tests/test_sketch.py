@@ -73,6 +73,33 @@ def test_heavy_hitters_empty_when_uniform(ray_session):
     assert len(got) == 0 and list(got.columns) == ["k", "n_rows"]
 
 
+def test_tfidf_top_term_planted_corpus(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from flink_fingerprint_ray.stages import textops as tx
+    from flink_fingerprint_ray.stages.shuffle import grouped_map
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["Apple apple banana", "banana cherry",
+                          "cherry cherry cherry date"]),
+    })
+    ds = ray.data.from_arrow(docs).repartition(3)
+    counts = ds.map_batches(tx.tfidf_doc_term_counts, batch_format="pyarrow")
+    scored = grouped_map(counts, ["term"], tx.tfidf_attach_idf,
+                         fn_kwargs={"n_docs": 3})
+    got = grouped_map(scored, ["doc_id"], tx.tfidf_top_term_sweep) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # doc0: apple tf=2, df=1 -> 2*ln(3); doc1: banana==cherry score tie
+    # -> banana by term asc; doc2: cherry 3*ln(1.5) > date ln(3)
+    assert got["top_term"].tolist() == ["apple", "banana", "cherry"]
+    import numpy as _np
+    exp_scores = [2 * _np.log(3.0), _np.log(3.0 / 2.0), 3 * _np.log(3.0 / 2.0)]
+    assert got["score_cents"].tolist() == \
+        [int(_np.floor(s * 100 + 0.5)) for s in exp_scores]
+
+
 def test_dataset_hll_vs_exact(ray_session):
     import ray.data
 
