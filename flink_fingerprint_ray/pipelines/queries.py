@@ -530,6 +530,39 @@ ORDER BY n_rows DESC, user_id
 """
 
 
+def q_inverted_index(sf_dir: str):
+    """Posting-list (inverted index) build: term → document frequency +
+    sorted posting list, one term-partitioned sweep over the same token
+    rows as TF-IDF.  Postings are emitted as a comma-joined string (the
+    on-disk index row format; also keeps the oracle compare scalar).  At
+    scale each term partition writes its own index shard."""
+    from ..stages import textops as tx
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    counts = ds.map_batches(tx.tfidf_doc_term_counts, batch_format="pyarrow")
+
+    def _postings(t: pa.Table) -> pd.DataFrame:
+        pdf = t.to_pandas().sort_values(["term", "doc_id"])
+        g = pdf.groupby("term", sort=False)["doc_id"]
+        out = g.agg(df="size",
+                    postings=lambda s: ",".join(map(str, s))).reset_index()
+        out["df"] = out["df"].astype(np.int64)
+        return out[["term", "df", "postings"]]
+
+    return grouped_map(counts, ["term"], _postings)
+
+
+SQL_INVERTED_INDEX = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM toks GROUP BY term ORDER BY term
+"""
+
+
 def q_tfidf_top_term(sf_dir: str):
     """TF-IDF keyword extraction: each document's top-scoring term
     (score = tf * ln(N/df), ties by term asc) — the fully distributed
@@ -2415,6 +2448,7 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,
     "heavy_hitters": q_heavy_hitters,
     "tfidf_top_term": q_tfidf_top_term,
+    "inverted_index": q_inverted_index,
     "minhash_lsh_clusters": q_minhash_lsh_clusters,
     "minhash_lsh_clusters_dist": q_minhash_lsh_clusters_dist,
     "simhash_clusters": q_simhash_clusters,
@@ -2485,6 +2519,7 @@ ORACLE_SQL = {
     "approx_distinct": SQL_APPROX_DISTINCT,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "tfidf_top_term": SQL_TFIDF_TOP_TERM,
+    "inverted_index": SQL_INVERTED_INDEX,
     # the dist-CC queries return an inline invariant (distributed label
     # propagation ≡ driver union-find on identical edges, as a mismatch
     # row count); the invariant is not SQL-expressible, so the oracle

@@ -58,6 +58,10 @@ FAST_SQL_QUERIES = [
     "running_revenue",
     "event_gaps",
     "union_activity",
+    "approx_distinct",
+    "heavy_hitters",
+    "tfidf_top_term",
+    "inverted_index",
 ]
 
 
