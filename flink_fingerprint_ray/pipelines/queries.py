@@ -620,6 +620,38 @@ def q_minhash_lsh_clusters_dist(sf_dir: str):
     return dd.distributed_vs_driver_mismatch(edges)
 
 
+def q_minhash_lsh_clusters_check(sf_dir: str):
+    """Distributed minhash-LSH pipeline vs a single-process recompute that
+    shares only the base hash kernels (per-band bucket all-pairs +
+    independent label propagation, `dedup.minhash_reference_clusters`).
+    Returns the row-exact mismatch count; the oracle pins 0 — the same
+    driver-visible-invariant pattern as semantic_dedup_check."""
+    import pyarrow.parquet as pq
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    eng = dd.cluster_table(dd.minhash_lsh_edges(ds, "doc_id", threshold=0.8))
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    ref = dd.minhash_reference_clusters(
+        tbl["doc_id"].to_numpy().astype(np.int64), tbl["text"], threshold=0.8)
+    return dd.clusters_mismatch(eng, ref)
+
+
+def q_simhash_clusters_check(sf_dir: str):
+    """Banded simhash pipeline vs single-process brute-force ALL-pairs
+    hamming (verifies the pigeonhole banding missed no pair) + independent
+    label propagation; oracle pins 0 mismatches."""
+    import pyarrow.parquet as pq
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    eng = dd.cluster_table(dd.simhash_edges(ds, "doc_id", max_hamming=3))
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    ref = dd.simhash_reference_clusters(
+        tbl["doc_id"].to_numpy().astype(np.int64), tbl["text"], max_hamming=3)
+    return dd.clusters_mismatch(eng, ref)
+
+
 def q_simhash_clusters(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     edges = dd.simhash_edges(ds, "doc_id", max_hamming=3)
@@ -2451,6 +2483,8 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "minhash_lsh_clusters": q_minhash_lsh_clusters,
     "minhash_lsh_clusters_dist": q_minhash_lsh_clusters_dist,
+    "minhash_lsh_clusters_check": q_minhash_lsh_clusters_check,
+    "simhash_clusters_check": q_simhash_clusters_check,
     "simhash_clusters": q_simhash_clusters,
     "ngram_jaccard_clusters": q_ngram_jaccard_clusters,
     "token_counts": q_token_counts,
@@ -2526,6 +2560,10 @@ ORACLE_SQL = {
     # pins its expected value
     "minhash_lsh_clusters_dist": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
     "simhash_clusters_dist": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
+    # full-pipeline single-process recomputes (bucket all-pairs / brute
+    # hamming + independent label propagation) — oracle pins 0
+    "minhash_lsh_clusters_check": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
+    "simhash_clusters_check": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
     # LSH-candidate + EXACT trigram-Jaccard confirm at 32x2 banding: miss
     # probability < 5e-10 per true pair, so held to the exact all-pairs
     # SQL (recursive-CTE connected components; small-scale oracle only —

@@ -899,3 +899,88 @@ def embedding_cosine_pairs(
         )
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+# -- single-process cross-checks (driver-visible invariants) ----------------
+
+def _ref_label_propagation(edges: np.ndarray, nodes: np.ndarray) -> pd.DataFrame:
+    """Independent clustering for the cross-checks: dense iterative
+    min-label propagation to a fixpoint (deliberately NOT the union-find
+    that cluster_table uses, so the two paths share no clustering code)."""
+    order = np.argsort(nodes)
+    nodes = nodes[order]
+    label = nodes.copy()
+    if edges.size:
+        a = np.searchsorted(nodes, edges[:, 0])
+        b = np.searchsorted(nodes, edges[:, 1])
+        while True:
+            prev = label.copy()
+            m = np.minimum(label[a], label[b])
+            np.minimum.at(label, a, m)
+            np.minimum.at(label, b, m)
+            # chase one hop: point every node at its label's label
+            label = label[np.searchsorted(nodes, label)]
+            if np.array_equal(label, prev):
+                break
+    df = pd.DataFrame({"member_id": nodes, "cluster_id": label})
+    df["cluster_size"] = df.groupby("cluster_id")["member_id"].transform("size")
+    return (df[df["cluster_size"] >= 2].astype(np.int64)
+            .sort_values(["cluster_id", "member_id"], kind="stable")
+            .reset_index(drop=True))
+
+
+def minhash_reference_clusters(ids: np.ndarray, texts: pa.ChunkedArray | pa.Array,
+                               n_bands: int = 16, threshold: float = 0.8) -> pd.DataFrame:
+    """Single-process minhash-LSH clusters: whole-corpus signatures, per-band
+    bucket all-pairs, signature-Jaccard confirm, label propagation.  Shares
+    only the base hash kernels with the distributed path — the banding
+    explode / bucket shuffle / pair sweeps / CC are all recomputed
+    differently.  Check-query scale only (corpus collected to the driver)."""
+    sig = fp.minhash(texts)
+    bands = fp.minhash_band_keys(sig, n_bands)
+    edges = set()
+    for j in range(n_bands):
+        dfb = pd.DataFrame({"id": ids, "k": bands[:, j]})
+        for _, grp in dfb.groupby("k", sort=False):
+            g = np.sort(grp["id"].to_numpy())
+            if len(g) < 2:
+                continue
+            ii, jj = np.triu_indices(len(g), k=1)
+            edges.update(zip(g[ii].tolist(), g[jj].tolist()))
+    if edges:
+        e = np.array(sorted(edges), dtype=np.int64)
+        pos = {int(v): i for i, v in enumerate(ids)}
+        sa = sig[[pos[int(x)] for x in e[:, 0]]]
+        sb = sig[[pos[int(x)] for x in e[:, 1]]]
+        e = e[fp.jaccard_from_minhash(sa, sb) >= threshold]
+    else:
+        e = np.empty((0, 2), dtype=np.int64)
+    return _ref_label_propagation(e, np.asarray(ids, dtype=np.int64))
+
+
+def simhash_reference_clusters(ids: np.ndarray, texts: pa.ChunkedArray | pa.Array,
+                               max_hamming: int = 3) -> pd.DataFrame:
+    """Single-process simhash clusters via brute-force ALL-pairs hamming —
+    stronger than the banded engine path (verifies the pigeonhole banding
+    missed no pair).  Check-query scale only (O(n^2) pairs)."""
+    sh = fp.simhash(texts)
+    x = sh[:, None] ^ sh[None, :]
+    pop = np.unpackbits(x.view(np.uint8).reshape(len(sh), len(sh), 8),
+                        axis=2).sum(axis=2)
+    ii, jj = np.triu_indices(len(sh), k=1)
+    hit = pop[ii, jj] <= max_hamming
+    a = np.minimum(ids[ii[hit]], ids[jj[hit]])
+    b = np.maximum(ids[ii[hit]], ids[jj[hit]])
+    e = np.stack([a, b], axis=1).astype(np.int64) if a.size else np.empty((0, 2), np.int64)
+    return _ref_label_propagation(e, np.asarray(ids, dtype=np.int64))
+
+
+def clusters_mismatch(engine: pd.DataFrame, reference: pd.DataFrame) -> pd.DataFrame:
+    """Row-exact diff of two cluster tables -> one pinned mismatch count."""
+    cols = ["member_id", "cluster_id", "cluster_size"]
+    if len(engine) != len(reference):
+        mism = max(len(engine), len(reference))
+    else:
+        mism = int((engine[cols].to_numpy() != reference[cols].to_numpy())
+                   .any(axis=1).sum())
+    return pd.DataFrame({"mismatch_rows": pd.array([mism], dtype="int64")})

@@ -71,6 +71,27 @@ def test_simhash_clusters_catch_exact_dups(doc_ds):
         assert len(cl) == 3 and cl["cluster_id"].nunique() == 1
 
 
+def test_single_process_references_match_engine(doc_ds):
+    """The check-query recomputes (bucket all-pairs / brute hamming +
+    independent label propagation) agree row-exactly with the distributed
+    pipelines on the planted corpus."""
+    ds, texts = doc_ds
+    tbl = pa.table({"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                    "text": pa.array(texts)})
+    eng_mh = dd.cluster_table(dd.minhash_lsh_edges(ds, "doc_id", threshold=0.8))
+    ref_mh = dd.minhash_reference_clusters(
+        tbl["doc_id"].to_numpy(), tbl["text"], threshold=0.8)
+    assert dd.clusters_mismatch(eng_mh, ref_mh)["mismatch_rows"][0] == 0
+    eng_sh = dd.cluster_table(dd.simhash_edges(ds, "doc_id", max_hamming=3))
+    ref_sh = dd.simhash_reference_clusters(
+        tbl["doc_id"].to_numpy(), tbl["text"], max_hamming=3)
+    assert dd.clusters_mismatch(eng_sh, ref_sh)["mismatch_rows"][0] == 0
+    # and the reference actually finds the planted trios
+    for base, a, b in ((0, 100, 101), (1, 102, 103), (2, 104, 105)):
+        cl = ref_mh[ref_mh["member_id"].isin([base, a, b])]
+        assert len(cl) == 3 and cl["cluster_id"].nunique() == 1
+
+
 def test_ngram_jaccard_exact_confirm(doc_ds):
     ds, _ = doc_ds
     clusters = dd.cluster_table(dd.ngram_jaccard_edges(ds, "doc_id", threshold=0.99))

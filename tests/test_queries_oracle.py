@@ -59,6 +59,8 @@ FAST_SQL_QUERIES = [
     "event_gaps",
     "union_activity",
     "approx_distinct",
+    "minhash_lsh_clusters_check",
+    "simhash_clusters_check",
     "heavy_hitters",
     "tfidf_top_term",
     "inverted_index",
