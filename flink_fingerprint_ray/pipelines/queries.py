@@ -1221,6 +1221,22 @@ def q_ann_topk_ivf(sf_dir: str):
     return sim.ivf_topk(ds, q, qids, cents, k=ANN_K, n_probe=6)
 
 
+def q_ann_topk_ivf_check(sf_dir: str):
+    """Driver-visible IVF quality invariant: recall@k of the IVF run vs
+    the (oracle-green) brute-force ground truth on the same queries,
+    floored to an in-bound flag the oracle pins (recall >= 0.8 at the
+    query's probe settings; bench.py reports the raw recall each run)."""
+    ivf = q_ann_topk_ivf(sf_dir)
+    exact = q_ann_topk(sf_dir)
+    if not isinstance(ivf, pd.DataFrame):
+        ivf = ivf.to_pandas()
+    if not isinstance(exact, pd.DataFrame):
+        exact = exact.to_pandas()
+    rec = sim.ivf_recall(exact, ivf)
+    return pd.DataFrame({
+        "recall_at_least_080": pd.array([1 if rec >= 0.8 else 0], dtype="int64")})
+
+
 # ---------------------------------------------------------------------------
 # Relational operator coverage (TPC-H-ish tables)
 # ---------------------------------------------------------------------------
@@ -2500,6 +2516,7 @@ QUERIES = {
     "semantic_dedup_check": q_semantic_dedup_check,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_topk_ivf_check": q_ann_topk_ivf_check,
     "pricing_summary": q_pricing_summary,
     "segment_orders": q_segment_orders,
     "mapped_lookup": q_mapped_lookup,
@@ -2582,6 +2599,9 @@ ORACLE_SQL = {
     # oracle pins its expected value, as with the dist-CC checks above
     "semantic_dedup_check": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
     "ann_topk": SQL_ANN_TOPK,
+    # IVF is approximate by design; the check query pins its recall-vs-
+    # brute-force invariant (bench.py reports the raw recall number)
+    "ann_topk_ivf_check": "SELECT CAST(1 AS BIGINT) AS recall_at_least_080",
     "pricing_summary": SQL_PRICING_SUMMARY,
     "segment_orders": SQL_SEGMENT_ORDERS,
     "top_orders": SQL_TOP_ORDERS,

@@ -60,6 +60,7 @@ FAST_SQL_QUERIES = [
     "union_activity",
     "approx_distinct",
     "minhash_lsh_clusters_check",
+    "ann_topk_ivf_check",
     "simhash_clusters_check",
     "heavy_hitters",
     "tfidf_top_term",
