@@ -1776,6 +1776,53 @@ def q_lowess_smooth(sf_dir: str):
     return grouped_map(ds, ["event_type"], _lowess_sweep)
 
 
+def q_lowess_smooth_check(sf_dir: str):
+    """Driver-visible invariant for the iterative LOWESS (not
+    SQL-expressible): the hash-partitioned grouped_map run must equal a
+    single-process sweep over the whole table row-exactly (the kernel
+    itself is pinned by property tests; this pins the distributed
+    composition).  Oracle pins 0 mismatches."""
+    import pyarrow.parquet as pq
+
+    eng = q_lowess_smooth(sf_dir).to_pandas()
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                        columns=["ts", "event_type", "value"])
+    ref = _lowess_sweep(tbl)
+    sc = ["event_type", "bucket"]
+    eng = eng.sort_values(sc, kind="mergesort").reset_index(drop=True)
+    ref = ref.sort_values(sc, kind="mergesort").reset_index(drop=True)
+    if len(eng) != len(ref):
+        mism = max(len(eng), len(ref))
+    else:
+        mism = int((eng[ref.columns].to_numpy() != ref.to_numpy())
+                   .any(axis=1).sum())
+    return pd.DataFrame({"mismatch_rows": pd.array([mism], dtype="int64")})
+
+
+def q_media_image_features_check(sf_dir: str):
+    """Driver-visible invariant for the multimodal path: the actor-pool
+    netpbm decode over the seeded payload table must equal a
+    single-process decode+resize of the same bytes feature-for-feature
+    (micros-rounded).  Oracle pins 0 mismatches."""
+    from ..stages.media import ImageDecodeStage, make_real_media
+
+    eng = q_media_image_features(sf_dir).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    stage = ImageDecodeStage(decoder="netpbm")     # same kernel, no Ray
+    ref = stage(make_real_media(256, kind="image", seed=9)) \
+        .drop_columns(["thumb"]).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    for df in (eng, ref):
+        for c in ("pixel_mean", "pixel_std"):
+            df[c] = _micros(df[c].to_numpy())
+    if len(eng) != len(ref):
+        mism = max(len(eng), len(ref))
+    else:
+        mism = int((eng[ref.columns.tolist()].to_numpy() != ref.to_numpy())
+                   .any(axis=1).sum())
+    return pd.DataFrame({"mismatch_rows": pd.array([mism], dtype="int64")})
+
+
 def q_value_counts(sf_dir: str):
     """A2 analog: value_counts + percentage, sorted desc
     (helpers.py:737-753)."""
@@ -2528,6 +2575,8 @@ QUERIES = {
     "rule_alarms": q_rule_alarms,
     "rule_alarms_duration": q_rule_alarms_duration,
     "lowess_smooth": q_lowess_smooth,
+    "lowess_smooth_check": q_lowess_smooth_check,
+    "media_image_features_check": q_media_image_features_check,
     "media_image_features": q_media_image_features,
     "simhash_clusters_dist": q_simhash_clusters_dist,
     "value_counts": q_value_counts,
@@ -2602,6 +2651,9 @@ ORACLE_SQL = {
     # IVF is approximate by design; the check query pins its recall-vs-
     # brute-force invariant (bench.py reports the raw recall number)
     "ann_topk_ivf_check": "SELECT CAST(1 AS BIGINT) AS recall_at_least_080",
+    # distributed-vs-single-process pins for the remaining non-SQL ops
+    "lowess_smooth_check": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
+    "media_image_features_check": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
     "pricing_summary": SQL_PRICING_SUMMARY,
     "segment_orders": SQL_SEGMENT_ORDERS,
     "top_orders": SQL_TOP_ORDERS,

@@ -61,6 +61,8 @@ FAST_SQL_QUERIES = [
     "approx_distinct",
     "minhash_lsh_clusters_check",
     "ann_topk_ivf_check",
+    "lowess_smooth_check",
+    "media_image_features_check",
     "simhash_clusters_check",
     "heavy_hitters",
     "tfidf_top_term",
