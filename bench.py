@@ -36,9 +36,19 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("BENCH_N_DOCS", "960000"))
 N_EPOCHS = int(os.environ.get("BENCH_N_EPOCHS", "4"))
 
-# Queries skipped in the timed suite (O(n^2) pair materialization is a
-# correctness oracle, not a throughput path).
-SKIP_QUERIES = {"embedding_near_pairs"}
+# Queries skipped in the timed suite: O(n^2) pair materialization and the
+# *_check invariant probes are correctness oracles (each runs an engine
+# pipeline PLUS a single-process recompute), not throughput paths — the
+# underlying operators are all timed under their own names.
+SKIP_QUERIES = {
+    "embedding_near_pairs",
+    "minhash_lsh_clusters_check",
+    "simhash_clusters_check",
+    "semantic_dedup_check",
+    "ann_topk_ivf_check",
+    "lowess_smooth_check",
+    "media_image_features_check",
+}
 
 
 def _init_ray(num_cpus: int) -> None:

@@ -108,42 +108,91 @@ _EMPTY_EDGES = pd.DataFrame(
 )
 
 
-def _bucket_candidates(t: pa.Table, id_col: str):
+def _bucket_candidates(t: pa.Table, id_col: str, eq: list[np.ndarray] | None = None):
     """Shared sweep prologue: sort one hash partition by (band_no,
-    band_key, id), find bucket boundaries, and emit UNIQUE
-    (anchor_row, candidate_row) index pairs — a pair hit in several bands
-    is confirmed once.  Returns (sorted_table, anchor_idx, cand_idx)."""
+    band_key, eq..., id), find bucket boundaries, and emit ALL unique
+    intra-bucket (row, row) candidate pairs for the confirm layer.
+
+    LSH bucket semantics require every pair inside a bucket (an
+    anchor-only star misses B-C whenever A-B and A-C fail the confirm —
+    found by the simhash brute-force cross-check at sf0.1).  Hot-bucket
+    safety comes from the optional ``eq`` full-hash arrays: rows whose
+    full hashes are identical collapse into one group, contributing a
+    (g-1)-edge chain instead of g(g-1)/2 pairs, and only group
+    REPRESENTATIVES form cross pairs — exact for clustering because
+    identical-hash members are interchangeable at the confirm.  Every
+    emitted pair (chains included) still passes through the exact
+    confirm, and pairs hit in several bands are confirmed once.
+    Returns (sorted_table, anchor_idx, cand_idx)."""
     n = t.num_rows
     if n == 0:
         return None
     ids = t[id_col].to_numpy()
     bno = t["band_no"].to_numpy()
     bkey = t["band_key"].to_numpy()
-    order = np.lexsort((ids, bkey, bno))
+    eqs = [np.asarray(e) for e in (eq or [])]
+    order = np.lexsort((ids, *eqs[::-1], bkey, bno))
     t = t.take(pa.array(order))
     ids, bno, bkey = ids[order], bno[order], bkey[order]
+    eqs = [e[order] for e in eqs]
     nb = np.ones(n, dtype=bool)
     nb[1:] = (bno[1:] != bno[:-1]) | (bkey[1:] != bkey[:-1])
-    anchor = np.maximum.accumulate(np.where(nb, np.arange(n), 0))
-    cand = np.flatnonzero(~nb)
-    if len(cand) == 0:
+    ng = nb.copy()
+    for e in eqs:
+        ng[1:] |= e[1:] != e[:-1]
+    # identical-hash chains: consecutive rows of one group
+    chain_c = np.flatnonzero(~ng)
+    chain_a = chain_c - 1
+    # segmented all-pairs across the group representatives of each bucket
+    reps = np.flatnonzero(ng)
+    first_rep = np.maximum.accumulate(
+        np.where(nb[reps], np.arange(len(reps)), 0))
+    cnt = np.arange(len(reps)) - first_rep
+    tot = int(cnt.sum())
+    if tot:
+        seg = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        anc_r = reps[np.repeat(first_rep, cnt) + seg]
+        cand_r = np.repeat(reps, cnt)
+        anc = np.concatenate([anc_r, chain_a])
+        cand = np.concatenate([cand_r, chain_c])
+    else:
+        anc, cand = chain_a, chain_c
+    if len(anc) == 0:
         return None
-    anc = anchor[cand]
-    # dedupe (anchor_id, candidate_id) pairs across bands
-    pairs = np.stack([ids[anc], ids[cand]], axis=1)
-    _, first = np.unique(pairs, axis=0, return_index=True)
+    # dedupe unordered id pairs across bands
+    lo = np.minimum(ids[anc], ids[cand])
+    hi = np.maximum(ids[anc], ids[cand])
+    _, first = np.unique(np.stack([lo, hi], axis=1), axis=0, return_index=True)
     return t, anc[first], cand[first]
 
 
+_DIGEST_W1 = np.uint64(0x9E3779B97F4A7C15)
+_DIGEST_W2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _sig_digests(sig: np.ndarray) -> list[np.ndarray]:
+    """Two independent 64-bit mixes of a (n, k) signature matrix — the
+    identical-group keys for hot-bucket collapse (collision ~2^-128,
+    and a collision only risks a MISSED candidate, never a false edge,
+    because every pair still passes the exact confirm)."""
+    k = sig.shape[1]
+    idx = np.arange(1, k + 1, dtype=np.uint64)
+    s = sig.astype(np.uint64)
+    d1 = (s * (_DIGEST_W1 * idx)).sum(axis=1, dtype=np.uint64)
+    d2 = (s * (_DIGEST_W2 * idx + np.uint64(1))).sum(axis=1, dtype=np.uint64)
+    return [d1, d2]
+
+
 def _minhash_edge_sweep(t: pa.Table, id_col: str, threshold: float) -> pd.DataFrame:
-    """Vectorized anchor-based confirm across ALL buckets of a partition:
-    one fancy-indexed signature comparison instead of a per-bucket UDF."""
-    pre = _bucket_candidates(t, id_col)
+    """Vectorized confirm across ALL buckets of a partition: one
+    fancy-indexed signature comparison instead of a per-bucket UDF."""
+    k = t["sig"].type.list_size
+    presig = np.asarray(t["sig"].combine_chunks().flatten()).reshape(-1, k)
+    pre = _bucket_candidates(t, id_col, eq=_sig_digests(presig))
     if pre is None:
         return _EMPTY_EDGES
     t, anc, cand = pre
     ids = t[id_col].to_numpy()
-    k = t["sig"].type.list_size
     sig = np.asarray(t["sig"].combine_chunks().flatten()).reshape(-1, k)
     sim = (sig[anc] == sig[cand]).mean(axis=1)
     hit = sim >= threshold
@@ -200,7 +249,8 @@ def _simhash_explode(batch: pa.Table, id_col: str, n_bands: int) -> pa.Table:
 
 
 def _simhash_edge_sweep(t: pa.Table, id_col: str, max_hamming: int) -> pd.DataFrame:
-    pre = _bucket_candidates(t, id_col)
+    pre = _bucket_candidates(t, id_col,
+                             eq=[t["simhash"].to_numpy().astype(np.uint64)])
     if pre is None:
         return _EMPTY_EDGES
     t, anc, cand = pre
@@ -964,14 +1014,22 @@ def simhash_reference_clusters(ids: np.ndarray, texts: pa.ChunkedArray | pa.Arra
     stronger than the banded engine path (verifies the pigeonhole banding
     missed no pair).  Check-query scale only (O(n^2) pairs)."""
     sh = fp.simhash(texts)
-    x = sh[:, None] ^ sh[None, :]
-    pop = np.unpackbits(x.view(np.uint8).reshape(len(sh), len(sh), 8),
-                        axis=2).sum(axis=2)
-    ii, jj = np.triu_indices(len(sh), k=1)
-    hit = pop[ii, jj] <= max_hamming
-    a = np.minimum(ids[ii[hit]], ids[jj[hit]])
-    b = np.maximum(ids[ii[hit]], ids[jj[hit]])
-    e = np.stack([a, b], axis=1).astype(np.int64) if a.size else np.empty((0, 2), np.int64)
+    n = len(sh)
+    lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                        axis=1).sum(axis=1).astype(np.uint8)
+    pairs_a, pairs_b = [], []
+    for lo in range(0, n, 512):           # row-chunked: bounds peak memory
+        hi = min(lo + 512, n)
+        x = sh[lo:hi, None] ^ sh[None, :]
+        pop = lut[x.view(np.uint8).reshape(hi - lo, n, 8)].sum(axis=2)
+        ii, jj = np.nonzero(pop <= max_hamming)
+        keep = (ii + lo) < jj              # upper triangle only
+        pairs_a.append(ids[ii[keep] + lo])
+        pairs_b.append(ids[jj[keep]])
+    a = np.concatenate(pairs_a) if pairs_a else np.empty(0, np.int64)
+    b = np.concatenate(pairs_b) if pairs_b else np.empty(0, np.int64)
+    e = np.stack([np.minimum(a, b), np.maximum(a, b)], axis=1).astype(np.int64) \
+        if a.size else np.empty((0, 2), np.int64)
     return _ref_label_propagation(e, np.asarray(ids, dtype=np.int64))
 
 
