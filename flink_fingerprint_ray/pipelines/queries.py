@@ -2275,6 +2275,99 @@ def _anti_join_sweep(t: pa.Table) -> pd.DataFrame:
             [["c_mktsegment", "n_customers", "acctbal_cents"]]
 
 
+_BLOOM_BITS = 1 << 20          # 128 KB filter; k=4 hashes
+
+
+def _bloom_hashes(keys: np.ndarray) -> np.ndarray:
+    """(n, 4) bit positions via two splitmix-style mixes + double hashing."""
+    x = keys.astype(np.uint64)
+    h1 = (x * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+    h2 = (x * np.uint64(0xC2B2AE3D27D4EB4F)) | np.uint64(1)
+    i = np.arange(4, dtype=np.uint64)
+    return ((h1[:, None] + i * h2[:, None]) % np.uint64(_BLOOM_BITS)).astype(np.int64)
+
+
+def q_bloom_join_revenue(sf_dir: str):
+    """Bloom-pruned shuffle join — the 100-TB join-reduction technique:
+    revenue per URGENT order.  A 128 KB bloom filter over the filtered
+    orders keys is built from per-block partials (OR-merged, associative)
+    and broadcast once via ``ray.put``; the big lineitem side drops
+    non-member rows BEFORE the exchange, so only ~1/5 of it shuffles.
+    The co-partitioned join then removes bloom false positives exactly,
+    so the result is held to a plain SQL join oracle.  Cents are rounded
+    per row before summation (summation-order policy)."""
+    import pyarrow.compute as pc
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def _bloom_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["o_orderpriority"], "1-URGENT"))
+        bits = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+        if batch.num_rows:
+            pos = _bloom_hashes(batch["o_orderkey"].to_numpy()).ravel()
+            np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    bloom = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    for part in orders.map_batches(_bloom_partial, batch_format="pyarrow") \
+                      .iter_batches(batch_format="pyarrow"):
+        for buf in part["bits"].to_pylist():
+            bloom |= np.frombuffer(buf, dtype=np.uint8)
+    bloom_ref = ray.put(bloom)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def _prefilter(batch: pa.Table) -> pa.Table:
+        b = ray.get(bloom_ref)
+        keys = batch["l_orderkey"].to_numpy().astype(np.int64)
+        pos = _bloom_hashes(keys)
+        member = ((b[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)
+        keys = keys[member]
+        px = batch["l_extendedprice"].to_numpy()[member]
+        disc = batch["l_discount"].to_numpy()[member]
+        return pa.table({
+            "orderkey": pa.array(keys, pa.int64()),
+            "rev_cents": pa.array(_cents(px * (1.0 - disc)), pa.int64()),
+            "side": pa.array(np.zeros(len(keys), np.int64), pa.int64()),
+        })
+
+    def _okeys(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["o_orderpriority"], "1-URGENT"))
+        keys = batch["o_orderkey"].to_numpy().astype(np.int64)
+        return pa.table({
+            "orderkey": pa.array(keys, pa.int64()),
+            "rev_cents": pa.array(np.zeros(len(keys), np.int64), pa.int64()),
+            "side": pa.array(np.ones(len(keys), np.int64), pa.int64()),
+        })
+
+    def _join_sweep(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        true_keys = df.loc[df["side"] == 1, "orderkey"].unique()
+        rows = df[(df["side"] == 0) & df["orderkey"].isin(true_keys)]
+        g = rows.groupby("orderkey", sort=False)["rev_cents"].agg(["sum", "size"])
+        return pd.DataFrame({"o_orderkey": g.index.to_numpy(),
+                             "revenue_cents": g["sum"].to_numpy().astype(np.int64),
+                             "n_items": g["size"].to_numpy().astype(np.int64)})
+
+    tagged = li.map_batches(_prefilter, batch_format="pyarrow").union(
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+        .map_batches(_okeys, batch_format="pyarrow"))
+    return grouped_map(tagged, ["orderkey"], _join_sweep)
+
+
+SQL_BLOOM_JOIN_REVENUE = """
+SELECT l_orderkey AS o_orderkey,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_orderkey
+ORDER BY o_orderkey
+"""
+
+
 def q_customers_without_orders(sf_dir: str):
     """Anti join (NOT EXISTS shape): customers with no OPEN order
     (the fixture gives every customer SOME order, so the anti-join is
@@ -2592,6 +2685,7 @@ QUERIES = {
     "top_docs_per_lang": q_top_docs_per_lang,
     "group_quantiles": q_group_quantiles,
     "customers_without_orders": q_customers_without_orders,
+    "bloom_join_revenue": q_bloom_join_revenue,
     "rollup_revenue": q_rollup_revenue,
     "running_revenue": q_running_revenue,
     "event_gaps": q_event_gaps,
@@ -2677,6 +2771,7 @@ ORACLE_SQL = {
     "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
     "group_quantiles": SQL_GROUP_QUANTILES,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "bloom_join_revenue": SQL_BLOOM_JOIN_REVENUE,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "running_revenue": SQL_RUNNING_REVENUE,
     "event_gaps": SQL_EVENT_GAPS,

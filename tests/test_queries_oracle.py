@@ -54,6 +54,7 @@ FAST_SQL_QUERIES = [
     "top_docs_per_lang",
     "group_quantiles",
     "customers_without_orders",
+    "bloom_join_revenue",
     "rollup_revenue",
     "running_revenue",
     "event_gaps",
