@@ -186,3 +186,66 @@ def test_lowess_constant_and_linear_exact(vals, frac):
     # exact linear data: a locally-weighted LINEAR fit reproduces it
     line = 0.75 * np.arange(n) - 3.0
     assert np.allclose(lowess_smooth(line, frac=frac), line, atol=1e-6)
+
+
+# -- round-3 kernel properties ---------------------------------------------
+
+uint64s = st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=200)
+
+
+@given(uint64s)
+def test_clz_rank_matches_python_reference(vals):
+    from flink_fingerprint_ray.stages.sketch import HLL_P, _clz_rank
+
+    w = np.array(vals, dtype=np.uint64)
+    width = 64 - HLL_P
+    got = _clz_rank(w, width)
+    for v, g in zip(vals, got.tolist()):
+        # leading zeros of the 64-bit word, capped at the suffix width
+        expect = min(64 - v.bit_length() + 1 if v else width + 1, width + 1)
+        assert g == expect
+
+
+@given(uint64s)
+def test_hll_fold_merge_associative(vals):
+    from flink_fingerprint_ray.stages.sketch import hll_fold
+
+    h = np.array(vals, dtype=np.uint64)
+    cut = len(h) // 2
+    one = hll_fold(h)
+    merged = np.maximum(hll_fold(h[:cut]), hll_fold(h[cut:]))
+    assert np.array_equal(one, merged)
+
+
+@given(st.lists(st.integers(0, 2**62), min_size=1, max_size=300))
+def test_bloom_has_no_false_negatives(keys):
+    from flink_fingerprint_ray.pipelines.queries import _BLOOM_BITS, _bloom_hashes
+
+    k = np.unique(np.array(keys, dtype=np.int64))
+    bits = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    pos = _bloom_hashes(k).ravel()
+    np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    probe = _bloom_hashes(k)
+    member = ((bits[probe >> 3] >> (probe & 7).astype(np.uint8)) & 1).all(axis=1)
+    assert member.all()
+
+
+@given(st.lists(st.integers(0, 50), min_size=10, max_size=500),
+       st.floats(0.01, 0.3))
+@settings(deadline=None, max_examples=25)
+def test_block_local_candidates_complete(vals, phi):
+    """The averaging-argument candidate rule: every globally phi-heavy key
+    is locally phi-heavy in at least one block, for ANY block split."""
+    import pandas as pd
+
+    v = np.array(vals, dtype=np.int64)
+    vc = pd.Series(v).value_counts()
+    heavy = set(vc[vc >= phi * len(v)].index)
+    cut = len(v) // 2
+    cands = set()
+    for blk in (v[:cut], v[cut:]):
+        if len(blk) == 0:
+            continue
+        bc = pd.Series(blk).value_counts()
+        cands |= set(bc[bc >= phi * len(blk)].index)
+    assert heavy <= cands
