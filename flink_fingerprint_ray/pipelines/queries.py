@@ -2259,6 +2259,49 @@ FROM documents GROUP BY lang
 """
 
 
+def q_approx_quantiles(sf_dir: str):
+    """Mergeable-histogram quantile sketch (stages/sketch.py) with the
+    inline-exact-cross-check pattern of approx_distinct: bounds come
+    from parquet row-group STATISTICS (no scan), per-block 64 KB
+    histogram partials sum-merge, and the row carries the EXACT
+    distributed quantile (value-count partials, DuckDB quantile_disc
+    rule — SQL-checked) plus a pinned flag asserting the sketch landed
+    within its one-bin-width guarantee (2 widths allowing edge
+    assignment jitter)."""
+    import os as _os
+
+    from ..stages import sketch as sk
+
+    qs = (0.5, 0.9, 0.99)
+    path = _os.path.join(sf_dir, "events.parquet")
+    lo, hi = sk.parquet_column_bounds(path, "value")
+    approx = sk.hist_distinct_quantiles(
+        _read(sf_dir, "events", ["value"]), "value", lo, hi, qs)
+    exact = sk.exact_value_quantiles(
+        _read(sf_dir, "events", ["value"]), "value", 100.0, qs)
+    w = (hi - lo) / sk.HIST_BINS
+    rows = []
+    for q in qs:
+        ok = abs(approx[q] - exact[q] / 100.0) <= 2.0 * w
+        rows.append({"q_pct": int(q * 100),
+                     "exact_value_cents": exact[q],
+                     "within_bound": 1 if ok else 0})
+    return pd.DataFrame(rows).astype(np.int64)
+
+
+SQL_APPROX_QUANTILES = """
+SELECT * FROM (VALUES
+  (50, (SELECT CAST(floor(quantile_disc(value, 0.5) * 100 + 0.5) AS BIGINT)
+        FROM events), CAST(1 AS BIGINT)),
+  (90, (SELECT CAST(floor(quantile_disc(value, 0.9) * 100 + 0.5) AS BIGINT)
+        FROM events), CAST(1 AS BIGINT)),
+  (99, (SELECT CAST(floor(quantile_disc(value, 0.99) * 100 + 0.5) AS BIGINT)
+        FROM events), CAST(1 AS BIGINT))
+) AS t(q_pct, exact_value_cents, within_bound)
+ORDER BY q_pct
+"""
+
+
 def _anti_join_sweep(t: pa.Table) -> pd.DataFrame:
     """One hash partition of the tagged union: drop customer rows whose
     custkey also appears on the orders side, partial-agg the survivors."""
@@ -2684,6 +2727,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "top_docs_per_lang": q_top_docs_per_lang,
     "group_quantiles": q_group_quantiles,
+    "approx_quantiles": q_approx_quantiles,
     "customers_without_orders": q_customers_without_orders,
     "bloom_join_revenue": q_bloom_join_revenue,
     "rollup_revenue": q_rollup_revenue,
@@ -2770,6 +2814,7 @@ ORACLE_SQL = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
     "group_quantiles": SQL_GROUP_QUANTILES,
+    "approx_quantiles": SQL_APPROX_QUANTILES,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "bloom_join_revenue": SQL_BLOOM_JOIN_REVENUE,
     "rollup_revenue": SQL_ROLLUP_REVENUE,

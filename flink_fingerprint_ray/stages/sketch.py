@@ -165,3 +165,100 @@ def exact_distinct(ds: "ray.data.Dataset", col: str) -> int:
         return pa.table({"h": pa.array(h, pa.int64())})
 
     return ds.map_batches(_h, batch_format="pyarrow").groupby("h").count().count()
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 8192
+
+
+def parquet_column_bounds(path: str, col: str) -> tuple[float, float]:
+    """(min, max) from parquet row-group statistics — no data scan."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    lo, hi = np.inf, -np.inf
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            c = md.row_group(rg).column(ci)
+            if c.path_in_schema == col and c.statistics is not None:
+                lo = min(lo, c.statistics.min)
+                hi = max(hi, c.statistics.max)
+    if not np.isfinite(lo):
+        raise ValueError(f"no statistics for column {col!r} in {path}")
+    return float(lo), float(hi)
+
+
+def hist_fold(vals: np.ndarray, lo: float, hi: float,
+              counts: np.ndarray | None = None) -> np.ndarray:
+    """Fold values into a fixed-bin histogram (int64[HIST_BINS]); merge
+    partials by addition — associative, any merge tree works."""
+    if counts is None:
+        counts = np.zeros(HIST_BINS, dtype=np.int64)
+    if len(vals) == 0:
+        return counts
+    w = (hi - lo) / HIST_BINS or 1.0
+    idx = np.clip(((vals - lo) / w).astype(np.int64), 0, HIST_BINS - 1)
+    counts += np.bincount(idx, minlength=HIST_BINS)
+    return counts
+
+
+def hist_quantile(counts: np.ndarray, lo: float, hi: float, q: float) -> float:
+    """Upper edge of the first bin whose cumulative count reaches
+    ceil(q*n) — within one bin width of the exact quantile_disc value
+    (the crossing bin IS the bin containing it)."""
+    n = int(counts.sum())
+    target = max(int(np.ceil(q * n)), 1)
+    b = int(np.searchsorted(np.cumsum(counts), target, "left"))
+    w = (hi - lo) / HIST_BINS or 1.0
+    return lo + (b + 1) * w
+
+
+def hist_distinct_quantiles(ds: "ray.data.Dataset", col: str,
+                            lo: float, hi: float,
+                            qs: tuple[float, ...]) -> dict[float, float]:
+    """Approximate quantiles over a Dataset: per-block 64 KB histogram
+    partials, driver sum-merge, one cumulative pick per q."""
+    def _partial(batch: pa.Table) -> pa.Table:
+        c = hist_fold(batch[col].to_numpy(zero_copy_only=False)
+                      .astype(np.float64), lo, hi)
+        return pa.table({"counts": pa.array([c.tobytes()], pa.binary())})
+
+    merged = np.zeros(HIST_BINS, dtype=np.int64)
+    for part in ds.map_batches(_partial, batch_format="pyarrow") \
+                  .iter_batches(batch_format="pyarrow"):
+        for buf in part["counts"].to_pylist():
+            merged += np.frombuffer(buf, dtype=np.int64)
+    return {q: hist_quantile(merged, lo, hi, q) for q in qs}
+
+
+def exact_value_quantiles(ds: "ray.data.Dataset", col: str, scale: float,
+                          qs: tuple[float, ...]) -> dict[float, int]:
+    """EXACT distributed quantiles for a bounded-domain numeric column:
+    per-block (scaled-int value, count) partials are the only exchange
+    (domain-bounded, like group_quantiles), driver cumulative pick by the
+    DuckDB quantile_disc rule.  Returns scaled-int values."""
+    def _partial(batch: pa.Table) -> pa.Table:
+        v = np.floor(batch[col].to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * scale + 0.5).astype(np.int64)
+        vals, cnts = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(vals, pa.int64()),
+                         "n": pa.array(cnts, pa.int64())})
+
+    import pandas as pd
+
+    parts = []
+    for part in ds.map_batches(_partial, batch_format="pyarrow") \
+                  .iter_batches(batch_format="pyarrow"):
+        parts.append(part.to_pandas())
+    df = pd.concat(parts).groupby("v", sort=True)["n"].sum().reset_index()
+    vals = df["v"].to_numpy()
+    cum = np.cumsum(df["n"].to_numpy())
+    n = int(cum[-1])
+    out = {}
+    for q in qs:
+        target = max(int(np.ceil(q * n)), 1)
+        out[q] = int(vals[np.searchsorted(cum, target, "left")])
+    return out

@@ -55,6 +55,7 @@ FAST_SQL_QUERIES = [
     "group_quantiles",
     "customers_without_orders",
     "bloom_join_revenue",
+    "approx_quantiles",
     "rollup_revenue",
     "running_revenue",
     "event_gaps",

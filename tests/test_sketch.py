@@ -111,3 +111,18 @@ def test_dataset_hll_vs_exact(ray_session):
     assert exact == 4_000
     est = sk.hll_distinct(ds, "text")
     assert abs(est - exact) <= BOUND * exact
+
+
+def test_hist_quantile_within_one_bin():
+    rng = np.random.RandomState(3)
+    vals = rng.exponential(50.0, size=50_000)
+    lo, hi = float(vals.min()), float(vals.max())
+    c = sk.hist_fold(vals, lo, hi)
+    # merge invariance
+    m = sk.hist_fold(vals[:20_000], lo, hi) + sk.hist_fold(vals[20_000:], lo, hi)
+    assert np.array_equal(c, m)
+    w = (hi - lo) / sk.HIST_BINS
+    s = np.sort(vals)
+    for q in (0.5, 0.9, 0.99):
+        exact = s[max(int(np.ceil(q * len(s))), 1) - 1]
+        assert abs(sk.hist_quantile(c, lo, hi, q) - exact) <= 2 * w
