@@ -149,6 +149,7 @@ def run_headline(num_cpus: int, n_docs: int = N_DOCS, n_epochs: int = N_EPOCHS,
                 (sum(m.get("buffered", {}).values()) for m in per), default=0),
             "buffered_rows_final": sum(per[-1].get("buffered", {}).values()) if per else 0,
             "late_dropped": res.get("late_dropped", 0),
+            "distinct_urls_est": res.get("distinct_urls_est", 0),
         }
         return {
             "sec": round(elapsed, 3),

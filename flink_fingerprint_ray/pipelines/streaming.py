@@ -200,9 +200,25 @@ def finalize_partition(
 class MetricCounter:
     def __init__(self) -> None:
         self.c: dict[str, int] = {}
+        self.regs: dict[str, "np.ndarray"] = {}
 
     def add(self, name: str, n: int) -> None:
         self.c[name] = self.c.get(name, 0) + int(n)
+
+    def merge_regs(self, name: str, buf: bytes) -> None:
+        """Max-merge an HLL register partial (stages/sketch.py) — the
+        distinct-URL telemetry.  Max is associative + commutative, so the
+        run-level registers are delivery-order-independent (same
+        fire-and-forget contract as ``add``)."""
+        import numpy as np
+
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        cur = self.regs.get(name)
+        self.regs[name] = arr.copy() if cur is None else np.maximum(cur, arr)
+
+    def get_regs(self, name: str) -> bytes | None:
+        r = self.regs.get(name)
+        return None if r is None else r.tobytes()
 
     def take_prefix(self, prefix: str) -> dict[str, int]:
         """Return-and-remove counters under a per-epoch prefix (transforms
@@ -264,6 +280,15 @@ def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix:
             counter.add.remote(metric_prefix + "late_dropped", n_late)
         if n_empty:
             counter.add.remote(metric_prefix + "empty_dropped", n_empty)
+        if batch.num_rows:
+            # distinct-URL HLL telemetry: one 4 KB register partial per
+            # batch, max-merged in the counter (order-independent), read
+            # once at run end — ~0.1 ms/batch, no barrier on the hot path
+            from ..stages.sketch import hll_fold
+
+            counter.merge_regs.remote(
+                "distinct_urls",
+                hll_fold(fp.text_hash64(batch["url"])).tobytes())
 
     host = fp.host_of(batch["url"])
     lang = batch["lang"].combine_chunks().cast(pa.large_string()) if batch.num_rows else pa.array([], pa.large_string())
@@ -974,7 +999,17 @@ class StreamingFingerprintPipeline:
         all_metrics = self._metrics_log[n_before:]
         total_rows = sum(m["rows_in"] for m in all_metrics)
         total_wall = time.perf_counter() - run_t0
+        regs = ray.get(self.counter.get_regs.remote("distinct_urls"))
+        if regs is not None:
+            import numpy as _np
+
+            from ..stages.sketch import hll_estimate
+            distinct_urls_est = int(round(
+                hll_estimate(_np.frombuffer(regs, dtype=_np.uint8))))
+        else:
+            distinct_urls_est = 0
         return {
+            "distinct_urls_est": distinct_urls_est,
             "epochs_run": len(all_metrics),
             "rows_in": total_rows,
             "fingerprints": sum(m["fingerprints"] for m in all_metrics),

@@ -395,3 +395,44 @@ def test_streaming_media_features_match_oracle(ray_session, tmp_path):
         ora_c[ccols].sort_values(ccols).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_streaming_distinct_url_sketch_exact_registers(ray_session, tmp_path):
+    """The per-batch HLL partials max-merged through the counter actor
+    must equal a single-process fold over the same kept URLs BIT-EXACTLY
+    (max is associative + commutative, so partitioning/delivery order
+    cannot change the registers).  Fixture has no late/empty/ooo rows,
+    so kept URLs = all URLs."""
+    import time
+
+    import ray
+
+    from flink_fingerprint_ray.functions import fingerprint as fp
+    from flink_fingerprint_ray.stages.sketch import hll_estimate, hll_fold
+
+    root = str(tmp_path)
+    pages = fixtures.make_pages(n_docs=600, seed=33, late_frac=0.0,
+                                ooo_frac=0.0, empty_frac=0.0)
+    fixtures.write_epochs(pages, root, n_epochs=3, prefix="pages")
+    pipe = StreamingFingerprintPipeline(
+        os.path.join(root, "pages"), os.path.join(root, "out_hll"),
+        cfg=PipelineConfig(**CFG),
+    )
+    res = pipe.run()
+    expect = hll_fold(fp.text_hash64(pages["url"]))
+    got = None
+    for _ in range(20):    # fire-and-forget merges may still be in flight
+        buf = ray.get(pipe.counter.get_regs.remote("distinct_urls"))
+        got = np.frombuffer(buf, dtype=np.uint8) if buf is not None else None
+        if got is not None and np.array_equal(got, expect):
+            break
+        time.sleep(0.25)
+    pipe.shutdown()
+    assert got is not None and np.array_equal(got, expect)
+    # run()'s snapshot may predate the last in-flight merge; it must
+    # still be a prefix-fold estimate (>= 0) and the COMPLETE registers'
+    # estimate lands within the p=12 3-sigma band of the truth
+    assert res["distinct_urls_est"] >= 0
+    est = int(round(hll_estimate(expect)))
+    n_distinct = len(set(pages["url"].to_pylist()))
+    assert abs(est - n_distinct) <= 3 * 1.04 / np.sqrt(4096) * n_distinct
