@@ -2599,6 +2599,66 @@ FROM events
 """
 
 
+def _type_flags(sf_dir: str):
+    """Shared §2.7 set-op plumbing: per-block (user_id, has_click,
+    has_error) bool partials (the only exchange), or-reduced per user in
+    one hash partition sweep."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        err = pc.equal(batch["event_type"], "error").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(),
+            "c": pc.equal(batch["event_type"], "click").to_numpy(zero_copy_only=False),
+            "e": err,
+            "he": err & (batch["value"].to_numpy() > 90.0),
+        })
+        return df.groupby("user_id", sort=False).agg(
+            c=("c", "max"), e=("e", "max"), he=("he", "max")).reset_index()
+
+    def sweep(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas().groupby("user_id", sort=False).agg(
+            c=("c", "max"), e=("e", "max"), he=("he", "max")).reset_index()
+        return df
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_map(parts, ["user_id"], sweep).to_pandas()
+
+
+def q_users_intersect(sf_dir: str):
+    """§2.7 INTERSECT shape: users with BOTH click and error events."""
+    df = _type_flags(sf_dir)
+    out = df[df["c"] & df["e"]][["user_id"]].sort_values("user_id")
+    return out.reset_index(drop=True).astype(np.int64)
+
+
+SQL_USERS_INTERSECT = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+ORDER BY user_id
+"""
+
+
+def q_users_except(sf_dir: str):
+    """§2.7 EXCEPT shape: clicking users with NO high-value (>90) error
+    (the unqualified except is vacuous on this fixture — every user has
+    every event type)."""
+    df = _type_flags(sf_dir)
+    out = df[df["c"] & ~df["he"]][["user_id"]].sort_values("user_id")
+    return out.reset_index(drop=True).astype(np.int64)
+
+
+SQL_USERS_EXCEPT = """
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error' AND value > 90
+ORDER BY user_id
+"""
+
+
 def q_union_activity(sf_dir: str):
     """§2.7 union-with-schema-coercion (llm_job.py:113-117 analog): two
     differently-shaped sources normalized to one activity schema with
@@ -2734,6 +2794,8 @@ QUERIES = {
     "running_revenue": q_running_revenue,
     "event_gaps": q_event_gaps,
     "union_activity": q_union_activity,
+    "users_intersect": q_users_intersect,
+    "users_except": q_users_except,
 }
 
 ORACLE_SQL = {
@@ -2821,4 +2883,6 @@ ORACLE_SQL = {
     "running_revenue": SQL_RUNNING_REVENUE,
     "event_gaps": SQL_EVENT_GAPS,
     "union_activity": SQL_UNION_ACTIVITY,
+    "users_intersect": SQL_USERS_INTERSECT,
+    "users_except": SQL_USERS_EXCEPT,
 }

@@ -56,6 +56,8 @@ FAST_SQL_QUERIES = [
     "customers_without_orders",
     "bloom_join_revenue",
     "approx_quantiles",
+    "users_intersect",
+    "users_except",
     "rollup_revenue",
     "running_revenue",
     "event_gaps",
