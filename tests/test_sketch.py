@@ -126,3 +126,20 @@ def test_hist_quantile_within_one_bin():
     for q in (0.5, 0.9, 0.99):
         exact = s[max(int(np.ceil(q * len(s))), 1) - 1]
         assert abs(sk.hist_quantile(c, lo, hi, q) - exact) <= 2 * w
+
+
+def test_bloom_join_empty_build_side(ray_session):
+    """No build-side keys -> all-zero filter -> every probe row drops
+    before the exchange and the join returns an empty, well-typed frame."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from flink_fingerprint_ray.pipelines.queries import (
+        _BLOOM_BITS, _bloom_hashes)
+
+    keys = np.arange(100, dtype=np.int64)
+    bits = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)   # empty build side
+    pos = _bloom_hashes(keys)
+    member = ((bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)
+    assert not member.any()
