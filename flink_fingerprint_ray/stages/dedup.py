@@ -137,9 +137,14 @@ def _bucket_candidates(t: pa.Table, id_col: str, eq: list[np.ndarray] | None = N
     eqs = [e[order] for e in eqs]
     nb = np.ones(n, dtype=bool)
     nb[1:] = (bno[1:] != bno[:-1]) | (bkey[1:] != bkey[:-1])
-    ng = nb.copy()
-    for e in eqs:
-        ng[1:] |= e[1:] != e[:-1]
+    if eqs:
+        ng = nb.copy()
+        for e in eqs:
+            ng[1:] |= e[1:] != e[:-1]
+    else:
+        # no full-hash columns -> no identical-group collapse: every row
+        # is its own representative (plain all-pairs per bucket)
+        ng = np.ones(n, dtype=bool)
     # identical-hash chains: consecutive rows of one group
     chain_c = np.flatnonzero(~ng)
     chain_a = chain_c - 1

@@ -249,3 +249,71 @@ def test_block_local_candidates_complete(vals, phi):
         bc = pd.Series(blk).value_counts()
         cands |= set(bc[bc >= phi * len(blk)].index)
     assert heavy <= cands
+
+
+@given(st.lists(st.tuples(st.integers(0, 2),      # band_no
+                          st.integers(0, 5),      # band_key
+                          st.integers(0, 30),     # id
+                          st.integers(0, 3)),     # eq (full-hash group)
+                min_size=1, max_size=80))
+@settings(deadline=None, max_examples=60)
+def test_bucket_candidates_all_pairs_semantics(rows):
+    """The LSH sweep prologue: with eq=None it must emit EXACTLY the set
+    of unique intra-bucket id pairs; with an eq column it may collapse
+    identical-hash groups but must keep every bucket's id set fully
+    connected if all pairs confirm (the clustering-equivalence
+    guarantee)."""
+    import itertools
+
+    import pandas as pd
+
+    from flink_fingerprint_ray.stages.dedup import _bucket_candidates
+
+    df = pd.DataFrame(rows, columns=["band_no", "band_key", "doc_id", "eqv"]) \
+        .drop_duplicates(["band_no", "band_key", "doc_id"])
+    t = pa.table({"band_no": pa.array(df["band_no"], pa.int64()),
+                  "band_key": pa.array(df["band_key"], pa.uint64()),
+                  "doc_id": pa.array(df["doc_id"], pa.int64()),
+                  "eqv": pa.array(df["eqv"], pa.uint64())})
+
+    def expected_pairs():
+        out = set()
+        for _, g in df.groupby(["band_no", "band_key"]):
+            for a, b in itertools.combinations(sorted(set(g["doc_id"])), 2):
+                out.add((a, b))
+        return out
+
+    exp = expected_pairs()
+    # eq=None: exact all-pairs
+    pre = _bucket_candidates(t, "doc_id")
+    got = set()
+    if pre is not None:
+        ts, anc, cand = pre
+        ids = ts["doc_id"].to_numpy()
+        got = {tuple(sorted((int(ids[a]), int(ids[c]))))
+               for a, c in zip(anc, cand)}
+    assert got == exp
+
+    # with eq: returned pairs are a subset of all-pairs whose transitive
+    # closure still connects every bucket's id set
+    pre2 = _bucket_candidates(t, "doc_id", eq=[t["eqv"].to_numpy()])
+    got2 = set()
+    if pre2 is not None:
+        ts2, anc2, cand2 = pre2
+        ids2 = ts2["doc_id"].to_numpy()
+        got2 = {tuple(sorted((int(ids2[a]), int(ids2[c]))))
+                for a, c in zip(anc2, cand2)}
+    assert got2 <= exp
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in got2:
+        parent[find(a)] = find(b)
+    for _, g in df.groupby(["band_no", "band_key"]):
+        members = sorted(set(g["doc_id"]))
+        assert len({find(m) for m in members}) == 1 or len(members) == 1
