@@ -317,3 +317,27 @@ def test_bucket_candidates_all_pairs_semantics(rows):
     for _, g in df.groupby(["band_no", "band_key"]):
         members = sorted(set(g["doc_id"]))
         assert len({find(m) for m in members}) == 1 or len(members) == 1
+
+
+@given(st.lists(st.tuples(st.integers(0, 25), st.integers(0, 25)),
+                min_size=0, max_size=60),
+       st.integers(26, 40))
+@settings(deadline=None, max_examples=60)
+def test_label_propagation_matches_union_find(edge_list, n_nodes):
+    """The check queries' independent clustering (dense min-label
+    propagation) must agree row-exactly with the engine's union-find on
+    arbitrary graphs — if these two ever correlate-fail, the pinned
+    mismatch counts would lie."""
+    import pandas as pd
+
+    from flink_fingerprint_ray.stages.dedup import (
+        _ref_label_propagation, edges_to_clusters)
+
+    nodes = np.arange(n_nodes, dtype=np.int64)
+    e = np.array([(min(a, b), max(a, b)) for a, b in edge_list if a != b],
+                 dtype=np.int64).reshape(-1, 2)
+    got = _ref_label_propagation(e, nodes)
+    exp = edges_to_clusters(pd.DataFrame({"a": e[:, 0], "b": e[:, 1]}))
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  exp.reset_index(drop=True),
+                                  check_dtype=False)
