@@ -341,3 +341,54 @@ def test_label_propagation_matches_union_find(edge_list, n_nodes):
     pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                   exp.reset_index(drop=True),
                                   check_dtype=False)
+
+
+@given(st.lists(st.floats(-1e4, 1e4, allow_nan=False), min_size=2, max_size=400),
+       st.sampled_from([0.5, 0.9, 0.99]))
+@settings(deadline=None, max_examples=60)
+def test_hist_quantile_error_bound(vals, q):
+    from flink_fingerprint_ray.stages.sketch import (
+        HIST_BINS, hist_fold, hist_quantile)
+
+    v = np.asarray(vals, dtype=np.float64)
+    lo, hi = float(v.min()), float(v.max())
+    c = hist_fold(v, lo, hi)
+    w = (hi - lo) / HIST_BINS or 1.0
+    s = np.sort(v)
+    exact = s[max(int(np.ceil(q * len(s))), 1) - 1]
+    assert abs(hist_quantile(c, lo, hi, q) - exact) <= 2 * w
+
+
+@given(st.lists(st.tuples(st.integers(0, 8),              # doc_id
+                          st.sampled_from("abcdefgh"),    # term
+                          st.integers(1, 5)),             # count
+                min_size=1, max_size=60))
+@settings(deadline=None, max_examples=60)
+def test_tfidf_sweeps_match_bruteforce(rows):
+    """tfidf_attach_idf + tfidf_top_term_sweep over a whole (doc, term, c)
+    table must equal a dict-based reference (df from co-located rows,
+    score = c*ln(N/df), per-doc max with term-asc tie-break)."""
+    import pandas as pd
+
+    from flink_fingerprint_ray.stages.textops import (
+        tfidf_attach_idf, tfidf_top_term_sweep)
+
+    df = pd.DataFrame(rows, columns=["doc_id", "term", "c"]) \
+        .groupby(["doc_id", "term"], as_index=False)["c"].sum()
+    n_docs = df["doc_id"].nunique()
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    got = tfidf_top_term_sweep(
+        pa.Table.from_pandas(tfidf_attach_idf(t, n_docs), preserve_index=False)
+    ).sort_values("doc_id").reset_index(drop=True)
+
+    dfreq = df.groupby("term")["doc_id"].nunique()
+    exp_rows = []
+    for d, g in df.groupby("doc_id"):
+        best = min(
+            ((-(r.c * np.log(np.float64(n_docs) / dfreq[r.term])), r.term)
+             for r in g.itertuples()),
+        )
+        exp_rows.append({"doc_id": d, "top_term": best[1],
+                         "score_cents": int(np.floor(-best[0] * 100 + 0.5))})
+    exp = pd.DataFrame(exp_rows)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
