@@ -2722,6 +2722,279 @@ FROM u GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Behavioral analytics over `events`: funnel / cohort / mode / time-weighted
+# (the product-analytics operator family a web-events pipeline needs; all
+# hash-exchange on user_id once, then vectorized per-partition sweeps)
+# ---------------------------------------------------------------------------
+
+_EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch micros
+_DAY_US = 86_400_000_000
+
+
+def _funnel_sweep(t: pa.Table) -> pd.DataFrame:
+    """Strictly-ordered 3-step funnel per user (view -> click -> purchase):
+    deepest step whose first qualifying event happens strictly AFTER the
+    previous step's first qualifying event.  Vectorized: three filtered
+    groupby-mins, each gated on the prior step's time."""
+    df = t.to_pandas()
+    t1 = df[df["event_type"] == "view"].groupby("user_id")["ts_us"].min()
+    c = df[df["event_type"] == "click"].merge(
+        t1.rename("t1"), left_on="user_id", right_index=True)
+    t2 = c[c["ts_us"] > c["t1"]].groupby("user_id")["ts_us"].min()
+    p = df[df["event_type"] == "purchase"].merge(
+        t2.rename("t2"), left_on="user_id", right_index=True)
+    t3 = p[p["ts_us"] > p["t2"]].groupby("user_id")["ts_us"].min()
+    users = np.sort(df["user_id"].unique())
+    idx = pd.Index(users)
+    step = np.zeros(len(users), dtype=np.int64)
+    step[idx.isin(t1.index)] = 1
+    step[idx.isin(t2.index)] = 2
+    step[idx.isin(t3.index)] = 3
+    return pd.DataFrame({"user_id": users, "funnel_step": step})
+
+
+def q_funnel_steps(sf_dir: str):
+    """Ordered-funnel (MATCH_RECOGNIZE-lite) per user: the deepest
+    view -> click -> purchase step reached in strict event-time order.
+    One hash exchange on user_id; the sweep is three vectorized
+    filtered-min passes (no per-row scan)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "event_type": batch["event_type"],
+            "ts_us": batch["ts"].cast(pa.int64()),
+        })
+
+    return grouped_map(ds.map_batches(prep, batch_format="pyarrow"),
+                       ["user_id"], _funnel_sweep)
+
+
+SQL_FUNNEL_STEPS = """
+WITH t1 AS (SELECT user_id, min(epoch_us(ts)) AS tt FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS tt FROM events e
+       JOIN t1 ON e.user_id = t1.user_id AND epoch_us(e.ts) > t1.tt
+       WHERE e.event_type = 'click' GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS tt FROM events e
+       JOIN t2 ON e.user_id = t2.user_id AND epoch_us(e.ts) > t2.tt
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT u.user_id,
+       CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
+                 WHEN t2.user_id IS NOT NULL THEN 2
+                 WHEN t1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_step
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN t1 ON u.user_id = t1.user_id
+LEFT JOIN t2 ON u.user_id = t2.user_id
+LEFT JOIN t3 ON u.user_id = t3.user_id
+ORDER BY u.user_id
+"""
+
+
+def _cohort_sweep(t: pa.Table) -> pd.DataFrame:
+    """Per-user cohort day (first-event day) and distinct active-day
+    offsets, pre-counted per (cohort, offset) inside the partition —
+    legal because every user's rows are co-located, so cross-partition
+    counts add without double-counting a user."""
+    df = t.to_pandas()
+    day = df["ts_us"].to_numpy() // _DAY_US
+    df = pd.DataFrame({"user_id": df["user_id"].to_numpy(), "day": day})
+    cohort = df.groupby("user_id")["day"].transform("min")
+    act = pd.DataFrame({
+        "user_id": df["user_id"],
+        "cohort_day_ms": cohort * 86_400_000,
+        "offset_days": df["day"] - cohort,
+    }).drop_duplicates()
+    out = (act.groupby(["cohort_day_ms", "offset_days"], sort=False)
+           .size().rename("n_users").reset_index())
+    return out
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort-retention matrix: users bucketed by first-event day, distinct
+    active users per (cohort day, day offset).  One exchange on user_id
+    (cohort assignment needs each user's full history); the per-(cohort,
+    offset) partials then sum exactly because a user lives in one
+    partition.  Final combine is over <= days x offsets rows — tiny."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "ts_us": batch["ts"].cast(pa.int64()),
+        })
+
+    parts = grouped_map(ds.map_batches(prep, batch_format="pyarrow"),
+                        ["user_id"], _cohort_sweep)
+    pdf = parts.to_pandas()
+    return (pdf.groupby(["cohort_day_ms", "offset_days"], sort=False)["n_users"]
+            .sum().reset_index().sort_values(["cohort_day_ms", "offset_days"])
+            .reset_index(drop=True))
+
+
+SQL_COHORT_RETENTION = """
+WITH f AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS cd
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT e.user_id, f.cd,
+             (epoch_us(e.ts) // 86400000000) - f.cd AS offset_days
+      FROM events e JOIN f ON e.user_id = f.user_id)
+SELECT cd * 86400000 AS cohort_day_ms, offset_days,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _mode_sweep(t: pa.Table) -> pd.DataFrame:
+    """Sum block-partial counts per (user, type), then pick each user's
+    modal type with a deterministic (count desc, type asc) tie-break."""
+    df = (t.to_pandas().groupby(["user_id", "event_type"], sort=False)["n"]
+          .sum().reset_index())
+    df = df.sort_values(["user_id", "n", "event_type"],
+                        ascending=[True, False, True], kind="stable")
+    top = df.drop_duplicates("user_id", keep="first")
+    return pd.DataFrame({"user_id": top["user_id"].to_numpy(),
+                         "mode_type": top["event_type"].to_numpy(),
+                         "n_events": top["n"].to_numpy().astype(np.int64)})
+
+
+def q_mode_event_type(sf_dir: str):
+    """Per-key mode (most frequent event type, lexicographic tie-break).
+    Block-local (user, type) count partials shrink the exchange to the
+    distinct-pair cardinality before the hash shuffle on user_id."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return (df.groupby(["user_id", "event_type"], sort=False)
+                .size().rename("n").reset_index())
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_map(parts, ["user_id"], _mode_sweep)
+
+
+SQL_MODE_EVENT_TYPE = """
+WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+r AS (SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rn
+      FROM c)
+SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n_events
+FROM r WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def _twa_sweep(t: pa.Table) -> pd.DataFrame:
+    """Time-weighted-average partials per user: sort by (ts, id), weight
+    each value by the gap to the NEXT event (last event carries no
+    weight).  The numerator is rounded per row to an exact int before
+    summation (summation-order policy), so both sides sum integers."""
+    df = t.to_pandas().sort_values(["user_id", "ts_us", "event_id"],
+                                   kind="stable").reset_index(drop=True)
+    uid = df["user_id"].to_numpy()
+    ts = df["ts_us"].to_numpy()
+    val = df["value"].to_numpy()
+    nxt_same = np.r_[uid[1:] == uid[:-1], False]
+    dt = np.zeros(len(ts), dtype=np.int64)
+    dt[:-1] = ts[1:] - ts[:-1]
+    dt[~nxt_same] = 0
+    num = np.floor(val * dt + 0.5).astype(np.int64)
+    g = pd.DataFrame({"user_id": uid, "twa_num": num, "twa_den_us": dt})
+    out = g.groupby("user_id", sort=False).agg(
+        twa_num=("twa_num", "sum"), twa_den_us=("twa_den_us", "sum")).reset_index()
+    return out
+
+
+def q_time_weighted_avg(sf_dir: str):
+    """Time-weighted average per user (each value held until the next
+    event).  Emitted as exact integer numerator/denominator pairs, so the
+    hash compare is bit-exact regardless of reduction order."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "value": batch["value"],
+        })
+
+    return grouped_map(ds.map_batches(prep, batch_format="pyarrow"),
+                       ["user_id"], _twa_sweep)
+
+
+SQL_TIME_WEIGHTED_AVG = """
+WITH s AS (SELECT user_id, value, epoch_us(ts) AS tsu,
+                  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS nxt
+           FROM events)
+SELECT user_id,
+       CAST(SUM(CASE WHEN nxt IS NULL THEN 0
+                     ELSE CAST(floor(value * (nxt - tsu) + 0.5) AS BIGINT)
+                END) AS BIGINT) AS twa_num,
+       CAST(SUM(CASE WHEN nxt IS NULL THEN 0 ELSE nxt - tsu END)
+            AS BIGINT) AS twa_den_us
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+
+def _regr_sweep(t: pa.Table) -> pd.DataFrame:
+    """Combine per-block regression partials (n, Sx, Sy, Sxx, Sxy) and
+    finish slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) per user."""
+    df = t.to_pandas().groupby("user_id", sort=False).agg(
+        n=("n", "sum"), sx=("sx", "sum"), sy=("sy", "sum"),
+        sxx=("sxx", "sum"), sxy=("sxy", "sum")).reset_index()
+    n = df["n"].to_numpy().astype(np.float64)
+    sx, sy = df["sx"].to_numpy(), df["sy"].to_numpy()
+    sxx, sxy = df["sxx"].to_numpy(), df["sxy"].to_numpy()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                         "n_events": df["n"].to_numpy().astype(np.int64),
+                         "slope_micros": _micros(slope)})
+
+
+def q_regr_value_trend(sf_dir: str):
+    """Per-key least-squares trend (value vs hours since 2024-01-01):
+    classic sufficient-statistics regression — per-block partial sums are
+    the only exchanged state (5 doubles per user per block), combined in
+    one user_id hash partition.  Slope magnitudes stay O(1) because x is
+    centered on the corpus epoch, keeping the micros rounding stable."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        x = (batch["ts"].cast(pa.int64()).to_numpy() - _EPOCH_2024_US) / 3.6e9
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(),
+            "n": np.ones(batch.num_rows, dtype=np.int64),
+            "sx": x,
+            "sy": batch["value"].to_numpy(),
+            "sxx": x * x,
+            "sxy": x * batch["value"].to_numpy(),
+        })
+        return df.groupby("user_id", sort=False).sum().reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_map(parts, ["user_id"], _regr_sweep)
+
+
+SQL_REGR_VALUE_TREND = """
+WITH s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(x) AS sx, SUM(value) AS sy,
+                  SUM(x * x) AS sxx, SUM(x * value) AS sxy
+           FROM (SELECT user_id, value,
+                        (epoch_us(ts) - 1704067200000000) / 3600000000.0 AS x
+                 FROM events)
+           GROUP BY user_id)
+SELECT user_id, n AS n_events,
+       CAST(floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000 + 0.5)
+            AS BIGINT) AS slope_micros
+FROM s ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2796,6 +3069,11 @@ QUERIES = {
     "union_activity": q_union_activity,
     "users_intersect": q_users_intersect,
     "users_except": q_users_except,
+    "funnel_steps": q_funnel_steps,
+    "cohort_retention": q_cohort_retention,
+    "mode_event_type": q_mode_event_type,
+    "time_weighted_avg": q_time_weighted_avg,
+    "regr_value_trend": q_regr_value_trend,
 }
 
 ORACLE_SQL = {
@@ -2885,4 +3163,9 @@ ORACLE_SQL = {
     "union_activity": SQL_UNION_ACTIVITY,
     "users_intersect": SQL_USERS_INTERSECT,
     "users_except": SQL_USERS_EXCEPT,
+    "funnel_steps": SQL_FUNNEL_STEPS,
+    "cohort_retention": SQL_COHORT_RETENTION,
+    "mode_event_type": SQL_MODE_EVENT_TYPE,
+    "time_weighted_avg": SQL_TIME_WEIGHTED_AVG,
+    "regr_value_trend": SQL_REGR_VALUE_TREND,
 }

@@ -71,6 +71,11 @@ FAST_SQL_QUERIES = [
     "heavy_hitters",
     "tfidf_top_term",
     "inverted_index",
+    "funnel_steps",
+    "cohort_retention",
+    "mode_event_type",
+    "time_weighted_avg",
+    "regr_value_trend",
 ]
 
 
