@@ -2995,6 +2995,257 @@ FROM s ORDER BY user_id
 
 
 # ---------------------------------------------------------------------------
+# Multi-way star joins (TPC-H Q3/Q5 family) + per-group NTILE
+# ---------------------------------------------------------------------------
+
+
+def _collect_lookup(ds: "ray.data.Dataset", key: str, val: str | None
+                    ) -> tuple[np.ndarray, np.ndarray | None]:
+    """Materialize a DIM table's (key[, value]) columns as sorted numpy
+    arrays for broadcast via ``ray.put`` — legal only for dimension-sized
+    sides (customer/supplier/nation/region); fact-fact joins go through
+    the tagged-union co-partitioned path instead."""
+    cols = [key] if val is None else [key, val]
+    refs = ds.select_columns(cols).to_arrow_refs()
+    t = pa.concat_tables([ray.get(r) for r in refs], promote_options="default")
+    k = t[key].to_numpy().astype(np.int64)
+    order = np.argsort(k, kind="stable")
+    v = None if val is None else t[val].to_numpy()[order]
+    return k[order], v
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape (shipping priority): BUILDING-segment customers,
+    orders placed before / lineitems shipped after the cut date, top 10
+    open orders by outstanding revenue.  Plan: the customer dim filter
+    broadcasts a sorted custkey array (ray.put once); orders prune on it
+    map-side; the big orders-lineitem join is tagged-union co-partitioned
+    on orderkey (no fact broadcast); per-partition partial top-10s merge
+    on the driver (<= 10 x P rows)."""
+    import pyarrow.compute as pc
+
+    CUT_US = 883_612_800_000_000  # 1998-01-01 in epoch micros
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def _building_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["c_mktsegment"], "BUILDING"))
+
+    ck, _ = _collect_lookup(
+        cust.map_batches(_building_only, batch_format="pyarrow"), "c_custkey", None)
+    ck_ref = ray.put(ck)
+
+    def orders_tag(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ck_ref)
+        date_us = batch["o_orderdate"].cast(pa.int64()).to_numpy()
+        custk = batch["o_custkey"].to_numpy().astype(np.int64)
+        if len(keys) == 0:
+            keep = np.zeros(len(custk), dtype=bool)
+        else:
+            pos = np.searchsorted(keys, custk)
+            pos[pos >= len(keys)] = 0
+            keep = (date_us < CUT_US) & (keys[pos] == custk)
+        n = int(keep.sum())
+        return pa.table({
+            "orderkey": pa.array(batch["o_orderkey"].to_numpy()[keep], pa.int64()),
+            "orderdate_ms": pa.array(date_us[keep] // 1000, pa.int64()),
+            "rev_cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "side": pa.array(np.ones(n, np.int64), pa.int64()),
+        })
+
+    def li_tag(batch: pa.Table) -> pa.Table:
+        keep = batch["l_shipdate"].cast(pa.int64()).to_numpy() > CUT_US
+        px = batch["l_extendedprice"].to_numpy()[keep]
+        disc = batch["l_discount"].to_numpy()[keep]
+        n = int(keep.sum())
+        return pa.table({
+            "orderkey": pa.array(batch["l_orderkey"].to_numpy()[keep], pa.int64()),
+            "orderdate_ms": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "rev_cents": pa.array(_cents(px * (1.0 - disc)), pa.int64()),
+            "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+        })
+
+    def _q3_sweep(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        o = df[df["side"] == 1].drop_duplicates("orderkey")
+        li = df[df["side"] == 0].merge(o[["orderkey", "orderdate_ms"]],
+                                       on="orderkey", suffixes=("", "_o"))
+        g = (li.groupby(["orderkey", "orderdate_ms_o"], sort=False)["rev_cents"]
+             .sum().reset_index())
+        g = g.sort_values(["rev_cents", "orderkey"],
+                          ascending=[False, True], kind="stable").head(10)
+        return pd.DataFrame({"o_orderkey": g["orderkey"].to_numpy(),
+                             "orderdate_ms": g["orderdate_ms_o"].to_numpy(),
+                             "revenue_cents": g["rev_cents"].to_numpy().astype(np.int64)})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    tagged = li.map_batches(li_tag, batch_format="pyarrow").union(
+        orders.map_batches(orders_tag, batch_format="pyarrow"))
+    parts = grouped_map(tagged, ["orderkey"], _q3_sweep).to_pandas()
+    out = parts.sort_values(["revenue_cents", "o_orderkey"],
+                            ascending=[False, True], kind="stable").head(10)
+    return out.reset_index(drop=True)
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT o_orderkey, epoch_ms(o_orderdate) AS orderdate_ms,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2
+ORDER BY revenue_cents DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_regional_volume(sf_dir: str):
+    """TPC-H Q5 shape (local-supplier volume): revenue per (region,
+    nation) where the customer and the supplier share a nation.  The
+    three dimension sides (nation->region, customer->nation,
+    supplier->nation) broadcast once as sorted-key arrays; the
+    orders-lineitem fact-fact join is tagged-union co-partitioned on
+    orderkey, with per-partition (nation, revenue) partials so only a
+    nations-sized table leaves each partition."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nk = nation.sort_values("n_nationkey")
+    nat_keys = nk["n_nationkey"].to_numpy().astype(np.int64)
+    nat_region = nk.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    nat_region = nat_region.sort_values("n_nationkey")
+
+    sk, sv = _collect_lookup(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+                             "s_suppkey", "s_nationkey")
+    ck, cv = _collect_lookup(_read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+                             "c_custkey", "c_nationkey")
+    sup_ref = ray.put((sk, sv.astype(np.int64)))
+    cust_ref = ray.put((ck, cv.astype(np.int64)))
+
+    def orders_tag(batch: pa.Table) -> pa.Table:
+        keys, nats = ray.get(cust_ref)
+        custk = batch["o_custkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(keys, custk)
+        pos[pos >= len(keys)] = 0
+        ok = keys[pos] == custk
+        return pa.table({
+            "orderkey": pa.array(batch["o_orderkey"].to_numpy()[ok], pa.int64()),
+            "nationkey": pa.array(nats[pos[ok]], pa.int64()),
+            "rev_cents": pa.array(np.zeros(int(ok.sum()), np.int64), pa.int64()),
+            "side": pa.array(np.ones(int(ok.sum()), np.int64), pa.int64()),
+        })
+
+    def li_tag(batch: pa.Table) -> pa.Table:
+        keys, nats = ray.get(sup_ref)
+        suppk = batch["l_suppkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(keys, suppk)
+        pos[pos >= len(keys)] = 0
+        ok = keys[pos] == suppk
+        px = batch["l_extendedprice"].to_numpy()[ok]
+        disc = batch["l_discount"].to_numpy()[ok]
+        return pa.table({
+            "orderkey": pa.array(batch["l_orderkey"].to_numpy()[ok], pa.int64()),
+            "nationkey": pa.array(nats[pos[ok]], pa.int64()),
+            "rev_cents": pa.array(_cents(px * (1.0 - disc)), pa.int64()),
+            "side": pa.array(np.zeros(int(ok.sum()), np.int64), pa.int64()),
+        })
+
+    def _q5_sweep(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        o = df[df["side"] == 1].drop_duplicates("orderkey")
+        li = df[df["side"] == 0].merge(
+            o[["orderkey", "nationkey"]], on="orderkey", suffixes=("", "_c"))
+        li = li[li["nationkey"] == li["nationkey_c"]]
+        g = li.groupby("nationkey", sort=False)["rev_cents"].agg(["sum", "size"])
+        return pd.DataFrame({"nationkey": g.index.to_numpy(),
+                             "rev": g["sum"].to_numpy().astype(np.int64),
+                             "n": g["size"].to_numpy().astype(np.int64)})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey",
+                                    "l_extendedprice", "l_discount"])
+    tagged = li.map_batches(li_tag, batch_format="pyarrow").union(
+        orders.map_batches(orders_tag, batch_format="pyarrow"))
+    parts = grouped_map(tagged, ["orderkey"], _q5_sweep).to_pandas()
+    agg = parts.groupby("nationkey", sort=False).agg(
+        revenue_cents=("rev", "sum"), n_items=("n", "sum")).reset_index()
+    pos = np.searchsorted(nat_keys, agg["nationkey"].to_numpy())
+    out = pd.DataFrame({
+        "r_name": nat_region["r_name"].to_numpy()[pos],
+        "n_name": nat_region["n_name"].to_numpy()[pos],
+        "revenue_cents": agg["revenue_cents"].to_numpy().astype(np.int64),
+        "n_items": agg["n_items"].to_numpy().astype(np.int64),
+    })
+    return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
+SQL_REGIONAL_VOLUME = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _ntile_sweep(t: pa.Table, k: int) -> pd.DataFrame:
+    """SQL NTILE(k) per group: first n%k buckets get ceil(n/k) rows,
+    the rest floor(n/k) — computed vectorized across all groups in the
+    partition from each row's in-group rank."""
+    df = t.to_pandas().sort_values(
+        ["c_mktsegment", "acctbal_cents", "c_custkey"],
+        ascending=[True, False, True], kind="stable").reset_index(drop=True)
+    g = df.groupby("c_mktsegment", sort=False)
+    idx0 = g.cumcount().to_numpy()
+    n = g["c_custkey"].transform("size").to_numpy()
+    q, r = n // k, n % k
+    big = (q + 1) * r
+    tile = np.where(idx0 < big, idx0 // np.maximum(q + 1, 1),
+                    r + (idx0 - big) // np.maximum(q, 1)) + 1
+    return pd.DataFrame({"c_custkey": df["c_custkey"].to_numpy(),
+                         "c_mktsegment": df["c_mktsegment"].to_numpy(),
+                         "tile": tile.astype(np.int64)})
+
+
+def q_ntile_acctbal(sf_dir: str):
+    """Per-group NTILE(4): customers quartiled by account balance within
+    their market segment (exact SQL NTILE bucket-size semantics,
+    deterministic (balance desc, custkey) tie-break).  One hash exchange
+    on the group key; ranking is a per-partition vectorized sort —
+    partition count scales with group cardinality, and a single group is
+    assumed to fit a worker (the same contract as grouped_map)."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch["c_custkey"].cast(pa.int64()),
+            "c_mktsegment": batch["c_mktsegment"],
+            "acctbal_cents": pa.array(_cents(batch["c_acctbal"].to_numpy()), pa.int64()),
+        })
+
+    return grouped_map(ds.map_batches(prep, batch_format="pyarrow"),
+                       ["c_mktsegment"], _ntile_sweep, fn_kwargs={"k": 4})
+
+
+SQL_NTILE_ACCTBAL = """
+SELECT c_custkey, c_mktsegment,
+       CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+                           ORDER BY CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) DESC,
+                                    c_custkey) AS BIGINT) AS tile
+FROM customer ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -3074,6 +3325,9 @@ QUERIES = {
     "mode_event_type": q_mode_event_type,
     "time_weighted_avg": q_time_weighted_avg,
     "regr_value_trend": q_regr_value_trend,
+    "shipping_priority": q_shipping_priority,
+    "regional_volume": q_regional_volume,
+    "ntile_acctbal": q_ntile_acctbal,
 }
 
 ORACLE_SQL = {
@@ -3168,4 +3422,7 @@ ORACLE_SQL = {
     "mode_event_type": SQL_MODE_EVENT_TYPE,
     "time_weighted_avg": SQL_TIME_WEIGHTED_AVG,
     "regr_value_trend": SQL_REGR_VALUE_TREND,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "regional_volume": SQL_REGIONAL_VOLUME,
+    "ntile_acctbal": SQL_NTILE_ACCTBAL,
 }

@@ -76,6 +76,9 @@ FAST_SQL_QUERIES = [
     "mode_event_type",
     "time_weighted_avg",
     "regr_value_trend",
+    "shipping_priority",
+    "regional_volume",
+    "ntile_acctbal",
 ]
 
 
