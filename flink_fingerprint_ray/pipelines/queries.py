@@ -3246,6 +3246,118 @@ FROM customer ORDER BY c_custkey
 
 
 # ---------------------------------------------------------------------------
+# C4-style cross-document span dedup + count-min frequency sketch
+# ---------------------------------------------------------------------------
+
+
+def _chunk_share_sweep(t: pa.Table) -> pd.DataFrame:
+    """Per chunk-partition sweep: every occurrence of a chunk is
+    co-located, so distinct-doc counts per chunk are exact here; emit
+    per-doc partials (chunk positions seen / positions whose chunk is
+    shared by >= 2 docs) — only doc-count-sized rows leave."""
+    df = t.to_pandas()
+    nd = df.groupby("chunk", sort=False)["doc_id"].nunique()
+    shared = nd.index[nd >= 2]
+    df["sh"] = df["chunk"].isin(shared).astype(np.int64)
+    out = df.groupby("doc_id", sort=False).agg(
+        n_chunks=("chunk", "size"), n_shared=("sh", "sum")).reset_index()
+    return out
+
+
+def q_chunk_dedup_stats(sf_dir: str):
+    """C4-style span-level dedup scan: each document's 5-word chunks,
+    flagged when the identical chunk appears in >= 2 distinct documents
+    (the unit you would cut to kill boilerplate/mirrored spans).  Fully
+    shuffle-based — chunk rows hash-exchange on the chunk string (exact
+    distinct-doc counts, no shared-set broadcast, no false-positive
+    structure), then doc-id partials combine in a second small exchange.
+    At 100 TB the chunk key would be a 16-byte hash instead of the
+    string; the string key keeps the small-scale oracle collision-free."""
+    from ..stages import textops as tx
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    chunks = ds.map_batches(tx.doc_word_chunks, batch_format="pyarrow")
+    parts = grouped_map(chunks, ["chunk"], _chunk_share_sweep)
+    final = grouped_map(parts, ["doc_id"], _combine_partials,
+                        fn_kwargs={"keys": ["doc_id"],
+                                   "sums": ["n_chunks", "n_shared"]})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_chunks": batch["n_chunks"].cast(pa.int64()),
+            "n_shared": batch["n_shared"].cast(pa.int64()),
+        })
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_CHUNK_DEDUP_STATS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+c AS (SELECT doc_id, array_to_string(s[(5*i+1):(5*i+5)], ' ') AS chunk
+      FROM w, LATERAL (SELECT unnest(generate_series(0, CAST(len(s) // 5 AS INT) - 1)) AS i) g(i)),
+sh AS (SELECT chunk FROM c GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 2)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN chunk IN (SELECT chunk FROM sh) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_shared
+FROM c GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_countmin_check(sf_dir: str):
+    """Count-min sketch (stages/sketch.py) over events.user_id,
+    cross-checked inline against the exact per-user counts (the same
+    driver-visible pin pattern as approx_distinct):
+
+    - ``est_never_undercounts`` — CMS point queries are >= exact for
+      every key (a theorem for sum-merged CMS; checked over all keys);
+    - ``violations_within_delta`` — keys whose overcount exceeds the
+      (e/w)*N Markov bound number at most ceil(2*delta*n_keys) with
+      delta = e^-d (deterministic on the seeded fixture; the 2x margin
+      absorbs the per-key variance of the expected-count bound).
+
+    The exact n_users/n_events columns are SQL-green; the flags are
+    pinned constants the sketch must reproduce."""
+    import math
+
+    from ..stages import sketch as sk
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    table = sk.cms_counts(ds, "user_id")
+
+    def _exact_partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"user_id": batch["user_id"].to_numpy()})
+        return df.groupby("user_id", sort=False).size().rename("n").reset_index()
+
+    exact = (_read(sf_dir, "events", ["user_id"])
+             .map_batches(_exact_partial, batch_format="pyarrow").to_pandas()
+             .groupby("user_id", sort=False)["n"].sum())
+    keys = exact.index.to_numpy().astype(np.int64)
+    est = sk.cms_estimate(table, keys)
+    excess = est - exact.to_numpy()
+    n_events = int(exact.sum())
+    bound = math.e / sk.CMS_W * n_events
+    delta = math.exp(-sk.CMS_D)
+    budget = math.ceil(2.0 * delta * len(keys))
+    return pd.DataFrame({
+        "n_users": np.array([len(keys)], dtype=np.int64),
+        "n_events": np.array([n_events], dtype=np.int64),
+        "est_never_undercounts": np.array([int((excess >= 0).all())], dtype=np.int64),
+        "violations_within_delta": np.array(
+            [int((excess > bound).sum() <= budget)], dtype=np.int64),
+    })
+
+
+SQL_COUNTMIN_CHECK = """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(1 AS BIGINT) AS est_never_undercounts,
+       CAST(1 AS BIGINT) AS violations_within_delta
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -3328,6 +3440,8 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "regional_volume": q_regional_volume,
     "ntile_acctbal": q_ntile_acctbal,
+    "chunk_dedup_stats": q_chunk_dedup_stats,
+    "countmin_check": q_countmin_check,
 }
 
 ORACLE_SQL = {
@@ -3425,4 +3539,6 @@ ORACLE_SQL = {
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "regional_volume": SQL_REGIONAL_VOLUME,
     "ntile_acctbal": SQL_NTILE_ACCTBAL,
+    "chunk_dedup_stats": SQL_CHUNK_DEDUP_STATS,
+    "countmin_check": SQL_COUNTMIN_CHECK,
 }

@@ -262,3 +262,62 @@ def exact_value_quantiles(ds: "ray.data.Dataset", col: str, scale: float,
         target = max(int(np.ceil(q * n)), 1)
         out[q] = int(vals[np.searchsorted(cum, target, "left")])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — mergeable frequency
+# estimates for hot-key telemetry without shuffling the keys.  d x w int64
+# counters (4 x 4096 = 128 KB) per block partial; partials merge by
+# elementwise SUM (associative), estimates are min over the d rows and
+# never undercount.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4
+CMS_W = 4096
+
+_CMS_SALTS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                       0xD6E8FEB86659FD93, 0xA5A5A5A5A5A5A5A5],
+                      dtype=np.uint64)
+
+
+def _cms_pos(keys: np.ndarray) -> np.ndarray:
+    """(d, n) counter positions via d salted splitmix-style mixes."""
+    x = keys.astype(np.uint64)[None, :] ^ _CMS_SALTS[:, None]
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return (x % np.uint64(CMS_W)).astype(np.int64)
+
+
+def cms_fold(keys: np.ndarray, table: np.ndarray | None = None) -> np.ndarray:
+    """Fold integer keys into a (d, w) count-min table (one count per
+    occurrence) — vectorized bincount per hash row."""
+    if table is None:
+        table = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    if len(keys):
+        pos = _cms_pos(np.asarray(keys))
+        for j in range(CMS_D):
+            table[j] += np.bincount(pos[j], minlength=CMS_W)
+    return table
+
+
+def cms_estimate(table: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Point-query estimates: min over the d counter rows per key."""
+    pos = _cms_pos(np.asarray(keys))
+    return np.min(np.stack([table[j, pos[j]] for j in range(CMS_D)]), axis=0)
+
+
+def cms_counts(ds: "ray.data.Dataset", col: str) -> np.ndarray:
+    """Distributed CMS build: per-block (d, w) partials, sum-merged on
+    the driver (O(blocks x 128 KB); a tree-reduce groupby is the escape
+    hatch if the block count outgrows the driver, as with the HLL)."""
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = cms_fold(batch[col].to_numpy().astype(np.int64))
+        return pa.table({"cms": pa.array([t.tobytes()], pa.binary())})
+
+    table = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for part in ds.map_batches(_partial, batch_format="pyarrow") \
+                  .iter_batches(batch_format="pyarrow"):
+        for buf in part["cms"].to_pylist():
+            table += np.frombuffer(buf, dtype=np.int64).reshape(CMS_D, CMS_W)
+    return table

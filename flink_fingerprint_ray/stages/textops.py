@@ -112,3 +112,30 @@ def tfidf_top_term_sweep(t: pa.Table) -> "pd.DataFrame":
         "score_cents": np.floor(top["score"].to_numpy() * 100.0 + 0.5)
                          .astype(np.int64),
     })
+
+
+def doc_word_chunks(batch: pa.Table, k: int = 5, id_col: str = "doc_id",
+                    text_col: str = "text") -> pa.Table:
+    """Per-block (doc_id, chunk) rows: the document's words grouped into
+    consecutive non-overlapping k-word chunks (trailing partial chunk
+    dropped) — the C4-style unit for cross-document span dedup.  Split
+    semantics match SQL ``string_split(text, ' ')`` (single-space split,
+    empties preserved); fully vectorized in polars (split/explode/
+    window-rank), no Python row loop."""
+    from ..functions.fingerprint import _polars
+
+    pl = _polars()
+    df = pl.DataFrame({
+        "doc_id": pl.Series(batch[id_col].to_numpy(zero_copy_only=False)),
+        "text": pl.from_arrow(batch[text_col].cast(pa.large_string())),
+    })
+    out = (
+        df.with_columns(pl.col("text").str.split(" ").alias("w")).drop("text")
+          .explode("w")
+          .with_columns((pl.int_range(pl.len()).over("doc_id") // k).alias("cid"))
+          .group_by(["doc_id", "cid"], maintain_order=True)
+          .agg(pl.col("w").str.join(" ").alias("chunk"), pl.len().alias("n"))
+          .filter(pl.col("n") == k)
+    )
+    return pa.table({"doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+                     "chunk": pa.array(out["chunk"].to_list(), pa.string())})

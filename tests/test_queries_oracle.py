@@ -79,6 +79,8 @@ FAST_SQL_QUERIES = [
     "shipping_priority",
     "regional_volume",
     "ntile_acctbal",
+    "chunk_dedup_stats",
+    "countmin_check",
 ]
 
 

@@ -143,3 +143,53 @@ def test_bloom_join_empty_build_side(ray_session):
     pos = _bloom_hashes(keys)
     member = ((bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)
     assert not member.any()
+
+
+def test_cms_never_undercounts_and_merge_associative():
+    """CMS point queries >= exact for every key, and summing two folds
+    equals one fold over the concatenation (mergeability)."""
+    from flink_fingerprint_ray.stages import sketch as sk
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 500, size=4000)
+    b = rng.integers(0, 500, size=3000)
+    both = sk.cms_fold(np.concatenate([a, b]))
+    merged = sk.cms_fold(a) + sk.cms_fold(b)
+    assert (both == merged).all()
+    keys, exact = np.unique(np.concatenate([a, b]), return_counts=True)
+    est = sk.cms_estimate(both, keys)
+    assert (est >= exact).all()
+    # total L1 overcount bounded by d * n (each row's total mass is n)
+    assert est.sum() - exact.sum() <= 7000
+
+
+def test_cms_exact_when_sparse():
+    """Far fewer keys than counters and 4 independent rows: the min-row
+    estimate is exact with overwhelming margin on a fixed seed."""
+    from flink_fingerprint_ray.stages import sketch as sk
+
+    keys = np.arange(50, dtype=np.int64)
+    t = sk.cms_fold(np.repeat(keys, 3))
+    assert (sk.cms_estimate(t, keys) == 3).all()
+
+
+def test_doc_word_chunks_matches_naive():
+    """Chunker equals the naive per-doc loop: k-word groups in order,
+    trailing partial dropped, single-space split semantics."""
+    import pyarrow as pa
+
+    from flink_fingerprint_ray.stages.textops import doc_word_chunks
+
+    texts = ["a b c d e f g h i j k",          # 11 words -> 2 chunks
+             "one two three four five",         # exactly one
+             "short text",                      # dropped entirely
+             "x " * 9 + "x"]                    # 10 words -> 2 chunks
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    got = doc_word_chunks(batch).to_pandas()
+    want = []
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        for c in range(len(w) // 5):
+            want.append((i, " ".join(w[5 * c:5 * c + 5])))
+    assert list(map(tuple, got.to_numpy())) == want
