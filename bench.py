@@ -48,6 +48,7 @@ SKIP_QUERIES = {
     "ann_topk_ivf_check",
     "lowess_smooth_check",
     "media_image_features_check",
+    "countmin_check",
 }
 
 
