@@ -3358,6 +3358,141 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# Temperature source-mixing + forward-fill gap resample
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA = 0.5
+
+
+def q_temperature_mix(sf_dir: str):
+    """Temperature-based language rebalancing (the multinomial
+    alpha-sampling used to flatten source/language skew in LLM training
+    mixes): per-lang keep rate r_l = (min_n / n_l)^(1-alpha) so the
+    rarest language keeps everything and head languages downsample
+    toward the temperature-flattened distribution.  Selection reuses the
+    seedless LCG key, so any parallelism (and SQL) keeps identical docs.
+    The per-lang counts are a block-partial + tiny driver combine; the
+    5-entry threshold map rides the task closure."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def count_partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"lang": batch["lang"].to_pandas()})
+        return df.groupby("lang", sort=False).size().rename("n").reset_index()
+
+    counts = (ds.map_batches(count_partial, batch_format="pyarrow")
+              .to_pandas().groupby("lang", sort=False)["n"].sum())
+    mn = float(counts.min())
+    thresh = {lang: int(np.floor((mn / n) ** (1.0 - MIX_ALPHA) * _LCG_M))
+              for lang, n in counts.items()}
+
+    def pick(batch: pa.Table) -> pa.Table:
+        sk = _sample_key(batch["doc_id"].to_numpy())
+        th = pd.Series(thresh).reindex(batch["lang"].to_pandas()).to_numpy()
+        keep = sk < th
+        return pa.table({
+            "doc_id": pa.array(batch["doc_id"].to_numpy()[keep], pa.int64()),
+            "lang": batch["lang"].filter(pa.array(keep)),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        pick, batch_format="pyarrow")
+
+
+SQL_TEMPERATURE_MIX = f"""
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT MIN(n) AS mn FROM c),
+r AS (SELECT lang,
+             CAST(floor(pow(CAST(mn AS DOUBLE) / n, 0.5) * {_LCG_M})
+                  AS BIGINT) AS thresh
+      FROM c, m)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE (((d.doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M})
+       * {_LCG_A} + {_LCG_C}) % {_LCG_M} < r.thresh
+ORDER BY d.doc_id
+"""
+
+
+def _gapfill_sweep(t: pa.Table, d0: int, d1: int) -> pd.DataFrame:
+    """Per user-partition forward fill: last event per (user, day)
+    (ts/event_id tie-break), merge_asof onto the shared day grid."""
+    df = t.to_pandas().sort_values(["user_id", "ts_us", "event_id"],
+                                   kind="stable").reset_index(drop=True)
+    df["day"] = df["ts_us"].to_numpy() // _DAY_US
+    last = df.drop_duplicates(["user_id", "day"], keep="last")
+    users = np.sort(df["user_id"].unique())
+    days = np.arange(d0, d1 + 1, dtype=np.int64)
+    grid = pd.DataFrame({
+        "user_id": np.repeat(users, len(days)),
+        "day": np.tile(days, len(users)),
+    }).sort_values(["day", "user_id"], kind="stable")
+    filled = pd.merge_asof(
+        grid, last[["user_id", "day", "value"]].sort_values(["day", "user_id"],
+                                                            kind="stable"),
+        on="day", by="user_id", direction="backward")
+    filled = filled.dropna(subset=["value"])
+    return pd.DataFrame({
+        "user_id": filled["user_id"].to_numpy(),
+        "day_ms": filled["day"].to_numpy() * 86_400_000,
+        "last_value": filled["value"].to_numpy(),
+    })
+
+
+def q_gap_fill_daily(sf_dir: str):
+    """Forward-fill resample (gap fill): each user's latest value carried
+    onto a daily grid spanning the corpus (rows before a user's first
+    event are dropped, matching the SQL IGNORE NULLS window).  The grid
+    bounds come from exact integer min/max partials; the fill itself is
+    one user_id exchange + a vectorized per-partition merge_asof.  Values
+    pass through untouched from parquet, so the compare is bit-exact."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "value": batch["value"],
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+
+    def bounds_partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts_us"].to_numpy()
+        return pa.table({"lo": pa.array([int(ts.min())], pa.int64()),
+                         "hi": pa.array([int(ts.max())], pa.int64())})
+
+    b = prepped.map_batches(bounds_partial, batch_format="pyarrow").to_pandas()
+    d0 = int(b["lo"].min() // _DAY_US)
+    d1 = int(b["hi"].max() // _DAY_US)
+    return grouped_map(prepped, ["user_id"], _gapfill_sweep,
+                       fn_kwargs={"d0": d0, "d1": d1})
+
+
+SQL_GAP_FILL_DAILY = """
+WITH b AS (SELECT CAST(min(epoch_us(ts)) // 86400000000 AS BIGINT) AS d0,
+                  CAST(max(epoch_us(ts)) // 86400000000 AS BIGINT) AS d1 FROM events),
+e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d, value,
+             row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 86400000000
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+lpd AS (SELECT user_id, d, value FROM e WHERE rn = 1),
+grid AS (SELECT u.user_id, gs.d AS day
+         FROM (SELECT DISTINCT user_id FROM events) u, b,
+              LATERAL (SELECT unnest(generate_series(b.d0, b.d1)) AS d) gs),
+j AS (SELECT g.user_id, g.day, l.value
+      FROM grid g LEFT JOIN lpd l ON g.user_id = l.user_id AND g.day = l.d),
+f AS (SELECT user_id, day,
+             last_value(value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS last_value
+      FROM j)
+SELECT user_id, day * 86400000 AS day_ms, last_value
+FROM f WHERE last_value IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -3442,6 +3577,8 @@ QUERIES = {
     "ntile_acctbal": q_ntile_acctbal,
     "chunk_dedup_stats": q_chunk_dedup_stats,
     "countmin_check": q_countmin_check,
+    "temperature_mix": q_temperature_mix,
+    "gap_fill_daily": q_gap_fill_daily,
 }
 
 ORACLE_SQL = {
@@ -3541,4 +3678,6 @@ ORACLE_SQL = {
     "ntile_acctbal": SQL_NTILE_ACCTBAL,
     "chunk_dedup_stats": SQL_CHUNK_DEDUP_STATS,
     "countmin_check": SQL_COUNTMIN_CHECK,
+    "temperature_mix": SQL_TEMPERATURE_MIX,
+    "gap_fill_daily": SQL_GAP_FILL_DAILY,
 }

@@ -81,6 +81,8 @@ FAST_SQL_QUERIES = [
     "ntile_acctbal",
     "chunk_dedup_stats",
     "countmin_check",
+    "temperature_mix",
+    "gap_fill_daily",
 ]
 
 
