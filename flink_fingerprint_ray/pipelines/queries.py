@@ -2259,6 +2259,56 @@ FROM documents GROUP BY lang
 """
 
 
+def _quantiles_cont_sweep(t: pa.Table) -> pd.DataFrame:
+    """Interpolated (percentile_cont / type-7) per-lang quantiles from the
+    same value-count partials: h = (n-1)q, linear blend of the floor(h)
+    and floor(h)+1 order statistics — the DuckDB quantile_cont rule."""
+    df = t.to_pandas().groupby(["lang", "n_chars"], sort=False)["n"].sum().reset_index()
+    df = df.sort_values(["lang", "n_chars"], kind="stable")
+    out = []
+    for lang, g in df.groupby("lang", sort=False):
+        vals = g["n_chars"].to_numpy().astype(np.float64)
+        cum = np.cumsum(g["n"].to_numpy())
+        n = int(cum[-1])
+        row = {"lang": lang, "n_docs": n}
+        for q in _QUANTILES:
+            h = (n - 1) * q
+            k = int(np.floor(h))
+            v_k = vals[np.searchsorted(cum, k + 1, "left")]
+            v_k1 = vals[np.searchsorted(cum, min(k + 2, n), "left")]
+            row[f"p{int(q * 100)}_chars_micros"] = int(
+                _micros(v_k + (h - k) * (v_k1 - v_k)))
+        out.append(row)
+    return pd.DataFrame(out)
+
+
+def q_group_quantiles_cont(sf_dir: str):
+    """percentile_cont companion to `group_quantiles`: identical
+    value-count exchange, interpolated finish (micros-scaled — the blend
+    is float on both sides)."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"lang": batch["lang"].to_pandas(),
+                           "n_chars": batch["n_chars"].to_numpy()})
+        return df.groupby(["lang", "n_chars"], sort=False).size().rename("n").reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_map(parts, ["lang"], _quantiles_cont_sweep)
+
+
+SQL_GROUP_QUANTILES_CONT = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(floor(quantile_cont(n_chars, 0.5) * 1000000 + 0.5) AS BIGINT)
+         AS p50_chars_micros,
+       CAST(floor(quantile_cont(n_chars, 0.9) * 1000000 + 0.5) AS BIGINT)
+         AS p90_chars_micros,
+       CAST(floor(quantile_cont(n_chars, 0.99) * 1000000 + 0.5) AS BIGINT)
+         AS p99_chars_micros
+FROM documents GROUP BY lang
+"""
+
+
 def q_approx_quantiles(sf_dir: str):
     """Mergeable-histogram quantile sketch (stages/sketch.py) with the
     inline-exact-cross-check pattern of approx_distinct: bounds come
@@ -3579,6 +3629,7 @@ QUERIES = {
     "countmin_check": q_countmin_check,
     "temperature_mix": q_temperature_mix,
     "gap_fill_daily": q_gap_fill_daily,
+    "group_quantiles_cont": q_group_quantiles_cont,
 }
 
 ORACLE_SQL = {
@@ -3680,4 +3731,5 @@ ORACLE_SQL = {
     "countmin_check": SQL_COUNTMIN_CHECK,
     "temperature_mix": SQL_TEMPERATURE_MIX,
     "gap_fill_daily": SQL_GAP_FILL_DAILY,
+    "group_quantiles_cont": SQL_GROUP_QUANTILES_CONT,
 }

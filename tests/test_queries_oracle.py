@@ -83,6 +83,7 @@ FAST_SQL_QUERIES = [
     "countmin_check",
     "temperature_mix",
     "gap_fill_daily",
+    "group_quantiles_cont",
 ]
 
 
