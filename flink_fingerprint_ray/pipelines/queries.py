@@ -2788,11 +2788,16 @@ def _funnel_sweep(t: pa.Table) -> pd.DataFrame:
     groupby-mins, each gated on the prior step's time."""
     df = t.to_pandas()
     t1 = df[df["event_type"] == "view"].groupby("user_id")["ts_us"].min()
+    # gate frames join on a renamed key column — an empty gate side would
+    # otherwise leave a `user_id`-named INDEX beside the column and break
+    # the next groupby (caught by test_funnel_sweep_matches_naive)
     c = df[df["event_type"] == "click"].merge(
-        t1.rename("t1"), left_on="user_id", right_index=True)
+        t1.rename("t1").rename_axis("uid").reset_index(),
+        left_on="user_id", right_on="uid")
     t2 = c[c["ts_us"] > c["t1"]].groupby("user_id")["ts_us"].min()
     p = df[df["event_type"] == "purchase"].merge(
-        t2.rename("t2"), left_on="user_id", right_index=True)
+        t2.rename("t2").rename_axis("uid").reset_index(),
+        left_on="user_id", right_on="uid")
     t3 = p[p["ts_us"] > p["t2"]].groupby("user_id")["ts_us"].min()
     users = np.sort(df["user_id"].unique())
     idx = pd.Index(users)

@@ -392,3 +392,135 @@ def test_tfidf_sweeps_match_bruteforce(rows):
                          "score_cents": int(np.floor(-best[0] * 100 + 0.5))})
     exp = pd.DataFrame(exp_rows)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# Round-3b analytics kernels vs naive single-process references
+# ---------------------------------------------------------------------------
+
+event_rows = st.lists(
+    st.tuples(st.integers(0, 5),                    # user_id
+              st.integers(0, 10**7),                # ts_us
+              st.sampled_from(["view", "click", "purchase", "error"]),
+              st.floats(0, 100, allow_nan=False)),  # value
+    min_size=1, max_size=60)
+
+
+def _events_table(rows):
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["user_id", "ts_us", "event_type", "value"])
+    df["event_id"] = np.arange(len(df), dtype=np.int64)
+    return df
+
+
+@given(event_rows)
+@settings(max_examples=60, deadline=None)
+def test_funnel_sweep_matches_naive(rows):
+    """Deepest strict-order step equals a per-user linear scan."""
+    from flink_fingerprint_ray.pipelines.queries import _funnel_sweep
+
+    df = _events_table(rows)
+    got = _funnel_sweep(pa.Table.from_pandas(df[["user_id", "event_type", "ts_us"]]))
+    got = dict(zip(got["user_id"], got["funnel_step"]))
+    for uid, g in df.groupby("user_id"):
+        t1 = g.loc[g.event_type == "view", "ts_us"].min()
+        step = 0
+        if not np.isnan(t1):
+            step = 1
+            t2 = g.loc[(g.event_type == "click") & (g.ts_us > t1), "ts_us"].min()
+            if not np.isnan(t2):
+                step = 2
+                t3 = g.loc[(g.event_type == "purchase") & (g.ts_us > t2), "ts_us"].min()
+                if not np.isnan(t3):
+                    step = 3
+        assert got[uid] == step
+
+
+@given(event_rows)
+@settings(max_examples=60, deadline=None)
+def test_twa_sweep_matches_naive(rows):
+    """Integer num/den pairs equal a per-user ordered scan."""
+    from flink_fingerprint_ray.pipelines.queries import _twa_sweep
+
+    df = _events_table(rows)
+    got = _twa_sweep(pa.Table.from_pandas(df[["user_id", "ts_us", "value", "event_id"]]))
+    got = {r.user_id: (r.twa_num, r.twa_den_us) for r in got.itertuples()}
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"])
+        num = den = 0
+        ts, vals = g["ts_us"].to_numpy(), g["value"].to_numpy()
+        for i in range(len(g) - 1):
+            dt = int(ts[i + 1] - ts[i])
+            num += int(np.floor(vals[i] * dt + 0.5))
+            den += dt
+        assert got[uid] == (num, den)
+
+
+@given(event_rows)
+@settings(max_examples=40, deadline=None)
+def test_gapfill_sweep_matches_naive(rows):
+    """merge_asof forward fill equals a per-user day-by-day scan."""
+    from flink_fingerprint_ray.pipelines.queries import _DAY_US, _gapfill_sweep
+
+    df = _events_table(rows)
+    d0 = int(df["ts_us"].min() // _DAY_US)
+    d1 = int(df["ts_us"].max() // _DAY_US)
+    got = _gapfill_sweep(
+        pa.Table.from_pandas(df[["user_id", "ts_us", "value", "event_id"]]),
+        d0, d1)
+    got = {(r.user_id, r.day_ms): r.last_value for r in got.itertuples()}
+    want = {}
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"])
+        last = None
+        by_day = {}
+        for r in g.itertuples():
+            by_day[r.ts_us // _DAY_US] = r.value
+        for d in range(d0, d1 + 1):
+            if d in by_day:
+                last = by_day[d]
+            if last is not None:
+                want[(uid, d * 86_400_000)] = last
+    assert got == want
+
+
+@given(st.lists(st.tuples(st.integers(0, 3), st.floats(-50, 50, allow_nan=False)),
+                min_size=2, max_size=40))
+@settings(max_examples=60, deadline=None)
+def test_regr_partials_match_polyfit(rows):
+    """Sufficient-statistics slope equals np.polyfit per key (where the
+    key has >= 2 distinct x values)."""
+    import pandas as pd
+
+    from flink_fingerprint_ray.pipelines.queries import _regr_sweep
+
+    df = pd.DataFrame(rows, columns=["user_id", "y"])
+    df["x"] = np.linspace(0.0, 5.0, len(df))
+    parts = pd.DataFrame({
+        "user_id": df["user_id"], "n": 1, "sx": df["x"], "sy": df["y"],
+        "sxx": df["x"] ** 2, "sxy": df["x"] * df["y"],
+    }).groupby("user_id", sort=False).sum().reset_index()
+    got = _regr_sweep(pa.Table.from_pandas(parts))
+    for r in got.itertuples():
+        g = df[df.user_id == r.user_id]
+        if g["x"].nunique() < 2:
+            continue
+        slope = np.polyfit(g["x"], g["y"], 1)[0]
+        assert abs(r.slope_micros / 1e6 - slope) <= 1e-4 + abs(slope) * 1e-6
+
+
+@given(st.integers(1, 40), st.integers(1, 8))
+@settings(max_examples=80, deadline=None)
+def test_ntile_formula_matches_sql_semantics(n, k):
+    """First n%k buckets get ceil(n/k) rows, the rest floor(n/k),
+    buckets contiguous and 1-based — the SQL NTILE contract."""
+    idx0 = np.arange(n)
+    q, r = n // k, n % k
+    big = (q + 1) * r
+    tile = np.where(idx0 < big, idx0 // max(q + 1, 1),
+                    r + (idx0 - big) // max(q, 1)) + 1
+    sizes = np.bincount(tile)[1:]
+    expect = [q + 1] * r + [q] * (min(n, k) - r if q else 0)
+    assert list(sizes[sizes > 0]) == [s for s in expect if s > 0]
+    assert (np.diff(tile) >= 0).all() and tile[0] == 1
