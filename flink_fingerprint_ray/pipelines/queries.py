@@ -3547,6 +3547,100 @@ FROM f WHERE last_value IS NOT NULL
 """
 
 
+def _transition_sweep(t: pa.Table) -> pd.DataFrame:
+    """Per user-partition Markov pair counts: sort by (user, ts, id),
+    shift, drop the cross-user seam, count (prev, next) pairs — at most
+    |types|^2 rows leave each partition."""
+    df = t.to_pandas().sort_values(["user_id", "ts_us", "event_id"],
+                                   kind="stable").reset_index(drop=True)
+    uid = df["user_id"].to_numpy()
+    et = df["event_type"].to_numpy()
+    same = uid[1:] == uid[:-1]
+    pairs = pd.DataFrame({"prev_type": et[:-1][same], "next_type": et[1:][same]})
+    return (pairs.groupby(["prev_type", "next_type"], sort=False)
+            .size().rename("n").reset_index())
+
+
+def q_event_transitions(sf_dir: str):
+    """Event-sequence transition matrix (first-order Markov counts of
+    consecutive event types per user) — the session-path analytics shape.
+    One user_id exchange, vectorized shifted-pair sweep, |types|^2-row
+    partials, tiny driver combine."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "event_type": batch["event_type"],
+        })
+
+    parts = grouped_map(ds.map_batches(prep, batch_format="pyarrow"),
+                        ["user_id"], _transition_sweep).to_pandas()
+    out = (parts.groupby(["prev_type", "next_type"], sort=False)["n"].sum()
+           .reset_index().sort_values(["prev_type", "next_type"])
+           .reset_index(drop=True))
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH s AS (SELECT user_id, event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS nxt
+           FROM events)
+SELECT event_type AS prev_type, nxt AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_zscore_chars(sf_dir: str):
+    """Per-language z-score normalization of document length — the
+    feature-standardization op of an ML data pipeline.  Pass 1: (n, sum,
+    sumsq) partials per lang (tiny driver combine); pass 2: stateless
+    per-doc scoring against the 5-entry moment map.  stddev is the
+    sample (n-1) estimator to match SQL stddev_samp; micros rounding
+    absorbs the partial-vs-Welford summation ulp."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def moments(batch: pa.Table) -> pd.DataFrame:
+        x = batch["n_chars"].to_numpy().astype(np.float64)
+        df = pd.DataFrame({"lang": batch["lang"].to_pandas(), "n": 1,
+                           "s1": x, "s2": x * x})
+        return df.groupby("lang", sort=False).sum().reset_index()
+
+    m = (ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+         .groupby("lang", sort=False).sum(numeric_only=True))
+    mean = m["s1"] / m["n"]
+    sd = np.sqrt((m["s2"] - m["s1"] ** 2 / m["n"]) / (m["n"] - 1))
+    mean_d, sd_d = mean.to_dict(), sd.to_dict()
+
+    def score(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].to_pandas()
+        mu = lang.map(mean_d).to_numpy()
+        s = lang.map(sd_d).to_numpy()
+        z = (batch["n_chars"].to_numpy().astype(np.float64) - mu) / s
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "lang": batch["lang"],
+            "z_micros": pa.array(_micros(z), pa.int64()),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
+        score, batch_format="pyarrow")
+
+
+SQL_ZSCORE_CHARS = """
+WITH s AS (SELECT lang, avg(n_chars) AS m, stddev_samp(n_chars) AS sd
+           FROM documents GROUP BY lang)
+SELECT doc_id, d.lang,
+       CAST(floor((n_chars - m) / sd * 1000000 + 0.5) AS BIGINT) AS z_micros
+FROM documents d JOIN s ON d.lang = s.lang
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3635,6 +3729,8 @@ QUERIES = {
     "temperature_mix": q_temperature_mix,
     "gap_fill_daily": q_gap_fill_daily,
     "group_quantiles_cont": q_group_quantiles_cont,
+    "event_transitions": q_event_transitions,
+    "zscore_chars": q_zscore_chars,
 }
 
 ORACLE_SQL = {
@@ -3737,4 +3833,6 @@ ORACLE_SQL = {
     "temperature_mix": SQL_TEMPERATURE_MIX,
     "gap_fill_daily": SQL_GAP_FILL_DAILY,
     "group_quantiles_cont": SQL_GROUP_QUANTILES_CONT,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "zscore_chars": SQL_ZSCORE_CHARS,
 }

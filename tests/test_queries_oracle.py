@@ -84,6 +84,8 @@ FAST_SQL_QUERIES = [
     "temperature_mix",
     "gap_fill_daily",
     "group_quantiles_cont",
+    "event_transitions",
+    "zscore_chars",
 ]
 
 
