@@ -3641,6 +3641,58 @@ ORDER BY doc_id
 """
 
 
+def q_label_centroid_norms(sf_dir: str):
+    """Per-label embedding-centroid norm (cluster-tightness telemetry for
+    an embedding corpus: 1.0 = all vectors identical, -> 0 = isotropic).
+    Per-block partials are (label, count, 64-float sum vector) — the
+    classic vector sufficient statistic, constant-size per label per
+    block regardless of corpus size; the driver combine touches only
+    labels x dims floats."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = batch["label"].to_numpy().astype(np.int64)
+        vecs = np.asarray(batch["embedding"].combine_chunks().flatten()
+                          .to_numpy(zero_copy_only=False), dtype=np.float64)
+        dim = vecs.size // max(len(lab), 1)
+        vecs = vecs.reshape(len(lab), dim) if len(lab) else vecs.reshape(0, 0)
+        labels = np.unique(lab)
+        sums = np.zeros((len(labels), dim), dtype=np.float64)
+        cnts = np.zeros(len(labels), dtype=np.int64)
+        for j, l in enumerate(labels):      # <= n_labels rows, vectorized inner
+            m = lab == l
+            sums[j] = vecs[m].sum(axis=0)
+            cnts[j] = int(m.sum())
+        return pa.table({
+            "label": pa.array(labels, pa.int64()),
+            "n": pa.array(cnts, pa.int64()),
+            "s": pa.array(list(sums), pa.list_(pa.float64())),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = []
+    for label, g in parts.groupby("label", sort=True):
+        n = int(g["n"].sum())
+        s = np.sum(np.stack(g["s"].to_numpy()), axis=0)
+        norm = float(np.sqrt(np.sum((s / n) ** 2)))
+        out.append({"label": int(label), "n_vecs": n,
+                    "centroid_norm_micros": int(_micros(norm))})
+    return pd.DataFrame(out)
+
+
+SQL_LABEL_CENTROID_NORMS = """
+WITH comp AS (SELECT label, unnest(embedding) AS v,
+                     unnest(range(len(embedding))) AS i
+              FROM embeddings),
+c AS (SELECT label, i, avg(CAST(v AS DOUBLE)) AS m, COUNT(*) AS n
+      FROM comp GROUP BY 1, 2)
+SELECT CAST(label AS BIGINT) AS label, CAST(MIN(n) AS BIGINT) AS n_vecs,
+       CAST(floor(sqrt(sum(m * m)) * 1000000 + 0.5) AS BIGINT)
+         AS centroid_norm_micros
+FROM c GROUP BY label ORDER BY label
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3731,6 +3783,7 @@ QUERIES = {
     "group_quantiles_cont": q_group_quantiles_cont,
     "event_transitions": q_event_transitions,
     "zscore_chars": q_zscore_chars,
+    "label_centroid_norms": q_label_centroid_norms,
 }
 
 ORACLE_SQL = {
@@ -3835,4 +3888,5 @@ ORACLE_SQL = {
     "group_quantiles_cont": SQL_GROUP_QUANTILES_CONT,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "zscore_chars": SQL_ZSCORE_CHARS,
+    "label_centroid_norms": SQL_LABEL_CENTROID_NORMS,
 }

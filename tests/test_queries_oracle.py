@@ -86,6 +86,7 @@ FAST_SQL_QUERIES = [
     "group_quantiles_cont",
     "event_transitions",
     "zscore_chars",
+    "label_centroid_norms",
 ]
 
 
