@@ -524,3 +524,67 @@ def test_ntile_formula_matches_sql_semantics(n, k):
     expect = [q + 1] * r + [q] * (min(n, k) - r if q else 0)
     assert list(sizes[sizes > 0]) == [s for s in expect if s > 0]
     assert (np.diff(tile) >= 0).all() and tile[0] == 1
+
+
+@given(st.lists(st.tuples(st.integers(0, 8), st.integers(0, 5)),
+                min_size=1, max_size=50))
+@settings(max_examples=60, deadline=None)
+def test_chunk_share_sweep_matches_naive(rows):
+    """Partition partials (n_chunks / n_shared) equal a naive scan:
+    shared = chunk string present in >= 2 distinct docs."""
+    import pandas as pd
+
+    from flink_fingerprint_ray.pipelines.queries import _chunk_share_sweep
+
+    df = pd.DataFrame(rows, columns=["doc_id", "c"])
+    df["chunk"] = "c" + df["c"].astype(str)
+    got = _chunk_share_sweep(pa.Table.from_pandas(df[["doc_id", "chunk"]]))
+    got = {r.doc_id: (r.n_chunks, r.n_shared) for r in got.itertuples()}
+    ndocs = df.groupby("chunk")["doc_id"].nunique()
+    shared = set(ndocs[ndocs >= 2].index)
+    for uid, g in df.groupby("doc_id"):
+        n_sh = int(g["chunk"].isin(shared).sum())
+        assert got[uid] == (len(g), n_sh)
+
+
+@given(st.lists(st.tuples(st.integers(0, 5),
+                          st.sampled_from(["a", "b", "c"]),
+                          st.integers(1, 9)),
+                min_size=1, max_size=40))
+@settings(max_examples=60, deadline=None)
+def test_mode_sweep_tie_break_matches_naive(rows):
+    """Summed partials + (count desc, type asc) pick equals a naive max."""
+    import pandas as pd
+
+    from flink_fingerprint_ray.pipelines.queries import _mode_sweep
+
+    parts = pd.DataFrame(rows, columns=["user_id", "event_type", "n"])
+    got = _mode_sweep(pa.Table.from_pandas(parts))
+    got = {r.user_id: (r.mode_type, r.n_events) for r in got.itertuples()}
+    total = parts.groupby(["user_id", "event_type"])["n"].sum()
+    for uid in parts["user_id"].unique():
+        g = total[uid]
+        best = sorted(g.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert got[uid] == (best[0], int(best[1]))
+
+
+@given(st.lists(st.tuples(st.integers(0, 4), st.integers(0, 50)),
+                min_size=1, max_size=40),
+       st.randoms())
+@settings(max_examples=40, deadline=None)
+def test_cohort_sweep_row_order_invariant(rows, rnd):
+    """Shuffling partition rows never changes the (cohort, offset,
+    n_users) partials — required for any Ray block order."""
+    import pandas as pd
+
+    from flink_fingerprint_ray.pipelines.queries import _DAY_US, _cohort_sweep
+
+    df = pd.DataFrame(rows, columns=["user_id", "day"])
+    df["ts_us"] = df["day"] * _DAY_US + 17
+    base = _cohort_sweep(pa.Table.from_pandas(df[["user_id", "ts_us"]]))
+    shuf = df.sample(frac=1.0, random_state=rnd.randint(0, 2**31)).reset_index(drop=True)
+    other = _cohort_sweep(pa.Table.from_pandas(shuf[["user_id", "ts_us"]]))
+    key = ["cohort_day_ms", "offset_days"]
+    pd_a = base.sort_values(key).reset_index(drop=True)
+    pd_b = other.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pd_a, pd_b, check_dtype=False)
