@@ -3693,6 +3693,45 @@ FROM c GROUP BY label ORDER BY label
 """
 
 
+def q_weighted_sample(sf_dir: str):
+    """Importance sampling by document length (keep probability
+    n_chars / max_chars — the 'value-weighted' cousin of the temperature
+    mix): deterministic LCG key threshold, so any parallelism and the
+    SQL oracle keep identical docs.  The only shared state is the exact
+    integer corpus max from block partials."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def max_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"m": pa.array([int(batch["n_chars"].to_numpy().max())],
+                                       pa.int64())})
+
+    mx = int(ds.map_batches(max_partial, batch_format="pyarrow")
+             .to_pandas()["m"].max())
+
+    def pick(batch: pa.Table) -> pa.Table:
+        sk = _sample_key(batch["doc_id"].to_numpy())
+        nc = batch["n_chars"].to_numpy().astype(np.int64)
+        # integer cross-multiply: sk * mx < nc * M  (exact, no float)
+        keep = sk * mx < nc * _LCG_M
+        return pa.table({
+            "doc_id": pa.array(batch["doc_id"].to_numpy()[keep], pa.int64()),
+            "n_chars": pa.array(nc[keep], pa.int64()),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        pick, batch_format="pyarrow")
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH m AS (SELECT MAX(n_chars) AS mx FROM documents)
+SELECT doc_id, n_chars
+FROM documents, m
+WHERE ((((doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M})
+        * {_LCG_A} + {_LCG_C}) % {_LCG_M}) * mx < n_chars * {_LCG_M}
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3784,6 +3823,7 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "zscore_chars": q_zscore_chars,
     "label_centroid_norms": q_label_centroid_norms,
+    "weighted_sample": q_weighted_sample,
 }
 
 ORACLE_SQL = {
@@ -3889,4 +3929,5 @@ ORACLE_SQL = {
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "zscore_chars": SQL_ZSCORE_CHARS,
     "label_centroid_norms": SQL_LABEL_CENTROID_NORMS,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
 }

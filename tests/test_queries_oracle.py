@@ -87,6 +87,7 @@ FAST_SQL_QUERIES = [
     "event_transitions",
     "zscore_chars",
     "label_centroid_norms",
+    "weighted_sample",
 ]
 
 
