@@ -3736,6 +3736,368 @@ ORDER BY doc_id
 # Registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Round-3c additions: rolling/range window frames, ordered string paths,
+# distribution entropy, semi join, lag deltas, PII-style redaction, and
+# distinct-user telemetry — behavioral-analytics + curation surface beyond
+# the reference's operator list (SURVEY.md §2 extension family).
+# ---------------------------------------------------------------------------
+
+HOUR_US = 3_600_000_000
+
+
+def _rolling_sweep(t: pa.Table) -> pd.DataFrame:
+    """Trailing RANGE-frame mean over one hash partition: sort by
+    (user, ts, id), then per-user two-pointer searchsorted bounds over a
+    prefix-sum — O(n log n) per partition, no per-row SQL-style window
+    re-scan.  Frame semantics mirror SQL RANGE BETWEEN 1 HOUR PRECEDING
+    AND CURRENT ROW: timestamp peers of the current row are all inside
+    the frame regardless of physical order."""
+    df = t.to_pandas().sort_values(["user_id", "ts_us", "event_id"],
+                                   kind="stable").reset_index(drop=True)
+    uid = df["user_id"].to_numpy()
+    ts = df["ts_us"].to_numpy()
+    val = df["value"].to_numpy()
+    n = len(df)
+    starts = np.r_[0, np.flatnonzero(uid[1:] != uid[:-1]) + 1, n]
+    avg = np.empty(n, np.float64)
+    cnt = np.empty(n, np.int64)
+    for i in range(len(starts) - 1):
+        lo, hi = starts[i], starts[i + 1]
+        seg = ts[lo:hi]
+        cs = np.zeros(hi - lo + 1, np.float64)
+        np.cumsum(val[lo:hi], out=cs[1:])
+        left = np.searchsorted(seg, seg - HOUR_US, "left")
+        right = np.searchsorted(seg, seg, "right")
+        c = right - left
+        avg[lo:hi] = (cs[right] - cs[left]) / c
+        cnt[lo:hi] = c
+    return pd.DataFrame({
+        "event_id": df["event_id"].to_numpy(),
+        "user_id": uid,
+        "roll_avg_micros": np.floor(avg * 1e6 + 0.5).astype(np.int64),
+        "n_in_window": cnt,
+    })
+
+
+def q_rolling_hourly_avg(sf_dir: str):
+    """Time-RANGE window frame (vs running_revenue's ROWS frame): per
+    user, trailing 1-hour mean purchase value at every purchase event.
+    One hash exchange on user_id; the sweep is a vectorized two-pointer
+    over per-user prefix sums."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["event_type"], "purchase"))
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "value": batch["value"].cast(pa.float64()),
+        })
+
+    return grouped_map(ds.map_batches(prep, batch_format="pyarrow"),
+                       ["user_id"], _rolling_sweep)
+
+
+SQL_ROLLING_HOURLY_AVG = """
+SELECT event_id, user_id,
+       CAST(floor(AVG(value) OVER w * 1e6 + 0.5) AS BIGINT) AS roll_avg_micros,
+       COUNT(*) OVER w AS n_in_window
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+PATH_LEN = 8
+
+
+def _path_sweep(t: pa.Table) -> pd.DataFrame:
+    """Ordered string_agg per key over one hash partition: sort, keep
+    each user's first PATH_LEN events, join the types.  The string join
+    is per-GROUP (bounded at PATH_LEN terms), not per-row."""
+    df = t.to_pandas().sort_values(["user_id", "ts_us", "event_id"],
+                                   kind="stable").reset_index(drop=True)
+    rn = df.groupby("user_id", sort=False).cumcount()
+    head = df[rn < PATH_LEN]
+    agg = head.groupby("user_id", sort=False)["event_type"].agg("->".join)
+    return agg.rename("path8").reset_index()
+
+
+def q_event_paths(sf_dir: str):
+    """Ordered collect/string_agg (clickstream path analysis): each
+    user's first 8 event types as one '->' path.  Deterministic order by
+    (ts, event_id); one exchange on user_id."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "event_type": batch["event_type"].cast(pa.string()),
+        })
+
+    return grouped_map(ds.map_batches(prep, batch_format="pyarrow"),
+                       ["user_id"], _path_sweep)
+
+
+SQL_EVENT_PATHS = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT user_id, string_agg(event_type, '->' ORDER BY rn) AS path8
+FROM ranked WHERE rn <= 8 GROUP BY user_id
+"""
+
+
+def _entropy_sweep(t: pa.Table) -> pd.DataFrame:
+    df = (t.to_pandas().groupby(["user_id", "event_type"], sort=False)["n"]
+          .sum().reset_index())
+    tot = df.groupby("user_id", sort=False)["n"].transform("sum").to_numpy()
+    p = df["n"].to_numpy(np.float64) / tot
+    df["term"] = -p * np.log2(p)
+    ent = df.groupby("user_id", sort=False)["term"].sum()
+    return pd.DataFrame({
+        "user_id": ent.index.to_numpy(),
+        "entropy_micros": np.floor(ent.to_numpy() * 1e6 + 0.5).astype(np.int64),
+    })
+
+
+def q_user_entropy(sf_dir: str):
+    """Shannon entropy of each user's event-type distribution (a
+    behavioral diversity score; same math as a token-distribution
+    quality gate on documents).  Per-block partial (user, type) counts
+    are the only exchange; the per-user p·log2 p reduction is
+    vectorized in the partition sweep."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(),
+            "event_type": batch["event_type"].to_pandas(),
+        })
+        return (df.groupby(["user_id", "event_type"], sort=False)
+                .size().rename("n").reset_index())
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_map(parts, ["user_id"], _entropy_sweep)
+
+
+SQL_USER_ENTROPY = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+t AS (SELECT user_id, SUM(n) AS tot FROM c GROUP BY 1)
+SELECT c.user_id,
+       CAST(floor(SUM(-(n * 1.0 / tot) * LOG2(n * 1.0 / tot)) * 1e6 + 0.5)
+            AS BIGINT) AS entropy_micros
+FROM c JOIN t USING (user_id)
+GROUP BY c.user_id
+"""
+
+
+def _semi_join_sweep(t: pa.Table) -> pd.DataFrame:
+    """Semi-join complement of _anti_join_sweep: keep customer rows whose
+    custkey DOES appear on the orders side, partial-agg the survivors."""
+    df = t.to_pandas()
+    ordered = pd.Index(df.loc[df["side"] == 1, "custkey"].unique())
+    cust = df[df["side"] == 0]
+    keep = cust[cust["custkey"].isin(ordered)]
+    if keep.empty:
+        return pd.DataFrame({"c_mktsegment": pd.Series([], dtype="object"),
+                             "n_customers": pd.Series([], dtype="int64"),
+                             "acctbal_cents": pd.Series([], dtype="int64")})
+    g = keep.groupby("c_mktsegment", sort=False)["acctbal_cents"]
+    return g.agg(n_customers="size", acctbal_cents="sum").reset_index() \
+            [["c_mktsegment", "n_customers", "acctbal_cents"]]
+
+
+def q_customers_with_orders(sf_dir: str):
+    """Semi join (EXISTS shape), the complement of
+    customers_without_orders: customers with at least one OPEN order,
+    rolled up per market segment.  Same scale shape — both sides tagged
+    and hash-co-partitioned on custkey with the orders side deduped per
+    block, no broadcast of the orders key set."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+
+    def cust_tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "custkey": batch["c_custkey"].cast(pa.int64()),
+            "c_mktsegment": batch["c_mktsegment"].cast(pa.string()),
+            "acctbal_cents": pa.array(_cents(batch["c_acctbal"].to_numpy()), pa.int64()),
+            "side": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+        })
+
+    def orders_tag(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["o_orderstatus"], "O"))
+        keys = np.unique(batch["o_custkey"].to_numpy().astype(np.int64))
+        n = len(keys)
+        return pa.table({
+            "custkey": pa.array(keys, pa.int64()),
+            "c_mktsegment": pa.array([""] * n, pa.string()),
+            "acctbal_cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "side": pa.array(np.ones(n, np.int64), pa.int64()),
+        })
+
+    tagged = cust.map_batches(cust_tag, batch_format="pyarrow").union(
+        orders.map_batches(orders_tag, batch_format="pyarrow"))
+    parts = grouped_map(tagged, ["custkey"], _semi_join_sweep)
+    pdf = parts.to_pandas()
+    if pdf.empty:
+        return pd.DataFrame({"c_mktsegment": pd.Series([], dtype="object"),
+                             "n_customers": pd.Series([], dtype="int64"),
+                             "acctbal_cents": pd.Series([], dtype="int64")})
+    return (pdf.groupby("c_mktsegment", sort=False)
+            .agg(n_customers=("n_customers", "sum"),
+                 acctbal_cents=("acctbal_cents", "sum")).reset_index())
+
+
+SQL_CUSTOMERS_WITH_ORDERS = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS acctbal_cents
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+GROUP BY c_mktsegment
+"""
+
+
+def q_daily_revenue_change(sf_dir: str):
+    """lag()-based day-over-day deltas: per order priority, each day's
+    revenue vs the previous PRESENT day (COALESCE 0 on the first).  The
+    scan emits per-block (priority, day) partials; the final is bounded
+    by days x priorities, so the shift runs on the tiny driver-side
+    table (same small-final policy as rollup_revenue)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        day_ms = (batch["o_orderdate"].cast(pa.int64()).to_numpy()
+                  // 1000 // 86_400_000) * 86_400_000
+        df = pd.DataFrame({
+            "o_orderpriority": batch["o_orderpriority"].to_pandas(),
+            "day_ms": day_ms,
+            "rev_cents": _cents(batch["o_totalprice"].to_numpy()),
+        })
+        return (df.groupby(["o_orderpriority", "day_ms"], sort=False)["rev_cents"]
+                .sum().reset_index())
+
+    pdf = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (pdf.groupby(["o_orderpriority", "day_ms"], sort=False)["rev_cents"]
+           .sum().reset_index()
+           .sort_values(["o_orderpriority", "day_ms"], kind="stable")
+           .reset_index(drop=True))
+    prev = (agg.groupby("o_orderpriority", sort=False)["rev_cents"]
+            .shift(1).fillna(0).astype(np.int64))
+    agg["prev_cents"] = prev
+    agg["delta_cents"] = agg["rev_cents"] - prev
+    return agg
+
+
+SQL_DAILY_REVENUE_CHANGE = """
+WITH d AS (
+  SELECT o_orderpriority,
+         (epoch_ms(o_orderdate) // 86400000) * 86400000 AS day_ms,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY 1, 2)
+SELECT o_orderpriority, day_ms, rev_cents,
+       COALESCE(LAG(rev_cents) OVER (PARTITION BY o_orderpriority ORDER BY day_ms),
+                0) AS prev_cents,
+       rev_cents - COALESCE(LAG(rev_cents) OVER (PARTITION BY o_orderpriority
+                                                 ORDER BY day_ms), 0) AS delta_cents
+FROM d
+"""
+
+
+# PII-masking analog: the synthetic corpus carries no emails/phones, so the
+# sensitive-term pattern is configured to terms the fixture does contain —
+# the operator (count + redact + per-source audit stats) is the deliverable,
+# the pattern is a config knob exactly as in a real redaction pass.
+REDACT_PATTERN = r"\b(customer|spark|value)\b"
+
+
+def q_pattern_redact(sf_dir: str):
+    """Regex redaction audit (PII-masking shape): per source, how many
+    docs matched the sensitive pattern, total matches, and how many
+    characters redaction removes (replacement '***').  Vectorized
+    polars regex kernels per block; only the 20-row per-source partial
+    leaves each task."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        pl = fp._polars()
+        text = pl.from_arrow(batch["text"])
+        m = text.str.count_matches(REDACT_PATTERN).to_numpy().astype(np.int64)
+        red = text.str.replace_all(REDACT_PATTERN, "***")
+        diff = (text.str.len_chars().to_numpy().astype(np.int64)
+                - red.str.len_chars().to_numpy().astype(np.int64))
+        df = pd.DataFrame({
+            "source": batch["source"].to_pandas(),
+            "matched": (m > 0).astype(np.int64),
+            "m": m,
+            "d": diff,
+        })
+        return (df.groupby("source", sort=False)
+                .agg(n_docs=("m", "size"), docs_matched=("matched", "sum"),
+                     total_matches=("m", "sum"), redacted_chars=("d", "sum"))
+                .reset_index())
+
+    pdf = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return (pdf.groupby("source", sort=False)
+            .agg(n_docs=("n_docs", "sum"), docs_matched=("docs_matched", "sum"),
+                 total_matches=("total_matches", "sum"),
+                 redacted_chars=("redacted_chars", "sum"))
+            .reset_index())
+
+
+SQL_PATTERN_REDACT = r"""
+SELECT source, COUNT(*) AS n_docs,
+       SUM(CASE WHEN regexp_matches(text, '\b(customer|spark|value)\b')
+                THEN 1 ELSE 0 END) AS docs_matched,
+       SUM(len(regexp_extract_all(text, '\b(customer|spark|value)\b'))) AS total_matches,
+       SUM(length(text) - length(regexp_replace(text, '\b(customer|spark|value)\b',
+                                                '***', 'g'))) AS redacted_chars
+FROM documents GROUP BY source
+"""
+
+
+def q_hourly_active_users(sf_dir: str):
+    """COUNT(DISTINCT) per time bucket (the classic active-users
+    telemetry): per hour, distinct users and total events.  Per-block
+    partials dedupe (hour, user) before the exchange, so shuffle volume
+    is bounded by hours x active users, not event rows."""
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        hour_ms = (batch["ts"].cast(pa.int64()).to_numpy()
+                   // 1000 // 3_600_000) * 3_600_000
+        df = pd.DataFrame({"hour_ms": hour_ms,
+                           "user_id": batch["user_id"].to_numpy()})
+        return (df.groupby(["hour_ms", "user_id"], sort=False)
+                .size().rename("n").reset_index())
+
+    def sweep(t: pa.Table) -> pd.DataFrame:
+        df = (t.to_pandas().groupby(["hour_ms", "user_id"], sort=False)["n"]
+              .sum().reset_index())
+        return (df.groupby("hour_ms", sort=False)
+                .agg(n_users=("user_id", "size"), n_events=("n", "sum"))
+                .reset_index())
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_map(parts, ["hour_ms"], sweep)
+
+
+SQL_HOURLY_ACTIVE_USERS = """
+SELECT (epoch_ms(ts) // 3600000) * 3600000 AS hour_ms,
+       COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
     "tumbling_stats": q_tumbling_stats,
     "sliding_counts": q_sliding_counts,
@@ -3824,6 +4186,13 @@ QUERIES = {
     "zscore_chars": q_zscore_chars,
     "label_centroid_norms": q_label_centroid_norms,
     "weighted_sample": q_weighted_sample,
+    "rolling_hourly_avg": q_rolling_hourly_avg,
+    "event_paths": q_event_paths,
+    "user_entropy": q_user_entropy,
+    "customers_with_orders": q_customers_with_orders,
+    "daily_revenue_change": q_daily_revenue_change,
+    "pattern_redact": q_pattern_redact,
+    "hourly_active_users": q_hourly_active_users,
 }
 
 ORACLE_SQL = {
@@ -3930,4 +4299,11 @@ ORACLE_SQL = {
     "zscore_chars": SQL_ZSCORE_CHARS,
     "label_centroid_norms": SQL_LABEL_CENTROID_NORMS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "rolling_hourly_avg": SQL_ROLLING_HOURLY_AVG,
+    "event_paths": SQL_EVENT_PATHS,
+    "user_entropy": SQL_USER_ENTROPY,
+    "customers_with_orders": SQL_CUSTOMERS_WITH_ORDERS,
+    "daily_revenue_change": SQL_DAILY_REVENUE_CHANGE,
+    "pattern_redact": SQL_PATTERN_REDACT,
+    "hourly_active_users": SQL_HOURLY_ACTIVE_USERS,
 }

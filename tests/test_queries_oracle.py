@@ -88,6 +88,13 @@ FAST_SQL_QUERIES = [
     "zscore_chars",
     "label_centroid_norms",
     "weighted_sample",
+    "rolling_hourly_avg",
+    "event_paths",
+    "user_entropy",
+    "customers_with_orders",
+    "daily_revenue_change",
+    "pattern_redact",
+    "hourly_active_users",
 ]
 
 
