@@ -588,3 +588,118 @@ def test_cohort_sweep_row_order_invariant(rows, rnd):
     pd_a = base.sort_values(key).reset_index(drop=True)
     pd_b = other.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(pd_a, pd_b, check_dtype=False)
+
+
+rolling_rows = st.lists(
+    st.tuples(st.integers(0, 3),                    # user_id
+              st.integers(0, 8 * 10**9),            # ts_us — spans > 1 hour
+              st.floats(0, 100, allow_nan=False)),  # value
+    min_size=1, max_size=50)
+
+
+@given(rolling_rows)
+@settings(max_examples=60, deadline=None)
+def test_rolling_sweep_matches_naive(rows):
+    """RANGE-frame trailing mean equals a per-row O(n^2) frame scan,
+    including timestamp peers that sort AFTER the current row (SQL RANGE
+    CURRENT ROW includes all ORDER BY peers).  Counts exact; the micros
+    value may differ by 1 ulp at the .5 rounding boundary (prefix-sum
+    subtraction vs direct sum)."""
+    import pandas as pd
+
+    from flink_fingerprint_ray.pipelines.queries import HOUR_US, _rolling_sweep
+
+    df = pd.DataFrame(rows, columns=["user_id", "ts_us", "value"])
+    df["event_id"] = np.arange(len(df), dtype=np.int64)
+    got = _rolling_sweep(pa.Table.from_pandas(df))
+    got = {r.event_id: (r.roll_avg_micros, r.n_in_window) for r in got.itertuples()}
+    assert len(got) == len(df)
+    for r in df.itertuples():
+        frame = df[(df.user_id == r.user_id)
+                   & (df.ts_us >= r.ts_us - HOUR_US) & (df.ts_us <= r.ts_us)]
+        want = int(np.floor(frame["value"].to_numpy().sum() / len(frame) * 1e6 + 0.5))
+        assert got[r.event_id][1] == len(frame)
+        assert abs(got[r.event_id][0] - want) <= 1
+
+
+@given(event_rows)
+@settings(max_examples=60, deadline=None)
+def test_path_sweep_matches_naive_and_order_invariant(rows):
+    """path8 equals the first-8 (ts, event_id)-ordered join per user and
+    does not change when input rows are shuffled."""
+    import pandas as pd
+
+    from flink_fingerprint_ray.pipelines.queries import PATH_LEN, _path_sweep
+
+    df = _events_table(rows)
+    cols = ["user_id", "ts_us", "event_id", "event_type"]
+    got = _path_sweep(pa.Table.from_pandas(df[cols]))
+    got = dict(zip(got["user_id"], got["path8"]))
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"], kind="stable").head(PATH_LEN)
+        assert got[uid] == "->".join(g["event_type"])
+    shuf = df.sample(frac=1.0, random_state=7)
+    got2 = _path_sweep(pa.Table.from_pandas(shuf[cols]))
+    assert dict(zip(got2["user_id"], got2["path8"])) == got
+
+
+@given(event_rows)
+@settings(max_examples=60, deadline=None)
+def test_entropy_sweep_matches_naive(rows):
+    """Per-user event-type entropy equals a direct Counter computation
+    (1-micro tolerance for reduction-order ulp)."""
+    import collections
+    import math
+
+    import pandas as pd
+
+    from flink_fingerprint_ray.pipelines.queries import _entropy_sweep
+
+    df = _events_table(rows)
+    parts = (df.groupby(["user_id", "event_type"], sort=False)
+             .size().rename("n").reset_index())
+    got = _entropy_sweep(pa.Table.from_pandas(parts))
+    got = dict(zip(got["user_id"], got["entropy_micros"]))
+    for uid, g in df.groupby("user_id"):
+        cnt = collections.Counter(g["event_type"])
+        tot = sum(cnt.values())
+        ent = sum(-(c / tot) * math.log2(c / tot) for c in cnt.values())
+        assert abs(got[uid] - int(np.floor(ent * 1e6 + 0.5))) <= 1
+
+
+@given(st.lists(st.integers(0, 15), min_size=1, max_size=30),
+       st.lists(st.integers(0, 15), min_size=0, max_size=20))
+@settings(max_examples=80, deadline=None)
+def test_semi_anti_sweeps_partition_customers(cust_keys, order_keys):
+    """Semi + anti join sweeps exactly partition the customer side: every
+    customer lands in one of the two outputs, keyed by orders membership."""
+    import pandas as pd
+
+    from flink_fingerprint_ray.pipelines.queries import (
+        _anti_join_sweep,
+        _semi_join_sweep,
+    )
+
+    cust_keys = list(dict.fromkeys(cust_keys))  # distinct custkeys
+    cust = pd.DataFrame({
+        "custkey": np.asarray(cust_keys, np.int64),
+        "c_mktsegment": [f"SEG{k % 3}" for k in cust_keys],
+        "acctbal_cents": np.asarray([k * 101 - 50 for k in cust_keys], np.int64),
+        "side": np.zeros(len(cust_keys), np.int64),
+    })
+    orders = pd.DataFrame({
+        "custkey": np.asarray(sorted(set(order_keys)), np.int64),
+        "c_mktsegment": "",
+        "acctbal_cents": np.int64(0),
+        "side": np.int64(1),
+    })
+    t = pa.Table.from_pandas(pd.concat([cust, orders], ignore_index=True))
+    semi = _semi_join_sweep(t).set_index("c_mktsegment")
+    anti = _anti_join_sweep(t).set_index("c_mktsegment")
+    oset = set(order_keys)
+    for seg, g in cust.groupby("c_mktsegment"):
+        inside = g[g["custkey"].isin(oset)]
+        s_n = int(semi["n_customers"].get(seg, 0))
+        a_n = int(anti["n_customers"].get(seg, 0))
+        assert s_n == len(inside) and s_n + a_n == len(g)
+        assert int(semi["acctbal_cents"].get(seg, 0)) == inside["acctbal_cents"].sum()
