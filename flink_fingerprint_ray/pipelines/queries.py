@@ -4098,6 +4098,149 @@ FROM events GROUP BY 1
 """
 
 
+# --- deterministic train/valid/test split (hash-bucketed, stratified audit) --
+
+SPLIT_TRAIN_PCT, SPLIT_VALID_PCT = 90, 95
+
+
+def q_train_split_counts(sf_dir: str):
+    """Deterministic 90/5/5 train/valid/test assignment by md5(doc_id)
+    bucket — the standard reproducible split for training corpora (no
+    RNG state, stable under re-runs and re-partitioning) — audited as
+    per-(split, lang) doc and char counts.  The md5 is per-row Python
+    (no vectorized md5 kernel exists) but runs inside map_batches across
+    blocks; everything after is a tiny partial."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_pylist()
+        bucket = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+             for i in ids), np.int64, len(ids))
+        split = np.where(bucket < SPLIT_TRAIN_PCT, "train",
+                         np.where(bucket < SPLIT_VALID_PCT, "valid", "test"))
+        df = pd.DataFrame({
+            "split": split,
+            "lang": batch["lang"].to_pandas(),
+            "n_chars": batch["n_chars"].to_numpy(),
+        })
+        return (df.groupby(["split", "lang"], sort=False)
+                .agg(n_docs=("n_chars", "size"), total_chars=("n_chars", "sum"))
+                .reset_index())
+
+    pdf = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return (pdf.groupby(["split", "lang"], sort=False)
+            .agg(n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum"))
+            .reset_index())
+
+
+SQL_TRAIN_SPLIT_COUNTS = """
+WITH b AS (
+  SELECT lang, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 100 AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM b GROUP BY 1, 2
+"""
+
+
+# --- CCNet-style unigram LM quality score -----------------------------------
+
+LM_TOP_V = 24  # fixture vocab is 31 distinct words -> 7 fall in the OOV bucket
+
+
+def q_unigram_logprob(sf_dir: str):
+    """CCNet-style language-model quality score: pass 1 builds a top-V
+    unigram model over the corpus (per-block word-count partials are the
+    only exchange — bounded by blocks x vocab, skew-proof for hot words);
+    pass 2 broadcasts the tiny (top-V + OOV floor) log-prob table via
+    ray.put and scores every doc as the exact integer sum of per-token
+    micros-rounded ln p(w) (rounded per token BEFORE summing, so the
+    value is order-exact).  Emitting (sum, n_tokens) instead of the mean
+    keeps the column integer-exact."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_partial(batch: pa.Table) -> pd.DataFrame:
+        pl = fp._polars()
+        s = pl.Series(batch["text"].combine_chunks().cast(pa.large_string()))
+        words = s.str.extract_all(r"\S+").explode()
+        vc = words.value_counts()
+        return pd.DataFrame({"word": vc[vc.columns[0]].to_pandas(),
+                             "n": vc["count"].to_numpy().astype(np.int64)})
+
+    def count_sweep(t: pa.Table) -> pd.DataFrame:
+        return (t.to_pandas().groupby("word", sort=False)["n"]
+                .sum().reset_index())
+
+    counts = grouped_map(ds.map_batches(count_partial, batch_format="pyarrow"),
+                         ["word"], count_sweep).to_pandas()
+    total = int(counts["n"].sum())
+    counts = counts.sort_values(["n", "word"], ascending=[False, True],
+                                kind="stable").reset_index(drop=True)
+    top = counts.head(LM_TOP_V)
+    oov_mass = total - int(top["n"].sum())
+    oov_micros = (np.int64(np.floor(np.log(oov_mass / total) * 1e6 + 0.5))
+                  if oov_mass > 0 else np.int64(-50_000_000))
+    vocab_index = pd.Index(top["word"])
+    vocab_micros = np.floor(
+        np.log(top["n"].to_numpy(np.float64) / total) * 1e6 + 0.5).astype(np.int64)
+    model = ray.put((vocab_index, vocab_micros, oov_micros))
+
+    def score(batch: pa.Table) -> pa.Table:
+        pl = fp._polars()
+        vidx, vmic, oov = ray.get(model)
+        s = pl.Series(batch["text"].combine_chunks().cast(pa.large_string()))
+        lists = s.str.extract_all(r"\S+")
+        lens = lists.list.len().to_numpy().astype(np.int64)
+        flat = lists.explode().drop_nulls().to_pandas()
+        idx = vidx.get_indexer(flat)
+        lp = np.where(idx >= 0, vmic[np.clip(idx, 0, None)], oov)
+        sums = np.zeros(len(lens), np.int64)
+        nz = lens > 0
+        if nz.any():
+            offsets = np.zeros(int(nz.sum()), np.int64)
+            np.cumsum(lens[nz][:-1], out=offsets[1:])
+            sums[nz] = np.add.reduceat(lp, offsets)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "logprob_sum_micros": pa.array(sums, pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_UNIGRAM_LOGPROB = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents),
+cnt AS (SELECT w, COUNT(*) AS n FROM tok GROUP BY w),
+tot AS (SELECT SUM(n) AS total FROM cnt),
+top AS (SELECT w, n FROM cnt ORDER BY n DESC, w LIMIT 24),
+oov AS (
+  SELECT CASE WHEN total - (SELECT SUM(n) FROM top) > 0
+              THEN CAST(floor(ln((total - (SELECT SUM(n) FROM top)) * 1.0 / total)
+                              * 1e6 + 0.5) AS BIGINT)
+              ELSE -50000000 END AS oov_micros,
+         total
+  FROM tot),
+lp AS (
+  SELECT t.doc_id,
+         COALESCE(CAST(floor(ln(p.n * 1.0 / o.total) * 1e6 + 0.5) AS BIGINT),
+                  o.oov_micros) AS micros
+  FROM tok t CROSS JOIN oov o LEFT JOIN top p ON t.w = p.w)
+SELECT d.doc_id,
+       CAST(COALESCE(array_length(regexp_extract_all(d.text, '\S+')), 0) AS BIGINT)
+           AS n_tokens,
+       COALESCE(s.micros_sum, 0) AS logprob_sum_micros
+FROM documents d
+LEFT JOIN (SELECT doc_id, SUM(micros) AS micros_sum FROM lp GROUP BY doc_id) s
+  ON d.doc_id = s.doc_id
+"""
+
+
 QUERIES = {
     "tumbling_stats": q_tumbling_stats,
     "sliding_counts": q_sliding_counts,
@@ -4193,6 +4336,8 @@ QUERIES = {
     "daily_revenue_change": q_daily_revenue_change,
     "pattern_redact": q_pattern_redact,
     "hourly_active_users": q_hourly_active_users,
+    "train_split_counts": q_train_split_counts,
+    "unigram_logprob": q_unigram_logprob,
 }
 
 ORACLE_SQL = {
@@ -4306,4 +4451,6 @@ ORACLE_SQL = {
     "daily_revenue_change": SQL_DAILY_REVENUE_CHANGE,
     "pattern_redact": SQL_PATTERN_REDACT,
     "hourly_active_users": SQL_HOURLY_ACTIVE_USERS,
+    "train_split_counts": SQL_TRAIN_SPLIT_COUNTS,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
 }

@@ -95,6 +95,8 @@ FAST_SQL_QUERIES = [
     "daily_revenue_change",
     "pattern_redact",
     "hourly_active_users",
+    "train_split_counts",
+    "unigram_logprob",
 ]
 
 
