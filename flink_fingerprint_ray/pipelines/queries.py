@@ -4241,6 +4241,151 @@ LEFT JOIN (SELECT doc_id, SUM(micros) AS micros_sum FROM lp GROUP BY doc_id) s
 """
 
 
+def q_above_segment_avg(sf_dir: str):
+    """Correlated-aggregate filter (customers above their own segment's
+    mean balance).  Two passes: per-block (segment, sum, n) partials
+    reduce to a 5-row table, which rides back into the second scan as a
+    plain closure capture (broadcast-join shape; the ray.put indirection
+    is overkill at 5 rows).  The comparison is integer multiply-compare
+    (cents * n > sum_cents) — no division, so engine and SQL agree even
+    for negative balances (DuckDB // truncates where Python floors)."""
+    cols = ["c_custkey", "c_mktsegment", "c_acctbal"]
+
+    def p1(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "c_mktsegment": batch["c_mktsegment"].to_pandas(),
+            "cents": _cents(batch["c_acctbal"].to_numpy()),
+        })
+        return (df.groupby("c_mktsegment", sort=False)["cents"]
+                .agg(sum_cents="sum", n="size").reset_index())
+
+    seg = (_read(sf_dir, "customer", cols)
+           .map_batches(p1, batch_format="pyarrow").to_pandas()
+           .groupby("c_mktsegment", sort=False)
+           .agg(sum_cents=("sum_cents", "sum"), n=("n", "sum")))
+    sums = {s: (int(r.sum_cents), int(r.n)) for s, r in seg.iterrows()}
+
+    def p2(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "c_mktsegment": batch["c_mktsegment"].to_pandas(),
+            "cents": _cents(batch["c_acctbal"].to_numpy()),
+        })
+        sc = df["c_mktsegment"].map(lambda s: sums[s][0]).to_numpy(np.int64)
+        n = df["c_mktsegment"].map(lambda s: sums[s][1]).to_numpy(np.int64)
+        df["above"] = (df["cents"].to_numpy() * n > sc).astype(np.int64)
+        return (df.groupby("c_mktsegment", sort=False)["above"]
+                .agg(n_above="sum", n_total="size").reset_index())
+
+    pdf = (_read(sf_dir, "customer", cols)
+           .map_batches(p2, batch_format="pyarrow").to_pandas())
+    return (pdf.groupby("c_mktsegment", sort=False)
+            .agg(n_above=("n_above", "sum"), n_total=("n_total", "sum"))
+            .reset_index())
+
+
+SQL_ABOVE_SEGMENT_AVG = """
+WITH c AS (SELECT c_mktsegment,
+                  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+           FROM customer),
+s AS (SELECT c_mktsegment, SUM(cents) AS sc, COUNT(*) AS n
+      FROM c GROUP BY 1)
+SELECT c.c_mktsegment,
+       CAST(SUM(CASE WHEN c.cents * s.n > s.sc THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_above,
+       COUNT(*) AS n_total
+FROM c JOIN s USING (c_mktsegment)
+GROUP BY c.c_mktsegment
+"""
+
+
+def q_revenue_share(sf_dir: str):
+    """Percent-of-total (SQL ratio_to_report shape): each order
+    priority's share of total revenue in exact integer micros
+    (cents * 1e6 // total via arbitrary-precision Python ints, matching
+    DuckDB's HUGEINT arithmetic — both operands positive, so truncation
+    and floor agree)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "o_orderpriority": batch["o_orderpriority"].to_pandas(),
+            "rev_cents": _cents(batch["o_totalprice"].to_numpy()),
+        })
+        return (df.groupby("o_orderpriority", sort=False)["rev_cents"]
+                .sum().reset_index())
+
+    pdf = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+           .groupby("o_orderpriority", sort=False)["rev_cents"].sum())
+    total = int(pdf.sum())
+    return pd.DataFrame({
+        "o_orderpriority": pdf.index.to_numpy(),
+        "rev_cents": pdf.to_numpy(np.int64),
+        "share_micros": np.asarray(
+            [int(c) * 1_000_000 // total for c in pdf.to_numpy()], np.int64),
+    })
+
+
+SQL_REVENUE_SHARE = """
+WITH d AS (
+  SELECT o_orderpriority,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY 1)
+SELECT o_orderpriority, CAST(rev_cents AS BIGINT) AS rev_cents,
+       CAST(rev_cents * 1000000 // (SELECT SUM(rev_cents) FROM d) AS BIGINT)
+           AS share_micros
+FROM d
+"""
+
+
+def _cooccur_sweep(t: pa.Table) -> pd.DataFrame:
+    """Per (user, hour) bucket: all unordered event-type pairs present,
+    via a self-merge on the bucket key (bounded: <= 5 distinct types per
+    bucket -> <= 10 pairs)."""
+    df = t.to_pandas().drop_duplicates(["user_id", "hour_ms", "event_type"])
+    m = df.merge(df, on=["user_id", "hour_ms"])
+    m = m[m["event_type_x"] < m["event_type_y"]]
+    return (m.groupby(["event_type_x", "event_type_y"], sort=False)
+            .size().rename("n_buckets").reset_index()
+            .rename(columns={"event_type_x": "et_a", "event_type_y": "et_b"}))
+
+
+def q_event_cooccurrence(sf_dir: str):
+    """Market-basket co-occurrence: for every unordered pair of event
+    types, in how many (user, hour) buckets both occur.  Per-block
+    distinct (bucket, type) rows are the only exchange; pair explosion
+    happens inside the bucket-co-partitioned sweep and returns <= 10
+    rows per partition."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        hour_ms = (batch["ts"].cast(pa.int64()).to_numpy()
+                   // 1000 // 3_600_000) * 3_600_000
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(),
+            "hour_ms": hour_ms,
+            "event_type": batch["event_type"].to_pandas(),
+        })
+        return df.drop_duplicates()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    pdf = grouped_map(parts, ["user_id", "hour_ms"], _cooccur_sweep).to_pandas()
+    return (pdf.groupby(["et_a", "et_b"], sort=False)["n_buckets"]
+            .sum().reset_index())
+
+
+SQL_EVENT_COOCCURRENCE = """
+WITH b AS (
+  SELECT DISTINCT user_id, (epoch_ms(ts) // 3600000) * 3600000 AS hour_ms,
+         event_type
+  FROM events)
+SELECT a.event_type AS et_a, c.event_type AS et_b, COUNT(*) AS n_buckets
+FROM b a JOIN b c
+  ON a.user_id = c.user_id AND a.hour_ms = c.hour_ms
+ AND a.event_type < c.event_type
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "tumbling_stats": q_tumbling_stats,
     "sliding_counts": q_sliding_counts,
@@ -4338,6 +4483,9 @@ QUERIES = {
     "hourly_active_users": q_hourly_active_users,
     "train_split_counts": q_train_split_counts,
     "unigram_logprob": q_unigram_logprob,
+    "above_segment_avg": q_above_segment_avg,
+    "revenue_share": q_revenue_share,
+    "event_cooccurrence": q_event_cooccurrence,
 }
 
 ORACLE_SQL = {
@@ -4453,4 +4601,7 @@ ORACLE_SQL = {
     "hourly_active_users": SQL_HOURLY_ACTIVE_USERS,
     "train_split_counts": SQL_TRAIN_SPLIT_COUNTS,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "above_segment_avg": SQL_ABOVE_SEGMENT_AVG,
+    "revenue_share": SQL_REVENUE_SHARE,
+    "event_cooccurrence": SQL_EVENT_COOCCURRENCE,
 }

@@ -97,6 +97,9 @@ FAST_SQL_QUERIES = [
     "hourly_active_users",
     "train_split_counts",
     "unigram_logprob",
+    "above_segment_avg",
+    "revenue_share",
+    "event_cooccurrence",
 ]
 
 
