@@ -4386,6 +4386,69 @@ GROUP BY 1, 2
 """
 
 
+def q_bucketed_join_revenue(sf_dir: str):
+    """SMB-style persistent bucketing (sources/bucketed.py): customer
+    and orders are each written ONCE into hash-bucketed layouts keyed on
+    custkey, then joined with ZERO runtime exchange — one task per
+    bucket pair, Arrow-native hash join inside.  At scale the write is
+    the ingest-time shuffle you pay once; every later join on the same
+    key is exchange-free.  Output: per-segment open-order revenue."""
+    import shutil
+    import tempfile
+
+    from ..sources.bucketed import bucketed_join, write_bucketed
+
+    tmp = tempfile.mkdtemp(prefix="ffr_bucketed_")
+    try:
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_totalprice"])
+
+        def cust_prep(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "custkey": batch["c_custkey"].cast(pa.int64()),
+                "c_mktsegment": batch["c_mktsegment"].cast(pa.string()),
+            })
+
+        def orders_prep(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.equal(batch["o_orderstatus"], "O"))
+            return pa.table({
+                "custkey": batch["o_custkey"].cast(pa.int64()),
+                "rev_cents": pa.array(_cents(batch["o_totalprice"].to_numpy()),
+                                      pa.int64()),
+            })
+
+        ca, oa = os.path.join(tmp, "customer"), os.path.join(tmp, "orders")
+        write_bucketed(cust.map_batches(cust_prep, batch_format="pyarrow"),
+                       ca, ["custkey"], n_buckets=16)
+        write_bucketed(orders.map_batches(orders_prep, batch_format="pyarrow"),
+                       oa, ["custkey"], n_buckets=16)
+        joined = bucketed_join(ca, oa)
+
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            df = pd.DataFrame({
+                "c_mktsegment": batch["c_mktsegment"].to_pandas(),
+                "rev_cents": batch["rev_cents"].to_numpy(),
+            })
+            return (df.groupby("c_mktsegment", sort=False)["rev_cents"]
+                    .agg(n_orders="size", rev_cents="sum").reset_index())
+
+        pdf = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+        return (pdf.groupby("c_mktsegment", sort=False)
+                .agg(n_orders=("n_orders", "sum"), rev_cents=("rev_cents", "sum"))
+                .reset_index())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_BUCKETED_JOIN_REVENUE = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_cents
+FROM customer JOIN orders ON c_custkey = o_custkey
+WHERE o_orderstatus = 'O'
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "tumbling_stats": q_tumbling_stats,
     "sliding_counts": q_sliding_counts,
@@ -4486,6 +4549,7 @@ QUERIES = {
     "above_segment_avg": q_above_segment_avg,
     "revenue_share": q_revenue_share,
     "event_cooccurrence": q_event_cooccurrence,
+    "bucketed_join_revenue": q_bucketed_join_revenue,
 }
 
 ORACLE_SQL = {
@@ -4604,4 +4668,5 @@ ORACLE_SQL = {
     "above_segment_avg": SQL_ABOVE_SEGMENT_AVG,
     "revenue_share": SQL_REVENUE_SHARE,
     "event_cooccurrence": SQL_EVENT_COOCCURRENCE,
+    "bucketed_join_revenue": SQL_BUCKETED_JOIN_REVENUE,
 }

@@ -73,6 +73,7 @@ def grouped_map(
     fn_kwargs: dict | None = None,
     n_partitions: int | None = None,
     return_refs: bool = False,
+    return_indexed_refs: bool = False,
 ):
     """Hash-partition ``ds`` by ``key_cols`` and apply ``fn`` once per
     partition (pa.Table -> pa.Table | pd.DataFrame).  ``fn`` sees every
@@ -97,6 +98,10 @@ def grouped_map(
     ]
     # keep only non-empty partitions WITHOUT fetching the tables
     sizes = ray.get([_nrows.remote(r) for r in out_refs])
+    if return_indexed_refs:
+        # (partition index, ref) pairs — for persistent-bucket writers that
+        # need the partition number to be a pure function of the key hash
+        return [(p, r) for p, (r, s) in enumerate(zip(out_refs, sizes)) if s]
     done = [r for r, s in zip(out_refs, sizes) if s]
     if return_refs:
         return done

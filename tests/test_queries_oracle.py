@@ -100,6 +100,7 @@ FAST_SQL_QUERIES = [
     "above_segment_avg",
     "revenue_share",
     "event_cooccurrence",
+    "bucketed_join_revenue",
 ]
 
 

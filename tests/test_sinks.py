@@ -56,3 +56,76 @@ def test_manifest_refuses_resume_on_token_hash_mismatch(tmp_path):
         json.dump(state, f)
     with pytest.raises(RuntimeError, match="incompatible token-hash"):
         CheckpointManifest(out)
+
+
+class TestBucketedLayout:
+    """sources/bucketed.py: persistent SMB-style hash bucketing."""
+
+    def _write_pair(self, tmp_path, n_buckets=8):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from flink_fingerprint_ray.sources.bucketed import write_bucketed
+
+        rng = np.random.RandomState(5)
+        left = pa.table({
+            "custkey": pa.array(rng.randint(0, 200, 500), pa.int64()),
+            "seg": pa.array([f"S{i % 3}" for i in range(500)]),
+        })
+        right = pa.table({
+            "custkey": pa.array(rng.randint(0, 250, 800), pa.int64()),
+            "val": pa.array(rng.randint(0, 10**6, 800), pa.int64()),
+        })
+        la, ra = str(tmp_path / "left"), str(tmp_path / "right")
+        nl = write_bucketed(ray.data.from_arrow(left), la, ["custkey"], n_buckets)
+        nr = write_bucketed(ray.data.from_arrow(right), ra, ["custkey"], n_buckets)
+        assert (nl, nr) == (500, 800)
+        return left, right, la, ra
+
+    def test_roundtrip_preserves_rows_and_colocates_keys(self, ray_session, tmp_path):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from flink_fingerprint_ray.sources.bucketed import _bucket_files, read_spec
+
+        left, _, la, _ = self._write_pair(tmp_path)
+        n, keys = read_spec(la)
+        assert (n, keys) == (8, ["custkey"])
+        seen = []
+        owner = {}
+        for p in range(n):
+            for f in _bucket_files(la, p):
+                t = pq.read_table(f)
+                seen.append(t.to_pandas())
+                for k in t["custkey"].to_pylist():
+                    assert owner.setdefault(k, p) == p  # key owned by ONE bucket
+        got = pd.concat(seen).sort_values(["custkey", "seg"]).reset_index(drop=True)
+        want = left.to_pandas().sort_values(["custkey", "seg"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_bucketed_join_matches_pandas_merge(self, ray_session, tmp_path):
+        import pandas as pd
+
+        from flink_fingerprint_ray.sources.bucketed import bucketed_join
+
+        left, right, la, ra = self._write_pair(tmp_path)
+        got = (bucketed_join(la, ra).to_pandas()
+               .sort_values(["custkey", "seg", "val"]).reset_index(drop=True))
+        want = (left.to_pandas().merge(right.to_pandas(), on="custkey")
+                .sort_values(["custkey", "seg", "val"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+    def test_mismatched_layouts_refused(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pytest
+        import ray.data
+
+        from flink_fingerprint_ray.sources.bucketed import bucketed_join, write_bucketed
+
+        t = pa.table({"custkey": pa.array([1, 2, 3], pa.int64())})
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        write_bucketed(ray.data.from_arrow(t), a, ["custkey"], 8)
+        write_bucketed(ray.data.from_arrow(t), b, ["custkey"], 4)
+        with pytest.raises(ValueError, match="bucket layouts differ"):
+            bucketed_join(a, b)
