@@ -4449,6 +4449,67 @@ GROUP BY c_mktsegment
 """
 
 
+PRUNE_SHARD_MS = 64 * 86_400_000           # 64-day range shards
+PRUNE_LO_MS, PRUNE_HI_MS = 820_454_400_000, 836_179_200_000  # [1996-01-01, 1996-07-01)
+
+
+def q_pruned_date_scan(sf_dir: str):
+    """Prune-at-the-read (generalized O4 watermark-bounds trick,
+    sources/pruned.py): orders are range-sharded on order-date into
+    64-day parquet files once, then a half-year revenue query plans by
+    footer min/max stats and opens only the ~3-of-40 overlapping files;
+    the exact residual filter still runs per batch.  The pruning ratio
+    itself is asserted in tests/test_sinks.py."""
+    import shutil
+    import tempfile
+
+    from ..sources.pruned import read_pruned, write_sharded
+
+    tmp = tempfile.mkdtemp(prefix="ffr_pruned_")
+    try:
+        ds = _read(sf_dir, "orders",
+                   ["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+        def prep(batch: pa.Table) -> pa.Table:
+            ts_ms = batch["o_orderdate"].cast(pa.int64()).to_numpy() // 1000
+            return pa.table({
+                "part_key": pa.array(ts_ms // PRUNE_SHARD_MS, pa.int64()),
+                "ts_ms": pa.array(ts_ms, pa.int64()),
+                "o_orderpriority": batch["o_orderpriority"].cast(pa.string()),
+                "rev_cents": pa.array(_cents(batch["o_totalprice"].to_numpy()),
+                                      pa.int64()),
+            })
+
+        write_sharded(ds.map_batches(prep, batch_format="pyarrow"), tmp, "part_key")
+        pruned, _, _ = read_pruned(tmp, "ts_ms", PRUNE_LO_MS, PRUNE_HI_MS,
+                                   columns=["o_orderpriority", "rev_cents"])
+
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            df = pd.DataFrame({
+                "o_orderpriority": batch["o_orderpriority"].to_pandas(),
+                "rev_cents": batch["rev_cents"].to_numpy(),
+            })
+            return (df.groupby("o_orderpriority", sort=False)["rev_cents"]
+                    .agg(n_orders="size", rev_cents="sum").reset_index())
+
+        pdf = pruned.map_batches(partial, batch_format="pyarrow").to_pandas()
+        return (pdf.groupby("o_orderpriority", sort=False)
+                .agg(n_orders=("n_orders", "sum"), rev_cents=("rev_cents", "sum"))
+                .reset_index())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_PRUNED_DATE_SCAN = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_cents
+FROM orders
+WHERE epoch_ms(o_orderdate) >= 820454400000
+  AND epoch_ms(o_orderdate) <  836179200000
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "tumbling_stats": q_tumbling_stats,
     "sliding_counts": q_sliding_counts,
@@ -4550,6 +4611,7 @@ QUERIES = {
     "revenue_share": q_revenue_share,
     "event_cooccurrence": q_event_cooccurrence,
     "bucketed_join_revenue": q_bucketed_join_revenue,
+    "pruned_date_scan": q_pruned_date_scan,
 }
 
 ORACLE_SQL = {
@@ -4669,4 +4731,5 @@ ORACLE_SQL = {
     "revenue_share": SQL_REVENUE_SHARE,
     "event_cooccurrence": SQL_EVENT_COOCCURRENCE,
     "bucketed_join_revenue": SQL_BUCKETED_JOIN_REVENUE,
+    "pruned_date_scan": SQL_PRUNED_DATE_SCAN,
 }

@@ -101,6 +101,7 @@ FAST_SQL_QUERIES = [
     "revenue_share",
     "event_cooccurrence",
     "bucketed_join_revenue",
+    "pruned_date_scan",
 ]
 
 

@@ -129,3 +129,50 @@ class TestBucketedLayout:
         write_bucketed(ray.data.from_arrow(t), b, ["custkey"], 4)
         with pytest.raises(ValueError, match="bucket layouts differ"):
             bucketed_join(a, b)
+
+
+class TestPrunedRead:
+    """sources/pruned.py: footer-stats file pruning for range reads."""
+
+    def test_plan_skips_out_of_range_files_and_read_is_exact(self, ray_session, tmp_path):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from flink_fingerprint_ray.sources.pruned import read_pruned, write_sharded
+
+        rng = np.random.RandomState(11)
+        ts = rng.randint(0, 40, 2000).astype(np.int64) * 100 + rng.randint(0, 100, 2000)
+        t = pa.table({
+            "part_key": pa.array(ts // 400, pa.int64()),
+            "ts_ms": pa.array(ts, pa.int64()),
+            "v": pa.array(rng.randint(0, 10**6, 2000), pa.int64()),
+        })
+        root = str(tmp_path / "shards")
+        manifest = write_sharded(ray.data.from_arrow(t), root, "part_key")
+        assert len(manifest) == 10  # 4000/400 part values
+        lo, hi = 850, 1250  # straddles shard boundaries mid-file
+        ds, n_read, n_total = read_pruned(root, "ts_ms", lo, hi, columns=["ts_ms", "v"])
+        assert n_total == 10 and 1 <= n_read <= 3  # pruning actually happened
+        got = ds.to_pandas().sort_values(["ts_ms", "v"]).reset_index(drop=True)
+        df = t.to_pandas()
+        want = (df[(df.ts_ms >= lo) & (df.ts_ms < hi)][["ts_ms", "v"]]
+                .sort_values(["ts_ms", "v"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_empty_range_reads_nothing(self, ray_session, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from flink_fingerprint_ray.sources.pruned import read_pruned, write_sharded
+
+        t = pa.table({
+            "part_key": pa.array([0, 0, 1, 1], pa.int64()),
+            "ts_ms": pa.array([10, 20, 410, 420], pa.int64()),
+        })
+        root = str(tmp_path / "s2")
+        write_sharded(ray.data.from_arrow(t), root, "part_key")
+        ds, n_read, n_total = read_pruned(root, "ts_ms", 10_000, 20_000)
+        assert (n_read, n_total) == (0, 2) and ds.count() == 0
