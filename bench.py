@@ -46,6 +46,7 @@ SKIP_QUERIES = {
     "simhash_clusters_check",
     "semantic_dedup_check",
     "ann_topk_ivf_check",
+    "ann_topk_pq_check",
     "lowess_smooth_check",
     "media_image_features_check",
     "countmin_check",
@@ -204,12 +205,18 @@ def run_queries(sf_dir: str) -> dict[str, float]:
 def approx_quality(sf_dir: str) -> dict[str, float]:
     """Quality numbers for the approximate paths, so BENCH records not
     just their speed: IVF recall@k vs the brute-force ground truth."""
-    from flink_fingerprint_ray.pipelines.queries import q_ann_topk, q_ann_topk_ivf
+    from flink_fingerprint_ray.pipelines.queries import (
+        q_ann_topk,
+        q_ann_topk_ivf,
+        q_ann_topk_pq,
+    )
     from flink_fingerprint_ray.stages.similarity import ivf_recall
 
     exact = q_ann_topk(sf_dir)
-    approx = q_ann_topk_ivf(sf_dir)
-    return {"ann_topk_ivf_recall": round(ivf_recall(exact, approx), 4)}
+    return {
+        "ann_topk_ivf_recall": round(ivf_recall(exact, q_ann_topk_ivf(sf_dir)), 4),
+        "ann_topk_pq_recall": round(ivf_recall(exact, q_ann_topk_pq(sf_dir)), 4),
+    }
 
 
 def _burn(_):

@@ -1237,6 +1237,37 @@ def q_ann_topk_ivf_check(sf_dir: str):
         "recall_at_least_080": pd.array([1 if rec >= 0.8 else 0], dtype="int64")})
 
 
+def q_ann_topk_pq(sf_dir: str):
+    """Product-quantization ANN (rows-only; recall pinned by the paired
+    check query): vectors compress to 8 uint8 codes (64 floats -> 8
+    bytes, the form a 100-TB embedding corpus persists), blocks are
+    scanned by ADC table lookups instead of a full matmul, and only a
+    per-query shortlist gets exact similarities (rerank=32)."""
+    import pyarrow.parquet as pq
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+    sample = np.stack(t["embedding"].to_pandas().head(2000).to_numpy())
+    books = sim.train_pq(sample, m_sub=8, n_codes=64, seed=0)
+    q, qids = _query_vectors(sf_dir)
+    return sim.pq_topk(ds, q, qids, books, k=ANN_K, rerank=32)
+
+
+def q_ann_topk_pq_check(sf_dir: str):
+    """Driver-visible PQ quality invariant (same pattern as the IVF
+    check): recall@k of the ADC+rerank run vs the oracle-green brute
+    force, pinned at >= 0.8."""
+    pq_res = q_ann_topk_pq(sf_dir)
+    exact = q_ann_topk(sf_dir)
+    if not isinstance(pq_res, pd.DataFrame):
+        pq_res = pq_res.to_pandas()
+    if not isinstance(exact, pd.DataFrame):
+        exact = exact.to_pandas()
+    rec = sim.ivf_recall(exact, pq_res)
+    return pd.DataFrame({
+        "recall_at_least_080": pd.array([1 if rec >= 0.8 else 0], dtype="int64")})
+
+
 # ---------------------------------------------------------------------------
 # Relational operator coverage (TPC-H-ish tables)
 # ---------------------------------------------------------------------------
@@ -4612,6 +4643,8 @@ QUERIES = {
     "event_cooccurrence": q_event_cooccurrence,
     "bucketed_join_revenue": q_bucketed_join_revenue,
     "pruned_date_scan": q_pruned_date_scan,
+    "ann_topk_pq": q_ann_topk_pq,
+    "ann_topk_pq_check": q_ann_topk_pq_check,
 }
 
 ORACLE_SQL = {
@@ -4732,4 +4765,7 @@ ORACLE_SQL = {
     "event_cooccurrence": SQL_EVENT_COOCCURRENCE,
     "bucketed_join_revenue": SQL_BUCKETED_JOIN_REVENUE,
     "pruned_date_scan": SQL_PRUNED_DATE_SCAN,
+    # PQ is approximate by design; the check query pins its recall-vs-
+    # brute-force invariant exactly as ann_topk_ivf_check does
+    "ann_topk_pq_check": "SELECT CAST(1 AS BIGINT) AS recall_at_least_080",
 }

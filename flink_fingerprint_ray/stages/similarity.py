@@ -193,3 +193,116 @@ def ivf_recall(exact: pd.DataFrame, approx: pd.DataFrame) -> float:
     a = approx.groupby("query_id")["vec_id"].apply(set)
     scores = [len(e[q] & a.get(q, set())) / max(len(e[q]), 1) for q in e.index]
     return float(np.mean(scores)) if scores else 1.0
+
+
+# ---------------------------------------------------------------------------
+# PQ (product quantization) — the compressed-corpus scale path
+# ---------------------------------------------------------------------------
+
+def train_pq(sample: np.ndarray, m_sub: int = 8, n_codes: int = 64,
+             iters: int = 10, seed: int = 0) -> np.ndarray:
+    """Deterministic per-subspace Lloyd k-means codebooks, shape
+    (m_sub, n_codes, d/m_sub).  Like ``train_centroids``, codebook
+    training is a small-sample driver job even at corpus scale."""
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    n, d = x.shape
+    assert d % m_sub == 0, "dim must divide evenly into subspaces"
+    ds_ = d // m_sub
+    rng = np.random.RandomState(seed)
+    books = np.empty((m_sub, min(n_codes, n), ds_), np.float64)
+    for m in range(m_sub):
+        sub = x[:, m * ds_:(m + 1) * ds_]
+        idx = rng.choice(n, size=min(n_codes, n), replace=False)
+        c = sub[idx].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(len(c)):
+                msk = assign == j
+                if msk.any():
+                    c[j] = sub[msk].mean(axis=0)
+        books[m] = c
+    return books
+
+
+def _pq_codes(mat_n: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m_sub) uint8 code matrix: per subspace, index of the L2-nearest
+    codeword (argmin keeps the FIRST minimum — deterministic ties)."""
+    m_sub, n_codes, ds_ = books.shape
+    out = np.empty((len(mat_n), m_sub), np.uint8)
+    for m in range(m_sub):
+        sub = mat_n[:, m * ds_:(m + 1) * ds_]
+        d2 = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+        out[:, m] = d2.argmin(axis=1).astype(np.uint8)
+    return out
+
+
+def pq_assign(ds: "ray.data.Dataset", books: np.ndarray,
+              vec_col: str = "embedding") -> "ray.data.Dataset":
+    """Tag every vector with its PQ code column (``fixed_size_list<uint8>``
+    — m_sub bytes instead of d floats, the stored/compressed form a
+    100-TB corpus would persist and serve from)."""
+    b_ref = ray.put(np.asarray(books, np.float64))
+    m_sub = books.shape[0]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        b = ray.get(b_ref)
+        codes = _pq_codes(_normalize(_stack(batch[vec_col])), b)
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.ravel(), pa.uint8()), m_sub)
+        return batch.append_column("pq_code", col)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def pq_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    books: np.ndarray,
+    k: int = 5,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """ADC-pruned + exact-reranked top-k (same output contract as
+    ``brute_force_topk``): per block, asymmetric-distance lookups against
+    the uint8 codes shortlist ``rerank`` candidates per query (one
+    (n_codes)-table gather per subspace — no full matmul), then ONLY the
+    shortlist gets exact similarities.  Composes with IVF cells the same
+    way ``ivf_topk`` masks unprobed cells; kept orthogonal here so each
+    path is independently measurable."""
+    b = np.asarray(books, np.float64)
+    m_sub, n_codes, ds_ = b.shape
+    q_n = _normalize(np.asarray(queries, dtype=np.float64))
+    # ADC tables: lut[m][q, code] = q_m . codeword
+    lut = np.stack([q_n[:, m * ds_:(m + 1) * ds_] @ b[m].T for m in range(m_sub)])
+    q_ref = ray.put((np.asarray(query_ids, np.int64), q_n, lut, b))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        qids, qmat, lut_, b_ = ray.get(q_ref)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        mat = _normalize(_stack(batch[vec_col]))
+        codes = _pq_codes(mat, b_)
+        approx = np.zeros((len(qids), len(ids)), np.float64)
+        for m in range(len(lut_)):
+            approx += lut_[m][:, codes[:, m]]
+        if exclude_self:
+            approx[qids[:, None] == ids[None, :]] = -np.inf
+        rr = min(rerank, len(ids))
+        shortlist = np.argpartition(-approx, rr - 1, axis=1)[:, :rr]
+        # exact rerank ONLY on the shortlisted columns
+        micros = np.full((len(qids), len(ids)), _MICROS_SENTINEL, np.int64)
+        for qi in range(len(qids)):
+            cols = shortlist[qi]
+            ex = qmat[qi] @ mat[cols].T
+            micros[qi, cols] = np.floor(ex * 1e6 + 0.5).astype(np.int64)
+        if exclude_self:
+            micros[qids[:, None] == ids[None, :]] = _MICROS_SENTINEL
+        return _select_block_topk(qids, ids, micros, k)
+
+    cands = ds.map_batches(block_topk, batch_format="pyarrow")
+    out = cands.groupby("query_id").map_groups(
+        lambda g: _merge_topk(g, k), batch_format="pandas")
+    return out.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)

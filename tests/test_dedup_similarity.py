@@ -152,6 +152,27 @@ def test_ivf_recall(vec_ds):
     assert sim.ivf_recall(exact, approx) >= 0.9
 
 
+def test_pq_recall_and_code_shape(vec_ds):
+    """ADC+rerank PQ: codes are m_sub uint8 per vector (the compressed
+    stored form), encoding is deterministic, and shortlist+exact-rerank
+    recall vs brute force stays high."""
+    ds, vecs, ids = vec_ds
+    books = sim.train_pq(vecs, m_sub=8, n_codes=32, seed=0)
+    assert books.shape[0] == 8 and books.shape[2] == vecs.shape[1] // 8
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    c1, c2 = sim._pq_codes(vn, books), sim._pq_codes(vn, books)
+    assert c1.dtype == np.uint8 and (c1 == c2).all()
+    exact = sim.brute_force_topk(ds, vecs[:8], ids[:8], k=5)
+    # this fixture's clusters are TIGHTER than the PQ quantization error
+    # (within-cluster sims ~0.998), so ADC cannot rank inside a cluster;
+    # the rerank shortlist must cover the whole 40-member cluster for the
+    # exact pass to fix the order — which is precisely the knob's job
+    approx = sim.pq_topk(ds, vecs[:8], ids[:8], books, k=5, rerank=48)
+    assert sim.ivf_recall(exact, approx) >= 0.9
+    tagged = sim.pq_assign(ds, books).take_batch(10, batch_format="pyarrow")
+    assert tagged["pq_code"].type.list_size == 8
+
+
 def test_distributed_components_matches_union_find(ray_session):
     """Scale-path CC (hash-partitioned min-label propagation) must produce
     the exact cluster table of the driver-side union-find."""

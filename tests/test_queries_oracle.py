@@ -102,6 +102,7 @@ FAST_SQL_QUERIES = [
     "event_cooccurrence",
     "bucketed_join_revenue",
     "pruned_date_scan",
+    "ann_topk_pq_check",
 ]
 
 
@@ -139,7 +140,7 @@ def test_rows_only_queries_nonempty(ray_session):
     import __ray_entry__ as entrymod
 
     q = entrymod.queries()
-    for name in ("minhash_lsh_clusters", "ann_topk_ivf"):
+    for name in ("minhash_lsh_clusters", "ann_topk_ivf", "ann_topk_pq"):
         df = _to_df(q[name](SF))
         assert len(df) > 0, name
 
