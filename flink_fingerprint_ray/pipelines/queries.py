@@ -4541,6 +4541,70 @@ GROUP BY o_orderpriority
 """
 
 
+def _robust_sweep(t: pa.Table) -> pd.DataFrame:
+    """Median / MAD / winsorized sum per lang from ONE value-count
+    distribution (the same (lang, value, n) partials as group_quantiles):
+    because the sweep holds each lang's full multiset as counts, the
+    second-order statistic (median of |x - median|) needs no second scan
+    — just a re-sort of the tiny distinct-value list by deviation."""
+    df = t.to_pandas().groupby(["lang", "n_chars"], sort=False)["n"].sum().reset_index()
+    df = df.sort_values(["lang", "n_chars"], kind="stable")
+    out = []
+    for lang, g in df.groupby("lang", sort=False):
+        vals = g["n_chars"].to_numpy().astype(np.int64)
+        cnt = g["n"].to_numpy().astype(np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+
+        def disc(q):
+            return int(vals[np.searchsorted(cum, max(int(np.ceil(q * n)), 1), "left")])
+
+        med, lo, hi = disc(0.5), disc(0.05), disc(0.95)
+        dev = np.abs(vals - med)
+        order = np.argsort(dev, kind="stable")
+        dcum = np.cumsum(cnt[order])
+        mad = int(dev[order][np.searchsorted(dcum, max(int(np.ceil(0.5 * n)), 1), "left")])
+        wsum = int((cnt * np.clip(vals, lo, hi)).sum())
+        out.append({"lang": lang, "n_docs": n, "median_chars": med,
+                    "mad_chars": mad, "p05_chars": lo, "p95_chars": hi,
+                    "winsorized_sum": wsum})
+    return pd.DataFrame(out)
+
+
+def q_robust_length_stats(sf_dir: str):
+    """Robust per-language corpus statistics (outlier-resistant quality
+    gates): exact median, median-absolute-deviation, and p05/p95
+    winsorized length sum — all from the single (lang, n_chars)
+    value-count exchange; the distribution-as-counts representation
+    makes even the two-level MAD exact without a second corpus pass."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"lang": batch["lang"].to_pandas(),
+                           "n_chars": batch["n_chars"].to_numpy()})
+        return (df.groupby(["lang", "n_chars"], sort=False)
+                .size().rename("n").reset_index())
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_map(parts, ["lang"], _robust_sweep)
+
+
+SQL_ROBUST_LENGTH_STATS = """
+WITH m AS (
+  SELECT lang, quantile_disc(n_chars, 0.5) AS med,
+         quantile_disc(n_chars, 0.05) AS lo,
+         quantile_disc(n_chars, 0.95) AS hi
+  FROM documents GROUP BY lang)
+SELECT d.lang, COUNT(*) AS n_docs,
+       CAST(m.med AS BIGINT) AS median_chars,
+       CAST(quantile_disc(abs(d.n_chars - m.med), 0.5) AS BIGINT) AS mad_chars,
+       CAST(m.lo AS BIGINT) AS p05_chars, CAST(m.hi AS BIGINT) AS p95_chars,
+       CAST(SUM(LEAST(GREATEST(d.n_chars, m.lo), m.hi)) AS BIGINT) AS winsorized_sum
+FROM documents d JOIN m USING (lang)
+GROUP BY d.lang, m.med, m.lo, m.hi
+"""
+
+
 QUERIES = {
     "tumbling_stats": q_tumbling_stats,
     "sliding_counts": q_sliding_counts,
@@ -4645,6 +4709,7 @@ QUERIES = {
     "pruned_date_scan": q_pruned_date_scan,
     "ann_topk_pq": q_ann_topk_pq,
     "ann_topk_pq_check": q_ann_topk_pq_check,
+    "robust_length_stats": q_robust_length_stats,
 }
 
 ORACLE_SQL = {
@@ -4768,4 +4833,5 @@ ORACLE_SQL = {
     # PQ is approximate by design; the check query pins its recall-vs-
     # brute-force invariant exactly as ann_topk_ivf_check does
     "ann_topk_pq_check": "SELECT CAST(1 AS BIGINT) AS recall_at_least_080",
+    "robust_length_stats": SQL_ROBUST_LENGTH_STATS,
 }

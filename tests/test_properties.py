@@ -703,3 +703,35 @@ def test_semi_anti_sweeps_partition_customers(cust_keys, order_keys):
         a_n = int(anti["n_customers"].get(seg, 0))
         assert s_n == len(inside) and s_n + a_n == len(g)
         assert int(semi["acctbal_cents"].get(seg, 0)) == inside["acctbal_cents"].sum()
+
+
+@given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
+                min_size=1, max_size=80))
+@settings(max_examples=80, deadline=None)
+def test_robust_sweep_matches_naive(rows):
+    """Median/MAD/winsorized-sum from value-count partials equal a direct
+    multiset computation under the quantile_disc rule (ceil(q*n) rank)."""
+    import math
+
+    import pandas as pd
+
+    from flink_fingerprint_ray.pipelines.queries import _robust_sweep
+
+    df = pd.DataFrame(rows, columns=["lang", "n_chars"])
+    df["lang"] = df["lang"].map(lambda i: f"L{i}")
+    parts = (df.groupby(["lang", "n_chars"], sort=False)
+             .size().rename("n").reset_index())
+    got = _robust_sweep(pa.Table.from_pandas(parts)).set_index("lang")
+    for lang, g in df.groupby("lang"):
+        x = np.sort(g["n_chars"].to_numpy())
+        n = len(x)
+
+        def disc(arr, q):
+            return int(np.sort(arr)[max(math.ceil(q * len(arr)), 1) - 1])
+
+        med, lo, hi = disc(x, 0.5), disc(x, 0.05), disc(x, 0.95)
+        row = got.loc[lang]
+        assert (row["median_chars"], row["p05_chars"], row["p95_chars"]) == (med, lo, hi)
+        assert row["mad_chars"] == disc(np.abs(x - med), 0.5)
+        assert row["winsorized_sum"] == int(np.clip(x, lo, hi).sum())
+        assert row["n_docs"] == n
