@@ -4605,6 +4605,71 @@ GROUP BY d.lang, m.med, m.lo, m.hi
 """
 
 
+def _edge_join_sweep(t: pa.Table) -> pd.DataFrame:
+    """One orderkey partition of the tagged union: map each lineitem row
+    to its order's customer, emit distinct (cust, supp) pairs."""
+    df = t.to_pandas()
+    orders = df[df["side"] == 0]
+    items = df[df["side"] == 1]
+    idx = pd.Index(orders["orderkey"].to_numpy())
+    pos = idx.get_indexer(items["orderkey"].to_numpy())
+    hit = pos >= 0
+    cust = orders["other"].to_numpy()[np.clip(pos, 0, None)][hit]
+    supp = items["other"].to_numpy()[hit]
+    e = pd.DataFrame({"src": cust * 2, "dst": supp * 2 + 1}).drop_duplicates()
+    return e.astype(np.int64)
+
+
+def _pagerank_edges(sf_dir: str) -> "ray.data.Dataset":
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+
+    def o_tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "orderkey": batch["o_orderkey"].cast(pa.int64()),
+            "other": batch["o_custkey"].cast(pa.int64()),
+            "side": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+        })
+
+    def l_tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "orderkey": batch["l_orderkey"].cast(pa.int64()),
+            "other": batch["l_suppkey"].cast(pa.int64()),
+            "side": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+        })
+
+    tagged = orders.map_batches(o_tag, batch_format="pyarrow").union(
+        items.map_batches(l_tag, batch_format="pyarrow"))
+    return grouped_map(tagged, ["orderkey"], _edge_join_sweep)
+
+
+def q_supplier_pagerank(sf_dir: str):
+    """Iterative distributed PageRank (stages/graph.py) over the
+    customer–supplier purchase graph (distinct (cust, supp) pairs via a
+    co-partitioned orderkey join; node ids disjoint by parity).  Fixed
+    15 iterations, damping 0.85; rows-only — the paired check query
+    pins distributed-vs-single-process agreement."""
+    from ..stages.graph import distributed_pagerank
+
+    return distributed_pagerank(_pagerank_edges(sf_dir))
+
+
+def q_supplier_pagerank_check(sf_dir: str):
+    """Driver-visible invariant: the distributed power iteration agrees
+    with a single-process numpy recompute of identical semantics on
+    every node to within 2 micros (float summation order is the only
+    degree of freedom).  The oracle pins mismatch_rows = 0."""
+    from ..stages.graph import reference_pagerank
+
+    dist = q_supplier_pagerank(sf_dir)
+    edges = _pagerank_edges(sf_dir).to_pandas()
+    ref = reference_pagerank(edges)
+    m = dist.merge(ref, on="node", how="outer", suffixes=("_d", "_r"))
+    bad = (m["rank_micros_d"].isna() | m["rank_micros_r"].isna()
+           | ((m["rank_micros_d"] - m["rank_micros_r"]).abs() > 2))
+    return pd.DataFrame({"mismatch_rows": pd.array([int(bad.sum())], dtype="int64")})
+
+
 QUERIES = {
     "tumbling_stats": q_tumbling_stats,
     "sliding_counts": q_sliding_counts,
@@ -4710,6 +4775,8 @@ QUERIES = {
     "ann_topk_pq": q_ann_topk_pq,
     "ann_topk_pq_check": q_ann_topk_pq_check,
     "robust_length_stats": q_robust_length_stats,
+    "supplier_pagerank": q_supplier_pagerank,
+    "supplier_pagerank_check": q_supplier_pagerank_check,
 }
 
 ORACLE_SQL = {
@@ -4834,4 +4901,7 @@ ORACLE_SQL = {
     # brute-force invariant exactly as ann_topk_ivf_check does
     "ann_topk_pq_check": "SELECT CAST(1 AS BIGINT) AS recall_at_least_080",
     "robust_length_stats": SQL_ROBUST_LENGTH_STATS,
+    # PageRank is iterative (not SQL-expressible); the check query pins
+    # distributed-vs-single-process agreement like the dist-CC checks
+    "supplier_pagerank_check": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
 }

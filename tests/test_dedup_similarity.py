@@ -329,3 +329,36 @@ def test_semantic_dedup_keeps_one_per_planted_group(ray_session):
     for g, members in by_group.items():
         kept_members = sorted(m for m in members if m in kept)
         assert kept_members == [min(members)], (g, kept_members)
+
+
+def test_distributed_pagerank_matches_reference(ray_session):
+    """Random graphs: the hash-partitioned power iteration equals the
+    single-process recompute within float-order tolerance, and on a star
+    graph the hub outranks every leaf."""
+    import ray.data
+
+    from flink_fingerprint_ray.stages.graph import (
+        distributed_pagerank,
+        reference_pagerank,
+    )
+
+    rng = np.random.RandomState(3)
+    for trial in range(3):
+        n = 60 + 40 * trial
+        edges = pd.DataFrame({
+            "src": rng.randint(0, n, 4 * n).astype(np.int64),
+            "dst": rng.randint(0, n, 4 * n).astype(np.int64),
+        })
+        edges = edges[edges["src"] != edges["dst"]].drop_duplicates()
+        ds = ray.data.from_pandas(edges).repartition(3)
+        dist = distributed_pagerank(ds, iters=10)
+        ref = reference_pagerank(edges, iters=10)
+        m = dist.merge(ref, on="node", suffixes=("_d", "_r"))
+        assert len(m) == len(ref) == len(dist)
+        assert (m["rank_micros_d"] - m["rank_micros_r"]).abs().max() <= 2
+
+    star = pd.DataFrame({"src": np.zeros(20, np.int64),
+                         "dst": np.arange(1, 21, dtype=np.int64)})
+    pr = distributed_pagerank(ray.data.from_pandas(star), iters=10)
+    hub = pr.loc[pr["node"] == 0, "rank_micros"].iloc[0]
+    assert (pr.loc[pr["node"] != 0, "rank_micros"] < hub).all()
