@@ -4670,6 +4670,56 @@ def q_supplier_pagerank_check(sf_dir: str):
     return pd.DataFrame({"mismatch_rows": pd.array([int(bad.sum())], dtype="int64")})
 
 
+TOP_BIGRAMS_K = 20
+
+
+def q_top_bigrams(sf_dir: str):
+    """Corpus bigram statistics (the n=2 slice of an n-gram LM count
+    table): top-20 within-doc adjacent token pairs.  Per-block: one
+    polars tokenize, vectorized rust string concat of shifted neighbors,
+    local value_counts — so the exchange carries (bigram, n) partials
+    bounded by vocab², never token streams; ties broken by bigram asc."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        pl = fp._polars()
+        s = pl.Series(batch["text"].combine_chunks().cast(pa.large_string()))
+        lists = s.str.extract_all(r"\S+")
+        lens = lists.list.len().to_numpy().astype(np.int64)
+        flat = lists.explode().drop_nulls()
+        doc = np.repeat(np.arange(len(lens)), lens)
+        if len(doc) < 2:
+            return pd.DataFrame({"bigram": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        adj = doc[1:] == doc[:-1]
+        left = flat.slice(0, len(flat) - 1).filter(pl.Series(adj))
+        right = flat.slice(1, len(flat) - 1).filter(pl.Series(adj))
+        vc = (left + " " + right).rename("bigram").value_counts()
+        return pd.DataFrame({"bigram": vc["bigram"].to_pandas(),
+                             "n": vc["count"].to_numpy().astype(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def sweep(t: pa.Table) -> pd.DataFrame:
+        return t.to_pandas().groupby("bigram", sort=False)["n"].sum().reset_index()
+
+    pdf = grouped_map(parts, ["bigram"], sweep).to_pandas()
+    pdf = (pdf.groupby("bigram", sort=False)["n"].sum().reset_index()
+           .sort_values(["n", "bigram"], ascending=[False, True], kind="stable")
+           .head(TOP_BIGRAMS_K).reset_index(drop=True))
+    return pdf
+
+
+SQL_TOP_BIGRAMS = r"""
+WITH l AS (SELECT regexp_extract_all(text, '\S+') AS toks FROM documents),
+i AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS pos FROM l)
+SELECT toks[pos] || ' ' || toks[pos + 1] AS bigram, COUNT(*) AS n
+FROM i GROUP BY 1
+ORDER BY n DESC, bigram
+LIMIT 20
+"""
+
+
 QUERIES = {
     "tumbling_stats": q_tumbling_stats,
     "sliding_counts": q_sliding_counts,
@@ -4777,6 +4827,7 @@ QUERIES = {
     "robust_length_stats": q_robust_length_stats,
     "supplier_pagerank": q_supplier_pagerank,
     "supplier_pagerank_check": q_supplier_pagerank_check,
+    "top_bigrams": q_top_bigrams,
 }
 
 ORACLE_SQL = {
@@ -4904,4 +4955,5 @@ ORACLE_SQL = {
     # PageRank is iterative (not SQL-expressible); the check query pins
     # distributed-vs-single-process agreement like the dist-CC checks
     "supplier_pagerank_check": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
+    "top_bigrams": SQL_TOP_BIGRAMS,
 }

@@ -105,6 +105,7 @@ FAST_SQL_QUERIES = [
     "ann_topk_pq_check",
     "robust_length_stats",
     "supplier_pagerank_check",
+    "top_bigrams",
 ]
 
 
