@@ -316,6 +316,34 @@ def oracle_media_stream(
     return df.reset_index(drop=True)
 
 
+def oracle_late_rows(
+    pages: pa.Table,
+    n_epochs: int,
+    lateness_ms: int = 10_000,
+) -> pd.DataFrame:
+    """Expected dead-letter side output (url, ts_ms): exactly the rows
+    that arrive behind the watermark at their epoch's START —
+    watermark_e = max(watermark_{e-1}, max(warc_ts in epoch) − lateness),
+    late iff warc_ts < watermark before this epoch's advance."""
+    ts_all = pages["warc_ts"].cast(pa.int64()).to_numpy()
+    url_all = np.asarray(pages["url"], dtype=object)
+    bounds = _epoch_bounds(pages.num_rows, n_epochs)
+    wm = 0
+    out: list[tuple] = []
+    for e_i in range(n_epochs):
+        lo, hi = bounds[e_i], bounds[e_i + 1]
+        if hi <= lo:
+            continue
+        wm_prev = wm
+        wm = max(wm, int(ts_all[lo:hi].max()) - lateness_ms)
+        for i in range(lo, hi):
+            if ts_all[i] < wm_prev:
+                out.append((str(url_all[i]), int(ts_all[i])))
+    df = pd.DataFrame(out, columns=["url", "ts_ms"])
+    df["ts_ms"] = df["ts_ms"].astype(np.int64)
+    return df.reset_index(drop=True)
+
+
 def oracle_alerts(fingerprints: pd.DataFrame) -> pd.DataFrame:
     """Expected rising-edge alert rows from an oracle fingerprint table:
     per (key_lang, key_host, window_kind) in window_start order, emit the

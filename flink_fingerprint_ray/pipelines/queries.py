@@ -29,7 +29,7 @@ from ..functions.exprs import DerivedColumnStage
 from ..stages import dedup as dd
 from ..stages import semantic as sm
 from ..stages import similarity as sim
-from ..stages.shuffle import grouped_map
+from ..stages.shuffle import arrow_refs, grouped_map
 from ..stages.textops import LangIdStage
 from ..stages.windows import sliding_window_starts, tumbling_window_start
 
@@ -3092,7 +3092,7 @@ def _collect_lookup(ds: "ray.data.Dataset", key: str, val: str | None
     sides (customer/supplier/nation/region); fact-fact joins go through
     the tagged-union co-partitioned path instead."""
     cols = [key] if val is None else [key, val]
-    refs = ds.select_columns(cols).to_arrow_refs()
+    refs = arrow_refs(ds.select_columns(cols))
     t = pa.concat_tables([ray.get(r) for r in refs], promote_options="default")
     k = t[key].to_numpy().astype(np.int64)
     order = np.argsort(k, kind="stable")

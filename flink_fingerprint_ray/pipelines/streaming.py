@@ -43,6 +43,7 @@ import ray.data
 from ..functions import fingerprint as fp
 from ..sources.epochs import EpochSource
 from ..state.store import StatePool
+from ..stages.shuffle import arrow_refs
 from ..stages.windows import finalize_many
 from .sink import CheckpointManifest, EpochSink
 
@@ -77,6 +78,11 @@ class PipelineConfig:
     # actor-pool stage and stage per-epoch media features under the same
     # watermark/fence contract (multimodal under streaming, VERDICT r2 #6)
     media_features: bool = False
+    # Flink-style side output: late rows, instead of being counted and
+    # dropped, are ALSO staged as a per-epoch dead-letter table
+    # (url, ts_ms) under the same exactly-once fence — the audit trail a
+    # production ingest needs to re-drive late data
+    late_side_output: bool = False
 
 
 FINGERPRINT_COLS = [
@@ -250,7 +256,8 @@ class MetricCounter:
 
 
 def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix: str = "",
-                   curation_min_chars: int = 0, bench_ref=None) -> pa.Table:
+                   curation_min_chars: int = 0, bench_ref=None,
+                   late_side: bool = False) -> pa.Table:
     """Stateless per-batch transform: late-drop, extract, fingerprint.
 
     Emits a NARROW table (html/text projected away) so only ~300-byte rows
@@ -262,6 +269,7 @@ def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix:
     n_in = batch.num_rows
     ts = batch["warc_ts"].cast(pa.int64())
     keep_late = pc.greater_equal(ts, pa.scalar(late_cutoff_ms, pa.int64()))
+    late_sub = batch.filter(pc.invert(keep_late)) if late_side else None
     batch = batch.filter(keep_late)
     n_late = n_in - batch.num_rows
 
@@ -335,7 +343,7 @@ def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix:
                 contaminated[np.unique(gram_doc[bench[pos] == hashes])] = True
                 keep &= ~contaminated
         cols["clean_keep"] = pa.array(keep, pa.bool_())
-    if curation_min_chars > 0 or "media_mean" in batch.column_names:
+    if curation_min_chars > 0 or late_side or "media_mean" in batch.column_names:
         cols["url"] = batch["url"].combine_chunks().cast(pa.large_string()) \
             if batch.num_rows else pa.array([], pa.large_string())
     if "media_mean" in batch.column_names:
@@ -344,7 +352,30 @@ def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix:
         # media payload
         cols["media_mean"] = batch["media_mean"].combine_chunks()
         cols["media_std"] = batch["media_std"].combine_chunks()
-    return pa.table(cols)
+    if not late_side:
+        return pa.table(cols)
+    # Flink-style side output: late rows ride the per-doc table flagged
+    # is_late with url/ts_ms real and every other column null/False —
+    # the window path filters them before the explode, the DLQ writer
+    # keeps only them.  Survivor rows are untouched (is_late=False).
+    cols["is_late"] = pa.array(np.zeros(batch.num_rows, dtype=bool), pa.bool_())
+    out = pa.table(cols)
+    if late_sub is None or late_sub.num_rows == 0:
+        return out
+    n_l = late_sub.num_rows
+    lt: dict[str, pa.Array] = {}
+    for name, field in zip(out.column_names, out.schema):
+        if name == "is_late":
+            lt[name] = pa.array(np.ones(n_l, dtype=bool), pa.bool_())
+        elif name == "url":
+            lt[name] = late_sub["url"].combine_chunks().cast(pa.large_string())
+        elif name == "ts_ms":
+            lt[name] = late_sub["warc_ts"].cast(pa.int64()).combine_chunks()
+        elif name == "clean_keep":
+            lt[name] = pa.array(np.zeros(n_l, dtype=bool), pa.bool_())
+        else:
+            lt[name] = pa.nulls(n_l, field.type)
+    return pa.concat_tables([out, pa.table(lt, schema=out.schema)])
 
 
 class PageMediaStage:
@@ -515,6 +546,23 @@ def write_media_part(path: str, block: pa.Table) -> int:
 
 
 @ray.remote
+def write_late_part(path: str, block: pa.Table) -> int:
+    """Stage one per-doc block's dead-letter rows (url, ts_ms of rows
+    that arrived behind the watermark) under the epoch fence; stateless,
+    so replay is a pure overwrite."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    if block.num_rows == 0 or "is_late" not in block.column_names:
+        return 0
+    sub = block.select(["url", "ts_ms"]).filter(block["is_late"].combine_chunks())
+    if sub.num_rows == 0:
+        return 0
+    pq.write_table(sub, path)
+    return sub.num_rows
+
+
+@ray.remote
 def write_clean_part(path: str, table: pa.Table | None) -> int:
     """Write one dedup partition's epoch survivors into the staging dir
     (rides the same epoch fence as the fingerprint parts)."""
@@ -620,7 +668,8 @@ class StreamingFingerprintPipeline:
         # Common-Crawl shape (url, warc_ts, html, text, lang) but the
         # transform re-extracts text from html — reading `text` too would
         # double scan I/O at the 100-TB design point.
-        side_channel = cfg.curation_min_chars > 0 or cfg.media_features
+        side_channel = (cfg.curation_min_chars > 0 or cfg.media_features
+                        or cfg.late_side_output)
         read_cols = ["url", "warc_ts", "html", "lang"]
         if cfg.media_features:
             read_cols.append("media")
@@ -640,25 +689,38 @@ class StreamingFingerprintPipeline:
         if cfg.curation_min_chars > 0:
             fn_kwargs["curation_min_chars"] = cfg.curation_min_chars
             fn_kwargs["bench_ref"] = self._bench_ref
+        if cfg.late_side_output:
+            fn_kwargs["late_side"] = True
         ds = ds.map_batches(page_transform, fn_kwargs=fn_kwargs, batch_format="pyarrow")
         if not side_channel:
             # fused single pass (no curation/media side-channel)
             ds = ds.map_batches(explode_windows, fn_kwargs={"cfg": cfg}, batch_format="pyarrow")
-            return ds.to_arrow_refs(), None
+            return arrow_refs(ds), None
         # side channels on: materialize the per-doc narrow rows once; the
         # window explode re-reads them from plasma minus the side-channel
         # columns, and the SAME refs feed the dedup routing / media writes
         # — one corpus pass either way
-        doc_refs = ds.to_arrow_refs()
+        doc_refs = arrow_refs(ds)
         side_cols = ["url"]
         if cfg.curation_min_chars > 0:
             side_cols.append("clean_keep")
         if cfg.media_features:
             side_cols += ["media_mean", "media_std"]
+        if cfg.late_side_output:
+            side_cols.append("is_late")
+
+        def _strip(t: pa.Table) -> pa.Table:
+            if "is_late" in t.column_names:
+                # DLQ rows exist only on the per-doc side table
+                import pyarrow.compute as pc
+
+                t = t.filter(pc.invert(t["is_late"]))
+            return t.drop_columns(side_cols)
+
         win = ray.data.from_arrow_refs(list(doc_refs)).map_batches(
-            lambda t: t.drop_columns(side_cols), batch_format="pyarrow"
+            _strip, batch_format="pyarrow"
         ).map_batches(explode_windows, fn_kwargs={"cfg": cfg}, batch_format="pyarrow")
-        return win.to_arrow_refs(), doc_refs
+        return arrow_refs(win), doc_refs
 
     # -- single epoch ------------------------------------------------------
     def run_epoch(
@@ -812,6 +874,14 @@ class StreamingFingerprintPipeline:
                 )
                 for i, ref in enumerate(doc_refs)
             ]
+        late_write_refs: list = []
+        if doc_refs and cfg.late_side_output:
+            late_write_refs = [
+                write_late_part.remote(
+                    os.path.join(staging, f"late-b{i:04d}.parquet"), ref
+                )
+                for i, ref in enumerate(doc_refs)
+            ]
 
         self._wm = wm_new
         pending = {
@@ -827,6 +897,7 @@ class StreamingFingerprintPipeline:
             "clean_write_refs": clean_write_refs,
             "d_snap_refs": d_snap_refs,
             "media_write_refs": media_write_refs,
+            "late_write_refs": late_write_refs,
             "t0": t0,
             "t_route": t_route,
             "t_route_launch": t_route_launch,
@@ -868,11 +939,12 @@ class StreamingFingerprintPipeline:
         clean_write_refs = pending.get("clean_write_refs", [])
         d_snap_refs = pending.get("d_snap_refs", [])
         media_write_refs = pending.get("media_write_refs", [])
+        late_write_refs = pending.get("late_write_refs", [])
         flat = ray.get(
             list(pending["w_snap_refs"]) + alert_feed_refs + evict_refs
             + j_snap_refs + a_snap_refs + buf_w_refs + buf_j_refs
             + clean_write_refs + d_snap_refs + media_write_refs
-            + [metrics_ref, stale_ref]
+            + late_write_refs + [metrics_ref, stale_ref]
         )
         i = 0
         def _take(n):
@@ -890,6 +962,7 @@ class StreamingFingerprintPipeline:
         n_clean = int(sum(_take(len(clean_write_refs))))
         d_snap = {f"dedup_{k}": p for k, p in enumerate(_take(len(d_snap_refs)))}
         n_media = int(sum(_take(len(media_write_refs))))
+        n_late_dlq = int(sum(_take(len(late_write_refs))))
         metrics, stale = _take(2)
 
         n_alerts = 0
@@ -912,6 +985,7 @@ class StreamingFingerprintPipeline:
                 "alerts": n_alerts,
                 "clean_docs": n_clean,
                 "media_docs": n_media,
+                "late_dlq_rows": n_late_dlq,
                 "join_evicted": evicted,
                 # S9 lag analog: epochs discovered but not yet committed
                 "epochs_behind": max(0, len(self.source) - epoch.index - 1),
@@ -1036,6 +1110,20 @@ class StreamingFingerprintPipeline:
         files = sorted(glob.glob(os.path.join(self.sink.out_dir, "epoch=*", "media-b*.parquet")))
         if not files:
             return pd.DataFrame(columns=["url", "ts_ms", "media_mean", "media_std"])
+        return pa.concat_tables(
+            [_pq.read_table(f) for f in files], promote_options="default"
+        ).to_pandas()
+
+    def late_df(self) -> pd.DataFrame:
+        """Committed dead-letter rows (url, ts_ms of late-dropped pages),
+        all epochs — the side-output audit trail."""
+        import glob
+
+        import pyarrow.parquet as _pq
+
+        files = sorted(glob.glob(os.path.join(self.sink.out_dir, "epoch=*", "late-b*.parquet")))
+        if not files:
+            return pd.DataFrame(columns=["url", "ts_ms"])
         return pa.concat_tables(
             [_pq.read_table(f) for f in files], promote_options="default"
         ).to_pandas()

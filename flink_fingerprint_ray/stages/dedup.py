@@ -34,7 +34,7 @@ import ray
 import ray.data
 
 from ..functions import fingerprint as fp
-from .shuffle import grouped_map
+from .shuffle import arrow_refs, grouped_map
 
 
 # ---------------------------------------------------------------------------
@@ -497,12 +497,12 @@ def ngram_jaccard_edges(
     features per consumer (3×) costs far more than letting plasma hold
     (and at scale, spill) the narrow feature table.
     """
-    feat_refs = ds.map_batches(
+    feat_refs = arrow_refs(ds.map_batches(
         _ngram_all_features,
         fn_kwargs={"id_col": id_col, "text_col": text_col,
                    "n_bands": n_bands, "n": n},
         batch_format="pyarrow",
-    ).to_arrow_refs()
+    ))
 
     def _feats() -> "ray.data.Dataset":
         return ray.data.from_arrow_refs(list(feat_refs))
@@ -629,7 +629,7 @@ def edges_to_clusters(edges_df: pd.DataFrame) -> pd.DataFrame:
 
 def cluster_table(edges_ds: "ray.data.Dataset") -> pd.DataFrame:
     """Collect the edge stream (small: O(near-dups)) and label clusters."""
-    parts = ray.get(edges_ds.to_arrow_refs())
+    parts = ray.get(arrow_refs(edges_ds))
     tbl = pa.concat_tables(parts, promote_options="default") if parts else None
     if tbl is None or tbl.num_rows == 0:
         return edges_to_clusters(pd.DataFrame({"a": [], "b": []}))
@@ -729,9 +729,9 @@ def distributed_components(
     Dataset executor spin-up would otherwise dominate the tiny-cluster
     case while changing nothing at scale.
     """
-    sym_refs = edges_ds.map_batches(
+    sym_refs = arrow_refs(edges_ds.map_batches(
         _cc_symmetrize, batch_format="pyarrow"
-    ).to_arrow_refs()
+    ))
     n_half_edges = int(sum(ray.get([_cc_nrows.remote(r) for r in sym_refs])))
     if n_partitions is None:
         # size the exchange to the edge volume: a tiny edge list on 32
@@ -782,7 +782,7 @@ def distributed_vs_driver_mismatch(edges_ds: "ray.data.Dataset") -> pd.DataFrame
     is not SQL-expressible, so the query's oracle pins the expected
     violation count instead; this gives the correctness driver a checkable
     value for the distributed path rather than a bare row count."""
-    refs = edges_ds.to_arrow_refs()
+    refs = arrow_refs(edges_ds)
     dist = distributed_components(ray.data.from_arrow_refs(list(refs)))
     drv = cluster_table(ray.data.from_arrow_refs(list(refs)))
     merged = dist.merge(drv, on="member_id", how="outer",
@@ -922,7 +922,7 @@ def embedding_cosine_pairs(
     ``stages/similarity.py`` is the scale path); probe side streams in
     map_batches with one matmul per batch.
     """
-    full = pa.concat_tables(ray.get(ds.to_arrow_refs()), promote_options="default")
+    full = pa.concat_tables(ray.get(arrow_refs(ds)), promote_options="default")
     ids_all = full[id_col].to_numpy().astype(np.int64)
     mat = np.stack(full[vec_col].to_pandas().to_numpy()).astype(np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)

@@ -20,7 +20,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from .shuffle import grouped_map
+from .shuffle import arrow_refs, grouped_map
 
 
 @ray.remote
@@ -90,7 +90,7 @@ def distributed_pagerank(edges_ds: "ray.data.Dataset", damping: float = 0.85,
     after ``iters`` fixed power iterations."""
     sym_refs = [
         _pr_symmetrize.remote(r)
-        for r in edges_ds.to_arrow_refs()
+        for r in arrow_refs(edges_ds)
     ]
     n_half = int(sum(ray.get([_pr_nrows.remote(r) for r in sym_refs])))
     if n_partitions is None:

@@ -39,7 +39,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .shuffle import grouped_map
+from .shuffle import arrow_refs, grouped_map
 from .similarity import _normalize, _stack
 
 _ROUND = 6  # centroid decimals: order-invariance quantum for the EM reduce
@@ -92,7 +92,7 @@ def distributed_kmeans(
     lowest, driver merges) — seed-free and exactly replayable by the
     single-process reference.  Returns (centroids, block refs) so callers
     reuse the materialized blocks for the assignment pass."""
-    refs = ds.to_arrow_refs()
+    refs = arrow_refs(ds)
     nom = ray.get([_block_ids_vecs.remote(r, id_col, vec_col, k) for r in refs])
     ids = np.concatenate([a for a, _ in nom])
     mats = np.concatenate([m for _, m in nom])
@@ -228,7 +228,7 @@ def semantic_dedup_mismatch(
     """Engine vs single-process reference on the same vectors: count of
     disagreeing rows across all four output columns (expected 0)."""
     eng = semantic_dedup_table(ds, threshold, k, iters, id_col, vec_col)
-    tabs = ray.get(ds.to_arrow_refs())
+    tabs = ray.get(arrow_refs(ds))
     ids = np.concatenate([t[id_col].to_numpy() for t in tabs]).astype(np.int64)
     vecs = np.concatenate([_stack(t[vec_col]) for t in tabs])
     ref = semantic_dedup_reference(ids, vecs, threshold, k, iters)

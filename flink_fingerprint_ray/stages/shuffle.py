@@ -28,6 +28,38 @@ import ray
 import ray.data
 
 
+def arrow_refs(ds: "ray.data.Dataset") -> list:
+    """Execute ``ds`` ONCE and return its Arrow block refs.
+
+    ``Dataset.to_arrow_refs()`` in this Ray build RE-EXECUTES a prefix of
+    the pipeline's tasks (measured: 12 task executions / 263 rows for an
+    8-block / 175-row dataset — ~1.5x duplicate work on the re-run
+    blocks, plus double-fired side effects like metric adds).
+    ``iter_internal_ref_bundles()`` executes each task exactly once and
+    streams the same refs.  Blocks of pandas-backed datasets (map_groups
+    / from_pandas producers) are converted to Arrow by a per-block task
+    — decided from block METADATA, so the common all-Arrow case (every
+    ``batch_format="pyarrow"`` pipeline) ships the original refs with no
+    copy."""
+    refs: list = []
+    all_arrow = True
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, md in bundle.blocks:
+            refs.append(ref)
+            if not isinstance(getattr(md, "schema", None), pa.Schema):
+                all_arrow = False
+    if all_arrow:
+        return refs
+    return [_ensure_arrow.remote(r) for r in refs]
+
+
+@ray.remote
+def _ensure_arrow(block) -> pa.Table:
+    if isinstance(block, pa.Table):
+        return block
+    return pa.Table.from_pandas(block, preserve_index=False)
+
+
 def _row_hash(block: pa.Table, key_cols: list[str]) -> np.ndarray:
     """Deterministic per-row uint64 hash over the key columns."""
     df = pd.DataFrame({c: block[c].to_pandas() for c in key_cols})
@@ -86,7 +118,7 @@ def grouped_map(
     if n_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         n_partitions = max(8, min(64, cpus))
-    refs = ds if isinstance(ds, list) else ds.to_arrow_refs()
+    refs = ds if isinstance(ds, list) else arrow_refs(ds)
     parted = [
         _split_block.options(num_returns=n_partitions).remote(r, key_cols, n_partitions)
         for r in refs

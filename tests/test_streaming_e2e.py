@@ -436,3 +436,45 @@ def test_streaming_distinct_url_sketch_exact_registers(ray_session, tmp_path):
     est = int(round(hll_estimate(expect)))
     n_distinct = len(set(pages["url"].to_pylist()))
     assert abs(est - n_distinct) <= 3 * 1.04 / np.sqrt(4096) * n_distinct
+
+
+def test_late_side_output_matches_oracle_and_resumes(ray_session, corpus, oracle_df):
+    """Flink-style side output: with late_side_output on, late rows are
+    staged as a per-epoch dead-letter table under the exactly-once fence.
+    The DLQ must equal the oracle's late set, the late_dropped metric,
+    AND survive kill/resume byte-identically — while the window path
+    stays unchanged."""
+    from flink_fingerprint_ray.oracle import oracle_late_rows
+
+    root, pages, _ = corpus
+    cfg = {"late_side_output": True}
+    pipe = _run(root, "out_dlq", cfg_extra=cfg)
+    eng = pipe.result_dataset().to_pandas()
+    late = pipe.late_df()
+    m = pipe.manifest.state["epochs"]
+    pipe.shutdown()
+
+    ora = oracle_late_rows(pages, N_EPOCHS)
+    assert len(ora) > 0  # fixture injects beyond-watermark rows
+    key = ["url", "ts_ms"]
+    pd.testing.assert_frame_equal(
+        late.sort_values(key).reset_index(drop=True),
+        ora.sort_values(key).reset_index(drop=True), check_dtype=False)
+    # DLQ row count == the late_dropped metric == per-epoch dlq gauge
+    metric_late = sum(e["metrics"].get("late_dropped", 0) for e in m.values())
+    dlq_gauge = sum(e["metrics"].get("late_dlq_rows", 0) for e in m.values())
+    assert len(late) == metric_late == dlq_gauge
+    # the fingerprint path is unaffected by the side output
+    pd.testing.assert_frame_equal(
+        _norm(eng, oracle_df.columns), _norm(oracle_df, oracle_df.columns),
+        check_dtype=False)
+
+    # kill after 2 epochs, resume — DLQ must come out identical
+    p1 = _run(root, "out_dlq_resume", max_epochs=2, cfg_extra=cfg)
+    p1.shutdown()
+    p2 = _run(root, "out_dlq_resume", cfg_extra=cfg)
+    late2 = p2.late_df()
+    p2.shutdown()
+    pd.testing.assert_frame_equal(
+        late2.sort_values(key).reset_index(drop=True),
+        ora.sort_values(key).reset_index(drop=True), check_dtype=False)
