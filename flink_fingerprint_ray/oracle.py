@@ -277,6 +277,70 @@ def oracle_clean_stream(
     )
 
 
+def oracle_neardup_stream(
+    pages: pa.Table,
+    n_epochs: int,
+    n_bands: int = 16,
+    lateness_ms: int = 10_000,
+) -> pd.DataFrame:
+    """Expected STREAMING near-dup output (url, ts_ms): per epoch, a
+    non-late non-empty doc survives iff NONE of its minhash LSH band keys
+    was registered by a survivor of an earlier epoch AND it is the
+    (ts_ms, url)-minimal candidate carrying EVERY one of its bands this
+    epoch (min over the full epoch candidate set — order-independent).
+    Survivors register all their bands.  Mirrors the engine's
+    NearDupStateActor + reduce_neardup contract bit-for-bit."""
+    text = fp.extract_text(pages["html"])
+    ts_all = pages["warc_ts"].cast(pa.int64()).to_numpy()
+    url_all = np.asarray(pages["url"], dtype=object)
+    import pyarrow.compute as pc
+
+    text_len = pc.utf8_length(text).cast(pa.int64()).to_numpy()
+    _, mh = fp.simhash_and_minhash(text)
+    band_mat = fp.minhash_band_keys(mh, n_bands)
+
+    bounds = _epoch_bounds(pages.num_rows, n_epochs)
+    wm = 0
+    seen: set[int] = set()
+    out: list[tuple] = []
+    for e_i in range(n_epochs):
+        lo, hi = bounds[e_i], bounds[e_i + 1]
+        if hi <= lo:
+            continue
+        wm_prev = wm
+        wm = max(wm, int(ts_all[lo:hi].max()) - lateness_ms)
+        idx = np.arange(lo, hi)
+        cand = idx[(ts_all[idx] >= wm_prev) & (text_len[idx] > 0)]
+        # per band: the (ts_ms, url)-minimal candidate doc carrying it
+        band_min: dict[int, tuple] = {}
+        doc_bands = [set(int(b) for b in band_mat[i]) for i in cand]
+        for j, i in enumerate(cand):
+            key = (int(ts_all[i]), str(url_all[i]))
+            for b in doc_bands[j]:
+                if b not in band_min or key < band_min[b]:
+                    band_min[b] = key
+        # phase 1: verdicts against the COMMITTED seen set + the epoch-min
+        # rule only (matches NearDupStateActor.close_epoch); phase 2:
+        # registration (matches reduce_neardup → register)
+        survivors = [
+            j for j, i in enumerate(cand)
+            if all(b not in seen
+                   and band_min[b] == (int(ts_all[i]), str(url_all[i]))
+                   for b in doc_bands[j])
+        ]
+        for j in survivors:
+            seen.update(doc_bands[j])
+            i = cand[j]
+            out.append((str(url_all[i]), int(ts_all[i]), e_i))
+    df = pd.DataFrame(out, columns=["url", "ts_ms", "_epoch"])
+    df["ts_ms"] = df["ts_ms"].astype(np.int64)
+    return (
+        df.sort_values(["_epoch", "ts_ms", "url"], kind="stable")
+        .drop(columns=["_epoch"])
+        .reset_index(drop=True)
+    )
+
+
 def oracle_media_stream(
     pages: pa.Table,
     n_epochs: int,

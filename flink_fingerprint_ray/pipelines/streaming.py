@@ -83,6 +83,14 @@ class PipelineConfig:
     # (url, ts_ms) under the same exactly-once fence — the audit trail a
     # production ingest needs to re-drive late data
     late_side_output: bool = False
+    # streaming MinHash-LSH near-dup dedup (batch analog:
+    # queries.q_minhash_lsh_clusters): a doc survives iff NONE of its
+    # minhash band keys was registered by a survivor of an earlier
+    # committed epoch and it is the (ts_ms, url)-minimal carrier of every
+    # one of its bands this epoch.  Survivors ride the epoch fence as
+    # neardup-p*.parquet; band state lives in the NearDupStateActor pool
+    # (delta-snapshotted, close→reduce→register→snapshot→commit ordering)
+    neardup: bool = False
 
 
 FINGERPRINT_COLS = [
@@ -257,7 +265,7 @@ class MetricCounter:
 
 def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix: str = "",
                    curation_min_chars: int = 0, bench_ref=None,
-                   late_side: bool = False) -> pa.Table:
+                   late_side: bool = False, neardup: bool = False) -> pa.Table:
     """Stateless per-batch transform: late-drop, extract, fingerprint.
 
     Emits a NARROW table (html/text projected away) so only ~300-byte rows
@@ -343,7 +351,7 @@ def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix:
                 contaminated[np.unique(gram_doc[bench[pos] == hashes])] = True
                 keep &= ~contaminated
         cols["clean_keep"] = pa.array(keep, pa.bool_())
-    if curation_min_chars > 0 or late_side or "media_mean" in batch.column_names:
+    if curation_min_chars > 0 or late_side or neardup or "media_mean" in batch.column_names:
         cols["url"] = batch["url"].combine_chunks().cast(pa.large_string()) \
             if batch.num_rows else pa.array([], pa.large_string())
     if "media_mean" in batch.column_names:
@@ -528,6 +536,114 @@ def route_clean(block: pa.Table, n_partitions: int, dedup_handles: list,
 
 
 @ray.remote
+def route_neardup(block: pa.Table, n_partitions: int, neardup_handles: list,
+                  *close_barrier):
+    """Near-dup routing: explode the per-doc block into (band, ts_ms, url)
+    rows — one per (doc, distinct band) — and send each to the actor
+    owning its band hash (``band % n``).  ``close_barrier`` carries the
+    PREVIOUS epoch's close refs so this epoch's adds cannot leak into that
+    sweep.  Returns add ack refs (awaited with the window-route acks)."""
+    if block.num_rows == 0 or "bands" not in block.column_names:
+        return []
+    if "is_late" in block.column_names:
+        import pyarrow.compute as pc
+
+        block = block.filter(pc.invert(block["is_late"]))
+        if block.num_rows == 0:
+            return []
+    bands_col = block["bands"].combine_chunks()
+    n_bands = bands_col.type.list_size
+    band = bands_col.flatten().to_numpy().astype(np.uint64)
+    doc = np.repeat(np.arange(block.num_rows, dtype=np.int64), n_bands)
+    # a doc may repeat a band value (constant-ish signatures); keep ONE row
+    # per (doc, band) so the reduce-side all-bands-ok count is exact
+    keep = np.ones(len(band), dtype=bool)
+    order = np.lexsort((band, doc))
+    dup = (doc[order][1:] == doc[order][:-1]) & (band[order][1:] == band[order][:-1])
+    keep[order[1:][dup]] = False
+    band, doc = band[keep], doc[keep]
+    ts = block["ts_ms"].to_numpy()[doc]
+    url = block["url"].combine_chunks().take(pa.array(doc))
+    cand = pa.table({
+        "band": pa.array(band, pa.uint64()),
+        "ts_ms": pa.array(ts, pa.int64()),
+        "url": url,
+    })
+    part = (band % np.uint64(n_partitions)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    sp = part[order]
+    bounds = np.flatnonzero(np.concatenate(([True], sp[1:] != sp[:-1])))
+    bounds = np.append(bounds, len(sp))
+    refs = []
+    for i in range(len(bounds) - 1):
+        s, e = bounds[i], bounds[i + 1]
+        sub = cand.take(pa.array(order[s:e]))
+        refs.append(neardup_handles[int(sp[s])].add_candidates.remote(sub))
+    return refs
+
+
+@ray.remote
+def reduce_neardup(path: str, neardup_handles: list, n_partitions: int,
+                   part: int, n_reducers: int, *verdicts):
+    """AND-reduce the per-band verdicts for one doc-hash partition: a doc
+    survives iff EVERY one of its (band, ok) rows is ok.  Map-side-select
+    shuffle shape (like finalize_partition): this task reads its 1/P doc
+    slice from every actor's verdict block, writes its survivor part
+    (url, ts_ms) under the epoch fence, and routes the survivors' bands
+    back to their owning actors for registration.  Returns
+    (n_survivors, n_docs, register_ack_refs)."""
+    import pyarrow.parquet as pq
+
+    tabs = [t for t in verdicts if t is not None and t.num_rows]
+    empty = pa.table({"url": pa.array([], pa.large_string()),
+                      "ts_ms": pa.array([], pa.int64())})
+    if not tabs:
+        pq.write_table(empty, path)
+        return 0, 0, []
+    t = pa.concat_tables(tabs, promote_options="default").combine_chunks()
+    with np.errstate(over="ignore"):
+        doc_h = (fp.text_hash64(t["url"]) * np.uint64(0x9E3779B97F4A7C15)
+                 + t["ts_ms"].to_numpy().astype(np.uint64))
+    mine = (doc_h % np.uint64(n_reducers)) == np.uint64(part)
+    if not mine.any():
+        pq.write_table(empty, path)
+        return 0, 0, []
+    t = t.take(pa.array(np.flatnonzero(mine)))
+    ts = t["ts_ms"].to_numpy()
+    url = np.asarray(t["url"], dtype=object)
+    ok = t["ok"].to_numpy(zero_copy_only=False).astype(np.int64)
+    band = t["band"].to_numpy().astype(np.uint64)
+    order = np.lexsort((url, ts))
+    ts_s, url_s = ts[order], url[order]
+    newgrp = np.concatenate(([True], (ts_s[1:] != ts_s[:-1]) | (url_s[1:] != url_s[:-1])))
+    starts = np.flatnonzero(newgrp)
+    sizes = np.diff(np.append(starts, len(ts_s)))
+    n_ok = np.add.reduceat(ok[order], starts)
+    surv_grp = n_ok == sizes
+    n_docs = len(starts)
+    surv_starts = starts[surv_grp]
+    out = pa.table({
+        "url": pa.array(url_s[surv_starts], pa.large_string()),
+        "ts_ms": pa.array(ts_s[surv_starts], pa.int64()),
+    })
+    pq.write_table(out, path)
+    ack_refs = []
+    if surv_grp.any():
+        row_surv = np.repeat(surv_grp, sizes)
+        sb = band[order][row_surv]
+        p_of = (sb % np.uint64(n_partitions)).astype(np.int64)
+        o2 = np.argsort(p_of, kind="stable")
+        sp = p_of[o2]
+        bounds = np.flatnonzero(np.concatenate(([True], sp[1:] != sp[:-1])))
+        bounds = np.append(bounds, len(sp))
+        for i in range(len(bounds) - 1):
+            s, e = bounds[i], bounds[i + 1]
+            sub = pa.table({"band": pa.array(sb[o2[s:e]], pa.uint64())})
+            ack_refs.append(neardup_handles[int(sp[s])].register.remote(sub))
+    return int(surv_grp.sum()), int(n_docs), ack_refs
+
+
+@ray.remote
 def write_media_part(path: str, block: pa.Table) -> int:
     """Stage one per-doc block's media-feature rows (url, ts_ms,
     media_mean, media_std) under the epoch fence; stateless, so replay is
@@ -669,7 +785,7 @@ class StreamingFingerprintPipeline:
         # transform re-extracts text from html — reading `text` too would
         # double scan I/O at the 100-TB design point.
         side_channel = (cfg.curation_min_chars > 0 or cfg.media_features
-                        or cfg.late_side_output)
+                        or cfg.late_side_output or cfg.neardup)
         read_cols = ["url", "warc_ts", "html", "lang"]
         if cfg.media_features:
             read_cols.append("media")
@@ -691,6 +807,8 @@ class StreamingFingerprintPipeline:
             fn_kwargs["bench_ref"] = self._bench_ref
         if cfg.late_side_output:
             fn_kwargs["late_side"] = True
+        if cfg.neardup:
+            fn_kwargs["neardup"] = True
         ds = ds.map_batches(page_transform, fn_kwargs=fn_kwargs, batch_format="pyarrow")
         if not side_channel:
             # fused single pass (no curation/media side-channel)
@@ -783,6 +901,15 @@ class StreamingFingerprintPipeline:
                     ref, cfg.n_state_partitions, self.pool.dedup_actors,
                     *close_barrier,
                 ))
+        # 2c) near-dup routing (optional): per-doc bands to their owning
+        #     band actors, gated on the PREVIOUS epoch's close refs
+        if doc_refs and cfg.neardup:
+            nd_barrier = tuple(prev_pending.get("nd_close_refs", ())) if prev_pending else ()
+            for ref in doc_refs:
+                ack_list_refs.append(route_neardup.remote(
+                    ref, cfg.n_state_partitions, self.pool.neardup_actors,
+                    *nd_barrier,
+                ))
 
         t_route_launch = time.perf_counter()
 
@@ -815,6 +942,26 @@ class StreamingFingerprintPipeline:
         if doc_refs:
             d_close_refs = self.pool.close_dedup_refs()
 
+        # 5c) near-dup epoch close: adds acked → per-band verdict sweep;
+        #     the reduce tasks (one per doc-hash slice) AND the verdicts
+        #     across partitions, stage survivor parts under the fence and
+        #     submit the survivors' band registrations.  The seen-band
+        #     snapshot is deferred to _finish_epoch, AFTER the register
+        #     acks resolve (register → snapshot → commit ordering).
+        nd_close_refs: list = []
+        nd_reduce_refs: list = []
+        staging = self.sink.staging_dir(epoch.index)
+        if doc_refs and cfg.neardup:
+            nd_close_refs = self.pool.close_neardup_refs()
+            nd_reduce_refs = [
+                reduce_neardup.remote(
+                    os.path.join(staging, f"neardup-p{p:04d}.parquet"),
+                    self.pool.neardup_actors, cfg.n_state_partitions,
+                    p, cfg.n_state_partitions, *nd_close_refs,
+                )
+                for p in range(cfg.n_state_partitions)
+            ]
+
         # 6) matured rows from earlier epochs join this epoch's closable
         #    rows — taken as refs straight from the actors (no driver copy)
         fin_refs = list(closable_refs) + self.pool.mature_refs(wm_new)
@@ -835,7 +982,6 @@ class StreamingFingerprintPipeline:
         )
         if update_routes:
             ray.get(update_routes)  # build side complete before any probe
-        staging = self.sink.staging_dir(epoch.index)
         write_refs, alert_refs = [], []
         for p in (range(P) if fin_refs else []):
             cnt, al = finalize_partition.remote(
@@ -894,6 +1040,8 @@ class StreamingFingerprintPipeline:
             "snap_dir": snap_dir,
             "w_snap_refs": w_snap_refs,
             "d_close_refs": d_close_refs,
+            "nd_close_refs": nd_close_refs,
+            "nd_reduce_refs": nd_reduce_refs,
             "clean_write_refs": clean_write_refs,
             "d_snap_refs": d_snap_refs,
             "media_write_refs": media_write_refs,
@@ -936,6 +1084,21 @@ class StreamingFingerprintPipeline:
         metrics_ref = self.counter.take_prefix.remote(f"e{epoch.index}:")
         stale_ref = self.counter.take_stale.remote(epoch.index)
 
+        # near-dup: the reduce tasks return (kept, docs, register_ack_refs);
+        # the band snapshot may only be SUBMITTED once every registration
+        # has resolved (register → snapshot → commit), so this small
+        # barrier runs first — the refs then join the combined get below
+        nd_kept = nd_docs = 0
+        nd_snap_refs: list = []
+        if pending.get("nd_reduce_refs"):
+            nd_results = ray.get(pending["nd_reduce_refs"])
+            nd_kept = int(sum(r[0] for r in nd_results))
+            nd_docs = int(sum(r[1] for r in nd_results))
+            reg_acks = [a for r in nd_results for a in r[2]]
+            if reg_acks:
+                ray.wait(reg_acks, num_returns=len(reg_acks))
+            nd_snap_refs = self.pool.snapshot_neardup_refs(pending["snap_dir"])
+
         clean_write_refs = pending.get("clean_write_refs", [])
         d_snap_refs = pending.get("d_snap_refs", [])
         media_write_refs = pending.get("media_write_refs", [])
@@ -943,7 +1106,7 @@ class StreamingFingerprintPipeline:
         flat = ray.get(
             list(pending["w_snap_refs"]) + alert_feed_refs + evict_refs
             + j_snap_refs + a_snap_refs + buf_w_refs + buf_j_refs
-            + clean_write_refs + d_snap_refs + media_write_refs
+            + clean_write_refs + d_snap_refs + nd_snap_refs + media_write_refs
             + late_write_refs + [metrics_ref, stale_ref]
         )
         i = 0
@@ -961,6 +1124,7 @@ class StreamingFingerprintPipeline:
         buf_j = _take(len(buf_j_refs))
         n_clean = int(sum(_take(len(clean_write_refs))))
         d_snap = {f"dedup_{k}": p for k, p in enumerate(_take(len(d_snap_refs)))}
+        nd_snap = {f"neardup_{k}": p for k, p in enumerate(_take(len(nd_snap_refs)))}
         n_media = int(sum(_take(len(media_write_refs))))
         n_late_dlq = int(sum(_take(len(late_write_refs))))
         metrics, stale = _take(2)
@@ -974,7 +1138,7 @@ class StreamingFingerprintPipeline:
             _pq.write_table(alerts, os.path.join(pending["staging"], "alerts.parquet"))
             n_alerts = alerts.num_rows
         t_fin = time.perf_counter()
-        snapshot = {**w_snap, **j_snap, **a_snap, **d_snap}
+        snapshot = {**w_snap, **j_snap, **a_snap, **d_snap, **nd_snap}
         # reclaim counts of EARLIER epochs delivered after their collection
         for k, v in stale.items():
             metrics[k] = metrics.get(k, 0) + v
@@ -984,6 +1148,8 @@ class StreamingFingerprintPipeline:
                 "fingerprints": n_out,
                 "alerts": n_alerts,
                 "clean_docs": n_clean,
+                "neardup_kept": nd_kept,
+                "neardup_dropped": nd_docs - nd_kept,
                 "media_docs": n_media,
                 "late_dlq_rows": n_late_dlq,
                 "join_evicted": evicted,
@@ -1137,6 +1303,19 @@ class StreamingFingerprintPipeline:
         files = sorted(glob.glob(os.path.join(self.sink.out_dir, "epoch=*", "clean-p*.parquet")))
         if not files:
             return pd.DataFrame(columns=["url", "ts_ms", "text_hash"])
+        return pa.concat_tables(
+            [_pq.read_table(f) for f in files], promote_options="default"
+        ).to_pandas()
+
+    def neardup_df(self) -> pd.DataFrame:
+        """Committed near-dup survivors (url, ts_ms), all epochs."""
+        import glob
+
+        import pyarrow.parquet as _pq
+
+        files = sorted(glob.glob(os.path.join(self.sink.out_dir, "epoch=*", "neardup-p*.parquet")))
+        if not files:
+            return pd.DataFrame(columns=["url", "ts_ms"])
         return pa.concat_tables(
             [_pq.read_table(f) for f in files], promote_options="default"
         ).to_pandas()

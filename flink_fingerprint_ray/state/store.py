@@ -519,6 +519,113 @@ class DedupStateActor:
         self._cand = []
 
 
+@ray.remote(num_cpus=0)
+class NearDupStateActor:
+    """Cross-epoch NEAR-dup state for the streaming MinHash-LSH path (the
+    batch analog is ``queries.q_minhash_lsh_clusters``): owns one hash
+    partition of the BAND-KEY space.  Per epoch, candidate (band, doc)
+    rows arrive exploded from the per-doc ``bands`` column; ``close_epoch``
+    emits a per-row verdict: the row is ``ok`` iff its band was never
+    registered by a survivor of an earlier committed epoch AND its doc is
+    the (ts_ms, url)-minimal candidate carrying that band this epoch.  A
+    doc survives iff ALL its bands are ok (AND-reduced across partitions
+    by the ``reduce_neardup`` tasks, which then ``register`` the
+    survivors' bands back here).  Semantics are order-independent within
+    an epoch (min over the full candidate set, not arrival order), so the
+    sweep is deterministic under any route-task interleaving and exact
+    under replay.  State is the sorted uint64 registered-band array;
+    snapshots are per-epoch deltas with periodic base compaction, exactly
+    like the exact-dedup actor."""
+
+    def __init__(self, partition_id: int, compact_every: int = 8) -> None:
+        self.partition_id = partition_id
+        self.seen = np.empty(0, dtype=np.uint64)   # sorted registered bands
+        self._cand: list[pa.Table] = []            # this epoch's (band, ts, url) rows
+        self._delta: list[np.ndarray] = []         # bands registered since last snapshot
+        self._snap_paths: list[str] = []
+        self._snaps_since_compact = 0
+        self._compact_every = compact_every
+
+    def add_candidates(self, table: pa.Table) -> int:
+        if table.num_rows:
+            self._cand.append(table)
+        return table.num_rows
+
+    def close_epoch(self) -> pa.Table | None:
+        """Per-candidate verdict table (band, ts_ms, url, ok); candidates
+        cleared.  Crash before the commit fence is safe: a replayed epoch
+        recomputes identical verdicts from the last COMMITTED seen set."""
+        buf = _concat(self._cand)
+        self._cand = []
+        if buf is None:
+            return None
+        band = buf["band"].to_numpy().astype(np.uint64)
+        ts = buf["ts_ms"].to_numpy()
+        url = np.asarray(buf["url"], dtype=object)
+        order = np.lexsort((url, ts, band))
+        b_s = band[order]
+        newgrp = np.concatenate(([True], b_s[1:] != b_s[:-1]))
+        gid = np.cumsum(newgrp) - 1
+        starts = np.flatnonzero(newgrp)
+        min_ts = ts[order][starts][gid]
+        min_url = url[order][starts][gid]
+        ok_sorted = (ts[order] == min_ts) & (url[order] == min_url)
+        ok = np.empty(len(band), dtype=bool)
+        ok[order] = ok_sorted
+        if len(self.seen):
+            pos = np.minimum(np.searchsorted(self.seen, band), len(self.seen) - 1)
+            ok &= self.seen[pos] != band
+        return buf.append_column("ok", pa.array(ok, pa.bool_()))
+
+    def register(self, table: pa.Table) -> int:
+        """Record the bands of this epoch's survivors (called by the
+        reduce tasks AFTER the cross-partition AND; survivors never share
+        a band, so every registered band is new by construction — the
+        searchsorted guard keeps replay idempotent)."""
+        b = np.unique(table["band"].to_numpy().astype(np.uint64))
+        if len(self.seen):
+            pos = np.minimum(np.searchsorted(self.seen, b), len(self.seen) - 1)
+            b = b[self.seen[pos] != b]
+        if len(b):
+            self.seen = np.union1d(self.seen, b)
+            self._delta.append(b)
+        return int(len(b))
+
+    def buffered_rows(self) -> int:
+        return int(len(self.seen))
+
+    def snapshot(self, snap_dir: str) -> dict[str, list[str]]:
+        os.makedirs(snap_dir, exist_ok=True)
+        self._snaps_since_compact += 1
+        compact = self._snaps_since_compact >= self._compact_every
+        if compact:
+            arrs = [self.seen] if len(self.seen) else []
+            self._snap_paths = []
+            self._snaps_since_compact = 0
+        else:
+            arrs = self._delta
+        h = np.concatenate(arrs) if arrs else None
+        if h is not None and len(h):
+            suffix = "base" if compact else "delta"
+            p = os.path.join(snap_dir, f"p{self.partition_id:04d}_neardup_{suffix}.parquet")
+            pq.write_table(pa.table({"h": pa.array(h, pa.uint64())}), p)
+            self._snap_paths.append(p)
+        self._delta = []
+        return {"neardup": list(self._snap_paths)}
+
+    def restore(self, paths: dict[str, list[str]]) -> None:
+        arrs = [
+            pq.read_table(p)["h"].to_numpy().astype(np.uint64)
+            for p in paths.get("neardup", [])
+        ]
+        self.seen = (
+            np.unique(np.concatenate(arrs)) if arrs else np.empty(0, dtype=np.uint64)
+        )
+        self._snap_paths = list(paths.get("neardup", []))
+        self._delta = []
+        self._cand = []
+
+
 @ray.remote
 def split_alert_rows(block: pa.Table, n_partitions: int) -> list[pa.Table | None]:
     """Split one finalize partition's alert-input rows by key hash (NOT
@@ -583,6 +690,10 @@ class StatePool:
         # work per epoch — does not count against the ~40% actor budget)
         self.dedup_actors = [
             DedupStateActor.remote(i, compact_every) for i in range(n_partitions)
+        ]
+        # near-dup band state (num_cpus=0 for the same reason)
+        self.neardup_actors = [
+            NearDupStateActor.remote(i, compact_every) for i in range(n_partitions)
         ]
 
     def feed_alerts(self, alert_refs: list) -> list:
@@ -655,6 +766,12 @@ class StatePool:
     def snapshot_dedup_refs(self, snap_dir: str) -> list:
         return [a.snapshot.remote(os.path.join(snap_dir, "dedup")) for a in self.dedup_actors]
 
+    def close_neardup_refs(self) -> list:
+        return [a.close_epoch.remote() for a in self.neardup_actors]
+
+    def snapshot_neardup_refs(self, snap_dir: str) -> list:
+        return [a.snapshot.remote(os.path.join(snap_dir, "neardup")) for a in self.neardup_actors]
+
     def evict_join_refs(self, watermark_ms: int) -> list:
         return [a.evict.remote(watermark_ms) for a in self.join_actors]
 
@@ -676,13 +793,16 @@ class StatePool:
             refs.append(a.restore.remote(snap.get(f"alerts_{i}", {})))
         for i, a in enumerate(self.dedup_actors):
             refs.append(a.restore.remote(snap.get(f"dedup_{i}", {})))
+        for i, a in enumerate(self.neardup_actors):
+            refs.append(a.restore.remote(snap.get(f"neardup_{i}", {})))
         ray.get(refs)
 
     def shutdown(self) -> None:
         for a in (self.window_actors + self.join_actors + self.alert_actors
-                  + self.dedup_actors):
+                  + self.dedup_actors + self.neardup_actors):
             ray.kill(a)
         self.window_actors = []
         self.join_actors = []
         self.alert_actors = []
         self.dedup_actors = []
+        self.neardup_actors = []

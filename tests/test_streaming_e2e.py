@@ -340,6 +340,48 @@ def test_streaming_curation_matches_oracle_and_resumes(ray_session, corpus):
     _cmp(eng2)
 
 
+def test_streaming_neardup_matches_oracle_and_resumes(ray_session, corpus):
+    """Streaming MinHash-LSH near-dup dedup runs INSIDE the epoch driver:
+    band state in the NearDupStateActor pool, survivors under the
+    exactly-once fence, kill/resume restores the registered-band set from
+    the committed snapshot."""
+    from flink_fingerprint_ray.oracle import oracle_neardup_stream
+    from flink_fingerprint_ray.pipelines.streaming import N_BANDS
+
+    root, pages, _ = corpus
+    ora = oracle_neardup_stream(pages, N_EPOCHS, n_bands=N_BANDS)
+    # non-vacuous: the fixture plants ~15% exact and ~15% near dup
+    # clusters, so the near-dup gate must drop MORE than exact dedup does
+    n_candidates = pages.num_rows
+    assert 0 < len(ora) < n_candidates * 0.9
+
+    def _cmp(df: pd.DataFrame):
+        cols = ["url", "ts_ms"]
+        a = df[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+        b = ora[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    pipe = _run(root, "out_neardup", cfg_extra={"neardup": True})
+    eng = pipe.neardup_df()
+    m = pipe.manifest.state["epochs"]
+    n_fps = len(pipe.result_dataset().to_pandas())
+    pipe.shutdown()
+    assert n_fps > 0  # window path undisturbed by the side channel
+    _cmp(eng)
+    # metrics ride the manifest
+    assert sum(e["metrics"]["neardup_kept"] for e in m.values()) == len(ora)
+    assert sum(e["metrics"]["neardup_dropped"] for e in m.values()) > 0
+
+    # kill after 2 epochs; resume restores the band state and the full
+    # run's committed survivors equal the one-shot oracle
+    p1 = _run(root, "out_neardup_resume", max_epochs=2, cfg_extra={"neardup": True})
+    p1.shutdown()
+    p2 = _run(root, "out_neardup_resume", cfg_extra={"neardup": True})
+    eng2 = p2.neardup_df()
+    p2.shutdown()
+    _cmp(eng2)
+
+
 def test_streaming_media_features_match_oracle(ray_session, tmp_path):
     """VERDICT r2 item 6: the multimodal column runs under the streaming
     contract — the optional netpbm `media` payload decodes in an
