@@ -110,7 +110,7 @@ def write_corpus(dest: str, n_docs: int, n_epochs: int) -> int:
 
 
 def run_headline(num_cpus: int, n_docs: int = N_DOCS, n_epochs: int = N_EPOCHS,
-                 corpus_dir: str | None = None) -> dict:
+                 corpus_dir: str | None = None, neardup: bool = False) -> dict:
     """The flagship streaming pipeline on a seeded page stream; returns
     wall seconds + docs/sec.  ``corpus_dir``: pre-generated corpus to
     reuse (the --scaling parent writes it ONCE so both parallelism levels
@@ -130,6 +130,7 @@ def run_headline(num_cpus: int, n_docs: int = N_DOCS, n_epochs: int = N_EPOCHS,
             sliding=(120_000, 60_000),
             session_gap_ms=120_000,
             n_state_partitions=min(16, max(4, num_cpus // 2)),
+            neardup=neardup,
         )
         pipe = StreamingFingerprintPipeline(
             os.path.join(tmp, "pages"),
@@ -154,6 +155,10 @@ def run_headline(num_cpus: int, n_docs: int = N_DOCS, n_epochs: int = N_EPOCHS,
             "late_dropped": res.get("late_dropped", 0),
             "distinct_urls_est": res.get("distinct_urls_est", 0),
         }
+        if neardup:
+            telemetry["neardup_kept"] = int(sum(m.get("neardup_kept", 0) for m in per))
+            telemetry["neardup_dropped"] = int(
+                sum(m.get("neardup_dropped", 0) for m in per))
         return {
             "sec": round(elapsed, 3),
             "docs_per_sec": round(n_docs / elapsed, 1),
@@ -398,6 +403,12 @@ def main() -> None:
     )
     queries = {} if args.headline_only else run_queries(SF_DIR)
     quality = {} if args.headline_only else approx_quality(SF_DIR)
+    # the streaming MinHash-LSH near-dup path (neardup=True) gets its own
+    # measured line on a quarter-size corpus: same job + the band exchange,
+    # band-state actors and AND-reduce, so the cost of streaming near-dup
+    # dedup is visible per round (kept/dropped ride the telemetry)
+    neardup = {} if args.headline_only else run_headline(
+        NUM_CPUS, n_docs=max(N_DOCS // 4, 1000), n_epochs=N_EPOCHS, neardup=True)
     result = {
         "metric": "streaming fingerprint pipeline wall time (sec) + per-query suite",
         "value": headline["sec"],
@@ -406,6 +417,7 @@ def main() -> None:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "headline": headline,
+        "neardup": neardup,
         "quality": quality,
     }
     print(json.dumps(result))

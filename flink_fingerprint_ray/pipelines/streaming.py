@@ -584,14 +584,15 @@ def route_neardup(block: pa.Table, n_partitions: int, neardup_handles: list,
 
 @ray.remote
 def reduce_neardup(path: str, neardup_handles: list, n_partitions: int,
-                   part: int, n_reducers: int, *verdicts):
+                   part: int, *verdicts):
     """AND-reduce the per-band verdicts for one doc-hash partition: a doc
-    survives iff EVERY one of its (band, ok) rows is ok.  Map-side-select
-    shuffle shape (like finalize_partition): this task reads its 1/P doc
-    slice from every actor's verdict block, writes its survivor part
-    (url, ts_ms) under the epoch fence, and routes the survivors' bands
-    back to their owning actors for registration.  Returns
-    (n_survivors, n_docs, register_ack_refs)."""
+    survives iff EVERY one of its (band, ok) rows is ok.  The verdict
+    slices arrive PRE-SPLIT by doc hash from every actor's close_epoch
+    (this task's column of the actor × reducer ref matrix), so each
+    verdict row crosses the object store exactly once — no P× re-fetch.
+    Writes this slice's survivor part (url, ts_ms) under the epoch fence
+    and routes the survivors' bands back to their owning actors for
+    registration.  Returns (n_survivors, n_docs, register_ack_refs)."""
     import pyarrow.parquet as pq
 
     tabs = [t for t in verdicts if t is not None and t.num_rows]
@@ -601,14 +602,6 @@ def reduce_neardup(path: str, neardup_handles: list, n_partitions: int,
         pq.write_table(empty, path)
         return 0, 0, []
     t = pa.concat_tables(tabs, promote_options="default").combine_chunks()
-    with np.errstate(over="ignore"):
-        doc_h = (fp.text_hash64(t["url"]) * np.uint64(0x9E3779B97F4A7C15)
-                 + t["ts_ms"].to_numpy().astype(np.uint64))
-    mine = (doc_h % np.uint64(n_reducers)) == np.uint64(part)
-    if not mine.any():
-        pq.write_table(empty, path)
-        return 0, 0, []
-    t = t.take(pa.array(np.flatnonzero(mine)))
     ts = t["ts_ms"].to_numpy()
     url = np.asarray(t["url"], dtype=object)
     ok = t["ok"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -755,6 +748,8 @@ class StreamingFingerprintPipeline:
             self.cfg.n_state_partitions, self.cfg.session_gap_ms,
             self.cfg.join_retention_ms, self.cfg.snapshot_compact_every,
             self.cfg.session_max_ms,
+            with_dedup=self.cfg.curation_min_chars > 0,
+            with_neardup=self.cfg.neardup,
         )
         self.counter = MetricCounter.remote()
         # curation: broadcast the benchmark gram set ONCE (ray.put), read
@@ -894,7 +889,7 @@ class StreamingFingerprintPipeline:
         # 2b) curation routing (optional): surviving candidate rows to the
         #     dedup actors, gated on the PREVIOUS epoch's close_epoch refs
         #     (this epoch's adds must not leak into that survivor sweep)
-        if doc_refs:
+        if doc_refs and cfg.curation_min_chars > 0:
             close_barrier = tuple(prev_pending.get("d_close_refs", ())) if prev_pending else ()
             for ref in doc_refs:
                 ack_list_refs.append(route_clean.remote(
@@ -939,7 +934,7 @@ class StreamingFingerprintPipeline:
         #     Submitted before the dedup snapshot (same driver → mailbox
         #     order); the write tasks land in the staging dir below.
         d_close_refs: list = []
-        if doc_refs:
+        if doc_refs and cfg.curation_min_chars > 0:
             d_close_refs = self.pool.close_dedup_refs()
 
         # 5c) near-dup epoch close: adds acked → per-band verdict sweep;
@@ -952,14 +947,18 @@ class StreamingFingerprintPipeline:
         nd_reduce_refs: list = []
         staging = self.sink.staging_dir(epoch.index)
         if doc_refs and cfg.neardup:
-            nd_close_refs = self.pool.close_neardup_refs()
+            nd_P = cfg.n_state_partitions
+            nd_close_lists = self.pool.close_neardup_refs(nd_P)
+            # one ref per actor is enough as the next epoch's route
+            # barrier: all of close_epoch's slices resolve together
+            nd_close_refs = [row[0] for row in nd_close_lists]
             nd_reduce_refs = [
                 reduce_neardup.remote(
                     os.path.join(staging, f"neardup-p{p:04d}.parquet"),
-                    self.pool.neardup_actors, cfg.n_state_partitions,
-                    p, cfg.n_state_partitions, *nd_close_refs,
+                    self.pool.neardup_actors, nd_P,
+                    p, *[row[p] for row in nd_close_lists],
                 )
-                for p in range(cfg.n_state_partitions)
+                for p in range(nd_P)
             ]
 
         # 6) matured rows from earlier epochs join this epoch's closable
@@ -1080,7 +1079,7 @@ class StreamingFingerprintPipeline:
         evict_refs = self.pool.evict_join_refs(pending["wm"])
         j_snap_refs = self.pool.snapshot_join_refs(pending["snap_dir"])
         a_snap_refs = self.pool.snapshot_alerts_refs(pending["snap_dir"])
-        buf_w_refs, buf_j_refs = self.pool.buffered_refs()
+        buf_w_refs, buf_j_refs, buf_d_refs, buf_nd_refs = self.pool.buffered_refs()
         metrics_ref = self.counter.take_prefix.remote(f"e{epoch.index}:")
         stale_ref = self.counter.take_stale.remote(epoch.index)
 
@@ -1106,6 +1105,7 @@ class StreamingFingerprintPipeline:
         flat = ray.get(
             list(pending["w_snap_refs"]) + alert_feed_refs + evict_refs
             + j_snap_refs + a_snap_refs + buf_w_refs + buf_j_refs
+            + buf_d_refs + buf_nd_refs
             + clean_write_refs + d_snap_refs + nd_snap_refs + media_write_refs
             + late_write_refs + [metrics_ref, stale_ref]
         )
@@ -1122,6 +1122,8 @@ class StreamingFingerprintPipeline:
         a_snap = {f"alerts_{k}": p for k, p in enumerate(_take(len(a_snap_refs)))}
         buf_w = _take(len(buf_w_refs))
         buf_j = _take(len(buf_j_refs))
+        buf_d = _take(len(buf_d_refs))
+        buf_nd = _take(len(buf_nd_refs))
         n_clean = int(sum(_take(len(clean_write_refs))))
         d_snap = {f"dedup_{k}": p for k, p in enumerate(_take(len(d_snap_refs)))}
         nd_snap = {f"neardup_{k}": p for k, p in enumerate(_take(len(nd_snap_refs)))}
@@ -1159,6 +1161,10 @@ class StreamingFingerprintPipeline:
                     "fixed": sum(x["fixed"] for x in buf_w),
                     "session": sum(x["session"] for x in buf_w),
                     "join": sum(buf_j),
+                    # monotone curation-state gauges: seen exact-dedup
+                    # hashes and registered near-dup bands
+                    "dedup": sum(buf_d),
+                    "neardup": sum(buf_nd),
                 },
                 "route_sec": round(pending["t_route"] - pending["t0"], 4),
                 "finalize_sec": round(t_fin - pending["t_route"], 4),

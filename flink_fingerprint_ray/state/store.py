@@ -551,14 +551,17 @@ class NearDupStateActor:
             self._cand.append(table)
         return table.num_rows
 
-    def close_epoch(self) -> pa.Table | None:
-        """Per-candidate verdict table (band, ts_ms, url, ok); candidates
-        cleared.  Crash before the commit fence is safe: a replayed epoch
-        recomputes identical verdicts from the last COMMITTED seen set."""
+    def close_epoch(self, n_reducers: int = 1) -> list[pa.Table | None]:
+        """Per-candidate verdicts (band, ts_ms, url, ok), PRE-SPLIT into
+        ``n_reducers`` doc-hash slices so each AND-reduce task fetches
+        exactly its own rows (one copy of every verdict row leaves this
+        actor, not one per reducer).  Candidates cleared.  Crash before
+        the commit fence is safe: a replayed epoch recomputes identical
+        verdicts from the last COMMITTED seen set."""
         buf = _concat(self._cand)
         self._cand = []
         if buf is None:
-            return None
+            return [None] * n_reducers
         band = buf["band"].to_numpy().astype(np.uint64)
         ts = buf["ts_ms"].to_numpy()
         url = np.asarray(buf["url"], dtype=object)
@@ -575,7 +578,22 @@ class NearDupStateActor:
         if len(self.seen):
             pos = np.minimum(np.searchsorted(self.seen, band), len(self.seen) - 1)
             ok &= self.seen[pos] != band
-        return buf.append_column("ok", pa.array(ok, pa.bool_()))
+        out = buf.append_column("ok", pa.array(ok, pa.bool_()))
+        # same doc-hash rule as reduce_neardup's partition ownership
+        from ..functions import fingerprint as fp
+
+        with np.errstate(over="ignore"):
+            doc_h = (fp.text_hash64(out["url"]) * np.uint64(0x9E3779B97F4A7C15)
+                     + ts.astype(np.uint64))
+        part = (doc_h % np.uint64(n_reducers)).astype(np.int64)
+        o2 = np.argsort(part, kind="stable")
+        sp = part[o2]
+        slices: list[pa.Table | None] = []
+        for p in range(n_reducers):
+            lo = np.searchsorted(sp, p, "left")
+            hi = np.searchsorted(sp, p, "right")
+            slices.append(out.take(pa.array(o2[lo:hi])) if hi > lo else None)
+        return slices
 
     def register(self, table: pa.Table) -> int:
         """Record the bands of this epoch's survivors (called by the
@@ -668,7 +686,8 @@ class StatePool:
     """Driver-side handle bundle for the window + join actor pools."""
 
     def __init__(self, n_partitions: int, session_gap_ms: int, join_retention_ms: int,
-                 compact_every: int = 8, session_max_ms: int = 0) -> None:
+                 compact_every: int = 8, session_max_ms: int = 0,
+                 with_dedup: bool = False, with_neardup: bool = False) -> None:
         self.n = n_partitions
         # adaptive reservation: never let the 2·n state actors claim more
         # than ~40% of the cluster's scheduling budget, or map/finalize
@@ -686,15 +705,19 @@ class StatePool:
             for i in range(n_partitions)
         ]
         self.alert_actors = [AlertStateActor.remote(i) for i in range(n_partitions)]
+        # Optional state pools spawn ONLY when their feature is on: every
+        # actor is a whole Python worker process, and 2n idle processes
+        # measurably slow the default pipeline on a saturated node
+        # (measured ~+30% headline wall when they were unconditional).
         # curation dedup state (num_cpus=0, like alerts: microseconds of
         # work per epoch — does not count against the ~40% actor budget)
         self.dedup_actors = [
             DedupStateActor.remote(i, compact_every) for i in range(n_partitions)
-        ]
+        ] if with_dedup else []
         # near-dup band state (num_cpus=0 for the same reason)
         self.neardup_actors = [
             NearDupStateActor.remote(i, compact_every) for i in range(n_partitions)
-        ]
+        ] if with_neardup else []
 
     def feed_alerts(self, alert_refs: list) -> list:
         """Route finalize partitions' closed-window rows to the per-key
@@ -766,8 +789,14 @@ class StatePool:
     def snapshot_dedup_refs(self, snap_dir: str) -> list:
         return [a.snapshot.remote(os.path.join(snap_dir, "dedup")) for a in self.dedup_actors]
 
-    def close_neardup_refs(self) -> list:
-        return [a.close_epoch.remote() for a in self.neardup_actors]
+    def close_neardup_refs(self, n_reducers: int) -> list[list]:
+        """One row per actor of ``n_reducers`` verdict-slice refs (actor
+        method with num_returns): reducer p fetches column p only, so
+        every verdict row crosses the object store exactly once."""
+        return [
+            list(a.close_epoch.options(num_returns=n_reducers).remote(n_reducers))
+            for a in self.neardup_actors
+        ]
 
     def snapshot_neardup_refs(self, snap_dir: str) -> list:
         return [a.snapshot.remote(os.path.join(snap_dir, "neardup")) for a in self.neardup_actors]
@@ -775,10 +804,14 @@ class StatePool:
     def evict_join_refs(self, watermark_ms: int) -> list:
         return [a.evict.remote(watermark_ms) for a in self.join_actors]
 
-    def buffered_refs(self) -> tuple[list, list]:
+    def buffered_refs(self) -> tuple[list, list, list, list]:
         w = [a.buffered_rows.remote() for a in self.window_actors]
         j = [a.buffered_rows.remote() for a in self.join_actors]
-        return w, j
+        # dedup / near-dup state grows monotonically with the corpus — the
+        # gauge the 100-TB design point watches (seen-hash / seen-band rows)
+        d = [a.buffered_rows.remote() for a in self.dedup_actors]
+        nd = [a.buffered_rows.remote() for a in self.neardup_actors]
+        return w, j, d, nd
 
     def snapshot(self, snap_dir: str) -> dict[str, dict[str, str]]:
         return {**self.snapshot_windows(snap_dir), **self.snapshot_join(snap_dir)}

@@ -371,6 +371,11 @@ def test_streaming_neardup_matches_oracle_and_resumes(ray_session, corpus):
     # metrics ride the manifest
     assert sum(e["metrics"]["neardup_kept"] for e in m.values()) == len(ora)
     assert sum(e["metrics"]["neardup_dropped"] for e in m.values()) > 0
+    # the registered-band state gauge rides the manifest and is non-zero
+    # once survivors registered their bands (epoch keys are str indices)
+    gauges = [m[k]["metrics"]["buffered"]["neardup"]
+              for k in sorted(m, key=int)]
+    assert max(gauges) > 0
 
     # kill after 2 epochs; resume restores the band state and the full
     # run's committed survivors equal the one-shot oracle
