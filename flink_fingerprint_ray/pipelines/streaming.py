@@ -563,6 +563,13 @@ def route_neardup(block: pa.Table, n_partitions: int, neardup_handles: list,
     keep[order[1:][dup]] = False
     band, doc = band[keep], doc[keep]
     ts = block["ts_ms"].to_numpy()[doc]
+    # Byte-shape note: each doc's url ships ~n_bands times (its band rows
+    # scatter across ~n_bands partitions, so dictionary-encoding the
+    # sub-tables would not dedup anything — measured).  The exact
+    # alternative (route 128-bit doc hashes + one co-partitioned url side
+    # table) saves ~2x bytes at the cost of a second exchange and a hash
+    # wide enough to be collision-free at 10^12 docs; revisit only if the
+    # band exchange shows up as the bottleneck at scale.
     url = block["url"].combine_chunks().take(pa.array(doc))
     cand = pa.table({
         "band": pa.array(band, pa.uint64()),

@@ -387,6 +387,64 @@ def test_streaming_neardup_matches_oracle_and_resumes(ray_session, corpus):
     _cmp(eng2)
 
 
+def test_all_side_channels_compose(ray_session, corpus, oracle_df):
+    """Curation + near-dup + late-DLQ all enabled in ONE pipeline run:
+    every side output must match ITS OWN single-process oracle
+    simultaneously, and the window path must be byte-identical to the
+    plain run — composition must not perturb any channel (shared
+    page_transform columns, shared metric counter, shared fence).  A
+    kill/resume of the combined run restores every state pool."""
+    from flink_fingerprint_ray.functions.textstats import ngram_set_hashes
+    from flink_fingerprint_ray.oracle import (
+        oracle_clean_stream,
+        oracle_late_rows,
+        oracle_neardup_stream,
+    )
+    from flink_fingerprint_ray.pipelines.streaming import N_BANDS
+
+    root, pages, _ = corpus
+    MIN_CHARS = 120
+    bench, _ = ngram_set_hashes(pages["text"].slice(10, 5))
+    cfg = {"curation_min_chars": MIN_CHARS, "curation_bench": bench,
+           "neardup": True, "late_side_output": True}
+
+    ora_clean = oracle_clean_stream(pages, N_EPOCHS, MIN_CHARS, bench)
+    ora_nd = oracle_neardup_stream(pages, N_EPOCHS, n_bands=N_BANDS)
+    ora_late = oracle_late_rows(pages, N_EPOCHS)
+    assert len(ora_clean) > 0 and len(ora_nd) > 0 and len(ora_late) > 0
+
+    def _check(pipe):
+        eng = pipe.result_dataset().to_pandas()
+        pd.testing.assert_frame_equal(
+            _norm(eng, oracle_df.columns), _norm(oracle_df, oracle_df.columns),
+            check_dtype=False)
+        for df, ora, cols in (
+            (pipe.clean_df(), ora_clean, ["url", "ts_ms", "text_hash"]),
+            (pipe.neardup_df(), ora_nd, ["url", "ts_ms"]),
+            (pipe.late_df(), ora_late, ["url", "ts_ms"]),
+        ):
+            pd.testing.assert_frame_equal(
+                df[cols].sort_values(cols, kind="stable").reset_index(drop=True),
+                ora[cols].sort_values(cols, kind="stable").reset_index(drop=True),
+                check_dtype=False)
+
+    pipe = _run(root, "out_combo", cfg_extra=cfg)
+    m = pipe.manifest.state["epochs"]
+    _check(pipe)
+    pipe.shutdown()
+    # metric totals agree with each channel's oracle
+    assert sum(e["metrics"]["clean_docs"] for e in m.values()) == len(ora_clean)
+    assert sum(e["metrics"]["neardup_kept"] for e in m.values()) == len(ora_nd)
+    assert sum(e["metrics"]["late_dlq_rows"] for e in m.values()) == len(ora_late)
+
+    # kill/resume the combined run: all three state pools restore
+    p1 = _run(root, "out_combo_resume", max_epochs=2, cfg_extra=cfg)
+    p1.shutdown()
+    p2 = _run(root, "out_combo_resume", cfg_extra=cfg)
+    _check(p2)
+    p2.shutdown()
+
+
 def test_streaming_media_features_match_oracle(ray_session, tmp_path):
     """VERDICT r2 item 6: the multimodal column runs under the streaming
     contract — the optional netpbm `media` payload decodes in an
