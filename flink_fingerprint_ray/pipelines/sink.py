@@ -54,6 +54,27 @@ class CheckpointManifest:
                         "polars version"
                     )
 
+    def ensure_channels(self, channels: dict) -> None:
+        """Record the enabled side channels (curation / neardup / media /
+        late_side) on a fresh run and REFUSE resume when a checkpoint was
+        written with a different set — a toggled flag would silently skip
+        or mix side outputs across epochs while the window path kept
+        committing (same loud-error contract as the token-hash guard).
+        Checkpoints from builds that predate this guard carry no record
+        and are accepted as-is."""
+        recorded = self.state.get("channels")
+        if recorded is None:
+            if self.cursor < 0:
+                self.state["channels"] = dict(channels)
+            return
+        if recorded != channels:
+            raise RuntimeError(
+                "checkpoint manifest was written with a different side-channel "
+                f"configuration (recorded {recorded}, current {channels}) — "
+                "resuming would skip or mix side outputs across epochs; rerun "
+                "from scratch or restore the original PipelineConfig flags"
+            )
+
     @property
     def cursor(self) -> int:
         return int(self.state["cursor"])

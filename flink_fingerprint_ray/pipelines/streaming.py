@@ -751,6 +751,14 @@ class StreamingFingerprintPipeline:
         os.makedirs(out_dir, exist_ok=True)
         self.sink = EpochSink(out_dir)
         self.manifest = CheckpointManifest(out_dir)
+        # refuse resume under a toggled side-channel config (loud error
+        # beats silently mixed per-epoch side outputs)
+        self.manifest.ensure_channels({
+            "curation": self.cfg.curation_min_chars > 0,
+            "neardup": bool(self.cfg.neardup),
+            "media": bool(self.cfg.media_features),
+            "late_side": bool(self.cfg.late_side_output),
+        })
         self.pool = StatePool(
             self.cfg.n_state_partitions, self.cfg.session_gap_ms,
             self.cfg.join_retention_ms, self.cfg.snapshot_compact_every,

@@ -387,6 +387,22 @@ def test_streaming_neardup_matches_oracle_and_resumes(ray_session, corpus):
     _cmp(eng2)
 
 
+def test_resume_refused_on_toggled_side_channel(ray_session, corpus):
+    """Resuming a checkpoint under a DIFFERENT side-channel config must
+    fail loudly (manifest channel guard, like the token-hash guard):
+    a toggled neardup flag would otherwise silently skip or mix side
+    outputs across epochs while the window path kept committing."""
+    root, _, _ = corpus
+    p1 = _run(root, "out_chan_guard", max_epochs=2, cfg_extra={"neardup": True})
+    p1.shutdown()
+    with pytest.raises(RuntimeError, match="side-channel configuration"):
+        _run(root, "out_chan_guard")  # neardup off → refused
+    # the matching config still resumes fine
+    p2 = _run(root, "out_chan_guard", cfg_extra={"neardup": True})
+    assert p2.manifest.cursor == N_EPOCHS - 1
+    p2.shutdown()
+
+
 def test_all_side_channels_compose(ray_session, corpus, oracle_df):
     """Curation + near-dup + late-DLQ all enabled in ONE pipeline run:
     every side output must match ITS OWN single-process oracle
