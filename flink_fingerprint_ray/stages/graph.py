@@ -1,16 +1,21 @@
 """Distributed PageRank by hash-partitioned contribution exchange — the
 second iterative graph workload beside ``dedup.distributed_components``,
 sharing its plasma-refs iteration style (no per-step Dataset executor
-spin-up; two ``grouped_map`` exchanges per iteration).
+spin-up).
 
 Semantics: symmetric (undirected) graph, damping d, FIXED iteration
 count (deterministic across partition layouts up to float summation
-order — the paired check query pins the micros drift at <= 2).  Per
-iteration, partition p holds the rank rows and the src-tagged edges of
-its nodes, computes contrib = rank[src]/deg[src] locally (degree falls
-out of the co-located edges — no separate degree table), exchanges
-contributions on dst, and sums: rank = (1-d)/N + d * sum(contrib).
-Every node of a symmetric graph has in-edges, so no dangling-mass term.
+order — the paired check query pins the micros drift at <= 2).
+
+Scale shape (one exchange per iteration, edges never move after setup):
+edges are hash-partitioned by src ONCE; each iteration runs one LOCAL
+task per partition that joins its resident edges against its resident
+rank rows (degree falls out of the co-located edges — no separate
+degree table), pre-aggregates contributions by destination WITHIN the
+partition, and only those (dst, partial-sum) rows cross the exchange.
+The sum side lands on the same node-hash key, so the new rank
+partition p pairs with edge partition p for the next iteration.  Every
+node of a symmetric graph has in-edges, so no dangling-mass term.
 """
 
 from __future__ import annotations
@@ -30,52 +35,54 @@ def _pr_symmetrize(t: pa.Table) -> pa.Table:
     return pa.table({
         "node": pa.array(np.concatenate([src, dst]), pa.int64()),
         "dst": pa.array(np.concatenate([dst, src]), pa.int64()),
-        "is_edge": pa.array(np.ones(2 * len(src), np.int64), pa.int64()),
-        "val": pa.array(np.zeros(2 * len(src), np.float64), pa.float64()),
     })
-
-
-def _pr_nodes_sweep(t: pa.Table) -> pd.DataFrame:
-    u = np.unique(t["node"].to_numpy())
-    return pd.DataFrame({"node": u})
 
 
 @ray.remote
-def _pr_init_ranks(t: pa.Table, inv_n: float) -> pa.Table:
-    nodes = t["node"].to_numpy().astype(np.int64)
+def _pr_unique_nodes(t: pa.Table) -> pa.Table:
+    """Partition p's node set = unique srcs of its resident half-edges
+    (partitioning is by node hash, so this IS the partition's keyspace)."""
+    return pa.table({"node": pa.array(np.unique(t["node"].to_numpy()), pa.int64())})
+
+
+@ray.remote
+def _pr_init_ranks(nodes: pa.Table, inv_n: float) -> pa.Table:
+    n = nodes.num_rows
     return pa.table({
-        "node": pa.array(nodes, pa.int64()),
-        "dst": pa.array(np.zeros(len(nodes), np.int64), pa.int64()),
-        "is_edge": pa.array(np.zeros(len(nodes), np.int64), pa.int64()),
-        "val": pa.array(np.full(len(nodes), inv_n, np.float64), pa.float64()),
+        "node": nodes["node"],
+        "val": pa.array(np.full(n, inv_n, np.float64), pa.float64()),
     })
 
 
-def _pr_contrib(t: pa.Table) -> pd.DataFrame:
-    """One src partition: degree from the co-located edges, then one
-    contribution row per half-edge keyed by its destination."""
-    df = t.to_pandas()
-    edges = df[df["is_edge"] == 1]
-    ranks = df[df["is_edge"] == 0]
-    idx = pd.Index(ranks["node"].to_numpy())
-    deg = edges.groupby("node", sort=False)["dst"].transform("size").to_numpy(np.float64)
-    pos = idx.get_indexer(edges["node"].to_numpy())
-    r = ranks["val"].to_numpy()[np.clip(pos, 0, None)]
-    r[pos < 0] = 0.0  # src with no rank row cannot occur on a consistent key
-    return pd.DataFrame({
-        "node": edges["dst"].to_numpy(np.int64),
-        "dst": np.int64(0),
-        "is_edge": np.int64(0),
-        "val": r / deg,
+@ray.remote
+def _pr_contrib_local(edges: pa.Table, ranks: pa.Table) -> pa.Table:
+    """One resident partition: rank[src]/deg[src] per half-edge, then a
+    local sum by destination so only (dst, partial) rows hit the wire."""
+    src = edges["node"].to_numpy()
+    dst = edges["dst"].to_numpy()
+    rnode = ranks["node"].to_numpy()
+    rval = ranks["val"].to_numpy()
+    # src values are a subset of rnode (both derive from this partition's
+    # node set), so searchsorted on the sorted-unique rank table is exact
+    order = np.argsort(rnode, kind="stable")
+    pos = order[np.searchsorted(rnode[order], src)]
+    # degree of each src from the co-located edges
+    u, inv, cnt = np.unique(src, return_inverse=True, return_counts=True)
+    contrib = rval[pos] / cnt[inv].astype(np.float64)
+    # local pre-aggregation by destination
+    ud, dinv = np.unique(dst, return_inverse=True)
+    sums = np.zeros(len(ud), np.float64)
+    np.add.at(sums, dinv, contrib)
+    return pa.table({
+        "node": pa.array(ud, pa.int64()),
+        "val": pa.array(sums, pa.float64()),
     })
 
 
 def _pr_sum(t: pa.Table, damping: float, inv_n: float) -> pd.DataFrame:
-    df = t.to_pandas().groupby("node", sort=False)["val"].sum().reset_index()
+    df = t.to_pandas().groupby("node", sort=True)["val"].sum().reset_index()
     df["val"] = (1.0 - damping) * inv_n + damping * df["val"].to_numpy()
-    df["dst"] = np.int64(0)
-    df["is_edge"] = np.int64(0)
-    return df[["node", "dst", "is_edge", "val"]]
+    return df[["node", "val"]]
 
 
 @ray.remote
@@ -96,26 +103,30 @@ def distributed_pagerank(edges_ds: "ray.data.Dataset", damping: float = 0.85,
     if n_partitions is None:
         n_partitions = int(max(4, min(32, n_half // 20_000 + 4)))
 
-    node_refs = grouped_map(sym_refs, ["node"], _pr_nodes_sweep,
-                            n_partitions=n_partitions, return_refs=True)
-    n_nodes = int(sum(ray.get([_pr_nrows.remote(r) for r in node_refs])))
+    # edges partitioned ONCE by src; indexed so partition p's edges can be
+    # re-paired with partition p's rank rows every iteration
+    edge_parts = grouped_map(sym_refs, ["node"], _pr_identity,
+                             n_partitions=n_partitions,
+                             return_indexed_refs=True)
+    node_refs = {p: _pr_unique_nodes.remote(r) for p, r in edge_parts}
+    n_nodes = int(sum(ray.get([_pr_nrows.remote(r) for r in node_refs.values()])))
     inv_n = 1.0 / max(n_nodes, 1)
 
-    rank_refs = [_pr_init_ranks.remote(r, inv_n) for r in node_refs]
-    # edges partitioned ONCE by src; ranks live on the same node-hash key,
-    # so each iteration's contrib pass needs no extra edge exchange
-    edge_parts = grouped_map(sym_refs, ["node"], _pr_identity,
-                             n_partitions=n_partitions, return_refs=True)
+    rank_refs = {p: _pr_init_ranks.remote(node_refs[p], inv_n)
+                 for p, _ in edge_parts}
     for _ in range(iters):
-        tagged = list(rank_refs) + list(edge_parts)
-        cand = grouped_map(tagged, ["node"], _pr_contrib,
-                           n_partitions=n_partitions, return_refs=True)
-        rank_refs = grouped_map(
-            cand, ["node"], _pr_sum,
+        # local pass: no edge or rank row crosses the object store here
+        contribs = [_pr_contrib_local.remote(eref, rank_refs[p])
+                    for p, eref in edge_parts]
+        # the ONLY exchange of the iteration: locally-summed contribution
+        # rows, landing on the same node-hash key as the edge partitions
+        rank_refs = dict(grouped_map(
+            contribs, ["node"], _pr_sum,
             fn_kwargs={"damping": damping, "inv_n": inv_n},
-            n_partitions=n_partitions, return_refs=True)
+            n_partitions=n_partitions, return_indexed_refs=True))
 
-    tabs = [t for t in ray.get(rank_refs) if t is not None and t.num_rows]
+    tabs = [t for t in ray.get(list(rank_refs.values()))
+            if t is not None and t.num_rows]
     out = (pa.concat_tables(tabs, promote_options="default").to_pandas()
            if tabs else pd.DataFrame({"node": [], "val": []}))
     return pd.DataFrame({
