@@ -311,27 +311,29 @@ def oracle_neardup_stream(
         wm = max(wm, int(ts_all[lo:hi].max()) - lateness_ms)
         idx = np.arange(lo, hi)
         cand = idx[(ts_all[idx] >= wm_prev) & (text_len[idx] > 0)]
-        # per band: the (ts_ms, url)-minimal candidate doc carrying it
-        band_min: dict[int, tuple] = {}
-        doc_bands = [set(int(b) for b in band_mat[i]) for i in cand]
-        for j, i in enumerate(cand):
+        # Doc identity IS (ts_ms, url) — the engine's reduce_neardup
+        # AND-reduces all verdict rows of a key together, so distinct
+        # input rows sharing the pair merge into ONE logical doc whose
+        # band set is the union.  Mirror that here before the min rule.
+        merged: dict[tuple, set] = {}
+        for i in cand:
             key = (int(ts_all[i]), str(url_all[i]))
-            for b in doc_bands[j]:
+            merged.setdefault(key, set()).update(int(b) for b in band_mat[i])
+        # per band: the (ts_ms, url)-minimal merged doc carrying it
+        band_min: dict[int, tuple] = {}
+        for key, bands in merged.items():
+            for b in bands:
                 if b not in band_min or key < band_min[b]:
                     band_min[b] = key
         # phase 1: verdicts against the COMMITTED seen set + the epoch-min
         # rule only (matches NearDupStateActor.close_epoch); phase 2:
         # registration (matches reduce_neardup → register)
-        survivors = [
-            j for j, i in enumerate(cand)
-            if all(b not in seen
-                   and band_min[b] == (int(ts_all[i]), str(url_all[i]))
-                   for b in doc_bands[j])
-        ]
-        for j in survivors:
-            seen.update(doc_bands[j])
-            i = cand[j]
-            out.append((str(url_all[i]), int(ts_all[i]), e_i))
+        survivors = [key for key, bands in merged.items()
+                     if all(b not in seen and band_min[b] == key
+                            for b in bands)]
+        for key in survivors:
+            seen.update(merged[key])
+            out.append((key[1], key[0], e_i))
     df = pd.DataFrame(out, columns=["url", "ts_ms", "_epoch"])
     df["ts_ms"] = df["ts_ms"].astype(np.int64)
     return (

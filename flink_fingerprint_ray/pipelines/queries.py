@@ -4293,16 +4293,20 @@ def q_above_segment_avg(sf_dir: str):
     seg = (_read(sf_dir, "customer", cols)
            .map_batches(p1, batch_format="pyarrow").to_pandas()
            .groupby("c_mktsegment", sort=False)
-           .agg(sum_cents=("sum_cents", "sum"), n=("n", "sum")))
-    sums = {s: (int(r.sum_cents), int(r.n)) for s, r in seg.iterrows()}
+           .agg(sum_cents=("sum_cents", "sum"), n=("n", "sum"))
+           .sort_index())
+    seg_keys = np.asarray(seg.index)
+    seg_sc = seg["sum_cents"].to_numpy(np.int64)
+    seg_n = seg["n"].to_numpy(np.int64)
 
     def p2(batch: pa.Table) -> pd.DataFrame:
         df = pd.DataFrame({
             "c_mktsegment": batch["c_mktsegment"].to_pandas(),
             "cents": _cents(batch["c_acctbal"].to_numpy()),
         })
-        sc = df["c_mktsegment"].map(lambda s: sums[s][0]).to_numpy(np.int64)
-        n = df["c_mktsegment"].map(lambda s: sums[s][1]).to_numpy(np.int64)
+        pos = np.searchsorted(seg_keys, df["c_mktsegment"].to_numpy())
+        sc = seg_sc[pos]
+        n = seg_n[pos]
         df["above"] = (df["cents"].to_numpy() * n > sc).astype(np.int64)
         return (df.groupby("c_mktsegment", sort=False)["above"]
                 .agg(n_above="sum", n_total="size").reset_index())

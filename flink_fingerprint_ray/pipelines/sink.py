@@ -60,12 +60,12 @@ class CheckpointManifest:
         written with a different set — a toggled flag would silently skip
         or mix side outputs across epochs while the window path kept
         committing (same loud-error contract as the token-hash guard).
-        Checkpoints from builds that predate this guard carry no record
-        and are accepted as-is."""
+        Checkpoints from builds that predate this guard carry no record;
+        the first resume is accepted as-is but records the current set so
+        the guard engages from the next resume onward."""
         recorded = self.state.get("channels")
         if recorded is None:
-            if self.cursor < 0:
-                self.state["channels"] = dict(channels)
+            self.state["channels"] = dict(channels)
             return
         if recorded != channels:
             raise RuntimeError(

@@ -1017,7 +1017,6 @@ class StreamingFingerprintPipeline:
         # curation: stage survivor parts + snapshot the seen-hash state
         # (close → snapshot mailbox order; both resolved pre-commit)
         clean_write_refs: list = []
-        d_snap_refs: list = []
         if d_close_refs:
             clean_write_refs = [
                 write_clean_part.remote(
@@ -1025,7 +1024,13 @@ class StreamingFingerprintPipeline:
                 )
                 for i, ref in enumerate(d_close_refs)
             ]
-            d_snap_refs = self.pool.snapshot_dedup_refs(snap_dir)
+        # snapshot UNCONDITIONALLY whenever the pool exists (empty list
+        # otherwise): last_snapshot() only surfaces the LAST committed
+        # epoch's snapshot dict, so an epoch without candidates must still
+        # record the cumulative dedup paths or a resume from it would
+        # restore an EMPTY seen-hash set (snapshot returns the cumulative
+        # path list, so this is cheap)
+        d_snap_refs: list = self.pool.snapshot_dedup_refs(snap_dir)
         media_write_refs: list = []
         if doc_refs and cfg.media_features:
             media_write_refs = [
@@ -1103,7 +1108,6 @@ class StreamingFingerprintPipeline:
         # has resolved (register → snapshot → commit), so this small
         # barrier runs first — the refs then join the combined get below
         nd_kept = nd_docs = 0
-        nd_snap_refs: list = []
         if pending.get("nd_reduce_refs"):
             nd_results = ray.get(pending["nd_reduce_refs"])
             nd_kept = int(sum(r[0] for r in nd_results))
@@ -1111,7 +1115,13 @@ class StreamingFingerprintPipeline:
             reg_acks = [a for r in nd_results for a in r[2]]
             if reg_acks:
                 ray.wait(reg_acks, num_returns=len(reg_acks))
-            nd_snap_refs = self.pool.snapshot_neardup_refs(pending["snap_dir"])
+        # snapshot UNCONDITIONALLY whenever the pool exists (see the dedup
+        # snapshot note above): an epoch without doc blocks must still
+        # record the cumulative band-snapshot paths, or a resume from it
+        # would restore an EMPTY registered-band set and re-admit
+        # near-dups.  When registrations happened, the ray.wait above
+        # keeps register -> snapshot -> commit ordering.
+        nd_snap_refs: list = self.pool.snapshot_neardup_refs(pending["snap_dir"])
 
         clean_write_refs = pending.get("clean_write_refs", [])
         d_snap_refs = pending.get("d_snap_refs", [])
