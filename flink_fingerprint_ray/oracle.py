@@ -299,6 +299,17 @@ def oracle_neardup_stream(
     _, mh = fp.simhash_and_minhash(text)
     band_mat = fp.minhash_band_keys(mh, n_bands)
 
+    # Doc identity IS the numeric (ts_ms, doc_h) pair, exactly as on the
+    # engine's exchange (route_neardup computes doc_h =
+    # text_hash64(url)·φ + ts): the reduce AND-groups all verdict rows of
+    # a key together, so distinct input rows sharing the pair merge into
+    # ONE logical doc whose band set is the union and whose reported url
+    # is the MINIMAL one.
+    with np.errstate(over="ignore"):
+        doc_h_all = (fp.text_hash64(pages["url"])
+                     * np.uint64(0x9E3779B97F4A7C15)
+                     + ts_all.astype(np.uint64))
+
     bounds = _epoch_bounds(pages.num_rows, n_epochs)
     wm = 0
     seen: set[int] = set()
@@ -311,15 +322,15 @@ def oracle_neardup_stream(
         wm = max(wm, int(ts_all[lo:hi].max()) - lateness_ms)
         idx = np.arange(lo, hi)
         cand = idx[(ts_all[idx] >= wm_prev) & (text_len[idx] > 0)]
-        # Doc identity IS (ts_ms, url) — the engine's reduce_neardup
-        # AND-reduces all verdict rows of a key together, so distinct
-        # input rows sharing the pair merge into ONE logical doc whose
-        # band set is the union.  Mirror that here before the min rule.
         merged: dict[tuple, set] = {}
+        key_url: dict[tuple, str] = {}
         for i in cand:
-            key = (int(ts_all[i]), str(url_all[i]))
+            key = (int(ts_all[i]), int(doc_h_all[i]))
             merged.setdefault(key, set()).update(int(b) for b in band_mat[i])
-        # per band: the (ts_ms, url)-minimal merged doc carrying it
+            u = str(url_all[i])
+            if key not in key_url or u < key_url[key]:
+                key_url[key] = u
+        # per band: the (ts_ms, doc_h)-minimal merged doc carrying it
         band_min: dict[int, tuple] = {}
         for key, bands in merged.items():
             for b in bands:
@@ -333,7 +344,7 @@ def oracle_neardup_stream(
                             for b in bands)]
         for key in survivors:
             seen.update(merged[key])
-            out.append((key[1], key[0], e_i))
+            out.append((key_url[key], key[0], e_i))
     df = pd.DataFrame(out, columns=["url", "ts_ms", "_epoch"])
     df["ts_ms"] = df["ts_ms"].astype(np.int64)
     return (

@@ -538,19 +538,38 @@ def route_clean(block: pa.Table, n_partitions: int, dedup_handles: list,
 @ray.remote
 def route_neardup(block: pa.Table, n_partitions: int, neardup_handles: list,
                   *close_barrier):
-    """Near-dup routing: explode the per-doc block into (band, ts_ms, url)
-    rows — one per (doc, distinct band) — and send each to the actor
-    owning its band hash (``band % n``).  ``close_barrier`` carries the
-    PREVIOUS epoch's close refs so this epoch's adds cannot leak into that
-    sweep.  Returns add ack refs (awaited with the window-route acks)."""
+    """Near-dup routing: explode the per-doc block into NUMERIC
+    (band, ts_ms, doc_h) rows — one per (doc, distinct band), 24 bytes
+    each — and send each to the actor owning its band hash
+    (``band % n``).  Doc identity on the exchange is
+    ``doc_h = text_hash64(url)·φ + ts`` (the url string would otherwise
+    ship ~n_bands times per doc and force object-array sorts downstream;
+    measured round 3: the band exchange + AND-reduce was the +45%-wall
+    cost center).  The url travels exactly ONCE per doc, on the side
+    tables returned as extra outputs — one per reduce partition
+    (``doc_h % n``), fetched directly by the owning ``reduce_neardup``
+    task to map surviving doc hashes back to (url, ts_ms).
+
+    ``close_barrier`` carries the PREVIOUS epoch's close refs so this
+    epoch's adds cannot leak into that sweep.  Invoked with
+    ``num_returns=1 + n_partitions``: output 0 is the add-ack ref list
+    (awaited with the window-route acks), outputs 1..n are the side
+    tables (None where the partition got no docs)."""
+    empty: tuple = (None,) * n_partitions
     if block.num_rows == 0 or "bands" not in block.column_names:
-        return []
+        return ([],) + empty
     if "is_late" in block.column_names:
         import pyarrow.compute as pc
 
         block = block.filter(pc.invert(block["is_late"]))
         if block.num_rows == 0:
-            return []
+            return ([],) + empty
+    from ..functions import fingerprint as fp
+
+    ts_doc = block["ts_ms"].to_numpy()
+    with np.errstate(over="ignore"):
+        doc_h_doc = (fp.text_hash64(block["url"]) * np.uint64(0x9E3779B97F4A7C15)
+                     + ts_doc.astype(np.uint64))
     bands_col = block["bands"].combine_chunks()
     n_bands = bands_col.type.list_size
     band = bands_col.flatten().to_numpy().astype(np.uint64)
@@ -562,19 +581,10 @@ def route_neardup(block: pa.Table, n_partitions: int, neardup_handles: list,
     dup = (doc[order][1:] == doc[order][:-1]) & (band[order][1:] == band[order][:-1])
     keep[order[1:][dup]] = False
     band, doc = band[keep], doc[keep]
-    ts = block["ts_ms"].to_numpy()[doc]
-    # Byte-shape note: each doc's url ships ~n_bands times (its band rows
-    # scatter across ~n_bands partitions, so dictionary-encoding the
-    # sub-tables would not dedup anything — measured).  The exact
-    # alternative (route 128-bit doc hashes + one co-partitioned url side
-    # table) saves ~2x bytes at the cost of a second exchange and a hash
-    # wide enough to be collision-free at 10^12 docs; revisit only if the
-    # band exchange shows up as the bottleneck at scale.
-    url = block["url"].combine_chunks().take(pa.array(doc))
     cand = pa.table({
         "band": pa.array(band, pa.uint64()),
-        "ts_ms": pa.array(ts, pa.int64()),
-        "url": url,
+        "ts_ms": pa.array(ts_doc[doc], pa.int64()),
+        "doc_h": pa.array(doc_h_doc[doc], pa.uint64()),
     })
     part = (band % np.uint64(n_partitions)).astype(np.int64)
     order = np.argsort(part, kind="stable")
@@ -586,22 +596,39 @@ def route_neardup(block: pa.Table, n_partitions: int, neardup_handles: list,
         s, e = bounds[i], bounds[i + 1]
         sub = cand.take(pa.array(order[s:e]))
         refs.append(neardup_handles[int(sp[s])].add_candidates.remote(sub))
-    return refs
+    # side tables: one (doc_h, ts_ms, url) row per doc, sliced by the
+    # reduce partition that owns the doc hash
+    side = pa.table({
+        "doc_h": pa.array(doc_h_doc, pa.uint64()),
+        "ts_ms": pa.array(ts_doc, pa.int64()),
+        "url": block["url"].combine_chunks().cast(pa.large_string()),
+    })
+    dpart = (doc_h_doc % np.uint64(n_partitions)).astype(np.int64)
+    sides: list[pa.Table | None] = []
+    for p in range(n_partitions):
+        m = dpart == p
+        sides.append(side.take(pa.array(np.flatnonzero(m))) if m.any() else None)
+    return (refs, *sides)
 
 
 @ray.remote
 def reduce_neardup(path: str, neardup_handles: list, n_partitions: int,
-                   part: int, *verdicts):
+                   part: int, n_verdicts: int, *verdicts_and_sides):
     """AND-reduce the per-band verdicts for one doc-hash partition: a doc
-    survives iff EVERY one of its (band, ok) rows is ok.  The verdict
-    slices arrive PRE-SPLIT by doc hash from every actor's close_epoch
-    (this task's column of the actor × reducer ref matrix), so each
-    verdict row crosses the object store exactly once — no P× re-fetch.
+    — identified by the numeric (ts_ms, doc_h) pair — survives iff EVERY
+    one of its (band, ok) rows is ok.  The verdict slices arrive
+    PRE-SPLIT by doc hash from every actor's close_epoch (this task's
+    column of the actor × reducer ref matrix), so each verdict row
+    crosses the object store exactly once — no P× re-fetch; the
+    remaining args are this partition's (doc_h, ts_ms, url) side tables
+    from the route tasks, which map surviving hashes back to urls.
     Writes this slice's survivor part (url, ts_ms) under the epoch fence
     and routes the survivors' bands back to their owning actors for
     registration.  Returns (n_survivors, n_docs, register_ack_refs)."""
     import pyarrow.parquet as pq
 
+    verdicts = verdicts_and_sides[:n_verdicts]
+    sides = verdicts_and_sides[n_verdicts:]
     tabs = [t for t in verdicts if t is not None and t.num_rows]
     empty = pa.table({"url": pa.array([], pa.large_string()),
                       "ts_ms": pa.array([], pa.int64())})
@@ -610,23 +637,55 @@ def reduce_neardup(path: str, neardup_handles: list, n_partitions: int,
         return 0, 0, []
     t = pa.concat_tables(tabs, promote_options="default").combine_chunks()
     ts = t["ts_ms"].to_numpy()
-    url = np.asarray(t["url"], dtype=object)
+    doc_h = t["doc_h"].to_numpy().astype(np.uint64)
     ok = t["ok"].to_numpy(zero_copy_only=False).astype(np.int64)
     band = t["band"].to_numpy().astype(np.uint64)
-    order = np.lexsort((url, ts))
-    ts_s, url_s = ts[order], url[order]
-    newgrp = np.concatenate(([True], (ts_s[1:] != ts_s[:-1]) | (url_s[1:] != url_s[:-1])))
+    order = np.lexsort((doc_h, ts))
+    ts_s, doc_s = ts[order], doc_h[order]
+    newgrp = np.concatenate(([True], (ts_s[1:] != ts_s[:-1]) | (doc_s[1:] != doc_s[:-1])))
     starts = np.flatnonzero(newgrp)
     sizes = np.diff(np.append(starts, len(ts_s)))
     n_ok = np.add.reduceat(ok[order], starts)
     surv_grp = n_ok == sizes
     n_docs = len(starts)
     surv_starts = starts[surv_grp]
-    out = pa.table({
-        "url": pa.array(url_s[surv_starts], pa.large_string()),
-        "ts_ms": pa.array(ts_s[surv_starts], pa.int64()),
-    })
-    pq.write_table(out, path)
+    # survivors → urls via the side tables, deduped by (ts, doc_h, url)
+    # keep-min-url so replay and hash-collision behavior stay deterministic
+    stabs = [s for s in sides if s is not None and s.num_rows]
+    side = (pa.concat_tables(stabs, promote_options="default").combine_chunks()
+            if stabs else None)
+    if side is None or not surv_grp.any():
+        pq.write_table(empty, path)
+        out_urls = np.empty(0, dtype=object)
+        out_ts = np.empty(0, dtype=np.int64)
+    else:
+        s_doc = side["doc_h"].to_numpy().astype(np.uint64)
+        s_ts = side["ts_ms"].to_numpy()
+        s_url = np.asarray(side["url"], dtype=object)
+        # doc_h primary (a hash — runs beyond length 1 are true 64-bit
+        # collisions), then ts, then url: dedup keeps the MIN url per
+        # (doc_h, ts) so replay and collision behavior are deterministic
+        so = np.lexsort((s_url, s_ts, s_doc))
+        s_ts, s_doc, s_url = s_ts[so], s_doc[so], s_url[so]
+        first = np.concatenate(([True], (s_doc[1:] != s_doc[:-1]) | (s_ts[1:] != s_ts[:-1])))
+        s_ts, s_doc, s_url = s_ts[first], s_doc[first], s_url[first]
+        want_ts, want_doc = ts_s[surv_starts], doc_s[surv_starts]
+        pos = np.searchsorted(s_doc, want_doc, "left")
+        pos_c = np.minimum(pos, max(len(s_doc) - 1, 0))
+        good = (s_doc[pos_c] == want_doc) & (s_ts[pos_c] == want_ts)
+        idx = np.where(good, pos_c, -1)
+        for j in np.flatnonzero(~good):  # true 64-bit collisions only
+            k = pos[j]
+            while k < len(s_doc) and s_doc[k] == want_doc[j] and s_ts[k] != want_ts[j]:
+                k += 1
+            idx[j] = k if k < len(s_doc) and s_doc[k] == want_doc[j] else -1
+        hit = idx >= 0
+        out_urls = s_url[idx[hit]]
+        out_ts = want_ts[hit]
+        pq.write_table(pa.table({
+            "url": pa.array(out_urls, pa.large_string()),
+            "ts_ms": pa.array(out_ts, pa.int64()),
+        }), path)
     ack_refs = []
     if surv_grp.any():
         row_surv = np.repeat(surv_grp, sizes)
@@ -778,6 +837,13 @@ class StreamingFingerprintPipeline:
         if self.manifest.cursor >= 0:  # resume: restore actor state snapshots
             self.pool.restore(self.manifest.last_snapshot(), self.manifest.watermark_ms)
 
+    def ready(self) -> None:
+        """Wait for the state-actor pool to finish spawning (see
+        StatePool.ready) — lets benchmarks time steady-state processing
+        rather than actor process startup."""
+        self.pool.ready()
+        ray.get(self.counter.__ray_ready__.remote())
+
     # -- transform (Dataset execution; prefetchable) -----------------------
     def _transform_refs(self, epoch, late_cutoff_ms: int) -> list:
         """Pages: read → fingerprint → window explode, executed as a Ray
@@ -789,7 +855,14 @@ class StreamingFingerprintPipeline:
         blocks = cfg.read_blocks
         if blocks is None:
             cpus = int(ray.cluster_resources().get("CPU", 8))
-            blocks = max(len(epoch.files), min(2 * cpus, max(1, epoch.num_rows // 2000)))
+            # Block count sized on BOTH rows and on-disk bytes: the row
+            # heuristic alone undercounts for fat documents (a 30k-row
+            # epoch of ~10 KB pages is ~600 MB — at one block per file
+            # only 19 of 32 CPUs ever ran; measured 2.7x instead of 4x on
+            # the 8->32 scaling pair).  ~8 MB compressed per block splits
+            # on the fixtures' ~4 MB row groups without re-decoding.
+            want = max(1, epoch.num_rows // 2000, epoch.total_bytes >> 23)
+            blocks = max(len(epoch.files), min(2 * cpus, want))
         # Project at the scan: the fixture table carries the full
         # Common-Crawl shape (url, warc_ts, html, text, lang) but the
         # transform re-extracts text from html — reading `text` too would
@@ -912,14 +985,23 @@ class StreamingFingerprintPipeline:
                     *close_barrier,
                 ))
         # 2c) near-dup routing (optional): per-doc bands to their owning
-        #     band actors, gated on the PREVIOUS epoch's close refs
+        #     band actors, gated on the PREVIOUS epoch's close refs.  Each
+        #     route task also returns one (doc_h, ts_ms, url) side slice
+        #     per reduce partition; the refs flow straight into the
+        #     reduce tasks below (plasma-direct, no driver copy).
+        nd_side_cols: list[list] = []
         if doc_refs and cfg.neardup:
+            nd_P = cfg.n_state_partitions
+            nd_side_cols = [[] for _ in range(nd_P)]
             nd_barrier = tuple(prev_pending.get("nd_close_refs", ())) if prev_pending else ()
             for ref in doc_refs:
-                ack_list_refs.append(route_neardup.remote(
-                    ref, cfg.n_state_partitions, self.pool.neardup_actors,
+                outs = route_neardup.options(num_returns=1 + nd_P).remote(
+                    ref, nd_P, self.pool.neardup_actors,
                     *nd_barrier,
-                ))
+                )
+                ack_list_refs.append(outs[0])
+                for p in range(nd_P):
+                    nd_side_cols[p].append(outs[1 + p])
 
         t_route_launch = time.perf_counter()
 
@@ -971,7 +1053,9 @@ class StreamingFingerprintPipeline:
                 reduce_neardup.remote(
                     os.path.join(staging, f"neardup-p{p:04d}.parquet"),
                     self.pool.neardup_actors, nd_P,
-                    p, *[row[p] for row in nd_close_lists],
+                    p, len(nd_close_lists),
+                    *[row[p] for row in nd_close_lists],
+                    *nd_side_cols[p],
                 )
                 for p in range(nd_P)
             ]

@@ -29,6 +29,7 @@ class Epoch:
     files: list[str]
     max_ts_ms: int  # from parquet column stats
     num_rows: int
+    total_bytes: int = 0  # on-disk (compressed) size of the epoch's files
 
 
 class EpochSource:
@@ -49,7 +50,9 @@ class EpochSource:
                 continue
             max_ts = 0
             rows = 0
+            n_bytes = 0
             for f in files:
+                n_bytes += os.path.getsize(f)
                 # transient-IO retry (S6 analog): stats reads hit storage
                 # per file; a blip must not kill epoch discovery
                 md = with_retries(lambda f=f: pq.read_metadata(f))
@@ -71,7 +74,7 @@ class EpochSource:
                         else:
                             ts_ms = int(v)
                         max_ts = max(max_ts, ts_ms)
-            out.append(Epoch(int(m.group(1)), files, max_ts, rows))
+            out.append(Epoch(int(m.group(1)), files, max_ts, rows, n_bytes))
         return out
 
     def epochs(self, start: int = 0) -> list[Epoch]:

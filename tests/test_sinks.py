@@ -176,3 +176,29 @@ class TestPrunedRead:
         write_sharded(ray.data.from_arrow(t), root, "part_key")
         ds, n_read, n_total = read_pruned(root, "ts_ms", 10_000, 20_000)
         assert (n_read, n_total) == (0, 2) and ds.count() == 0
+
+
+def test_sorted_run_membership_spills_and_answers():
+    """The band-registry tier must keep answering exact membership across
+    spills and run merges while bounding the in-memory array."""
+    import numpy as np
+
+    from flink_fingerprint_ray.state.store import SortedRunMembership
+
+    m = SortedRunMembership(mem_cap=1000, max_runs=2,
+                            spill_prefix="ffr_test_member_")
+    rng = np.random.default_rng(7)
+    all_keys = np.unique(
+        rng.integers(1, 1 << 40, size=13_000, dtype=np.uint64))[:12_000]
+    rng.shuffle(all_keys)
+    for i in range(0, len(all_keys), 900):  # forces many spills + merges
+        m.add(all_keys[i:i + 900])
+    assert len(m._mem) <= 1000
+    assert len(m._runs) <= 3  # merge keeps the run count bounded
+    assert len(m) == len(np.unique(all_keys))
+    probe = np.concatenate([all_keys[::7], all_keys[::7] + np.uint64(1 << 41)])
+    got = m.contains(probe)
+    assert got[:len(all_keys[::7])].all()
+    assert not got[len(all_keys[::7]):].any()
+    vals = m.values()
+    assert np.array_equal(vals, np.unique(all_keys))
