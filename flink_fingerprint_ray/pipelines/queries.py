@@ -1772,6 +1772,38 @@ SELECT user_id, MIN(bucket) AS bucket, 'rd_err_gt_click' AS rule_id FROM s4 WHER
 """
 
 
+def q_rule_report(sf_dir: str):
+    """Config-driven rule-engine END-TO-END (reference
+    ``process_odr.py:495-1197``): 46-rule fixture corpus + per-deployment
+    overrides + param→(description, unit) mapping sheet, composed as
+    pivot → steady-running filter → duration-gated alarms → decorated
+    observation report, one orchestration call.  The SQL oracle is
+    GENERATED from the same rule dicts (``rules_to_sql``), so both sides
+    evaluate the identical config."""
+    from .rule_report import make_rule_corpus, run_rule_report
+
+    rules, overrides, mapping = make_rule_corpus()
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type", "value"])
+    return run_rule_report(ds, rules, overrides=overrides, mapping=mapping,
+                           running=_RULE_REPORT_RUNNING)
+
+
+# steady-running analog (reference RUNNING_FLAG): evaluate rules only on
+# buckets whose click rate sits inside the operating band
+_RULE_REPORT_RUNNING = {"param": "click", "op": "between", "value": [0.0, 250.0]}
+
+
+def _sql_rule_report() -> str:
+    from .rule_report import make_rule_corpus, rules_to_sql
+
+    rules, overrides, mapping = make_rule_corpus()
+    return rules_to_sql(rules, overrides=overrides, mapping=mapping,
+                        running=_RULE_REPORT_RUNNING)
+
+
+SQL_RULE_REPORT = _sql_rule_report()
+
+
 def _lowess_sweep(t: pa.Table) -> pd.DataFrame:
     from ..functions.smooth import lowess_smooth
 
@@ -4769,6 +4801,7 @@ QUERIES = {
     "pivot_wide": q_pivot_wide,
     "rule_alarms": q_rule_alarms,
     "rule_alarms_duration": q_rule_alarms_duration,
+    "rule_report": q_rule_report,
     "lowess_smooth": q_lowess_smooth,
     "lowess_smooth_check": q_lowess_smooth_check,
     "media_image_features_check": q_media_image_features_check,
@@ -4899,6 +4932,7 @@ ORACLE_SQL = {
     "pivot_wide": SQL_PIVOT_WIDE,
     "rule_alarms": SQL_RULE_ALARMS,
     "rule_alarms_duration": SQL_RULE_ALARMS_DURATION,
+    "rule_report": SQL_RULE_REPORT,
     "mapped_lookup": SQL_MAPPED_LOOKUP,
     "value_counts": SQL_VALUE_COUNTS,
     "interval_join": SQL_INTERVAL_JOIN,

@@ -106,6 +106,7 @@ FAST_SQL_QUERIES = [
     "robust_length_stats",
     "supplier_pagerank_check",
     "top_bigrams",
+    "rule_report",
 ]
 
 
