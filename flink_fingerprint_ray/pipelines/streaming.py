@@ -1255,6 +1255,7 @@ class StreamingFingerprintPipeline:
             metrics[k] = metrics.get(k, 0) + v
         metrics.update(
             {
+                "epoch": epoch.index,
                 "rows_in": epoch.num_rows,
                 "fingerprints": n_out,
                 "alerts": n_alerts,
@@ -1304,8 +1305,71 @@ class StreamingFingerprintPipeline:
         return metrics
 
     # -- full run ----------------------------------------------------------
-    def run(self, max_epochs: int | None = None) -> dict:
-        """Process all epochs after the committed cursor (resume-safe).
+    def run(
+        self,
+        max_epochs: int | None = None,
+        *,
+        follow: bool = False,
+        poll_interval_s: float = 0.2,
+        idle_timeout_s: float = 5.0,
+        stop_file: str | None = None,
+    ) -> dict:
+        """Process epochs after the committed cursor (resume-safe).
+
+        ``follow=False`` (default): one bounded pass over the epochs
+        currently on disk.  ``follow=True``: TAIL the source directory —
+        the reference's unbounded Kafka consumption — processing sealed
+        epochs as they appear (``EpochSource.refresh``), committing each
+        exactly once, until ``stop_file`` exists, ``max_epochs`` are
+        processed, or the source stays idle for ``idle_timeout_s``
+        (sandbox termination; a production tail would run forever).
+        Between polls all pending work is committed, so a kill while
+        idle loses nothing."""
+        if not follow:
+            return self._run_once(max_epochs)
+        runs: list[dict] = []
+        processed = 0
+        idle_since = time.monotonic()
+        idle_sec = 0.0
+        while True:
+            if stop_file and os.path.exists(stop_file):
+                break
+            if max_epochs is not None and processed >= max_epochs:
+                break
+            self.source.refresh()
+            if self.updates_source is not None:
+                self.updates_source.refresh()
+            avail = self.source.epochs(self.manifest.cursor + 1)
+            if max_epochs is not None:
+                avail = avail[: max_epochs - processed]
+            if avail:
+                r = self._run_once(len(avail))
+                runs.append(r)
+                processed += r["epochs_run"]
+                idle_since = time.monotonic()
+                continue
+            if time.monotonic() - idle_since >= idle_timeout_s:
+                break
+            idle_sec += poll_interval_s
+            time.sleep(poll_interval_s)
+        if not runs:
+            return {"distinct_urls_est": 0, "epochs_run": 0, "rows_in": 0,
+                    "fingerprints": 0, "clean_docs": 0, "media_docs": 0,
+                    "late_dropped": 0, "wall_sec": 0.0, "docs_per_sec": 0.0,
+                    "follow_idle_sec": round(idle_sec, 3), "per_epoch": []}
+        total = dict(runs[-1])  # distinct_urls_est: cumulative HLL, last wins
+        for k in ("epochs_run", "rows_in", "fingerprints", "clean_docs",
+                  "media_docs", "late_dropped", "wall_sec"):
+            total[k] = sum(r[k] for r in runs)
+        total["per_epoch"] = [m for r in runs for m in r["per_epoch"]]
+        total["wall_sec"] = round(total["wall_sec"], 4)
+        total["docs_per_sec"] = round(
+            total["rows_in"] / total["wall_sec"], 2) if total["wall_sec"] else 0.0
+        total["follow_idle_sec"] = round(idle_sec, 3)
+        return total
+
+    def _run_once(self, max_epochs: int | None = None) -> dict:
+        """One bounded pass: every epoch currently after the cursor.
 
         The per-epoch late cutoff is the watermark at epoch START, which
         derives purely from parquet column stats (EpochSource) — so epoch

@@ -38,13 +38,20 @@ class EpochSource:
         self.ts_col = ts_col
         self._epochs = self._discover()
 
-    def _discover(self) -> list[Epoch]:
+    def _discover(self, skip: set[int] | None = None) -> list[Epoch]:
         dirs = sorted(
             d for d in glob.glob(os.path.join(self.root, "epoch=*")) if os.path.isdir(d)
         )
         out = []
         for d in dirs:
             m = re.search(r"epoch=(\d+)", d)
+            if skip and int(m.group(1)) in skip:
+                continue  # tailing: already scanned, stats never re-read
+            # a writer seals an epoch by removing its _INPROGRESS marker;
+            # an unsealed directory is invisible to the cursor (the
+            # tailing analog of Kafka's committed-offset visibility)
+            if os.path.exists(os.path.join(d, "_INPROGRESS")):
+                continue
             files = sorted(glob.glob(os.path.join(d, "*.parquet")))
             if not files:
                 continue
@@ -76,6 +83,18 @@ class EpochSource:
                         max_ts = max(max_ts, ts_ms)
             out.append(Epoch(int(m.group(1)), files, max_ts, rows, n_bytes))
         return out
+
+    def refresh(self) -> int:
+        """Tailing mode (the reference's unbounded Kafka consumption,
+        ``kafka_config.py:24-31``): re-scan the root for NEWLY sealed
+        epoch directories.  Known epochs keep their cached stats — one
+        metadata read per file ever, however often the poll fires.
+        Returns the number of newly discovered epochs."""
+        known = {e.index for e in self._epochs}
+        new = self._discover(skip=known)
+        if new:
+            self._epochs = sorted(self._epochs + new, key=lambda e: e.index)
+        return len(new)
 
     def epochs(self, start: int = 0) -> list[Epoch]:
         return [e for e in self._epochs if e.index >= start]

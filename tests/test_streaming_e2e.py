@@ -599,3 +599,72 @@ def test_late_side_output_matches_oracle_and_resumes(ray_session, corpus, oracle
     pd.testing.assert_frame_equal(
         late2.sort_values(key).reset_index(drop=True),
         ora.sort_values(key).reset_index(drop=True), check_dtype=False)
+
+
+def test_follow_tails_appended_epochs_exactly_once(ray_session, tmp_path):
+    """S1 tailing mode (the reference's unbounded Kafka consumption):
+    epochs appended while run(follow=True) is live are discovered,
+    processed and committed exactly once; an _INPROGRESS epoch stays
+    invisible until sealed; output equals the all-at-once oracle."""
+    import shutil
+    import threading
+    import time as _time
+
+    N = 5
+    stage = tmp_path / "stage"
+    live = tmp_path / "live"
+    pages = fixtures.make_pages(n_docs=500, seed=23)
+    updates = fixtures.make_page_updates(pages, seed=24)
+    fixtures.write_epochs(pages, str(stage), n_epochs=N, prefix="pages")
+    fixtures.write_epochs(updates, str(live), n_epochs=N, prefix="updates")
+    os.makedirs(live / "pages")
+    for k in range(3):  # epochs 0-2 present at start
+        shutil.move(str(stage / "pages" / f"epoch={k:05d}"),
+                    str(live / "pages" / f"epoch={k:05d}"))
+
+    cfg = PipelineConfig(**CFG)
+    pipe = StreamingFingerprintPipeline(
+        str(live / "pages"), str(live / "out_follow"),
+        updates_root=str(live / "updates"), cfg=cfg)
+    stop_file = str(tmp_path / "STOP")
+    result: dict = {}
+
+    def _tail():
+        result.update(pipe.run(follow=True, poll_interval_s=0.1,
+                               idle_timeout_s=30.0, stop_file=stop_file))
+
+    t = threading.Thread(target=_tail)
+    t.start()
+    try:
+        deadline = _time.monotonic() + 60
+        while pipe.manifest.cursor < 2 and _time.monotonic() < deadline:
+            _time.sleep(0.1)
+        assert pipe.manifest.cursor == 2
+        # epoch 3 arrives UNSEALED: marker present -> must stay invisible
+        d3 = live / "pages" / "epoch=00003"
+        shutil.move(str(stage / "pages" / "epoch=00003"), str(d3))
+        open(d3 / "_INPROGRESS", "w").close()
+        _time.sleep(0.5)  # several polls
+        assert pipe.manifest.cursor == 2
+        os.unlink(d3 / "_INPROGRESS")  # seal 3, then append 4
+        shutil.move(str(stage / "pages" / "epoch=00004"),
+                    str(live / "pages" / "epoch=00004"))
+        while pipe.manifest.cursor < 4 and _time.monotonic() < deadline:
+            _time.sleep(0.1)
+        assert pipe.manifest.cursor == 4
+        open(stop_file, "w").close()
+    finally:
+        t.join(timeout=90)
+    assert not t.is_alive()
+    assert result["epochs_run"] == N
+    # exactly once: every epoch index appears exactly once across passes
+    idx = [m["epoch"] for m in result["per_epoch"]]
+    assert sorted(idx) == list(range(N))
+    eng = pipe.result_dataset().to_pandas()
+    pipe.shutdown()
+    ora = oracle_fingerprints(pages, N, updates=updates,
+                              sliding=CFG["sliding"],
+                              session_gap_ms=CFG["session_gap_ms"])
+    assert len(eng) == len(ora) > 0
+    pd.testing.assert_frame_equal(
+        _norm(eng, ora.columns), _norm(ora, ora.columns), check_dtype=False)
