@@ -79,10 +79,13 @@ def oracle_fingerprints(
     session_gap_ms: int = 0,
     lateness_ms: int = 10_000,
     join_retention_ms: int = 300_000,
-    session_max_ms: int = 0,
+    session_max_ms: int | None = None,
 ) -> pd.DataFrame:
     """Expected engine output (F3 schema + update counts) for `pages`
     split into `n_epochs` arrival epochs."""
+    if session_max_ms is None:
+        # mirror PipelineConfig.__post_init__'s AUTO rule exactly
+        session_max_ms = 20 * session_gap_ms if session_gap_ms else 0
     # per-doc fingerprints (shared deterministic kernels)
     text = fp.extract_text(pages["html"])
     ts_all = pages["warc_ts"].cast(pa.int64()).to_numpy()

@@ -30,6 +30,7 @@ Event-time contract (mirrored bit-for-bit by ``oracle.py``):
 
 from __future__ import annotations
 
+import logging
 import os
 import time
 from dataclasses import dataclass, field
@@ -49,16 +50,30 @@ from .sink import CheckpointManifest, EpochSink
 
 N_BANDS = 16
 
+logger = logging.getLogger(__name__)
+
+# buffered-session-rows level above which an explicitly UNBOUNDED
+# (session_max_ms=0) pipeline warns once per doubling — the state that
+# never closes is the one that kills a long-running job
+SESSION_STATE_WARN_ROWS = 500_000
+
 
 @dataclass
 class PipelineConfig:
     tumbling_size_ms: int = 60_000            # reference: 1-min window (config.py:36)
     sliding: tuple[int, int] | None = None    # (size_ms, slide_ms)
     session_gap_ms: int = 0                   # 0 = session windows off
-    session_max_ms: int = 0                   # 0 = unbounded; >0 force-closes
-                                              # sessions older than this vs the
-                                              # watermark (bounds open state for
-                                              # hot keys that never idle)
+    session_max_ms: int | None = None         # None = AUTO (20 x gap); >0
+                                              # force-closes sessions older than
+                                              # this vs the watermark (bounds open
+                                              # state for hot keys that never
+                                              # idle); 0 = explicitly unbounded —
+                                              # a documented foot-gun at scale
+                                              # (the engine warns loudly when
+                                              # unbounded session state grows).
+                                              # The oracle resolves None with the
+                                              # SAME rule, so parity holds by
+                                              # construction.
     lateness_ms: int = 10_000                 # reference: 10 s (config.py:37)
     join_retention_ms: int = 300_000          # reference: 5 min (save_fingerprints.py:85)
     n_state_partitions: int = 8
@@ -91,6 +106,14 @@ class PipelineConfig:
     # neardup-p*.parquet; band state lives in the NearDupStateActor pool
     # (delta-snapshotted, close→reduce→register→snapshot→commit ordering)
     neardup: bool = False
+
+    def __post_init__(self) -> None:
+        if self.session_max_ms is None:
+            # AUTO: bound open-session state at 20x the gap — long enough
+            # that organic sessions are untouched, finite so a hot key
+            # that never idles cannot grow state forever (round-3 finding:
+            # unbounded default left monotone buffered_rows_final)
+            self.session_max_ms = 20 * self.session_gap_ms if self.session_gap_ms else 0
 
 
 FINGERPRINT_COLS = [
@@ -833,6 +856,7 @@ class StreamingFingerprintPipeline:
             bench = np.unique(np.asarray(self.cfg.curation_bench, dtype=np.uint64))
             self._bench_ref = ray.put(bench)
         self._metrics_log: list[dict] = []
+        self._session_warn_rows = SESSION_STATE_WARN_ROWS
         self._wm = self.manifest.watermark_ms  # in-memory watermark chain
         if self.manifest.cursor >= 0:  # resume: restore actor state snapshots
             self.pool.restore(self.manifest.last_snapshot(), self.manifest.watermark_ms)
@@ -1302,6 +1326,15 @@ class StreamingFingerprintPipeline:
         self.sink.publish(epoch.index)
         self.manifest.commit(epoch.index, pending["wm"], snapshot, metrics, lineage)
         self._metrics_log.append(metrics)
+        sess_rows = metrics["buffered"]["session"]
+        if (self.cfg.session_gap_ms and not self.cfg.session_max_ms
+                and sess_rows >= self._session_warn_rows):
+            logger.warning(
+                "UNBOUNDED session state: %d buffered session rows and "
+                "session_max_ms=0 — open sessions of keys that never idle "
+                "grow forever. Set session_max_ms (default AUTO caps at "
+                "20x the gap) to bound state.", sess_rows)
+            self._session_warn_rows *= 2  # once per doubling, not per epoch
         return metrics
 
     # -- full run ----------------------------------------------------------
