@@ -254,3 +254,37 @@ def pages_from_documents(sf_dir: str) -> pa.Table:
             "lang": docs["lang"].combine_chunks().cast(pa.string()),
         }
     )
+
+
+def make_labeled_corpus(n_docs: int = 1200, seed: int = 77,
+                        n_classes: int = 5) -> pa.Table:
+    """Deterministic LABELED text corpus for training the real T6 model
+    artifact (``functions/model.py``): each class writes words drawn
+    from its own letter distribution, so class identity IS learnable
+    from character trigrams (unlike the documents table, whose lang
+    column is independent noise).  Returns (text, label)."""
+    rng = np.random.RandomState(seed)
+    alphabets = [
+        "aeioulmnrst", "bcdfgkptvwy", "qrszxjkwvtn",
+        "hijyaeopmcd", "uogltrnbfqe",
+    ][:n_classes]
+    vocabs = []
+    for a in alphabets:
+        letters = np.array(list(a))
+        words = set()
+        while len(words) < 60:
+            n = rng.randint(3, 9)
+            words.add("".join(letters[rng.randint(0, len(letters), n)]))
+        vocabs.append(np.array(sorted(words)))
+    shared = np.array(["the", "data", "and", "of", "to"])
+    texts, labels = [], []
+    for i in range(n_docs):
+        c = i % n_classes
+        n_words = rng.randint(30, 120)
+        own = vocabs[c][rng.randint(0, len(vocabs[c]), n_words)]
+        mix = rng.rand(n_words) < 0.1
+        own[mix] = shared[rng.randint(0, len(shared), int(mix.sum()))]
+        texts.append(" ".join(own))
+        labels.append(f"class{c}")
+    return pa.table({"text": pa.array(texts, pa.large_string()),
+                     "label": pa.array(labels)})

@@ -983,6 +983,85 @@ def q_media_image_features(sf_dir: str):
     return out.drop_columns(["thumb"])
 
 
+def _lang_model_path(sf_dir: str) -> str:
+    """Train-once cache of the REAL model artifact (the fixture-generator
+    step): deterministic training on the labeled fixture corpus
+    (``fixtures.make_labeled_corpus`` — the documents table's own lang
+    column is independent noise by construction, so the trainable corpus
+    is a fixture concern, like the reference's pre-trained LLM),
+    quantized and saved as .npz for the scorer actors to load."""
+    from ..fixtures import make_labeled_corpus
+    from ..functions.model import save_lang_model, train_lang_model
+
+    root = os.path.join("/tmp", "ffr_models")
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, "langid_fixture_v1.npz")
+    if not os.path.exists(path):
+        corpus = make_labeled_corpus()
+        model = train_lang_model(corpus["text"], corpus["label"].to_pylist())
+        tmp = os.path.join(root, f"langid_fixture_v1.tmp-{os.getpid()}.npz")
+        save_lang_model(tmp, model)
+        os.replace(tmp, path)  # atomic: concurrent trainers converge
+    return path
+
+
+def q_model_lang_score(sf_dir: str):
+    """T6 with a real model artifact (reference ``llm_job.py:254-332``
+    analog): the trained quantized softmax language model rides an
+    actor-pool ``map_batches`` stage — artifact np.load once per actor
+    in ``__init__``, exact integer scoring per batch.  Rows-only (the
+    trained weights are not SQL-expressible); the distributed-vs-single
+    process invariant is ``model_lang_score_check``."""
+    from ..stages.textops import ModelScorerStage
+
+    path = _lang_model_path(sf_dir)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(ModelScorerStage, fn_constructor_kwargs={"model_path": path},
+                         concurrency=(1, 4), batch_size=256,
+                         batch_format="pyarrow")
+    return out.select_columns(["doc_id", "model_lang", "model_score",
+                               "model_margin"])
+
+
+def q_model_lang_score_check(sf_dir: str):
+    """Driver-visible invariant for the model scorer: the actor-pool run
+    must equal a single-process scoring sweep of the same artifact
+    row-exactly (exact integer scores make this zero-tolerance), and the
+    artifact must be a genuinely LEARNED model (held-out accuracy on the
+    labeled fixture corpus well above chance).  Oracle pins
+    mismatch_rows=0 and accuracy_floor=1."""
+    import pyarrow.parquet as pq
+
+    from ..fixtures import make_labeled_corpus
+    from ..functions.model import load_lang_model, score_texts
+
+    eng = q_model_lang_score(sf_dir).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    model = load_lang_model(_lang_model_path(sf_dir))
+    pred, best, margin = score_texts(tbl["text"], model)
+    classes = np.asarray(model["classes"], dtype=object)
+    ref = pd.DataFrame({
+        "doc_id": tbl["doc_id"].to_numpy(),
+        "model_lang": classes[pred],
+        "model_score": best,
+        "model_margin": margin,
+    }).sort_values("doc_id").reset_index(drop=True)
+    if len(eng) != len(ref):
+        mism = max(len(eng), len(ref))
+    else:
+        mism = int((eng[ref.columns.tolist()].to_numpy() != ref.to_numpy())
+                   .any(axis=1).sum())
+    held = make_labeled_corpus(seed=78)  # disjoint from the training seed
+    hp, _, _ = score_texts(held["text"], model)
+    acc = float((classes[hp] ==
+                 np.asarray(held["label"], dtype=object)).mean())
+    return pd.DataFrame({"mismatch_rows": pd.array([mism], dtype="int64"),
+                         "accuracy_floor": pd.array([int(acc >= 0.9)],
+                                                    dtype="int64")})
+
+
 def q_lang_id(sf_dir: str):
     """Language-ID heuristic (actor-pool stage).  The marker-count vote
     is exact integer arithmetic, so it has a full SQL oracle: per-language
@@ -4802,6 +4881,8 @@ QUERIES = {
     "rule_alarms": q_rule_alarms,
     "rule_alarms_duration": q_rule_alarms_duration,
     "rule_report": q_rule_report,
+    "model_lang_score": q_model_lang_score,
+    "model_lang_score_check": q_model_lang_score_check,
     "lowess_smooth": q_lowess_smooth,
     "lowess_smooth_check": q_lowess_smooth_check,
     "media_image_features_check": q_media_image_features_check,
@@ -4922,6 +5003,8 @@ ORACLE_SQL = {
     "ann_topk_ivf_check": "SELECT CAST(1 AS BIGINT) AS recall_at_least_080",
     # distributed-vs-single-process pins for the remaining non-SQL ops
     "lowess_smooth_check": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
+    "model_lang_score_check": ("SELECT CAST(0 AS BIGINT) AS mismatch_rows, "
+                               "CAST(1 AS BIGINT) AS accuracy_floor"),
     "media_image_features_check": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
     "pricing_summary": SQL_PRICING_SUMMARY,
     "segment_orders": SQL_SEGMENT_ORDERS,

@@ -55,6 +55,33 @@ class LangIdStage:
         return batch.append_column(self.out_col, pa.array(pred, pa.string()))
 
 
+class ModelScorerStage:
+    """T6 with a REAL model artifact (reference: the per-fingerprint LLM
+    scoring job, ``llm_job.py:254-332`` — model loaded once per worker,
+    schema-enforced output per batch): a trained, int64-quantized
+    softmax language model loaded from ``model_path`` in ``__init__``
+    (once per actor), applied per batch as one bincount featurize + one
+    exact integer matmul.  Exactness means the distributed actor-pool
+    run is bit-identical to a single-process sweep for any batch size,
+    pool size or replay — pinned by ``model_lang_score_check``."""
+
+    def __init__(self, model_path: str, text_col: str = "text") -> None:
+        from ..functions.model import load_lang_model
+
+        self.model = load_lang_model(model_path)  # once per actor
+        self.classes = np.asarray(self.model["classes"], dtype=object)
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.model import score_texts
+
+        pred, best, margin = score_texts(batch[self.text_col], self.model)
+        out = batch.append_column("model_lang",
+                                  pa.array(self.classes[pred], pa.string()))
+        out = out.append_column("model_score", pa.array(best, pa.int64()))
+        return out.append_column("model_margin", pa.array(margin, pa.int64()))
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF keyword extraction
 # ---------------------------------------------------------------------------

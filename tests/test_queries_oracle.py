@@ -107,6 +107,7 @@ FAST_SQL_QUERIES = [
     "supplier_pagerank_check",
     "top_bigrams",
     "rule_report",
+    "model_lang_score_check",
 ]
 
 
@@ -144,7 +145,8 @@ def test_rows_only_queries_nonempty(ray_session):
     import __ray_entry__ as entrymod
 
     q = entrymod.queries()
-    for name in ("minhash_lsh_clusters", "ann_topk_ivf", "ann_topk_pq"):
+    for name in ("minhash_lsh_clusters", "ann_topk_ivf", "ann_topk_pq",
+                 "model_lang_score"):
         df = _to_df(q[name](SF))
         assert len(df) > 0, name
 
