@@ -983,6 +983,64 @@ def q_media_image_features(sf_dir: str):
     return out.drop_columns(["thumb"])
 
 
+def q_media_jpeg_features(sf_dir: str):
+    """Multimodal COMPRESSED-codec path (rows-only): genuine baseline
+    JPEG payloads (4:4:4, 4:2:0 and grayscale mixes) decoded by the pure
+    numpy/python T.81 decoder through the actor-pool stage — the codec a
+    real corpus ships, no PIL/opencv in this container.  Binary dropped
+    before any shuffle; the distributed-vs-single-process invariant is
+    ``media_jpeg_features_check``."""
+    from ..stages.media import ImageDecodeStage, make_jpeg_media
+
+    ds = ray.data.from_arrow(make_jpeg_media(192, seed=5))
+    out = ds.map_batches(
+        ImageDecodeStage, fn_constructor_kwargs={"decoder": "jpeg"},
+        concurrency=2, batch_size=32, batch_format="pyarrow",
+    )
+    return out.drop_columns(["thumb"])
+
+
+def q_media_jpeg_features_check(sf_dir: str):
+    """Driver-visible invariant for the compressed-codec multimodal path:
+    the actor-pool JPEG decode over the seeded payload table must equal a
+    single-process decode+resize of the same bytes feature-for-feature
+    (micros-rounded), and the decode must be faithful: mean |err| vs the
+    pre-encode pixels below the q90 JPEG loss budget.  Oracle pins
+    mismatch_rows=0, fidelity_ok=1."""
+    from ..functions.jpeg import decode_jpeg
+    from ..stages.media import ImageDecodeStage, make_jpeg_media
+
+    eng = q_media_jpeg_features(sf_dir).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    tbl = make_jpeg_media(192, seed=5)
+    stage = ImageDecodeStage(decoder="jpeg")       # same kernel, no Ray
+    ref = stage(tbl).drop_columns(["thumb"]).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    for df in (eng, ref):
+        for c in ("pixel_mean", "pixel_std"):
+            df[c] = _micros(df[c].to_numpy())
+    if len(eng) != len(ref):
+        mism = max(len(eng), len(ref))
+    else:
+        mism = int((eng[ref.columns.tolist()].to_numpy() != ref.to_numpy())
+                   .any(axis=1).sum())
+    # decode fidelity on a fresh non-subsampled sample: q90 444 loss
+    # budget is a few gray levels
+    h, w = 40, 56
+    gx = np.linspace(0, 255, w)[None, :]
+    gy = np.linspace(0, 255, h)[:, None]
+    img = np.stack([np.broadcast_to(gx, (h, w)), np.broadcast_to(gy, (h, w)),
+                    np.clip(127.5 + 60 * np.sin(gx / 5) * np.cos(gy / 7), 0, 255)],
+                   axis=2).astype(np.uint8)
+    from ..functions.jpeg import encode_jpeg
+
+    err = float(np.abs(decode_jpeg(encode_jpeg(img, quality=90)).astype(float)
+                       - img.astype(float)).mean())
+    return pd.DataFrame({"mismatch_rows": pd.array([mism], dtype="int64"),
+                         "fidelity_ok": pd.array([int(err < 4.0)],
+                                                 dtype="int64")})
+
+
 def _lang_model_path(sf_dir: str) -> str:
     """Train-once cache of the REAL model artifact (the fixture-generator
     step): deterministic training on the labeled fixture corpus
@@ -4887,6 +4945,8 @@ QUERIES = {
     "lowess_smooth_check": q_lowess_smooth_check,
     "media_image_features_check": q_media_image_features_check,
     "media_image_features": q_media_image_features,
+    "media_jpeg_features": q_media_jpeg_features,
+    "media_jpeg_features_check": q_media_jpeg_features_check,
     "simhash_clusters_dist": q_simhash_clusters_dist,
     "value_counts": q_value_counts,
     "interval_join": q_interval_join,
@@ -5006,6 +5066,8 @@ ORACLE_SQL = {
     "model_lang_score_check": ("SELECT CAST(0 AS BIGINT) AS mismatch_rows, "
                                "CAST(1 AS BIGINT) AS accuracy_floor"),
     "media_image_features_check": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
+    "media_jpeg_features_check": ("SELECT CAST(0 AS BIGINT) AS mismatch_rows, "
+                                  "CAST(1 AS BIGINT) AS fidelity_ok"),
     "pricing_summary": SQL_PRICING_SUMMARY,
     "segment_orders": SQL_SEGMENT_ORDERS,
     "top_orders": SQL_TOP_ORDERS,

@@ -6,11 +6,15 @@ Decode support in this container:
 - ``NetpbmDecoder`` — REAL decoding of netpbm P5/P6 images and PCM16
   RIFF/WAVE audio, pure numpy (these formats need no codec library), so
   the media path runs on genuine encoded bytes end-to-end;
+- ``JpegDecoder`` — REAL baseline-JPEG decode (``functions/jpeg.py``,
+  pure numpy/python T.81: Huffman + DCT + 4:4:4/4:2:0) — the compressed
+  shape actual corpora ship;
 - ``FakeDecoder`` — deterministic hash-derived pixels/samples for
   plumbing tests;
-- ``LibraryDecoder`` — the compressed-codec slot (JPEG/Opus/H.264);
-  raises ``NotImplementedError`` with the exact place a PIL/libav
-  handle plugs in (loaded once per actor).
+- ``LibraryDecoder`` — the remaining compressed-codec slot (PNG/Opus/
+  H.264); falls through to ``JpegDecoder`` for JPEG payloads, raises
+  ``NotImplementedError`` with the exact place a PIL/libav handle plugs
+  in (loaded once per actor) for the rest.
 
 Usage (actor pool — decoder state built once per actor in __init__):
 
@@ -59,16 +63,35 @@ def make_fake_media(n: int, kind: str = "image", seed: int = 0) -> pa.Table:
     )
 
 
+class JpegDecoder:
+    """REAL compressed-image decode with no external libraries: baseline
+    JPEG (``functions/jpeg.py``, ITU-T T.81 — Huffman + DCT + 4:4:4/4:2:0)
+    in pure numpy/python.  Entropy decoding is inherently sequential per
+    image, which is exactly why this rides an ACTOR-POOL stage with small
+    batches; DCT/dequant/color are batched numpy."""
+
+    def decode_image(self, payload: bytes, width: int = 0, height: int = 0) -> np.ndarray:
+        from ..functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+
+    def decode_audio(self, payload: bytes, sample_rate: int) -> np.ndarray:
+        raise NotImplementedError("JPEG decoder handles images only")
+
+
 class LibraryDecoder:
-    """The compressed-codec slot (JPEG/PNG/Opus/H.264). In production this
-    would hold a PIL/libav handle loaded once per actor; those libraries
-    are not in this container — uncompressed formats decode for REAL via
-    ``NetpbmDecoder`` below."""
+    """The remaining compressed-codec slot (PNG/Opus/H.264). In production
+    this would hold a PIL/libav handle loaded once per actor; those
+    libraries are not in this container — JPEG decodes for REAL via
+    ``JpegDecoder`` and uncompressed formats via ``NetpbmDecoder``."""
 
     def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        if payload[:2] == b"\xff\xd8":
+            return JpegDecoder().decode_image(payload, width, height)
         raise NotImplementedError(
-            "compressed image decode requires PIL/opencv — not available in "
-            "this container; plug the codec in here (loaded once per actor)"
+            "non-JPEG compressed image decode requires PIL/opencv — not "
+            "available in this container; plug the codec in here (loaded "
+            "once per actor)"
         )
 
     def decode_audio(self, payload: bytes, sample_rate: int) -> np.ndarray:
@@ -212,6 +235,43 @@ def make_real_media(n: int, kind: str = "image", seed: int = 0) -> pa.Table:
     )
 
 
+def make_jpeg_media(n: int, seed: int = 0, quality: int = 90) -> pa.Table:
+    """Fixture with GENUINE baseline-JPEG payloads (the compressed shape
+    real corpora ship): seeded gradient+texture images, a mix of 4:4:4,
+    4:2:0 and grayscale encodings."""
+    from ..functions.jpeg import encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    widths = rng.randint(16, 64, n).astype(np.int32)
+    heights = rng.randint(16, 64, n).astype(np.int32)
+    payloads = []
+    for i in range(n):
+        h, w = int(heights[i]), int(widths[i])
+        gx = np.linspace(0, 255, w)[None, :]
+        gy = np.linspace(0, 255, h)[:, None]
+        tex = 127.5 + 80.0 * np.sin(gx / (3.0 + i % 7)) * np.cos(gy / (2.0 + i % 5))
+        if i % 4 == 3:  # grayscale
+            img = np.clip(tex, 0, 255).astype(np.uint8)
+        else:
+            img = np.stack([
+                np.broadcast_to(gx, (h, w)),
+                np.broadcast_to(gy, (h, w)),
+                np.clip(tex, 0, 255),
+            ], axis=2).astype(np.uint8)
+        payloads.append(encode_jpeg(img, quality=quality, subsample=i % 2 == 1))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array(["image"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(widths),
+            "height": pa.array(heights),
+            "sample_rate": pa.array(np.full(n, 0, np.int32)),
+            "n_frames": pa.array(np.full(n, 1, np.int32)),
+        }
+    )
+
+
 class FakeDecoder:
     """Deterministic stand-in: pixels/samples derived from payload bytes so
     every worker produces identical output for the same row."""
@@ -228,7 +288,8 @@ class FakeDecoder:
         return (raw.astype(np.float32) - 127.5) / 127.5
 
 
-_DECODERS = {"fake": FakeDecoder, "netpbm": NetpbmDecoder, "library": LibraryDecoder}
+_DECODERS = {"fake": FakeDecoder, "netpbm": NetpbmDecoder,
+             "jpeg": JpegDecoder, "library": LibraryDecoder}
 
 
 def _pick_decoder(decoder: str | None, use_fake: bool):

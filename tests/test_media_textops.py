@@ -1,6 +1,7 @@
 """Multimodal plumbing (fake decoder) and text-analysis stages."""
 
 import numpy as np
+import pandas.testing as pdt
 import pytest
 
 from flink_fingerprint_ray.stages.media import (
@@ -179,3 +180,80 @@ def test_audio_stage_real_payloads(ray_session):
     dec = NetpbmDecoder()
     x = dec.decode_audio(media["payload"].to_pylist()[0])
     assert abs(out[out["media_id"] == 0]["duration_s"].iloc[0] - len(x) / 16000.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (pure numpy/python, functions/jpeg.py)
+# ---------------------------------------------------------------------------
+
+class TestJpegCodec:
+    def _grad(self, h, w, phase=0.0):
+        gx = np.linspace(0, 255, w)[None, :]
+        gy = np.linspace(0, 255, h)[:, None]
+        tex = 127.5 + 70 * np.sin(gx / 6 + phase) * np.cos(gy / 5)
+        return np.stack([np.broadcast_to(gx, (h, w)),
+                         np.broadcast_to(gy, (h, w)),
+                         np.clip(tex, 0, 255)], axis=2).astype(np.uint8)
+
+    def test_roundtrip_shapes_and_fidelity(self):
+        from flink_fingerprint_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+        for (h, w), sub in [((16, 16), False), ((24, 40), False),
+                            ((33, 50), True), ((64, 48), True),
+                            ((8, 8), False), ((9, 13), True)]:
+            img = self._grad(h, w)
+            dec = decode_jpeg(encode_jpeg(img, quality=92, subsample=sub))
+            assert dec.shape == (h, w, 3) and dec.dtype == np.uint8
+            err = np.abs(dec.astype(float) - img.astype(float)).mean()
+            assert err < (7.0 if sub else 4.5), (h, w, sub, err)
+
+    def test_grayscale_roundtrip(self):
+        from flink_fingerprint_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.RandomState(4)
+        img = (rng.rand(17, 23) * 60 + 90).astype(np.uint8)  # low contrast
+        dec = decode_jpeg(encode_jpeg(img, quality=95))
+        assert dec.shape == (17, 23, 3)
+        assert np.abs(dec[:, :, 0].astype(float) - img.astype(float)).mean() < 6.0
+        # gray replicated across channels
+        assert np.array_equal(dec[:, :, 0], dec[:, :, 1])
+
+    def test_deterministic_bytes_and_decode(self):
+        from flink_fingerprint_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+        img = self._grad(31, 29)
+        p1, p2 = encode_jpeg(img, 85, subsample=True), encode_jpeg(img, 85, subsample=True)
+        assert p1 == p2
+        assert np.array_equal(decode_jpeg(p1), decode_jpeg(p2))
+
+    def test_rejects_non_jpeg_and_progressive(self):
+        from flink_fingerprint_ray.functions.jpeg import decode_jpeg
+
+        with pytest.raises(ValueError):
+            decode_jpeg(b"P6\n2 2\n255\n" + b"\x00" * 12)
+        # a fake SOF2 (progressive) frame header must be refused
+        bogus = (b"\xff\xd8" + b"\xff\xc2" + (11).to_bytes(2, "big")
+                 + bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+                 + bytes([1, 1, 0x11, 0]))
+        with pytest.raises(ValueError, match="baseline"):
+            decode_jpeg(bogus)
+
+    def test_stage_decodes_real_jpeg_payloads(self, ray_session):
+        import ray.data
+
+        from flink_fingerprint_ray.stages.media import (
+            ImageDecodeStage,
+            make_jpeg_media,
+        )
+
+        t = make_jpeg_media(48, seed=5)
+        # every payload is genuine JPEG
+        assert all(p[:2] == b"\xff\xd8" for p in t["payload"].to_pylist())
+        out = ray.data.from_arrow(t).map_batches(
+            ImageDecodeStage, fn_constructor_kwargs={"decoder": "jpeg"},
+            concurrency=2, batch_size=16, batch_format="pyarrow",
+        ).to_pandas().sort_values("media_id").reset_index(drop=True)
+        assert len(out) == 48
+        ref = ImageDecodeStage(decoder="jpeg")(t).to_pandas() \
+            .sort_values("media_id").reset_index(drop=True)
+        pdt.assert_frame_equal(out[ref.columns.tolist()], ref)

@@ -108,6 +108,7 @@ FAST_SQL_QUERIES = [
     "top_bigrams",
     "rule_report",
     "model_lang_score_check",
+    "media_jpeg_features_check",
 ]
 
 
@@ -146,7 +147,7 @@ def test_rows_only_queries_nonempty(ray_session):
 
     q = entrymod.queries()
     for name in ("minhash_lsh_clusters", "ann_topk_ivf", "ann_topk_pq",
-                 "model_lang_score"):
+                 "model_lang_score", "media_jpeg_features"):
         df = _to_df(q[name](SF))
         assert len(df) > 0, name
 
