@@ -195,6 +195,25 @@ class TestJpegCodec:
                          np.broadcast_to(gy, (h, w)),
                          np.clip(tex, 0, 255)], axis=2).astype(np.uint8)
 
+    @staticmethod
+    def _chroma_floor(img):
+        """Pure 4:2:0 loss (box-downsample + repeat chroma, no codec) —
+        the irreducible error any subsampled encoder pays on this image."""
+        from flink_fingerprint_ray.functions.jpeg import (
+            rgb_to_ycbcr,
+            ycbcr_to_rgb,
+        )
+
+        h, w = img.shape[:2]
+        ycc = np.pad(rgb_to_ycbcr(img), ((0, -h % 2), (0, -w % 2), (0, 0)),
+                     mode="edge")
+        for c in (1, 2):
+            d = ycc[:, :, c].reshape(ycc.shape[0] // 2, 2,
+                                     ycc.shape[1] // 2, 2).mean(axis=(1, 3))
+            ycc[:, :, c] = np.repeat(np.repeat(d, 2, axis=0), 2, axis=1)
+        rec = ycbcr_to_rgb(ycc[:h, :w])
+        return np.abs(rec.astype(float) - img.astype(float)).mean()
+
     def test_roundtrip_shapes_and_fidelity(self):
         from flink_fingerprint_ray.functions.jpeg import decode_jpeg, encode_jpeg
 
@@ -205,7 +224,10 @@ class TestJpegCodec:
             dec = decode_jpeg(encode_jpeg(img, quality=92, subsample=sub))
             assert dec.shape == (h, w, 3) and dec.dtype == np.uint8
             err = np.abs(dec.astype(float) - img.astype(float)).mean()
-            assert err < (7.0 if sub else 4.5), (h, w, sub, err)
+            # budget: the irreducible chroma-subsampling floor (sub only)
+            # plus a q92 quantization allowance
+            floor = self._chroma_floor(img) if sub else 0.0
+            assert err < floor + 4.5, (h, w, sub, err, floor)
 
     def test_grayscale_roundtrip(self):
         from flink_fingerprint_ray.functions.jpeg import decode_jpeg, encode_jpeg
