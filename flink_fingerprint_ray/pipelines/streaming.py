@@ -787,12 +787,18 @@ def update_transform(batch: pa.Table, n_partitions: int) -> pa.Table:
 
 
 @ray.remote
-def feed_updates(files: list[str], n_partitions: int, join_handles: list) -> int:
+def feed_updates(files: list[str], n_partitions: int, join_handles: list,
+                 *j_snap_barrier) -> int:
     """Build side of the stream-stream join as ONE raw task per file group:
     read → transform → route slices to the owning join actors.  A raw task
     (not a Dataset) because the per-epoch build side is a small bounded
     read whose only consumer is actor state — Dataset executor startup
-    would dominate (the probe side still flows through Ray Data)."""
+    would dominate (the probe side still flows through Ray Data).
+
+    ``j_snap_barrier`` carries the PREVIOUS epoch's join-snapshot refs:
+    Ray resolves them before this task runs, so no feed of epoch K+1 can
+    reach a join actor before epoch K's post-evict snapshot completed
+    (explicit happens-before; the driver no longer blocks on it)."""
     import pyarrow.parquet as pq
 
     from ..sources.retry import with_retries
@@ -963,9 +969,13 @@ class StreamingFingerprintPipeline:
 
         - window-actor adds of K+1 start only after mature(wm_K) and the
           window snapshot of K (both happen in K's call, before return);
-        - join-actor feeds of K+1 start only after K's probes and the
-          post-evict join snapshot of K (``_finish_epoch`` runs first);
-        - commits stay strictly sequential (fence K before fence K+1).
+        - join-actor feeds of K+1 start only after K's probes
+          (``_finish_launch`` blocks on K's finalize barrier first) and
+          K's post-evict join snapshot (its refs ride as barrier args on
+          the ``feed_updates`` task);
+        - commits stay strictly sequential: fence K lands at the END of
+          K+1's call (``_finish_commit``), after K+1's launches but
+          before K+1's own pending dict can reach its commit.
         """
         t0 = time.perf_counter()
         cfg = self.cfg
@@ -1029,18 +1039,28 @@ class StreamingFingerprintPipeline:
 
         t_route_launch = time.perf_counter()
 
-        # 3) finish the previous epoch: finalize barrier → join evict →
-        #    join snapshot → commit fence
+        # 3) finish the previous epoch, phase 1: its finalize barrier +
+        #    the snapshot/evict/alert-feed SUBMISSIONS.  The waits and the
+        #    fence commit (`_finish_commit`) are deferred to the END of
+        #    this call so they overlap this epoch's route-ack barrier,
+        #    close sweeps and finalize launches — the per-epoch serial
+        #    floor that saturates the small-cluster scaling side.
         if prev_pending is not None:
-            self._finish_epoch(prev_pending)
+            prev_pending = self._finish_launch(prev_pending)
         t_prev_fin = time.perf_counter()
 
         # 4) feed this epoch's page updates into the join state (build
-        #    side) — after the previous epoch's probes completed
+        #    side) — after the previous epoch's probes (its finalize
+        #    barrier above) AND its post-evict join snapshot, carried as
+        #    barrier args so no driver-side block is needed
         update_routes: list = []
         if upd_epoch is not None:
+            j_snap_barrier = tuple(prev_pending["j_snap_refs"]) if prev_pending else ()
             update_routes = [
-                feed_updates.remote(upd_epoch.files, cfg.n_state_partitions, self.pool.join_actors)
+                feed_updates.remote(
+                    upd_epoch.files, cfg.n_state_partitions, self.pool.join_actors,
+                    *j_snap_barrier,
+                )
             ]
 
         # 5) route barrier: every actor-add ack — state must be complete
@@ -1179,37 +1199,54 @@ class StreamingFingerprintPipeline:
             "t_prev_fin": t_prev_fin,
             "t_launch": time.perf_counter(),
         }
+        # previous epoch, phase 2: await its snapshots and commit its
+        # fence — AFTER this epoch's launches, so the waits overlapped
+        # useful work.  Commits stay strictly sequential (fence K lands
+        # here, inside epoch K+1's call, before fence K+1 can land).
+        if prev_pending is not None:
+            self._finish_commit(prev_pending)
         if defer_commit:
             return pending
         return self._finish_epoch(pending)
 
     def _finish_epoch(self, pending: dict) -> dict:
-        """Finalize barrier → (alert feed ∥ join evict ∥ snapshots) →
-        publish fence → manifest commit for a pending epoch.
+        """Full finish for a pending epoch: launch + commit in one call.
+        The run() loop instead splits the two phases so epoch K's
+        snapshot/evict WAITS and its fence commit overlap epoch K+1's
+        route/close/finalize launches (the per-epoch serial floor is the
+        reason the 8-CPU scaling side saturates — BASELINE.md)."""
+        return self._finish_commit(self._finish_launch(pending))
 
-        Everything between the finalize barrier and the commit is LAUNCHED
-        first and awaited in one combined ``ray.get``: per-actor mailbox
+    def _finish_launch(self, pending: dict) -> dict:
+        """Finalize barrier → LAUNCH (alert feed ∥ join evict ∥ snapshots).
+
+        Blocks only on this epoch's finalize tasks (and, under neardup,
+        the verdict reduce + band registrations — register → snapshot
+        ordering).  Everything submitted here is awaited later in ONE
+        combined ``ray.get`` by `_finish_commit`; per-actor mailbox
         ordering (same submitter) guarantees evict-before-join-snapshot
-        and feed-before-alert-snapshot, so the six former sequential
-        round-trip barriers collapse into one."""
+        and feed-before-alert-snapshot.  The NEXT epoch's join feeds take
+        this epoch's ``j_snap_refs`` as barrier args, preserving
+        feed-after-post-evict-snapshot without a driver-side block."""
         epoch = pending["epoch"]
         t_enter = time.perf_counter()
         fin_results = ray.get(pending["write_refs"])
-        n_out = int(sum(r[0] for r in fin_results))
-        fin_timings = [r[1] for r in fin_results if r[1]]
+        pending["n_out"] = int(sum(r[0] for r in fin_results))
+        pending["fin_timings"] = [r[1] for r in fin_results if r[1]]
         t_barrier = time.perf_counter()
         # rising-edge alerts (T3 analog): strictly sequential per epoch —
         # fed AFTER the finalize barrier, written into the staging dir so
         # they ride the same idempotent fence, state snapshotted with it
-        alert_feed_refs = (
+        pending["alert_feed_refs"] = (
             self.pool.feed_alerts(pending["alert_refs"]) if pending["alert_refs"] else []
         )
-        evict_refs = self.pool.evict_join_refs(pending["wm"])
-        j_snap_refs = self.pool.snapshot_join_refs(pending["snap_dir"])
-        a_snap_refs = self.pool.snapshot_alerts_refs(pending["snap_dir"])
-        buf_w_refs, buf_j_refs, buf_d_refs, buf_nd_refs = self.pool.buffered_refs()
-        metrics_ref = self.counter.take_prefix.remote(f"e{epoch.index}:")
-        stale_ref = self.counter.take_stale.remote(epoch.index)
+        pending["evict_refs"] = self.pool.evict_join_refs(pending["wm"])
+        pending["j_snap_refs"] = self.pool.snapshot_join_refs(pending["snap_dir"])
+        pending["a_snap_refs"] = self.pool.snapshot_alerts_refs(pending["snap_dir"])
+        (pending["buf_w_refs"], pending["buf_j_refs"],
+         pending["buf_d_refs"], pending["buf_nd_refs"]) = self.pool.buffered_refs()
+        pending["metrics_ref"] = self.counter.take_prefix.remote(f"e{epoch.index}:")
+        pending["stale_ref"] = self.counter.take_stale.remote(epoch.index)
 
         # near-dup: the reduce tasks return (kept, docs, register_ack_refs);
         # the band snapshot may only be SUBMITTED once every registration
@@ -1223,13 +1260,39 @@ class StreamingFingerprintPipeline:
             reg_acks = [a for r in nd_results for a in r[2]]
             if reg_acks:
                 ray.wait(reg_acks, num_returns=len(reg_acks))
+        pending["nd_kept"], pending["nd_docs"] = nd_kept, nd_docs
         # snapshot UNCONDITIONALLY whenever the pool exists (see the dedup
         # snapshot note above): an epoch without doc blocks must still
         # record the cumulative band-snapshot paths, or a resume from it
         # would restore an EMPTY registered-band set and re-admit
         # near-dups.  When registrations happened, the ray.wait above
         # keeps register -> snapshot -> commit ordering.
-        nd_snap_refs: list = self.pool.snapshot_neardup_refs(pending["snap_dir"])
+        pending["nd_snap_refs"] = self.pool.snapshot_neardup_refs(pending["snap_dir"])
+        pending["t_fin_enter"] = t_enter
+        pending["t_fin_barrier"] = t_barrier
+        pending["t_fin_launched"] = time.perf_counter()
+        return pending
+
+    def _finish_commit(self, pending: dict) -> dict:
+        """Await every `_finish_launch` submission in one combined
+        ``ray.get`` → write alerts under the fence → publish → manifest
+        commit.  In the run() loop this is called AFTER the next epoch's
+        launches; commits stay strictly sequential."""
+        epoch = pending["epoch"]
+        t_enter = pending["t_fin_enter"]
+        t_barrier = pending["t_fin_barrier"]
+        t_commit_enter = time.perf_counter()
+        n_out = pending["n_out"]
+        fin_timings = pending["fin_timings"]
+        nd_kept, nd_docs = pending["nd_kept"], pending["nd_docs"]
+        alert_feed_refs = pending["alert_feed_refs"]
+        evict_refs = pending["evict_refs"]
+        j_snap_refs = pending["j_snap_refs"]
+        a_snap_refs = pending["a_snap_refs"]
+        buf_w_refs, buf_j_refs = pending["buf_w_refs"], pending["buf_j_refs"]
+        buf_d_refs, buf_nd_refs = pending["buf_d_refs"], pending["buf_nd_refs"]
+        metrics_ref, stale_ref = pending["metrics_ref"], pending["stale_ref"]
+        nd_snap_refs = pending["nd_snap_refs"]
 
         clean_write_refs = pending.get("clean_write_refs", [])
         d_snap_refs = pending.get("d_snap_refs", [])
@@ -1310,7 +1373,11 @@ class StreamingFingerprintPipeline:
                 "ph_ack_sec": round(pending["t_route"] - pending["t_prev_fin"], 4),
                 "ph_launch_sec": round(pending["t_launch"] - pending["t_route"], 4),
                 "ph_fin_barrier_sec": round(t_barrier - t_enter, 4),
-                "ph_fin_combined_sec": round(t_fin - t_barrier, 4),
+                "ph_fin_launch_sec": round(pending["t_fin_launched"] - t_barrier, 4),
+                # time the snapshot/evict waits spent overlapped with the
+                # NEXT epoch's launches (0 on the non-deferred path)
+                "ph_fin_overlap_sec": round(t_commit_enter - pending["t_fin_launched"], 4),
+                "ph_fin_combined_sec": round(t_fin - t_commit_enter, 4),
                 "fin_tasks": {
                     k: (max(t.get(k, 0) for t in fin_timings) if fin_timings else 0)
                     for k in ("sel", "fin", "probe", "write", "rows_mine", "groups")
