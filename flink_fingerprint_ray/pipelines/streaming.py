@@ -647,7 +647,8 @@ def reduce_neardup(path: str, neardup_handles: list, n_partitions: int,
     from the route tasks, which map surviving hashes back to urls.
     Writes this slice's survivor part (url, ts_ms) under the epoch fence
     and routes the survivors' bands back to their owning actors for
-    registration.  Returns (n_survivors, n_docs, register_ack_refs)."""
+    registration, waiting the acks before returning — so this task's
+    completion certifies register-done.  Returns (n_survivors, n_docs)."""
     import pyarrow.parquet as pq
 
     verdicts = verdicts_and_sides[:n_verdicts]
@@ -657,7 +658,7 @@ def reduce_neardup(path: str, neardup_handles: list, n_partitions: int,
                       "ts_ms": pa.array([], pa.int64())})
     if not tabs:
         pq.write_table(empty, path)
-        return 0, 0, []
+        return 0, 0
     t = pa.concat_tables(tabs, promote_options="default").combine_chunks()
     ts = t["ts_ms"].to_numpy()
     doc_h = t["doc_h"].to_numpy().astype(np.uint64)
@@ -722,7 +723,14 @@ def reduce_neardup(path: str, neardup_handles: list, n_partitions: int,
             s, e = bounds[i], bounds[i + 1]
             sub = pa.table({"band": pa.array(sb[o2[s:e]], pa.uint64())})
             ack_refs.append(neardup_handles[int(sp[s])].register.remote(sub))
-    return int(surv_grp.sum()), int(n_docs), ack_refs
+    # wait the registration acks HERE so this task's completion itself
+    # certifies register-done: the driver gates the band snapshot (and,
+    # via actor FIFO, the next epoch's close sweep) on this task's ref
+    # instead of a serial driver-side barrier (register → snapshot →
+    # commit ordering preserved, off the inter-epoch critical path)
+    if ack_refs:
+        ray.get(ack_refs)
+    return int(surv_grp.sum()), int(n_docs)
 
 
 @ray.remote
@@ -1248,26 +1256,19 @@ class StreamingFingerprintPipeline:
         pending["metrics_ref"] = self.counter.take_prefix.remote(f"e{epoch.index}:")
         pending["stale_ref"] = self.counter.take_stale.remote(epoch.index)
 
-        # near-dup: the reduce tasks return (kept, docs, register_ack_refs);
-        # the band snapshot may only be SUBMITTED once every registration
-        # has resolved (register → snapshot → commit), so this small
-        # barrier runs first — the refs then join the combined get below
-        nd_kept = nd_docs = 0
-        if pending.get("nd_reduce_refs"):
-            nd_results = ray.get(pending["nd_reduce_refs"])
-            nd_kept = int(sum(r[0] for r in nd_results))
-            nd_docs = int(sum(r[1] for r in nd_results))
-            reg_acks = [a for r in nd_results for a in r[2]]
-            if reg_acks:
-                ray.wait(reg_acks, num_returns=len(reg_acks))
-        pending["nd_kept"], pending["nd_docs"] = nd_kept, nd_docs
-        # snapshot UNCONDITIONALLY whenever the pool exists (see the dedup
-        # snapshot note above): an epoch without doc blocks must still
-        # record the cumulative band-snapshot paths, or a resume from it
-        # would restore an EMPTY registered-band set and re-admit
-        # near-dups.  When registrations happened, the ray.wait above
-        # keeps register -> snapshot -> commit ordering.
-        pending["nd_snap_refs"] = self.pool.snapshot_neardup_refs(pending["snap_dir"])
+        # near-dup band snapshot: SUBMITTED here with the epoch's reduce
+        # refs as barrier args — each reduce task waits its register acks
+        # internally, so the snapshot executes only after every
+        # registration landed (register → snapshot → commit) with NO
+        # driver-side barrier; the reduce/register waits thereby overlap
+        # the next epoch's launches.  Submitted UNCONDITIONALLY whenever
+        # the pool exists (see the dedup snapshot note above): an epoch
+        # without doc blocks must still record the cumulative
+        # band-snapshot paths, or a resume from it would restore an EMPTY
+        # registered-band set and re-admit near-dups.
+        pending["nd_snap_refs"] = self.pool.snapshot_neardup_refs(
+            pending["snap_dir"], *pending.get("nd_reduce_refs", [])
+        )
         pending["t_fin_enter"] = t_enter
         pending["t_fin_barrier"] = t_barrier
         pending["t_fin_launched"] = time.perf_counter()
@@ -1284,7 +1285,14 @@ class StreamingFingerprintPipeline:
         t_commit_enter = time.perf_counter()
         n_out = pending["n_out"]
         fin_timings = pending["fin_timings"]
-        nd_kept, nd_docs = pending["nd_kept"], pending["nd_docs"]
+        # near-dup reduce results (kept, docs) — by now the reduce tasks
+        # have had the whole of the next epoch's launch phase to finish;
+        # their completion also certifies the band registrations landed
+        nd_kept = nd_docs = 0
+        if pending.get("nd_reduce_refs"):
+            nd_results = ray.get(pending["nd_reduce_refs"])
+            nd_kept = int(sum(r[0] for r in nd_results))
+            nd_docs = int(sum(r[1] for r in nd_results))
         alert_feed_refs = pending["alert_feed_refs"]
         evict_refs = pending["evict_refs"]
         j_snap_refs = pending["j_snap_refs"]

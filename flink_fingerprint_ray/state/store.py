@@ -703,7 +703,13 @@ class NearDupStateActor:
     def buffered_rows(self) -> int:
         return int(len(self.seen))
 
-    def snapshot(self, snap_dir: str) -> dict[str, list[str]]:
+    def snapshot(self, snap_dir: str, *reduce_barrier) -> dict[str, list[str]]:
+        """``reduce_barrier`` carries the epoch's reduce-task result refs:
+        Ray resolves them before this method runs, and each reduce task
+        waits its register acks internally — so execution here certifies
+        register-done (register → snapshot), and per-submitter actor FIFO
+        orders the NEXT epoch's driver-submitted close_epoch after this
+        snapshot, all without a driver-side barrier."""
         os.makedirs(snap_dir, exist_ok=True)
         self._snaps_since_compact += 1
         compact = self._snaps_since_compact >= self._compact_every
@@ -899,8 +905,13 @@ class StatePool:
             for a in self.neardup_actors
         ]
 
-    def snapshot_neardup_refs(self, snap_dir: str) -> list:
-        return [a.snapshot.remote(os.path.join(snap_dir, "neardup")) for a in self.neardup_actors]
+    def snapshot_neardup_refs(self, snap_dir: str, *reduce_barrier) -> list:
+        """Band snapshots, gated on the epoch's reduce refs (register →
+        snapshot without a driver barrier — see NearDupStateActor.snapshot)."""
+        return [
+            a.snapshot.remote(os.path.join(snap_dir, "neardup"), *reduce_barrier)
+            for a in self.neardup_actors
+        ]
 
     def evict_join_refs(self, watermark_ms: int) -> list:
         return [a.evict.remote(watermark_ms) for a in self.join_actors]
