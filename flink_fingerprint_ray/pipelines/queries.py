@@ -1041,6 +1041,60 @@ def q_media_jpeg_features_check(sf_dir: str):
                                                  dtype="int64")})
 
 
+def q_media_png_features(sf_dir: str):
+    """Multimodal LOSSLESS compressed-codec path (rows-only): genuine
+    baseline PNG payloads (grayscale / RGB / RGBA mixes, all five
+    scanline filters) decoded by the pure numpy/stdlib-zlib RFC 2083
+    decoder through the actor-pool stage via the ``library`` dispatch
+    slot (signature-sniffed, the production shape).  Binary dropped
+    before any shuffle; the distributed-vs-single-process + losslessness
+    invariant is ``media_png_features_check``."""
+    from ..stages.media import ImageDecodeStage, make_png_media
+
+    ds = ray.data.from_arrow(make_png_media(192, seed=7))
+    out = ds.map_batches(
+        ImageDecodeStage, fn_constructor_kwargs={"decoder": "library"},
+        concurrency=2, batch_size=32, batch_format="pyarrow",
+    )
+    return out.drop_columns(["thumb"])
+
+
+def q_media_png_features_check(sf_dir: str):
+    """Driver-visible invariant for the lossless compressed-codec path:
+    the actor-pool PNG decode over the seeded payload table must equal a
+    single-process decode+resize of the same bytes feature-for-feature
+    (micros-rounded), and — PNG being lossless — every decoded payload
+    must equal its pre-encode pixels EXACTLY (no loss budget).  Oracle
+    pins mismatch_rows=0, lossless_ok=1."""
+    from ..functions.png import decode_png, encode_png
+    from ..stages.media import ImageDecodeStage, make_png_media
+
+    eng = q_media_png_features(sf_dir).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    tbl = make_png_media(192, seed=7)
+    stage = ImageDecodeStage(decoder="library")    # same kernel, no Ray
+    ref = stage(tbl).drop_columns(["thumb"]).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    for df in (eng, ref):
+        for c in ("pixel_mean", "pixel_std"):
+            df[c] = _micros(df[c].to_numpy())
+    if len(eng) != len(ref):
+        mism = max(len(eng), len(ref))
+    else:
+        mism = int((eng[ref.columns.tolist()].to_numpy() != ref.to_numpy())
+                   .any(axis=1).sum())
+    # losslessness on a fresh sample covering gray/RGB/RGBA and every
+    # filter type: decode(encode(img)) must be BYTE-EXACT
+    rng = np.random.RandomState(11)
+    lossless = 1
+    for shape in ((23, 37), (23, 37, 3), (23, 37, 4)):
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        if not np.array_equal(decode_png(encode_png(img)), img):
+            lossless = 0
+    return pd.DataFrame({"mismatch_rows": pd.array([mism], dtype="int64"),
+                         "lossless_ok": pd.array([lossless], dtype="int64")})
+
+
 def _lang_model_path(sf_dir: str) -> str:
     """Train-once cache of the REAL model artifact (the fixture-generator
     step): deterministic training on the labeled fixture corpus
@@ -4947,6 +5001,8 @@ QUERIES = {
     "media_image_features": q_media_image_features,
     "media_jpeg_features": q_media_jpeg_features,
     "media_jpeg_features_check": q_media_jpeg_features_check,
+    "media_png_features": q_media_png_features,
+    "media_png_features_check": q_media_png_features_check,
     "simhash_clusters_dist": q_simhash_clusters_dist,
     "value_counts": q_value_counts,
     "interval_join": q_interval_join,
@@ -5068,6 +5124,8 @@ ORACLE_SQL = {
     "media_image_features_check": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
     "media_jpeg_features_check": ("SELECT CAST(0 AS BIGINT) AS mismatch_rows, "
                                   "CAST(1 AS BIGINT) AS fidelity_ok"),
+    "media_png_features_check": ("SELECT CAST(0 AS BIGINT) AS mismatch_rows, "
+                                 "CAST(1 AS BIGINT) AS lossless_ok"),
     "pricing_summary": SQL_PRICING_SUMMARY,
     "segment_orders": SQL_SEGMENT_ORDERS,
     "top_orders": SQL_TOP_ORDERS,

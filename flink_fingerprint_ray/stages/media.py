@@ -79,17 +79,35 @@ class JpegDecoder:
         raise NotImplementedError("JPEG decoder handles images only")
 
 
+class PngDecoder:
+    """REAL lossless compressed-image decode with no external libraries:
+    baseline PNG (``functions/png.py``, RFC 2083 — stdlib-zlib DEFLATE +
+    numpy unfiltering for all five scanline filters).  Lossless, so the
+    check query pins EXACT pixel equality, not a loss budget."""
+
+    def decode_image(self, payload: bytes, width: int = 0, height: int = 0) -> np.ndarray:
+        from ..functions.png import decode_png
+
+        return decode_png(payload)
+
+    def decode_audio(self, payload: bytes, sample_rate: int) -> np.ndarray:
+        raise NotImplementedError("PNG decoder handles images only")
+
+
 class LibraryDecoder:
-    """The remaining compressed-codec slot (PNG/Opus/H.264). In production
-    this would hold a PIL/libav handle loaded once per actor; those
-    libraries are not in this container — JPEG decodes for REAL via
-    ``JpegDecoder`` and uncompressed formats via ``NetpbmDecoder``."""
+    """The compressed-codec dispatch slot.  JPEG and PNG decode for REAL
+    (pure-numpy T.81 / RFC 2083 codecs in ``functions/``); uncompressed
+    formats via ``NetpbmDecoder``.  The remaining formats (Opus/H.264/MP3)
+    would hold a libav handle loaded once per actor in production — those
+    libraries are not in this container."""
 
     def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
         if payload[:2] == b"\xff\xd8":
             return JpegDecoder().decode_image(payload, width, height)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return PngDecoder().decode_image(payload, width, height)
         raise NotImplementedError(
-            "non-JPEG compressed image decode requires PIL/opencv — not "
+            "image codecs beyond JPEG/PNG require PIL/opencv — not "
             "available in this container; plug the codec in here (loaded "
             "once per actor)"
         )
@@ -272,6 +290,47 @@ def make_jpeg_media(n: int, seed: int = 0, quality: int = 90) -> pa.Table:
     )
 
 
+def make_png_media(n: int, seed: int = 0) -> pa.Table:
+    """Fixture with GENUINE baseline-PNG payloads: seeded gradient+texture
+    images, a mix of grayscale / RGB / RGBA — lossless, so downstream
+    checks can pin exact pixel equality.  The encoder cycles all five
+    scanline filters across rows, so decoding exercises every unfilter
+    path."""
+    from ..functions.png import encode_png
+
+    rng = np.random.RandomState(seed)
+    widths = rng.randint(16, 64, n).astype(np.int32)
+    heights = rng.randint(16, 64, n).astype(np.int32)
+    payloads = []
+    for i in range(n):
+        h, w = int(heights[i]), int(widths[i])
+        gx = np.linspace(0, 255, w)[None, :]
+        gy = np.linspace(0, 255, h)[:, None]
+        tex = 127.5 + 80.0 * np.sin(gx / (3.0 + i % 7)) * np.cos(gy / (2.0 + i % 5))
+        noise = rng.randint(0, 24, (h, w)).astype(np.float64)
+        base = np.clip(tex + noise, 0, 255)
+        if i % 4 == 3:      # grayscale
+            img = base.astype(np.uint8)
+        elif i % 4 == 2:    # RGBA (alpha gradient)
+            img = np.stack([np.broadcast_to(gx, (h, w)), np.broadcast_to(gy, (h, w)),
+                            base, np.broadcast_to(255 - gx, (h, w))], axis=2).astype(np.uint8)
+        else:               # RGB
+            img = np.stack([np.broadcast_to(gx, (h, w)), np.broadcast_to(gy, (h, w)),
+                            base], axis=2).astype(np.uint8)
+        payloads.append(encode_png(img))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array(["image"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(widths),
+            "height": pa.array(heights),
+            "sample_rate": pa.array(np.full(n, 0, np.int32)),
+            "n_frames": pa.array(np.full(n, 1, np.int32)),
+        }
+    )
+
+
 class FakeDecoder:
     """Deterministic stand-in: pixels/samples derived from payload bytes so
     every worker produces identical output for the same row."""
@@ -289,7 +348,7 @@ class FakeDecoder:
 
 
 _DECODERS = {"fake": FakeDecoder, "netpbm": NetpbmDecoder,
-             "jpeg": JpegDecoder, "library": LibraryDecoder}
+             "jpeg": JpegDecoder, "png": PngDecoder, "library": LibraryDecoder}
 
 
 def _pick_decoder(decoder: str | None, use_fake: bool):

@@ -279,3 +279,64 @@ class TestJpegCodec:
         ref = ImageDecodeStage(decoder="jpeg")(t).to_pandas() \
             .sort_values("media_id").reset_index(drop=True)
         pdt.assert_frame_equal(out[ref.columns.tolist()], ref)
+
+
+class TestPngCodec:
+    """Pure numpy/stdlib-zlib baseline PNG (functions/png.py) — lossless,
+    so every roundtrip asserts EXACT byte equality."""
+
+    def test_roundtrip_exact_all_shapes(self):
+        from flink_fingerprint_ray.functions.png import decode_png, encode_png
+
+        rng = np.random.RandomState(3)
+        for shape in [(1, 1), (7, 3), (33, 17), (40, 56, 3), (16, 16, 4),
+                      (5, 200, 3), (64, 64, 4)]:
+            img = rng.randint(0, 256, shape).astype(np.uint8)
+            dec = decode_png(encode_png(img))
+            assert dec.shape == img.shape and dec.dtype == np.uint8
+            assert np.array_equal(dec, img), shape
+
+    def test_all_five_filters_exercised_and_inverted(self):
+        from flink_fingerprint_ray.functions.png import decode_png, encode_png
+
+        # >=5 rows ⇒ the encoder's row-cycling covers filters 0..4
+        rng = np.random.RandomState(4)
+        img = rng.randint(0, 256, (11, 23, 3)).astype(np.uint8)
+        data = encode_png(img)
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        assert np.array_equal(decode_png(data), img)
+
+    def test_deterministic_bytes(self):
+        from flink_fingerprint_ray.functions.png import encode_png
+
+        img = (np.arange(24 * 18 * 3) % 251).reshape(24, 18, 3).astype(np.uint8)
+        assert encode_png(img) == encode_png(img)
+
+    def test_rejects_bad_input(self):
+        from flink_fingerprint_ray.functions.png import decode_png
+
+        with pytest.raises(ValueError):
+            decode_png(b"not a png at all")
+
+    def test_library_dispatch_and_stage(self, ray_session):
+        import ray.data
+
+        from flink_fingerprint_ray.stages.media import (
+            ImageDecodeStage,
+            LibraryDecoder,
+            make_png_media,
+        )
+
+        t = make_png_media(48, seed=7)
+        assert all(p[:8] == b"\x89PNG\r\n\x1a\n" for p in t["payload"].to_pylist())
+        # signature dispatch through the library slot
+        img = LibraryDecoder().decode_image(t["payload"][0].as_py(), 0, 0)
+        assert img.dtype == np.uint8 and img.ndim in (2, 3)
+        out = ray.data.from_arrow(t).map_batches(
+            ImageDecodeStage, fn_constructor_kwargs={"decoder": "library"},
+            concurrency=2, batch_size=16, batch_format="pyarrow",
+        ).to_pandas().sort_values("media_id").reset_index(drop=True)
+        assert len(out) == 48
+        ref = ImageDecodeStage(decoder="library")(t).to_pandas() \
+            .sort_values("media_id").reset_index(drop=True)
+        pdt.assert_frame_equal(out[ref.columns.tolist()], ref)

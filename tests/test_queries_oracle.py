@@ -109,6 +109,7 @@ FAST_SQL_QUERIES = [
     "rule_report",
     "model_lang_score_check",
     "media_jpeg_features_check",
+    "media_png_features_check",
 ]
 
 
@@ -147,7 +148,8 @@ def test_rows_only_queries_nonempty(ray_session):
 
     q = entrymod.queries()
     for name in ("minhash_lsh_clusters", "ann_topk_ivf", "ann_topk_pq",
-                 "model_lang_score", "media_jpeg_features"):
+                 "model_lang_score", "media_jpeg_features",
+                 "media_png_features"):
         df = _to_df(q[name](SF))
         assert len(df) > 0, name
 
