@@ -1095,6 +1095,61 @@ def q_media_png_features_check(sf_dir: str):
                          "lossless_ok": pd.array([lossless], dtype="int64")})
 
 
+def q_media_audio_codecs(sf_dir: str):
+    """Multimodal COMPRESSED-audio path (rows-only): genuine G.711 mu-law
+    and IMA ADPCM WAV payloads decoded by the pure-numpy from-spec codecs
+    through the actor-pool stage via the ``library`` dispatch slot.
+    Binary dropped before any shuffle; the distributed-vs-single-process
+    + fidelity invariant is ``media_audio_codecs_check``."""
+    from ..stages.media import AudioFeatureStage, make_compressed_audio_media
+
+    ds = ray.data.from_arrow(make_compressed_audio_media(192, seed=9))
+    return ds.map_batches(
+        AudioFeatureStage, fn_constructor_kwargs={"decoder": "library"},
+        concurrency=2, batch_size=32, batch_format="pyarrow",
+    )
+
+
+def q_media_audio_codecs_check(sf_dir: str):
+    """Driver-visible invariant for the compressed-audio path: the
+    actor-pool decode over the seeded payload table must equal a
+    single-process decode of the same bytes feature-for-feature
+    (micros-rounded), and both codecs must be faithful: mean |err| vs the
+    pre-encode float signal under the mu-law (2:1) and ADPCM (4:1)
+    quantization budgets.  Oracle pins mismatch_rows=0, fidelity_ok=1."""
+    from ..functions.audio_codecs import (
+        decode_wav_compressed,
+        encode_wav_adpcm,
+        encode_wav_ulaw,
+    )
+    from ..stages.media import AudioFeatureStage, make_compressed_audio_media
+
+    eng = q_media_audio_codecs(sf_dir).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    tbl = make_compressed_audio_media(192, seed=9)
+    stage = AudioFeatureStage(decoder="library")   # same kernel, no Ray
+    ref = stage(tbl).to_pandas().sort_values("media_id").reset_index(drop=True)
+    for df in (eng, ref):
+        for c in ("energy", "duration_s"):
+            df[c] = _micros(df[c].to_numpy())
+    if len(eng) != len(ref):
+        mism = max(len(eng), len(ref))
+    else:
+        mism = int((eng[ref.columns.tolist()].to_numpy() != ref.to_numpy())
+                   .any(axis=1).sum())
+    # codec fidelity on a fresh sine mix: quantization budgets per codec
+    sr = 16000
+    t = np.arange(sr) / sr
+    x = 0.5 * np.sin(2 * np.pi * 440 * t) + 0.25 * np.sin(2 * np.pi * 1200 * t)
+    e_ulaw = float(np.abs(decode_wav_compressed(encode_wav_ulaw(x, sr))
+                          - x.astype(np.float32)).mean())
+    e_adpcm = float(np.abs(decode_wav_compressed(encode_wav_adpcm(x, sr))
+                           - x.astype(np.float32)).mean())
+    fidelity = int(e_ulaw < 0.01 and e_adpcm < 0.02)
+    return pd.DataFrame({"mismatch_rows": pd.array([mism], dtype="int64"),
+                         "fidelity_ok": pd.array([fidelity], dtype="int64")})
+
+
 def _lang_model_path(sf_dir: str) -> str:
     """Train-once cache of the REAL model artifact (the fixture-generator
     step): deterministic training on the labeled fixture corpus
@@ -5003,6 +5058,8 @@ QUERIES = {
     "media_jpeg_features_check": q_media_jpeg_features_check,
     "media_png_features": q_media_png_features,
     "media_png_features_check": q_media_png_features_check,
+    "media_audio_codecs": q_media_audio_codecs,
+    "media_audio_codecs_check": q_media_audio_codecs_check,
     "simhash_clusters_dist": q_simhash_clusters_dist,
     "value_counts": q_value_counts,
     "interval_join": q_interval_join,
@@ -5126,6 +5183,8 @@ ORACLE_SQL = {
                                   "CAST(1 AS BIGINT) AS fidelity_ok"),
     "media_png_features_check": ("SELECT CAST(0 AS BIGINT) AS mismatch_rows, "
                                  "CAST(1 AS BIGINT) AS lossless_ok"),
+    "media_audio_codecs_check": ("SELECT CAST(0 AS BIGINT) AS mismatch_rows, "
+                                 "CAST(1 AS BIGINT) AS fidelity_ok"),
     "pricing_summary": SQL_PRICING_SUMMARY,
     "segment_orders": SQL_SEGMENT_ORDERS,
     "top_orders": SQL_TOP_ORDERS,

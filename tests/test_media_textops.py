@@ -340,3 +340,81 @@ class TestPngCodec:
         ref = ImageDecodeStage(decoder="library")(t).to_pandas() \
             .sort_values("media_id").reset_index(drop=True)
         pdt.assert_frame_equal(out[ref.columns.tolist()], ref)
+
+
+class TestCompressedAudioCodecs:
+    """G.711 mu-law + IMA ADPCM (functions/audio_codecs.py) — from-spec,
+    no libav."""
+
+    def test_ulaw_codeword_fixpoint_and_error_bound(self):
+        from flink_fingerprint_ray.functions.audio_codecs import (
+            ulaw_decode,
+            ulaw_encode,
+        )
+
+        rng = np.random.RandomState(0)
+        pcm = rng.randint(-32768, 32768, 50000).astype(np.int16)
+        err = np.abs(ulaw_decode(ulaw_encode(pcm)).astype(np.int32)
+                     - pcm.astype(np.int32))
+        # top-segment quantization step is 1024 ⇒ error strictly below it
+        assert err.max() <= 1024
+        # decode -> encode -> decode is a fixpoint on every codeword
+        u = np.arange(256, dtype=np.uint8)
+        assert np.array_equal(ulaw_decode(ulaw_encode(ulaw_decode(u))),
+                              ulaw_decode(u))
+
+    def test_adpcm_roundtrip_snr_and_length(self):
+        from flink_fingerprint_ray.functions.audio_codecs import (
+            ima_adpcm_decode,
+            ima_adpcm_encode,
+        )
+
+        t = np.arange(16000) / 16000.0
+        pcm = ((0.5 * np.sin(2 * np.pi * 440 * t)
+                + 0.2 * np.sin(2 * np.pi * 1200 * t)) * 32767) \
+            .round().astype(np.int16)
+        dec = ima_adpcm_decode(ima_adpcm_encode(pcm))
+        assert len(dec) == len(pcm)
+        snr = 10 * np.log10((pcm.astype(float) ** 2).mean()
+                            / ((dec.astype(float) - pcm) ** 2).mean())
+        assert snr > 20, snr
+
+    def test_wav_containers_roundtrip_and_ratio(self):
+        from flink_fingerprint_ray.functions.audio_codecs import (
+            decode_wav_compressed,
+            encode_wav_adpcm,
+            encode_wav_ulaw,
+        )
+
+        t = np.arange(12345) / 16000.0
+        x = 0.4 * np.sin(2 * np.pi * 300 * t)
+        for enc, budget, ratio in ((encode_wav_ulaw, 0.01, 1.8),
+                                   (encode_wav_adpcm, 0.02, 3.2)):
+            w = enc(x, 16000)
+            y = decode_wav_compressed(w)
+            assert len(y) == len(x)
+            assert np.abs(y - x.astype(np.float32)).mean() < budget
+            assert len(x) * 2 / len(w) > ratio  # genuinely compressed
+        with pytest.raises(ValueError):
+            decode_wav_compressed(b"not riff")
+
+    def test_library_dispatch_and_stage(self, ray_session):
+        import ray.data
+
+        from flink_fingerprint_ray.stages.media import (
+            AudioFeatureStage,
+            LibraryDecoder,
+            make_compressed_audio_media,
+        )
+
+        t = make_compressed_audio_media(48, seed=9)
+        assert all(p[:4] == b"RIFF" for p in t["payload"].to_pylist())
+        x = LibraryDecoder().decode_audio(t["payload"][0].as_py(), 16000)
+        assert x.dtype == np.float32 and len(x) > 0
+        out = ray.data.from_arrow(t).map_batches(
+            AudioFeatureStage, fn_constructor_kwargs={"decoder": "library"},
+            concurrency=2, batch_size=16, batch_format="pyarrow",
+        ).to_pandas().sort_values("media_id").reset_index(drop=True)
+        ref = AudioFeatureStage(decoder="library")(t).to_pandas() \
+            .sort_values("media_id").reset_index(drop=True)
+        pdt.assert_frame_equal(out[ref.columns.tolist()], ref)

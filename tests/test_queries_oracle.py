@@ -110,6 +110,7 @@ FAST_SQL_QUERIES = [
     "model_lang_score_check",
     "media_jpeg_features_check",
     "media_png_features_check",
+    "media_audio_codecs_check",
 ]
 
 
@@ -149,7 +150,7 @@ def test_rows_only_queries_nonempty(ray_session):
     q = entrymod.queries()
     for name in ("minhash_lsh_clusters", "ann_topk_ivf", "ann_topk_pq",
                  "model_lang_score", "media_jpeg_features",
-                 "media_png_features"):
+                 "media_png_features", "media_audio_codecs"):
         df = _to_df(q[name](SF))
         assert len(df) > 0, name
 
