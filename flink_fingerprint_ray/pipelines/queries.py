@@ -1150,6 +1150,58 @@ def q_media_audio_codecs_check(sf_dir: str):
                          "fidelity_ok": pd.array([fidelity], dtype="int64")})
 
 
+def q_media_video_frames(sf_dir: str):
+    """Multimodal REAL-video path (rows-only): genuine MJPEG-AVI payloads
+    frame-sampled (every 4th frame) by the actor-pool stage via the
+    ``library`` dispatch slot — container seek + single-frame JPEG decode,
+    so only sampled frames are decoded.  Flat-map-shaped output (one row
+    per sampled frame); the distributed-vs-single-process + frame-count
+    invariant is ``media_video_frames_check``."""
+    from ..stages.media import VideoFrameSampleStage, make_mjpeg_media
+
+    ds = ray.data.from_arrow(make_mjpeg_media(96, seed=13))
+    return ds.map_batches(
+        VideoFrameSampleStage, fn_constructor_kwargs={"decoder": "library", "every": 4},
+        concurrency=2, batch_size=16, batch_format="pyarrow",
+    )
+
+
+def q_media_video_frames_check(sf_dir: str):
+    """Driver-visible invariant for the video path: the actor-pool frame
+    sample over the seeded AVI table must equal a single-process run
+    row-for-row (micros-rounded means), the emitted row count must equal
+    the exact sum of ceil(n_frames/4) from the CONTAINER index, and the
+    green channel of a decoded frame must identify its frame number
+    (proving the seek decoded the RIGHT frame).  Oracle pins
+    mismatch_rows=0, frame_count_ok=1, seek_ok=1."""
+    from ..functions.mjpeg import decode_avi_frame
+    from ..stages.media import VideoFrameSampleStage, make_mjpeg_media
+
+    eng = q_media_video_frames(sf_dir).to_pandas() \
+        .sort_values(["media_id", "frame_no"]).reset_index(drop=True)
+    tbl = make_mjpeg_media(96, seed=13)
+    stage = VideoFrameSampleStage(decoder="library", every=4)  # no Ray
+    ref = stage(tbl).to_pandas() \
+        .sort_values(["media_id", "frame_no"]).reset_index(drop=True)
+    for df in (eng, ref):
+        df["frame_mean"] = _micros(df["frame_mean"].to_numpy())
+    if len(eng) != len(ref):
+        mism = max(len(eng), len(ref))
+    else:
+        mism = int((eng[ref.columns.tolist()].to_numpy() != ref.to_numpy())
+                   .any(axis=1).sum())
+    counts = tbl["n_frames"].to_numpy()
+    expect_rows = int(sum((int(c) + 3) // 4 for c in counts))
+    frame_count_ok = int(len(eng) == expect_rows)
+    # seek correctness: frame 8 of payload 0 carries green ≈ 8*12
+    p0 = tbl["payload"][0].as_py()
+    img = decode_avi_frame(p0, 8)
+    seek_ok = int(abs(float(img[:, :, 1].mean()) - 96.0) < 10.0)
+    return pd.DataFrame({"mismatch_rows": pd.array([mism], dtype="int64"),
+                         "frame_count_ok": pd.array([frame_count_ok], dtype="int64"),
+                         "seek_ok": pd.array([seek_ok], dtype="int64")})
+
+
 def _lang_model_path(sf_dir: str) -> str:
     """Train-once cache of the REAL model artifact (the fixture-generator
     step): deterministic training on the labeled fixture corpus
@@ -5060,6 +5112,8 @@ QUERIES = {
     "media_png_features_check": q_media_png_features_check,
     "media_audio_codecs": q_media_audio_codecs,
     "media_audio_codecs_check": q_media_audio_codecs_check,
+    "media_video_frames": q_media_video_frames,
+    "media_video_frames_check": q_media_video_frames_check,
     "simhash_clusters_dist": q_simhash_clusters_dist,
     "value_counts": q_value_counts,
     "interval_join": q_interval_join,
@@ -5185,6 +5239,9 @@ ORACLE_SQL = {
                                  "CAST(1 AS BIGINT) AS lossless_ok"),
     "media_audio_codecs_check": ("SELECT CAST(0 AS BIGINT) AS mismatch_rows, "
                                  "CAST(1 AS BIGINT) AS fidelity_ok"),
+    "media_video_frames_check": ("SELECT CAST(0 AS BIGINT) AS mismatch_rows, "
+                                 "CAST(1 AS BIGINT) AS frame_count_ok, "
+                                 "CAST(1 AS BIGINT) AS seek_ok"),
     "pricing_summary": SQL_PRICING_SUMMARY,
     "segment_orders": SQL_SEGMENT_ORDERS,
     "top_orders": SQL_TOP_ORDERS,

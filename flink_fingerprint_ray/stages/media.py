@@ -124,6 +124,40 @@ class LibraryDecoder:
             "libav/soundfile — not available in this container; plug the "
             "codec in here (loaded once per actor)")
 
+    def n_video_frames(self, payload: bytes) -> int:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            return MjpegDecoder().n_video_frames(payload)
+        raise NotImplementedError("video containers beyond MJPEG-AVI require libav")
+
+    def decode_video_frame(self, payload: bytes, frame_idx: int) -> np.ndarray:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            return MjpegDecoder().decode_video_frame(payload, frame_idx)
+        raise NotImplementedError("video containers beyond MJPEG-AVI require libav")
+
+
+class MjpegDecoder:
+    """REAL video decode with no external libraries: MJPEG-in-AVI
+    (``functions/mjpeg.py``, RIFF/AVI container + the T.81 JPEG codec).
+    Frame access is index-seek + single-frame JPEG decode, so a sampling
+    stage pays ONLY for the frames it samples — the MJPEG property that
+    makes it the right fixture for frame-sample pipelines."""
+
+    def n_video_frames(self, payload: bytes) -> int:
+        from ..functions.mjpeg import avi_mjpeg_index
+
+        return len(avi_mjpeg_index(payload))
+
+    def decode_video_frame(self, payload: bytes, frame_idx: int) -> np.ndarray:
+        from ..functions.mjpeg import decode_avi_frame
+
+        return decode_avi_frame(payload, frame_idx)
+
+    def decode_image(self, payload: bytes, width: int = 0, height: int = 0) -> np.ndarray:
+        return self.decode_video_frame(payload, 0)
+
+    def decode_audio(self, payload: bytes, sample_rate: int) -> np.ndarray:
+        raise NotImplementedError("MJPEG decoder handles video only")
+
 
 class CompressedAudioDecoder:
     """REAL compressed-audio decode with no external libraries: G.711
@@ -385,6 +419,40 @@ def make_compressed_audio_media(n: int, seed: int = 0) -> pa.Table:
     )
 
 
+def make_mjpeg_media(n: int, seed: int = 0, fps: int = 10) -> pa.Table:
+    """Fixture with GENUINE MJPEG-AVI video payloads: seeded gradient
+    clips whose green channel encodes the frame number, 6-20 frames
+    each — so a frame-sample stage's output is checkable per frame."""
+    from ..functions.mjpeg import encode_avi_mjpeg
+
+    rng = np.random.RandomState(seed)
+    widths = rng.randint(16, 48, n).astype(np.int32)
+    heights = rng.randint(16, 48, n).astype(np.int32)
+    counts = rng.randint(6, 21, n).astype(np.int32)
+    payloads = []
+    for i in range(n):
+        h, w, nf = int(heights[i]), int(widths[i]), int(counts[i])
+        gx = np.broadcast_to(np.linspace(0, 255, w)[None, :], (h, w))
+        frames = [
+            np.stack([gx, np.full((h, w), min(f * 12.0, 255.0)),
+                      np.clip(127.5 + 60 * np.sin(gx / 4.0 + f), 0, 255)],
+                     axis=2).astype(np.uint8)
+            for f in range(nf)
+        ]
+        payloads.append(encode_avi_mjpeg(frames, fps=fps))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array(["video"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(widths),
+            "height": pa.array(heights),
+            "sample_rate": pa.array(np.full(n, 0, np.int32)),
+            "n_frames": pa.array(counts),
+        }
+    )
+
+
 class FakeDecoder:
     """Deterministic stand-in: pixels/samples derived from payload bytes so
     every worker produces identical output for the same row."""
@@ -404,6 +472,7 @@ class FakeDecoder:
 _DECODERS = {"fake": FakeDecoder, "netpbm": NetpbmDecoder,
              "jpeg": JpegDecoder, "png": PngDecoder,
              "compressed_audio": CompressedAudioDecoder,
+             "mjpeg": MjpegDecoder,
              "library": LibraryDecoder}
 
 
@@ -482,8 +551,12 @@ class AudioFeatureStage:
 
 
 class VideoFrameSampleStage:
-    """Actor-pool stage: sample every k-th frame of a fake video payload
-    and emit one row per sampled frame (flat_map-shaped output)."""
+    """Actor-pool stage: sample every k-th frame of a video payload and
+    emit one row per sampled frame (flat_map-shaped output).  Decoders
+    exposing ``decode_video_frame`` (MJPEG-AVI, the library slot) get the
+    REAL container path — frame count read from the container, only the
+    sampled frames decoded; other decoders keep the synthetic
+    frame-stamped-payload path."""
 
     def __init__(self, every: int = 4, use_fake: bool = True,
                  decoder: str | None = None) -> None:
@@ -492,6 +565,7 @@ class VideoFrameSampleStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, frames_out, frame_nos = [], [], []
+        real = hasattr(self.decoder, "decode_video_frame")
         for mid, p, w, h, nf in zip(
             batch["media_id"].to_pylist(),
             batch["payload"].to_pylist(),
@@ -499,8 +573,12 @@ class VideoFrameSampleStage:
             batch["height"].to_numpy(),
             batch["n_frames"].to_numpy(),
         ):
+            if real:
+                nf = self.decoder.n_video_frames(p)
             for f in range(0, int(nf), self.every):
-                img = self.decoder.decode_image(p + f.to_bytes(4, "little"), int(w), int(h))
+                img = (self.decoder.decode_video_frame(p, f) if real else
+                       self.decoder.decode_image(p + f.to_bytes(4, "little"),
+                                                 int(w), int(h)))
                 ids.append(mid)
                 frame_nos.append(f)
                 frames_out.append(float(img.mean()))

@@ -418,3 +418,60 @@ class TestCompressedAudioCodecs:
         ref = AudioFeatureStage(decoder="library")(t).to_pandas() \
             .sort_values("media_id").reset_index(drop=True)
         pdt.assert_frame_equal(out[ref.columns.tolist()], ref)
+
+
+class TestMjpegAvi:
+    """MJPEG-in-AVI container (functions/mjpeg.py) — real RIFF/AVI with
+    baseline-JPEG frames; frame access = index seek + one JPEG decode."""
+
+    @staticmethod
+    def _frames(n=9, h=24, w=32):
+        gx = np.broadcast_to(np.linspace(0, 255, w)[None, :], (h, w))
+        return [np.stack([gx, np.full((h, w), min(f * 12.0, 255.0)),
+                          np.clip(127.5 + 60 * np.sin(gx / 4.0 + f), 0, 255)],
+                         axis=2).astype(np.uint8) for f in range(n)]
+
+    def test_container_roundtrip_and_seek(self):
+        from flink_fingerprint_ray.functions.mjpeg import (
+            avi_mjpeg_index,
+            decode_avi_frame,
+            encode_avi_mjpeg,
+        )
+
+        frames = self._frames(9)
+        avi = encode_avi_mjpeg(frames, fps=5)
+        assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+        idx = avi_mjpeg_index(avi)
+        assert len(idx) == 9
+        for f in (0, 4, 8):
+            dec = decode_avi_frame(avi, f, idx)
+            assert dec.shape == frames[f].shape
+            assert np.abs(dec.astype(float) - frames[f].astype(float)).mean() < 6.0
+            # green channel identifies the frame — the seek hit the RIGHT one
+            assert abs(float(dec[:, :, 1].mean()) - min(f * 12.0, 255.0)) < 10.0
+        with pytest.raises(IndexError):
+            decode_avi_frame(avi, 99, idx)
+        with pytest.raises(ValueError):
+            avi_mjpeg_index(b"RIFF\x04\x00\x00\x00WAVE")
+
+    def test_stage_real_video_payloads(self, ray_session):
+        import ray.data
+
+        from flink_fingerprint_ray.stages.media import (
+            VideoFrameSampleStage,
+            make_mjpeg_media,
+        )
+
+        t = make_mjpeg_media(24, seed=13)
+        assert all(p[:4] == b"RIFF" and p[8:12] == b"AVI "
+                   for p in t["payload"].to_pylist())
+        out = ray.data.from_arrow(t).map_batches(
+            VideoFrameSampleStage,
+            fn_constructor_kwargs={"decoder": "library", "every": 4},
+            concurrency=2, batch_size=8, batch_format="pyarrow",
+        ).to_pandas().sort_values(["media_id", "frame_no"]).reset_index(drop=True)
+        counts = t["n_frames"].to_numpy()
+        assert len(out) == int(sum((int(c) + 3) // 4 for c in counts))
+        ref = VideoFrameSampleStage(decoder="library", every=4)(t).to_pandas() \
+            .sort_values(["media_id", "frame_no"]).reset_index(drop=True)
+        pdt.assert_frame_equal(out[ref.columns.tolist()], ref)

@@ -111,6 +111,7 @@ FAST_SQL_QUERIES = [
     "media_jpeg_features_check",
     "media_png_features_check",
     "media_audio_codecs_check",
+    "media_video_frames_check",
 ]
 
 
@@ -150,7 +151,8 @@ def test_rows_only_queries_nonempty(ray_session):
     q = entrymod.queries()
     for name in ("minhash_lsh_clusters", "ann_topk_ivf", "ann_topk_pq",
                  "model_lang_score", "media_jpeg_features",
-                 "media_png_features", "media_audio_codecs"):
+                 "media_png_features", "media_audio_codecs",
+                 "media_video_frames"):
         df = _to_df(q[name](SF))
         assert len(df) > 0, name
 
