@@ -70,77 +70,95 @@ def ulaw_decode(u: np.ndarray) -> np.ndarray:
 
 def ima_adpcm_encode(pcm: np.ndarray, samples_per_block: int = 1017) -> bytes:
     """int16 mono → IMA ADPCM block stream (4 bits/sample after the
-    4-byte block header holding predictor + step index)."""
+    4-byte block header holding predictor + step index).
+
+    Blocks are INDEPENDENT (the header carries predictor + step index),
+    so the sample recurrence is vectorized ACROSS blocks: one python
+    loop of ``samples_per_block`` steps over an (n_blocks,)-wide state
+    vector instead of one step per sample."""
     x = np.asarray(pcm, dtype=np.int32)
+    if len(x) == 0:
+        return b""
+    nb = (len(x) + samples_per_block - 1) // samples_per_block
+    # pad the tail block by repeating its last sample (padding nibbles
+    # beyond each block's true sample count are sliced off on emit)
+    tails = np.full(nb * samples_per_block - len(x), int(x[-1]), np.int32)
+    mat = np.concatenate([x, tails]).reshape(nb, samples_per_block)
+    pred = mat[:, 0].copy()
+    index = np.zeros(nb, dtype=np.int32)
+    n_nib = samples_per_block - 1
+    codes = np.empty((nb, n_nib + (n_nib % 2)), dtype=np.uint8)
+    codes[:, n_nib:] = 0
+    for j in range(n_nib):
+        step = _IMA_STEPS[index]
+        diff = mat[:, j + 1] - pred
+        sign = diff < 0
+        adiff = np.abs(diff)
+        b4 = adiff >= step
+        adiff = adiff - b4 * step
+        b2 = adiff >= (step >> 1)
+        adiff = adiff - b2 * (step >> 1)
+        b1 = adiff >= (step >> 2)
+        code = (sign * 8 + b4 * 4 + b2 * 2 + b1).astype(np.int32)
+        delta = (step >> 3) + b1 * (step >> 2) + b2 * (step >> 1) + b4 * step
+        pred = np.clip(pred + np.where(sign, -delta, delta), -32768, 32767)
+        index = np.clip(index + _IMA_INDEX[code & 7], 0, 88)
+        codes[:, j] = code
+    lens = np.full(nb, samples_per_block, np.int64)
+    lens[-1] = len(x) - (nb - 1) * samples_per_block
+    codes[-1, int(lens[-1]) - 1:] = 0   # tail pad nibbles are zero
+    packed = (codes[:, 0::2] | (codes[:, 1::2] << 4)).astype(np.uint8)
     out = bytearray()
-    pos = 0
-    while pos < len(x):
-        blk = x[pos:pos + samples_per_block]
-        pos += len(blk)
-        pred = int(blk[0])
-        index = 0
-        out += struct.pack("<hBB", pred, index, 0)
-        nibbles = []
-        for s in blk[1:]:
-            step = int(_IMA_STEPS[index])
-            diff = int(s) - pred
-            code = 0
-            if diff < 0:
-                code = 8
-                diff = -diff
-            if diff >= step:
-                code |= 4
-                diff -= step
-            if diff >= step >> 1:
-                code |= 2
-                diff -= step >> 1
-            if diff >= step >> 2:
-                code |= 1
-            # reconstruct exactly as the decoder will
-            delta = (step >> 3) + (step >> 2 if code & 1 else 0) \
-                + (step >> 1 if code & 2 else 0) + (step if code & 4 else 0)
-            pred = pred - delta if code & 8 else pred + delta
-            pred = max(-32768, min(32767, pred))
-            index = max(0, min(88, index + int(_IMA_INDEX[code & 7])))
-            nibbles.append(code)
-        if len(nibbles) % 2:
-            nibbles.append(0)
-        b = np.asarray(nibbles, dtype=np.uint8)
-        out += (b[0::2] | (b[1::2] << 4)).tobytes()
+    for b in range(nb):
+        out += struct.pack("<hBB", int(mat[b, 0]), 0, 0)
+        n_bytes = (int(lens[b]) - 1 + 1) // 2 if lens[b] > 1 else 0
+        out += packed[b, :n_bytes].tobytes()
     return bytes(out)
 
 
 def ima_adpcm_decode(data: bytes, samples_per_block: int = 1017) -> np.ndarray:
-    """IMA ADPCM block stream → int16 mono."""
-    out: list[int] = []
-    pos = 0
-    n = len(data)
+    """IMA ADPCM block stream → int16 mono.  Same cross-block
+    vectorization as the encoder: full-size blocks decode as one
+    (n_blocks,)-wide recurrence; a ragged tail block runs the same code
+    at width 1."""
     nib_per_block = samples_per_block - 1 + ((samples_per_block - 1) % 2)
     body_bytes = nib_per_block // 2
-    while pos + 4 <= n:
-        pred, index, _ = struct.unpack("<hBB", data[pos:pos + 4])
-        pos += 4
-        body = np.frombuffer(data, dtype=np.uint8,
-                             count=min(body_bytes, n - pos), offset=pos)
-        pos += len(body)
-        nib = np.empty(len(body) * 2, dtype=np.uint8)
-        nib[0::2] = body & 0x0F
-        nib[1::2] = body >> 4
-        out.append(pred)
-        index = max(0, min(88, int(index)))
-        emitted = 1
-        for code in nib:
-            if emitted >= samples_per_block:
-                break
-            step = int(_IMA_STEPS[index])
-            delta = (step >> 3) + (step >> 2 if code & 1 else 0) \
-                + (step >> 1 if code & 2 else 0) + (step if code & 4 else 0)
-            pred = pred - delta if code & 8 else pred + delta
-            pred = max(-32768, min(32767, pred))
-            index = max(0, min(88, index + int(_IMA_INDEX[code & 7])))
-            out.append(pred)
-            emitted += 1
-    return np.asarray(out, dtype=np.int16)
+    block_bytes = 4 + body_bytes
+    n = len(data)
+
+    def _decode_group(chunk: bytes, nb: int, bbytes: int) -> list[np.ndarray]:
+        raw = np.frombuffer(chunk, dtype=np.uint8).reshape(nb, 4 + bbytes)
+        pred = raw[:, :2].copy().view("<i2")[:, 0].astype(np.int32)
+        index = np.clip(raw[:, 2].astype(np.int32), 0, 88)
+        body = raw[:, 4:]
+        nib = np.empty((nb, bbytes * 2), dtype=np.uint8)
+        nib[:, 0::2] = body & 0x0F
+        nib[:, 1::2] = body >> 4
+        n_emit = min(samples_per_block - 1, bbytes * 2)
+        out = np.empty((nb, 1 + n_emit), dtype=np.int32)
+        out[:, 0] = pred
+        for j in range(n_emit):
+            code = nib[:, j].astype(np.int32)
+            step = _IMA_STEPS[index]
+            delta = (step >> 3) + (code & 1) * (step >> 2) \
+                + ((code >> 1) & 1) * (step >> 1) + ((code >> 2) & 1) * step
+            pred = np.clip(np.where(code & 8, pred - delta, pred + delta),
+                           -32768, 32767)
+            index = np.clip(index + _IMA_INDEX[code & 7], 0, 88)
+            out[:, j + 1] = pred
+        return [row for row in out]
+
+    pieces: list[np.ndarray] = []
+    n_full = n // block_bytes
+    if n_full:
+        pieces += _decode_group(data[:n_full * block_bytes], n_full, body_bytes)
+    rem = n - n_full * block_bytes
+    if rem >= 4:
+        tail_bytes = rem - 4
+        pieces += _decode_group(data[n_full * block_bytes:], 1, tail_bytes)
+    if not pieces:
+        return np.empty(0, dtype=np.int16)
+    return np.concatenate(pieces).astype(np.int16)
 
 
 # ---------------------------------------------------------------------------
