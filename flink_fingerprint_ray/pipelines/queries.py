@@ -1159,7 +1159,7 @@ def q_media_video_frames(sf_dir: str):
     invariant is ``media_video_frames_check``."""
     from ..stages.media import VideoFrameSampleStage, make_mjpeg_media
 
-    ds = ray.data.from_arrow(make_mjpeg_media(96, seed=13))
+    ds = ray.data.from_arrow(make_mjpeg_media(64, seed=13))
     return ds.map_batches(
         VideoFrameSampleStage, fn_constructor_kwargs={"decoder": "library", "every": 4},
         concurrency=2, batch_size=16, batch_format="pyarrow",
@@ -1179,7 +1179,7 @@ def q_media_video_frames_check(sf_dir: str):
 
     eng = q_media_video_frames(sf_dir).to_pandas() \
         .sort_values(["media_id", "frame_no"]).reset_index(drop=True)
-    tbl = make_mjpeg_media(96, seed=13)
+    tbl = make_mjpeg_media(64, seed=13)
     stage = VideoFrameSampleStage(decoder="library", every=4)  # no Ray
     ref = stage(tbl).to_pandas() \
         .sort_values(["media_id", "frame_no"]).reset_index(drop=True)
