@@ -91,6 +91,7 @@ def make_pages(
     tokens_lo: int = 12,
     tokens_hi: int = 40,
     media_frac: float = 0.0,
+    media_codecs: str = "netpbm",
 ) -> pa.Table:
     """F1 `pages` table: (url, warc_ts, html, text, lang [, media]).
 
@@ -98,10 +99,12 @@ def make_pages(
     within the watermark bound; ~late_frac rows later than the bound
     (must be dropped as late and counted in metrics).
 
-    ``media_frac > 0`` attaches a GENUINE netpbm P6 payload (seeded
-    gradient+noise image) to that fraction of pages — the multimodal
-    column the flagship's media side-channel decodes under the streaming
-    contract; other rows carry null.
+    ``media_frac > 0`` attaches a GENUINE encoded image payload (seeded
+    gradient+noise) to that fraction of pages — the multimodal column
+    the flagship's media side-channel decodes under the streaming
+    contract; other rows carry null.  ``media_codecs="mixed"`` cycles
+    netpbm P6 / baseline JPEG / lossless PNG payloads (the side channel
+    sniffs each signature); the default is netpbm-only.
     """
     rng = np.random.RandomState(seed)
     # Zipf-skewed host choice: a few hot hosts exercise salting
@@ -137,11 +140,13 @@ def make_pages(
         "lang": pa.array(langs, type=pa.string()),
     }
     if media_frac > 0:
+        from .functions.jpeg import encode_jpeg
+        from .functions.png import encode_png
         from .stages.media import encode_ppm
 
         has_media = rng.rand(n_docs) < media_frac
         payloads: list[bytes | None] = [None] * n_docs
-        for i in np.flatnonzero(has_media):
+        for k, i in enumerate(np.flatnonzero(has_media)):
             h, w = int(rng.randint(16, 48)), int(rng.randint(16, 48))
             gx = np.linspace(0, 255, w, dtype=np.float64)[None, :]
             gy = np.linspace(0, 255, h, dtype=np.float64)[:, None]
@@ -150,7 +155,14 @@ def make_pages(
                 np.broadcast_to(gy, (h, w)),
                 rng.randint(0, 256, (h, w)).astype(np.float64),
             ], axis=2).astype(np.uint8)
-            payloads[int(i)] = encode_ppm(img)
+            if media_codecs == "mixed":
+                # cycle the three REAL image codecs — the side-channel
+                # (and its oracle) sniffs each payload's signature
+                payloads[int(i)] = (encode_ppm(img) if k % 3 == 0 else
+                                    encode_jpeg(img, quality=90) if k % 3 == 1
+                                    else encode_png(img))
+            else:
+                payloads[int(i)] = encode_ppm(img)
         cols["media"] = pa.array(payloads, type=pa.binary())
     return pa.table(cols)
 

@@ -364,9 +364,10 @@ def oracle_media_stream(
 ) -> pd.DataFrame:
     """Expected media side-channel output (url, ts_ms, media_mean,
     media_std): per epoch, non-late non-empty-text rows whose ``media``
-    payload is present decode via NetpbmDecoder; identical numpy ops to
-    the engine's PageMediaStage so float equality is exact."""
-    from .stages.media import NetpbmDecoder
+    payload is present decode via the same signature-sniffing dispatch
+    (netpbm / JPEG / PNG) and identical numpy ops as the engine's
+    PageMediaStage, so float equality is exact."""
+    from .stages.media import decode_any_image
 
     text = fp.extract_text(pages["html"])
     ts_all = pages["warc_ts"].cast(pa.int64()).to_numpy()
@@ -376,7 +377,6 @@ def oracle_media_stream(
     nonempty = pc.not_equal(text, "").to_numpy(zero_copy_only=False)
     media = pages["media"].combine_chunks()
     valid = media.is_valid().to_numpy(zero_copy_only=False)
-    dec = NetpbmDecoder()
     bounds = _epoch_bounds(pages.num_rows, n_epochs)
     wm = 0
     out: list[tuple] = []
@@ -388,7 +388,7 @@ def oracle_media_stream(
         wm = max(wm, int(ts_all[lo:hi].max()) - lateness_ms)
         for i in range(lo, hi):
             if ts_all[i] >= wm_prev and nonempty[i] and valid[i]:
-                img = dec.decode_image(media[i].as_py())
+                img = decode_any_image(media[i].as_py())
                 out.append((str(url_all[i]), int(ts_all[i]),
                             float(img.mean()), float(img.std())))
     df = pd.DataFrame(out, columns=["url", "ts_ms", "media_mean", "media_std"])

@@ -411,15 +411,16 @@ def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix:
 
 class PageMediaStage:
     """Actor-pool media side-channel of the flagship: decode the optional
-    netpbm ``media`` payload (decoder built once per actor), append
-    per-page pixel features, and DROP the binary before the fingerprint
-    transform — large payloads must never reach a shuffle.  Pages without
-    media get null features."""
+    ``media`` payload — netpbm, JPEG or PNG, sniffed by signature
+    (``stages.media.decode_any_image``, the dispatch the oracle shares) —
+    append per-page pixel features, and DROP the binary before the
+    fingerprint transform — large payloads must never reach a shuffle.
+    Pages without media get null features."""
 
     def __init__(self) -> None:
-        from ..stages.media import NetpbmDecoder
+        from ..stages.media import decode_any_image
 
-        self.decoder = NetpbmDecoder()
+        self.decode = decode_any_image
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if "media" not in batch.column_names:
@@ -430,7 +431,7 @@ class PageMediaStage:
         std = np.zeros(n)
         valid = col.is_valid().to_numpy(zero_copy_only=False)
         for i in np.flatnonzero(valid):
-            img = self.decoder.decode_image(col[int(i)].as_py())
+            img = self.decode(col[int(i)].as_py())
             mean[i] = float(img.mean())
             std[i] = float(img.std())
         batch = batch.drop_columns(["media"])

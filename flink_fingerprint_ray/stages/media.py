@@ -389,6 +389,22 @@ def make_png_media(n: int, seed: int = 0) -> pa.Table:
     )
 
 
+def decode_any_image(payload: bytes) -> np.ndarray:
+    """Signature-sniffing image decode across every REAL codec in this
+    repo — JPEG (T.81), PNG (RFC 2083), netpbm P5/P6 — the dispatch the
+    streaming media side-channel and its oracle share (same bytes, same
+    kernel, exact float parity)."""
+    if payload[:2] == b"\xff\xd8":
+        from ..functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..functions.png import decode_png
+
+        return decode_png(payload)
+    return NetpbmDecoder().decode_image(payload)
+
+
 def make_compressed_audio_media(n: int, seed: int = 0) -> pa.Table:
     """Fixture with GENUINE compressed-audio WAV payloads: seeded
     sine-mix clips encoded alternately as G.711 mu-law (2:1) and IMA

@@ -668,3 +668,38 @@ def test_follow_tails_appended_epochs_exactly_once(ray_session, tmp_path):
     assert len(eng) == len(ora) > 0
     pd.testing.assert_frame_equal(
         _norm(eng, ora.columns), _norm(ora, ora.columns), check_dtype=False)
+
+
+def test_streaming_media_mixed_codecs_match_oracle(ray_session, tmp_path):
+    """Round 4: the media side-channel decodes MIXED real codecs in the
+    stream — netpbm P6, baseline JPEG and lossless PNG payloads cycle
+    through the same epochs; the actor-pool stage and the oracle share
+    the signature-sniffing dispatch, so features match float-exactly."""
+    from flink_fingerprint_ray.oracle import oracle_media_stream
+
+    root = str(tmp_path)
+    pages = fixtures.make_pages(n_docs=600, seed=35, media_frac=0.2,
+                                media_codecs="mixed")
+    # prove the corpus genuinely mixes all three codecs
+    payloads = [p for p in pages["media"].to_pylist() if p is not None]
+    sigs = {(b"P6" if p[:2] == b"P6" else
+             b"JPG" if p[:2] == b"\xff\xd8" else
+             b"PNG" if p[:8] == b"\x89PNG\r\n\x1a\n" else b"?") for p in payloads}
+    assert sigs == {b"P6", b"JPG", b"PNG"}
+    fixtures.write_epochs(pages, root, n_epochs=3, prefix="pages")
+    cfg = PipelineConfig(sliding=None, session_gap_ms=0,
+                         n_state_partitions=2, media_features=True)
+    pipe = StreamingFingerprintPipeline(
+        os.path.join(root, "pages"), os.path.join(root, "out"), cfg=cfg)
+    res = pipe.run()
+    med = pipe.media_df()
+    pipe.shutdown()
+
+    ora = oracle_media_stream(pages, 3)
+    assert len(ora) > 0 and res["media_docs"] == len(ora)
+    mcols = ["url", "ts_ms", "media_mean", "media_std"]
+    pd.testing.assert_frame_equal(
+        med[mcols].sort_values(["url", "ts_ms"]).reset_index(drop=True),
+        ora[mcols].sort_values(["url", "ts_ms"]).reset_index(drop=True),
+        check_dtype=False,
+    )
