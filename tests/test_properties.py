@@ -735,3 +735,63 @@ def test_robust_sweep_matches_naive(rows):
         assert row["mad_chars"] == disc(np.abs(x - med), 0.5)
         assert row["winsorized_sum"] == int(np.clip(x, lo, hi).sum())
         assert row["n_docs"] == n
+
+
+# ---------------------------------------------------------------------------
+# Media codec properties (round 4): PNG is lossless for ARBITRARY pixel
+# content and shapes; mu-law decode->encode->decode is a fixpoint; ADPCM
+# streams decode to the emitted length for arbitrary sizes.
+# ---------------------------------------------------------------------------
+
+img_shapes = st.tuples(st.integers(1, 24), st.integers(1, 24),
+                       st.sampled_from([1, 3, 4]))
+
+
+@given(img_shapes, st.integers(0, 2**31 - 1))
+@settings(max_examples=30, deadline=None)
+def test_png_lossless_arbitrary_images(shape, seed):
+    from flink_fingerprint_ray.functions.png import decode_png, encode_png
+
+    h, w, ch = shape
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w) if ch == 1 else (h, w, ch)).astype(np.uint8)
+    dec = decode_png(encode_png(img))
+    assert dec.shape == img.shape and np.array_equal(dec, img)
+
+
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=400))
+@settings(max_examples=40, deadline=None)
+def test_ulaw_fixpoint_and_sign(pcm):
+    from flink_fingerprint_ray.functions.audio_codecs import (
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    x = np.asarray(pcm, dtype=np.int16)
+    once = ulaw_decode(ulaw_encode(x))
+    twice = ulaw_decode(ulaw_encode(once))
+    assert np.array_equal(once, twice)  # decode∘encode is a projection
+    nz = x[np.abs(x.astype(np.int32)) > 64]
+    if len(nz):
+        rec = ulaw_decode(ulaw_encode(nz))
+        assert (np.sign(rec.astype(np.int32))
+                == np.sign(nz.astype(np.int32))).all()
+
+
+@given(st.integers(1, 4000), st.integers(0, 2**31 - 1),
+       st.sampled_from([65, 129, 1017]))
+@settings(max_examples=30, deadline=None)
+def test_adpcm_roundtrip_length_any_size(n, seed, spb):
+    from flink_fingerprint_ray.functions.audio_codecs import (
+        ima_adpcm_decode,
+        ima_adpcm_encode,
+    )
+
+    rng = np.random.RandomState(seed)
+    pcm = np.clip(np.cumsum(rng.randint(-300, 300, n)), -32768, 32767) \
+        .astype(np.int16)
+    dec = ima_adpcm_decode(ima_adpcm_encode(pcm, spb), spb)
+    # emitted length: blocks emit 1 + nibbles; an even tail block carries
+    # one zero pad nibble that decodes to one extra (deterministic) sample
+    assert len(dec) in (n, n + 1)
+    assert dec[0] == pcm[0]  # block-0 predictor is the first sample
