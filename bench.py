@@ -311,7 +311,57 @@ def main() -> None:
                     help="run headline at num_cpus=8 and 32 in fresh processes")
     ap.add_argument("--_headline-only", dest="headline_only", action="store_true",
                     help=argparse.SUPPRESS)
+    ap.add_argument("--neardup-ab", dest="neardup_ab", action="store_true",
+                    help="interleaved plain-vs-neardup A/B pairs on one "
+                         "shared corpus (the only drift-proof overhead "
+                         "measurement on this host)")
     args = ap.parse_args()
+
+    if args.neardup_ab:
+        # Host capacity swings 2-4x minute-to-minute (BASELINE.md), so
+        # near-dup overhead is only meaningful as SAME-MINUTE interleaved
+        # pairs over identical input; report every pair plus the median
+        # and minimum pairwise ratio.  Corpus size via BENCH_N_DOCS
+        # (default 960k, the round-3/4 A/B protocol size).
+        import ray
+
+        n_docs = int(os.environ.get("BENCH_N_DOCS", N_DOCS))
+        n_epochs = int(os.environ.get("BENCH_N_EPOCHS", N_EPOCHS))
+        pairs_n = int(os.environ.get("BENCH_AB_PAIRS", "3"))
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+        corpus = tempfile.mkdtemp(prefix="ffr_ndab_corpus_")
+        os.environ["BENCH_CORPUS_BYTES"] = str(write_corpus(corpus, n_docs, n_epochs))
+        # unrecorded warmup: first touch of the corpus + worker spawn
+        # otherwise bias whichever side runs first
+        run_headline(NUM_CPUS, n_docs=n_docs, n_epochs=n_epochs, corpus_dir=corpus)
+        pairs = []
+        for k in range(pairs_n):
+            order = (False, True) if k % 2 == 0 else (True, False)
+            res = {}
+            for nd_flag in order:
+                res[nd_flag] = run_headline(NUM_CPUS, n_docs=n_docs,
+                                            n_epochs=n_epochs,
+                                            corpus_dir=corpus, neardup=nd_flag)
+            plain, nd = res[False], res[True]
+            pairs.append({
+                "plain_sec": plain["sec"], "neardup_sec": nd["sec"],
+                "overhead": round(nd["sec"] / plain["sec"] - 1.0, 3),
+                "neardup_kept": nd["telemetry"].get("neardup_kept"),
+                "neardup_dropped": nd["telemetry"].get("neardup_dropped"),
+            })
+        ratios = sorted(p["overhead"] for p in pairs)
+        print(json.dumps({
+            "metric": "streaming near-dup overhead (interleaved same-corpus A/B)",
+            "value": ratios[len(ratios) // 2],
+            "unit": "fractional wall overhead (median pair)",
+            "overhead_min_pair": ratios[0],
+            "pairs": pairs,
+            "n_docs": n_docs,
+            "n_epochs": n_epochs,
+            "num_cpus": NUM_CPUS,
+        }))
+        ray.shutdown()
+        return
 
     if args.scaling:
         # scaling evidence needs a compute-dominated workload:
