@@ -642,18 +642,23 @@ def route_neardup(block: pa.Table, n_partitions: int, neardup_handles: list,
 @ray.remote
 def reduce_neardup(path: str, neardup_handles: list, n_partitions: int,
                    part: int, n_verdicts: int, *verdicts_and_sides):
-    """AND-reduce the per-band verdicts for one doc-hash partition: a doc
-    — identified by the numeric (ts_ms, doc_h) pair — survives iff EVERY
-    one of its (band, ok) rows is ok.  The verdict slices arrive
-    PRE-SPLIT by doc hash from every actor's close_epoch (this task's
-    column of the actor × reducer ref matrix), so each verdict row
-    crosses the object store exactly once — no P× re-fetch; the
-    remaining args are this partition's (doc_h, ts_ms, url) side tables
-    from the route tasks, which map surviving hashes back to urls.
-    Writes this slice's survivor part (url, ts_ms) under the epoch fence
-    and routes the survivors' bands back to their owning actors for
-    registration, waiting the acks before returning — so this task's
-    completion certifies register-done.  Returns (n_survivors, n_docs)."""
+    """AND-reduce the per-DOC verdict aggregates for one doc-hash
+    partition: a doc — identified by the numeric (ts_ms, doc_h) pair —
+    survives iff Σok_bands == Σn_bands over every actor's aggregate
+    slice (each of its bands contributed ok exactly when the doc was
+    that band's (ts, doc_h)-minimal unseen candidate).  The slices
+    arrive PRE-SPLIT by doc hash from every actor's close_epoch (this
+    task's column of the actor × reducer ref matrix) at ONE ROW PER DOC
+    per actor — an ~n_bands-fold smaller exchange than per-band verdict
+    rows; the remaining args are this partition's (doc_h, ts_ms, url)
+    side tables from the route tasks, which map surviving hashes back to
+    urls.  Writes this slice's survivor part (url, ts_ms) under the
+    epoch fence and sends just the survivor (ts_ms, doc_h) keys to every
+    actor's register_survivors — each actor registers its retained
+    winning bands, so band values never cross back.  Waits the acks, so
+    this task's completion certifies register-done (the driver gates the
+    band snapshot, and via actor FIFO the next epoch's close sweep, on
+    this task's ref).  Returns (n_survivors, n_docs)."""
     import pyarrow.parquet as pq
 
     verdicts = verdicts_and_sides[:n_verdicts]
@@ -667,15 +672,14 @@ def reduce_neardup(path: str, neardup_handles: list, n_partitions: int,
     t = pa.concat_tables(tabs, promote_options="default").combine_chunks()
     ts = t["ts_ms"].to_numpy()
     doc_h = t["doc_h"].to_numpy().astype(np.uint64)
-    ok = t["ok"].to_numpy(zero_copy_only=False).astype(np.int64)
-    band = t["band"].to_numpy().astype(np.uint64)
+    okb = t["ok_bands"].to_numpy()
+    nb = t["n_bands"].to_numpy()
     order = np.lexsort((doc_h, ts))
     ts_s, doc_s = ts[order], doc_h[order]
     newgrp = np.concatenate(([True], (ts_s[1:] != ts_s[:-1]) | (doc_s[1:] != doc_s[:-1])))
     starts = np.flatnonzero(newgrp)
-    sizes = np.diff(np.append(starts, len(ts_s)))
-    n_ok = np.add.reduceat(ok[order], starts)
-    surv_grp = n_ok == sizes
+    surv_grp = (np.add.reduceat(okb[order], starts)
+                == np.add.reduceat(nb[order], starts))
     n_docs = len(starts)
     surv_starts = starts[surv_grp]
     # survivors → urls via the side tables, deduped by (ts, doc_h, url)
@@ -717,17 +721,12 @@ def reduce_neardup(path: str, neardup_handles: list, n_partitions: int,
         }), path)
     ack_refs = []
     if surv_grp.any():
-        row_surv = np.repeat(surv_grp, sizes)
-        sb = band[order][row_surv]
-        p_of = (sb % np.uint64(n_partitions)).astype(np.int64)
-        o2 = np.argsort(p_of, kind="stable")
-        sp = p_of[o2]
-        bounds = np.flatnonzero(np.concatenate(([True], sp[1:] != sp[:-1])))
-        bounds = np.append(bounds, len(sp))
-        for i in range(len(bounds) - 1):
-            s, e = bounds[i], bounds[i + 1]
-            sub = pa.table({"band": pa.array(sb[o2[s:e]], pa.uint64())})
-            ack_refs.append(neardup_handles[int(sp[s])].register.remote(sub))
+        surv_tab = pa.table({
+            "ts_ms": pa.array(ts_s[surv_starts], pa.int64()),
+            "doc_h": pa.array(doc_s[surv_starts], pa.uint64()),
+        })
+        ack_refs = [h.register_survivors.remote(surv_tab)
+                    for h in neardup_handles]
     # wait the registration acks HERE so this task's completion itself
     # certifies register-done: the driver gates the band snapshot (and,
     # via actor FIFO, the next epoch's close sweep) on this task's ref

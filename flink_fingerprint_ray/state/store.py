@@ -639,6 +639,7 @@ class NearDupStateActor:
         self.seen = SortedRunMembership(
             mem_cap=mem_cap, spill_prefix=f"ffr_ndband_p{partition_id:04d}_")
         self._cand: list[pa.Table] = []            # this epoch's (band, ts, doc_h) rows
+        self._winners: tuple | None = None         # (band, ts, doc_h) per-band epoch winners
         self._delta: list[np.ndarray] = []         # bands registered since last snapshot
         self._snap_paths: list[str] = []
         self._snaps_since_compact = 0
@@ -650,14 +651,21 @@ class NearDupStateActor:
         return table.num_rows
 
     def close_epoch(self, n_reducers: int = 1) -> list[pa.Table | None]:
-        """Per-candidate verdicts (band, ts_ms, doc_h, ok), PRE-SPLIT into
-        ``n_reducers`` doc-hash slices so each AND-reduce task fetches
-        exactly its own rows (one copy of every verdict row leaves this
-        actor, not one per reducer).  Candidates cleared.  Crash before
+        """Per-DOC verdict AGGREGATES (ts_ms, doc_h, ok_bands, n_bands),
+        PRE-SPLIT into ``n_reducers`` doc-hash slices — one row per doc
+        per actor instead of one per (band, doc), shrinking the verdict
+        exchange ~n_bands-fold.  ``ok_bands`` counts this doc's bands
+        here on which it is the (ts, doc_h)-minimal candidate AND the
+        band is unregistered; a doc survives iff Σok_bands == Σn_bands
+        across all actors (the reduce-side AND).  The per-band winner
+        map is RETAINED so ``register_survivors`` can register winning
+        bands from just the survivors' (ts, doc_h) keys — the reduce
+        never ships band values back.  Candidates cleared.  Crash before
         the commit fence is safe: a replayed epoch recomputes identical
         verdicts from the last COMMITTED seen set."""
         buf = _concat(self._cand)
         self._cand = []
+        self._winners = None
         if buf is None:
             return [None] * n_reducers
         band = buf["band"].to_numpy().astype(np.uint64)
@@ -666,33 +674,80 @@ class NearDupStateActor:
         order = np.lexsort((doc_h, ts, band))
         b_s = band[order]
         newgrp = np.concatenate(([True], b_s[1:] != b_s[:-1]))
-        gid = np.cumsum(newgrp) - 1
         starts = np.flatnonzero(newgrp)
+        sizes = np.diff(np.append(starts, len(b_s)))
+        gid = np.repeat(np.arange(len(starts)), sizes)  # cumsum-free
         min_ts = ts[order][starts][gid]
         min_doc = doc_h[order][starts][gid]
         ok_sorted = (ts[order] == min_ts) & (doc_h[order] == min_doc)
         ok = np.empty(len(band), dtype=bool)
         ok[order] = ok_sorted
+        unseen_sorted = np.ones(len(band), dtype=bool)
         if len(self.seen):
-            ok &= ~self.seen.contains(band)
-        out = buf.append_column("ok", pa.array(ok, pa.bool_()))
+            unseen = ~self.seen.contains(band)
+            ok &= unseen
+            unseen_sorted = unseen[order]
+        # retain per-band winners (unseen bands only — seen ones can
+        # never be re-registered) for register_survivors
+        w_keep = unseen_sorted[starts]
+        self._winners = (b_s[starts][w_keep].copy(),
+                         ts[order][starts][w_keep].copy(),
+                         doc_h[order][starts][w_keep].copy())
+        # per-doc aggregates
+        o2 = np.lexsort((doc_h, ts))
+        t2, d2 = ts[o2], doc_h[o2]
+        new2 = np.concatenate(([True], (t2[1:] != t2[:-1]) | (d2[1:] != d2[:-1])))
+        s2 = np.flatnonzero(new2)
+        n2 = np.diff(np.append(s2, len(t2)))
+        ok_counts = np.add.reduceat(ok[o2].astype(np.int64), s2)
+        g_ts, g_doc = t2[s2], d2[s2]
+        agg = pa.table({
+            "ts_ms": pa.array(g_ts, pa.int64()),
+            "doc_h": pa.array(g_doc, pa.uint64()),
+            "ok_bands": pa.array(ok_counts, pa.int64()),
+            "n_bands": pa.array(n2, pa.int64()),
+        })
         # same doc-hash rule as reduce_neardup's partition ownership
-        part = (doc_h % np.uint64(n_reducers)).astype(np.int64)
-        o2 = np.argsort(part, kind="stable")
-        sp = part[o2]
+        part = (g_doc % np.uint64(n_reducers)).astype(np.int64)
+        o3 = np.argsort(part, kind="stable")
+        sp = part[o3]
         slices: list[pa.Table | None] = []
         for p in range(n_reducers):
             lo = np.searchsorted(sp, p, "left")
             hi = np.searchsorted(sp, p, "right")
-            slices.append(out.take(pa.array(o2[lo:hi])) if hi > lo else None)
+            slices.append(agg.take(pa.array(o3[lo:hi])) if hi > lo else None)
         return slices
 
-    def register(self, table: pa.Table) -> int:
-        """Record the bands of this epoch's survivors (called by the
-        reduce tasks AFTER the cross-partition AND; survivors never share
-        a band, so every registered band is new by construction — the
-        membership guard keeps replay idempotent)."""
-        b = np.unique(table["band"].to_numpy().astype(np.uint64))
+    def register_survivors(self, table: pa.Table) -> int:
+        """Record the bands whose retained epoch winner is in the given
+        survivor (ts_ms, doc_h) set (called by the reduce tasks AFTER the
+        cross-partition AND).  A band's winner doc lives in exactly one
+        reducer slice, so no band registers twice across the epoch's
+        calls; the membership guard keeps replay idempotent.  Winners are
+        cleared by the epoch's band snapshot (ordered after every
+        register via the reduce-ref barrier)."""
+        if self._winners is None or table.num_rows == 0:
+            return 0
+        wb, wt, wd = self._winners
+        if len(wb) == 0:
+            return 0
+        st = table["ts_ms"].to_numpy()
+        sd = table["doc_h"].to_numpy().astype(np.uint64)
+        so = np.lexsort((st, sd))
+        sd_s, st_s = sd[so], st[so]
+        pos = np.searchsorted(sd_s, wd, "left")
+        pos_c = np.minimum(pos, len(sd_s) - 1)
+        hit = (sd_s[pos_c] == wd) & (st_s[pos_c] == wt)
+        # true 64-bit doc_h collisions only: scan the run for matching ts
+        maybe = np.flatnonzero((sd_s[pos_c] == wd) & ~hit)
+        for j in maybe:
+            k = int(pos[j])
+            while k < len(sd_s) and sd_s[k] == wd[j]:
+                if st_s[k] == wt[j]:
+                    hit[j] = True
+                    break
+                k += 1
+        b = np.unique(wb[hit])
         if len(self.seen):
             b = b[~self.seen.contains(b)]
         if len(b):
@@ -727,6 +782,9 @@ class NearDupStateActor:
             pq.write_table(pa.table({"h": pa.array(h, pa.uint64())}), p)
             self._snap_paths.append(p)
         self._delta = []
+        # the epoch's winner map is only needed by register_survivors,
+        # every call of which precedes this snapshot (reduce-ref barrier)
+        self._winners = None
         return {"neardup": list(self._snap_paths)}
 
     def restore(self, paths: dict[str, list[str]]) -> None:
@@ -738,6 +796,7 @@ class NearDupStateActor:
         self._snap_paths = list(paths.get("neardup", []))
         self._delta = []
         self._cand = []
+        self._winners = None
 
 
 @ray.remote
