@@ -475,3 +475,92 @@ class TestMjpegAvi:
         ref = VideoFrameSampleStage(decoder="library", every=4)(t).to_pandas() \
             .sort_values(["media_id", "frame_no"]).reset_index(drop=True)
         pdt.assert_frame_equal(out[ref.columns.tolist()], ref)
+
+
+class TestPngExtendedShapes:
+    """Round-4b PNG coverage: Adam7 interlace, palette (the most common
+    web PNG shape), 16-bit depth — the decoder subsets real corpora hit."""
+
+    def test_adam7_roundtrip_exact(self):
+        from flink_fingerprint_ray.functions.png import decode_png, encode_png
+
+        rng = np.random.RandomState(6)
+        for shape in [(1, 1), (2, 3), (7, 5), (8, 8, 3), (33, 17),
+                      (40, 56, 3), (9, 9, 4)]:
+            img = rng.randint(0, 256, shape).astype(np.uint8)
+            data = encode_png(img, interlace=True)
+            assert np.array_equal(decode_png(data), img), shape
+
+    def test_palette_decode_with_and_without_trns(self):
+        from flink_fingerprint_ray.functions.png import (
+            decode_png,
+            encode_png_palette,
+        )
+
+        rng = np.random.RandomState(7)
+        idx = rng.randint(0, 5, (23, 31)).astype(np.uint8)
+        pal = rng.randint(0, 256, (5, 3)).astype(np.uint8)
+        assert np.array_equal(decode_png(encode_png_palette(idx, pal)), pal[idx])
+        trns = np.array([255, 128, 0, 255, 10], np.uint8)
+        dec = decode_png(encode_png_palette(idx, pal, trns=trns))
+        assert dec.shape == (23, 31, 4)
+        assert np.array_equal(dec[:, :, :3], pal[idx])
+        assert np.array_equal(dec[:, :, 3], trns[idx])
+
+    @staticmethod
+    def _raw_png(ihdr_fields, chunks):
+        import struct as _s
+
+        from flink_fingerprint_ray.functions.png import _SIG, _chunk
+
+        out = _SIG + _chunk(b"IHDR", _s.pack(">IIBBBBB", *ihdr_fields))
+        for typ, body in chunks:
+            out += _chunk(typ, body)
+        return out + _chunk(b"IEND", b"")
+
+    def test_sub8_palette_depths(self):
+        import zlib as _z
+
+        from flink_fingerprint_ray.functions.png import decode_png
+
+        rng = np.random.RandomState(8)
+        for depth in (1, 2, 4):
+            n = 1 << depth
+            per = 8 // depth
+            idx = rng.randint(0, n, (9, 13)).astype(np.uint8)
+            pal = rng.randint(0, 256, (n, 3)).astype(np.uint8)
+            h, w = idx.shape
+            stride = (w * depth + 7) // 8
+            rows = bytearray()
+            for y in range(h):
+                rows.append(0)
+                bits = np.zeros(stride * per, np.uint8)
+                bits[:w] = idx[y]
+                packed = np.zeros(stride, np.uint8)
+                for k in range(per):
+                    packed |= (bits[k::per][:stride]
+                               << ((per - 1 - k) * depth)).astype(np.uint8)
+                rows += packed.tobytes()
+            data = self._raw_png((w, h, depth, 3, 0, 0, 0),
+                                 [(b"PLTE", pal.tobytes()),
+                                  (b"IDAT", _z.compress(bytes(rows)))])
+            assert np.array_equal(decode_png(data), pal[idx]), depth
+
+    def test_16bit_msb_rule(self):
+        import zlib as _z
+
+        from flink_fingerprint_ray.functions.png import decode_png
+
+        rng = np.random.RandomState(9)
+        for ct, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+            h, w = 6, 7
+            px16 = rng.randint(0, 65536, (h, w, ch)).astype(">u2")
+            rows = bytearray()
+            for y in range(h):
+                rows.append(0)
+                rows += px16[y].tobytes()
+            data = self._raw_png((w, h, 16, ct, 0, 0, 0),
+                                 [(b"IDAT", _z.compress(bytes(rows)))])
+            want = (px16 >> 8).astype(np.uint8)
+            want = want[:, :, 0] if ch == 1 else want
+            assert np.array_equal(decode_png(data), want), ct
