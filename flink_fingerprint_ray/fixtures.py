@@ -103,8 +103,8 @@ def make_pages(
     gradient+noise) to that fraction of pages — the multimodal column
     the flagship's media side-channel decodes under the streaming
     contract; other rows carry null.  ``media_codecs="mixed"`` cycles
-    netpbm P6 / baseline JPEG / lossless PNG payloads (the side channel
-    sniffs each signature); the default is netpbm-only.
+    netpbm P6 / baseline JPEG / lossless PNG / GIF89a payloads (the side
+    channel sniffs each signature); the default is netpbm-only.
     """
     rng = np.random.RandomState(seed)
     # Zipf-skewed host choice: a few hot hosts exercise salting
@@ -140,6 +140,7 @@ def make_pages(
         "lang": pa.array(langs, type=pa.string()),
     }
     if media_frac > 0:
+        from .functions.gif import encode_gif
         from .functions.jpeg import encode_jpeg
         from .functions.png import encode_png
         from .stages.media import encode_ppm
@@ -156,11 +157,19 @@ def make_pages(
                 rng.randint(0, 256, (h, w)).astype(np.float64),
             ], axis=2).astype(np.uint8)
             if media_codecs == "mixed":
-                # cycle the three REAL image codecs — the side-channel
-                # (and its oracle) sniffs each payload's signature
-                payloads[int(i)] = (encode_ppm(img) if k % 3 == 0 else
-                                    encode_jpeg(img, quality=90) if k % 3 == 1
-                                    else encode_png(img))
+                # cycle the four REAL image codecs — the side-channel
+                # (and its oracle) sniffs each payload's signature; GIF
+                # carries the same scene quantized to its 32-gray palette
+                if k % 4 == 3:
+                    pal = np.stack([np.arange(32)] * 3, axis=1) \
+                        .astype(np.uint8) * 8
+                    payloads[int(i)] = encode_gif(
+                        (img[:, :, 2] // 8).astype(np.uint8), pal,
+                        interlace=k % 8 == 3)
+                else:
+                    payloads[int(i)] = (encode_ppm(img) if k % 4 == 0 else
+                                        encode_jpeg(img, quality=90)
+                                        if k % 4 == 1 else encode_png(img))
             else:
                 payloads[int(i)] = encode_ppm(img)
         cols["media"] = pa.array(payloads, type=pa.binary())

@@ -1202,6 +1202,118 @@ def q_media_video_frames_check(sf_dir: str):
                          "seek_ok": pd.array([seek_ok], dtype="int64")})
 
 
+def q_media_gif_features(sf_dir: str):
+    """Multimodal LOSSLESS palette-codec path (rows-only): genuine GIF89a
+    payloads (plain / interlaced / transparent mixes, variable-width LZW)
+    decoded by the pure-python from-spec codec through the actor-pool
+    stage via the ``library`` dispatch slot (signature-sniffed, the
+    production shape).  Binary dropped before any shuffle; the
+    distributed-vs-single-process + losslessness invariant is
+    ``media_gif_features_check``."""
+    from ..stages.media import ImageDecodeStage, make_gif_media
+
+    ds = ray.data.from_arrow(make_gif_media(192, seed=17))
+    out = ds.map_batches(
+        ImageDecodeStage, fn_constructor_kwargs={"decoder": "library"},
+        concurrency=2, batch_size=32, batch_format="pyarrow",
+    )
+    return out.drop_columns(["thumb"])
+
+
+def q_media_gif_features_check(sf_dir: str):
+    """Driver-visible invariant for the GIF path: the actor-pool decode
+    over the seeded payload table must equal a single-process decode of
+    the same bytes feature-for-feature (micros-rounded), and — GIF being
+    lossless palette content — decode(encode(idx, pal)) must equal
+    pal[idx] EXACTLY across plain / interlaced / transparent and
+    table-full LZW content.  Oracle pins mismatch_rows=0, lossless_ok=1."""
+    from ..functions.gif import decode_gif, encode_gif
+    from ..stages.media import ImageDecodeStage, make_gif_media
+
+    eng = q_media_gif_features(sf_dir).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    tbl = make_gif_media(192, seed=17)
+    stage = ImageDecodeStage(decoder="library")    # same kernel, no Ray
+    ref = stage(tbl).drop_columns(["thumb"]).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    for df in (eng, ref):
+        for c in ("pixel_mean", "pixel_std"):
+            df[c] = _micros(df[c].to_numpy())
+    if len(eng) != len(ref):
+        mism = max(len(eng), len(ref))
+    else:
+        mism = int((eng[ref.columns.tolist()].to_numpy() != ref.to_numpy())
+                   .any(axis=1).sum())
+    # losslessness on a fresh sample: plain, interlaced, and a
+    # high-entropy 256-color image that fills the 12-bit LZW table
+    rng = np.random.RandomState(19)
+    lossless = 1
+    for ncol, shape, inter in ((16, (23, 37), False), (16, (23, 37), True),
+                               (256, (150, 200), False)):
+        idx = rng.randint(0, ncol, shape).astype(np.uint8)
+        pal = rng.randint(0, 256, (ncol, 3)).astype(np.uint8)
+        if not np.array_equal(decode_gif(encode_gif(idx, pal, interlace=inter)),
+                              pal[idx]):
+            lossless = 0
+    return pd.DataFrame({"mismatch_rows": pd.array([mism], dtype="int64"),
+                         "lossless_ok": pd.array([lossless], dtype="int64")})
+
+
+def q_media_gif_anim_frames(sf_dir: str):
+    """Multimodal animated-GIF video path (rows-only): genuine multi-frame
+    GIF89a payloads frame-sampled (every 4th frame) by the actor-pool
+    stage via the ``library`` dispatch slot — frame count read from the
+    container WITHOUT entropy decode, sampled frames composited per the
+    disposal spec.  Flat-map-shaped output (one row per sampled frame);
+    the distributed-vs-single-process + frame-count invariant is
+    ``media_gif_anim_frames_check``."""
+    from ..stages.media import VideoFrameSampleStage, make_gif_anim_media
+
+    ds = ray.data.from_arrow(make_gif_anim_media(64, seed=23))
+    return ds.map_batches(
+        VideoFrameSampleStage, fn_constructor_kwargs={"decoder": "library", "every": 4},
+        concurrency=2, batch_size=16, batch_format="pyarrow",
+    )
+
+
+def q_media_gif_anim_frames_check(sf_dir: str):
+    """Driver-visible invariant for the animated-GIF path: the actor-pool
+    frame sample over the seeded table must equal a single-process run
+    row-for-row (micros-rounded means), the emitted row count must equal
+    the exact sum of ceil(n_frames/4) from the CONTAINER index, and the
+    green channel of a decoded frame must identify its frame number
+    (frame f is painted with palette green 12·f, proving the seek
+    composited the RIGHT frame).  Oracle pins mismatch_rows=0,
+    frame_count_ok=1, seek_ok=1."""
+    from ..functions.gif import decode_gif_frame, gif_n_frames
+    from ..stages.media import VideoFrameSampleStage, make_gif_anim_media
+
+    eng = q_media_gif_anim_frames(sf_dir).to_pandas() \
+        .sort_values(["media_id", "frame_no"]).reset_index(drop=True)
+    tbl = make_gif_anim_media(64, seed=23)
+    stage = VideoFrameSampleStage(decoder="library", every=4)  # no Ray
+    ref = stage(tbl).to_pandas() \
+        .sort_values(["media_id", "frame_no"]).reset_index(drop=True)
+    for df in (eng, ref):
+        df["frame_mean"] = _micros(df["frame_mean"].to_numpy())
+    if len(eng) != len(ref):
+        mism = max(len(eng), len(ref))
+    else:
+        mism = int((eng[ref.columns.tolist()].to_numpy() != ref.to_numpy())
+                   .any(axis=1).sum())
+    counts = [gif_n_frames(p.as_py()) for p in tbl["payload"]]
+    expect_rows = int(sum((int(c) + 3) // 4 for c in counts))
+    frame_count_ok = int(len(eng) == expect_rows
+                         and counts == tbl["n_frames"].to_pylist())
+    # seek correctness: frame 8 of payload 0 is painted green ≈ 12*8
+    p0 = tbl["payload"][0].as_py()
+    img = decode_gif_frame(p0, 8)
+    seek_ok = int(abs(float(img[:, :, 1].mean()) - 96.0) < 10.0)
+    return pd.DataFrame({"mismatch_rows": pd.array([mism], dtype="int64"),
+                         "frame_count_ok": pd.array([frame_count_ok], dtype="int64"),
+                         "seek_ok": pd.array([seek_ok], dtype="int64")})
+
+
 def _lang_model_path(sf_dir: str) -> str:
     """Train-once cache of the REAL model artifact (the fixture-generator
     step): deterministic training on the labeled fixture corpus
@@ -5114,6 +5226,10 @@ QUERIES = {
     "media_audio_codecs_check": q_media_audio_codecs_check,
     "media_video_frames": q_media_video_frames,
     "media_video_frames_check": q_media_video_frames_check,
+    "media_gif_features": q_media_gif_features,
+    "media_gif_features_check": q_media_gif_features_check,
+    "media_gif_anim_frames": q_media_gif_anim_frames,
+    "media_gif_anim_frames_check": q_media_gif_anim_frames_check,
     "simhash_clusters_dist": q_simhash_clusters_dist,
     "value_counts": q_value_counts,
     "interval_join": q_interval_join,
@@ -5242,6 +5358,11 @@ ORACLE_SQL = {
     "media_video_frames_check": ("SELECT CAST(0 AS BIGINT) AS mismatch_rows, "
                                  "CAST(1 AS BIGINT) AS frame_count_ok, "
                                  "CAST(1 AS BIGINT) AS seek_ok"),
+    "media_gif_features_check": ("SELECT CAST(0 AS BIGINT) AS mismatch_rows, "
+                                 "CAST(1 AS BIGINT) AS lossless_ok"),
+    "media_gif_anim_frames_check": ("SELECT CAST(0 AS BIGINT) AS mismatch_rows, "
+                                    "CAST(1 AS BIGINT) AS frame_count_ok, "
+                                    "CAST(1 AS BIGINT) AS seek_ok"),
     "pricing_summary": SQL_PRICING_SUMMARY,
     "segment_orders": SQL_SEGMENT_ORDERS,
     "top_orders": SQL_TOP_ORDERS,

@@ -94,23 +94,70 @@ class PngDecoder:
         raise NotImplementedError("PNG decoder handles images only")
 
 
+class GifDecoder:
+    """REAL lossless compressed-image decode with no external libraries:
+    GIF87a/89a (``functions/gif.py``, CompuServe spec — variable-width
+    LZW + palette/interlace/transparency).  Lossless over palette
+    content, so check queries pin EXACT pixel equality; animated GIFs
+    additionally expose the video-container API (frame count without
+    entropy decode, disposal-composited frame seek)."""
+
+    def decode_image(self, payload: bytes, width: int = 0, height: int = 0) -> np.ndarray:
+        from ..functions.gif import decode_gif
+
+        return decode_gif(payload)
+
+    def decode_audio(self, payload: bytes, sample_rate: int) -> np.ndarray:
+        raise NotImplementedError("GIF decoder handles images only")
+
+    def n_video_frames(self, payload: bytes) -> int:
+        from ..functions.gif import gif_n_frames
+
+        return gif_n_frames(payload)
+
+    def decode_video_frame(self, payload: bytes, frame_idx: int) -> np.ndarray:
+        # GIF frames composite over prior canvas state, so sampling many
+        # frames of ONE payload decodes the stream once and memoizes
+        # (single-entry cache — the sampling stage walks payloads in
+        # order, so this is bounded and hit-heavy)
+        cache = getattr(self, "_frame_cache", None)
+        key = hash(payload)
+        if cache is None or cache[0] != key:
+            from ..functions.gif import decode_gif_frames
+
+            cache = (key, decode_gif_frames(payload))
+            self._frame_cache = cache
+        return cache[1][frame_idx]
+
+
 class LibraryDecoder:
-    """The compressed-codec dispatch slot.  JPEG and PNG decode for REAL
-    (pure-numpy T.81 / RFC 2083 codecs in ``functions/``); uncompressed
-    formats via ``NetpbmDecoder``.  The remaining formats (Opus/H.264/MP3)
-    would hold a libav handle loaded once per actor in production — those
-    libraries are not in this container."""
+    """The compressed-codec dispatch slot.  JPEG, PNG and GIF decode for
+    REAL (pure-numpy T.81 / RFC 2083 / GIF89a codecs in ``functions/``);
+    uncompressed formats via ``NetpbmDecoder``.  The remaining formats
+    (Opus/H.264/MP3) would hold a libav handle loaded once per actor in
+    production — those libraries are not in this container."""
 
     def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
         if payload[:2] == b"\xff\xd8":
             return JpegDecoder().decode_image(payload, width, height)
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             return PngDecoder().decode_image(payload, width, height)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return self._gif().decode_image(payload, width, height)
         raise NotImplementedError(
-            "image codecs beyond JPEG/PNG require PIL/opencv — not "
+            "image codecs beyond JPEG/PNG/GIF require PIL/opencv — not "
             "available in this container; plug the codec in here (loaded "
             "once per actor)"
         )
+
+    def _gif(self) -> "GifDecoder":
+        # persistent instance so the animated-frame memo survives across
+        # calls (the stage holds ONE LibraryDecoder per actor)
+        inst = getattr(self, "_gif_decoder", None)
+        if inst is None:
+            inst = GifDecoder()
+            self._gif_decoder = inst
+        return inst
 
     def decode_audio(self, payload: bytes, sample_rate: int) -> np.ndarray:
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -127,12 +174,16 @@ class LibraryDecoder:
     def n_video_frames(self, payload: bytes) -> int:
         if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
             return MjpegDecoder().n_video_frames(payload)
-        raise NotImplementedError("video containers beyond MJPEG-AVI require libav")
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return self._gif().n_video_frames(payload)
+        raise NotImplementedError("video containers beyond MJPEG-AVI/GIF require libav")
 
     def decode_video_frame(self, payload: bytes, frame_idx: int) -> np.ndarray:
         if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
             return MjpegDecoder().decode_video_frame(payload, frame_idx)
-        raise NotImplementedError("video containers beyond MJPEG-AVI require libav")
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return self._gif().decode_video_frame(payload, frame_idx)
+        raise NotImplementedError("video containers beyond MJPEG-AVI/GIF require libav")
 
 
 class MjpegDecoder:
@@ -389,6 +440,80 @@ def make_png_media(n: int, seed: int = 0) -> pa.Table:
     )
 
 
+def make_gif_media(n: int, seed: int = 0) -> pa.Table:
+    """Fixture with GENUINE GIF89a payloads: seeded palette images (the
+    format is inherently palettized) cycling plain / interlaced /
+    transparent shapes — lossless, so downstream checks pin exact pixel
+    equality against ``palette[indices]``."""
+    from ..functions.gif import encode_gif
+
+    rng = np.random.RandomState(seed)
+    widths = rng.randint(16, 64, n).astype(np.int32)
+    heights = rng.randint(16, 64, n).astype(np.int32)
+    payloads = []
+    for i in range(n):
+        h, w = int(heights[i]), int(widths[i])
+        ncol = int(rng.randint(4, 65))
+        pal = rng.randint(0, 256, (ncol, 3)).astype(np.uint8)
+        gx = np.linspace(0, ncol - 1, w)[None, :]
+        gy = np.linspace(0, ncol - 1, h)[:, None]
+        idx = ((gx + gy + rng.randint(0, 3, (h, w))) % ncol).astype(np.uint8)
+        payloads.append(encode_gif(
+            idx, pal,
+            interlace=i % 3 == 1,
+            transparent=(ncol - 1) if i % 3 == 2 else None))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array(["image"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(widths),
+            "height": pa.array(heights),
+            "sample_rate": pa.array(np.full(n, 0, np.int32)),
+            "n_frames": pa.array(np.full(n, 1, np.int32)),
+        }
+    )
+
+
+def make_gif_anim_media(n: int, seed: int = 0) -> pa.Table:
+    """Fixture with GENUINE animated-GIF payloads (this repo's second
+    REAL video container after MJPEG-AVI): 6-20 full-canvas frames whose
+    dominant palette entry carries green ≈ 12·frame_no, so a frame-sample
+    stage's output identifies WHICH frame a seek decoded."""
+    from ..functions.gif import encode_gif_animation
+
+    rng = np.random.RandomState(seed)
+    widths = rng.randint(16, 48, n).astype(np.int32)
+    heights = rng.randint(16, 48, n).astype(np.int32)
+    counts = rng.randint(6, 21, n).astype(np.int32)
+    pal = np.stack([
+        (np.arange(32) * 7 % 256),
+        np.minimum(np.arange(32) * 12, 255),
+        (255 - np.arange(32) * 9 % 256),
+    ], axis=1).astype(np.uint8)
+    payloads = []
+    for i in range(n):
+        h, w, nf = int(heights[i]), int(widths[i]), int(counts[i])
+        frames = []
+        for f in range(nf):
+            idx = np.full((h, w), f % 21, np.uint8)
+            # light texture: a seeded stripe of neighboring palette rows
+            idx[:, :: 4] = (f % 21 + 1) % 21
+            frames.append(idx)
+        payloads.append(encode_gif_animation(frames, pal, delays_cs=[4] * nf))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array(["video"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(widths),
+            "height": pa.array(heights),
+            "sample_rate": pa.array(np.full(n, 0, np.int32)),
+            "n_frames": pa.array(counts),
+        }
+    )
+
+
 def decode_any_image(payload: bytes) -> np.ndarray:
     """Signature-sniffing image decode across every REAL codec in this
     repo — JPEG (T.81), PNG (RFC 2083), netpbm P5/P6 — the dispatch the
@@ -402,6 +527,10 @@ def decode_any_image(payload: bytes) -> np.ndarray:
         from ..functions.png import decode_png
 
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from ..functions.gif import decode_gif
+
+        return decode_gif(payload)
     return NetpbmDecoder().decode_image(payload)
 
 
@@ -490,7 +619,7 @@ class FakeDecoder:
 
 
 _DECODERS = {"fake": FakeDecoder, "netpbm": NetpbmDecoder,
-             "jpeg": JpegDecoder, "png": PngDecoder,
+             "jpeg": JpegDecoder, "png": PngDecoder, "gif": GifDecoder,
              "compressed_audio": CompressedAudioDecoder,
              "mjpeg": MjpegDecoder,
              "library": LibraryDecoder}

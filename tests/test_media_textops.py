@@ -564,3 +564,174 @@ class TestPngExtendedShapes:
             want = (px16 >> 8).astype(np.uint8)
             want = want[:, :, 0] if ch == 1 else want
             assert np.array_equal(decode_png(data), want), ct
+
+
+class TestGifCodec:
+    """Pure python/numpy GIF89a (functions/gif.py) — LZW + palette,
+    lossless over palette content, so roundtrips assert EXACT equality;
+    animated GIFs double as the second REAL video container."""
+
+    def test_roundtrip_exact_palette_sizes(self):
+        from flink_fingerprint_ray.functions.gif import decode_gif, encode_gif
+
+        rng = np.random.RandomState(31)
+        for ncol in (2, 5, 16, 97, 256):
+            for shape in ((1, 1), (3, 2), (17, 23), (64, 64)):
+                idx = rng.randint(0, ncol, shape).astype(np.uint8)
+                pal = rng.randint(0, 256, (ncol, 3)).astype(np.uint8)
+                out = decode_gif(encode_gif(idx, pal))
+                assert np.array_equal(out, pal[idx]), (ncol, shape)
+
+    def test_lzw_table_full_and_clear(self):
+        from flink_fingerprint_ray.functions.gif import decode_gif, encode_gif
+
+        # 120k high-entropy pixels force the 12-bit table cap and the
+        # encoder's mid-stream clear codes
+        rng = np.random.RandomState(32)
+        idx = rng.randint(0, 256, (300, 400)).astype(np.uint8)
+        pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+        assert np.array_equal(decode_gif(encode_gif(idx, pal)), pal[idx])
+
+    def test_interlace_roundtrip(self):
+        from flink_fingerprint_ray.functions.gif import decode_gif, encode_gif
+
+        rng = np.random.RandomState(33)
+        pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+        for shape in ((1, 5), (2, 3), (7, 7), (37, 29), (64, 48)):
+            idx = rng.randint(0, 16, shape).astype(np.uint8)
+            out = decode_gif(encode_gif(idx, pal, interlace=True))
+            assert np.array_equal(out, pal[idx]), shape
+
+    def test_transparency_rgba(self):
+        from flink_fingerprint_ray.functions.gif import decode_gif, encode_gif
+
+        rng = np.random.RandomState(34)
+        pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+        idx = rng.randint(0, 16, (21, 13)).astype(np.uint8)
+        out = decode_gif(encode_gif(idx, pal, transparent=3))
+        assert out.shape == (21, 13, 4)
+        assert np.array_equal(out[:, :, 3] == 0, idx == 3)
+        opaque = idx != 3
+        assert np.array_equal(out[opaque][:, :3], pal[idx][opaque])
+
+    def test_animation_frames_and_seek(self):
+        from flink_fingerprint_ray.functions.gif import (
+            decode_gif_frame,
+            decode_gif_frames,
+            encode_gif_animation,
+            gif_n_frames,
+        )
+
+        rng = np.random.RandomState(35)
+        pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+        frames = [rng.randint(0, 16, (20, 24)).astype(np.uint8)
+                  for _ in range(7)]
+        data = encode_gif_animation(frames, pal, delays_cs=[5] * 7)
+        assert gif_n_frames(data) == 7
+        dec = decode_gif_frames(data)
+        assert len(dec) == 7
+        for f, d in zip(frames, dec):
+            assert np.array_equal(d, pal[f])
+        assert np.array_equal(decode_gif_frame(data, 4), pal[frames[4]])
+
+    def test_disposal_and_local_palettes(self):
+        from flink_fingerprint_ray.functions.gif import (
+            decode_gif_frames,
+            encode_gif_animation,
+        )
+
+        rng = np.random.RandomState(36)
+        pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+        # disposal 2 (restore to background) clears the canvas between
+        # frames; frame 1 is all-transparent so it composites to empty
+        f0 = np.zeros((10, 10), np.uint8)
+        f1 = np.full((10, 10), 3, np.uint8)
+        dec = decode_gif_frames(encode_gif_animation(
+            [f0, f1], pal, disposals=[2, 1], transparent=3))
+        assert dec[0].shape == (10, 10, 3)
+        assert dec[1].shape == (10, 10, 4) and (dec[1][:, :, 3] == 0).all()
+        # disposal 3 (restore previous) on frame 1: after frame 1 the
+        # canvas reverts to frame 0's state, so the all-transparent
+        # frame 2 composites to frame 0's pixels
+        f1b = np.full((10, 10), 5, np.uint8)    # opaque overwrite
+        f2 = np.full((10, 10), 3, np.uint8)     # transparent everywhere
+        dec = decode_gif_frames(encode_gif_animation(
+            [f0, f1b, f2], pal, disposals=[1, 3, 1], transparent=3))
+        assert np.array_equal(dec[1], pal[f1b])
+        assert np.array_equal(dec[2], pal[f0])  # shows through to frame 0
+        # per-frame local color tables override the global one
+        lps = [rng.randint(0, 256, (16, 3)).astype(np.uint8) for _ in range(3)]
+        frames = [rng.randint(0, 16, (8, 9)).astype(np.uint8) for _ in range(3)]
+        dec = decode_gif_frames(encode_gif_animation(
+            frames, pal, local_palettes=lps))
+        for f, lp, d in zip(frames, lps, dec):
+            assert np.array_equal(d, lp[f])
+
+    def test_n_frames_skips_entropy_decode(self):
+        from flink_fingerprint_ray.functions import gif as gifmod
+
+        rng = np.random.RandomState(37)
+        pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+        frames = [rng.randint(0, 16, (12, 12)).astype(np.uint8)
+                  for _ in range(5)]
+        data = gifmod.encode_gif_animation(frames, pal)
+        calls = []
+        orig = gifmod._lzw_decode
+        gifmod._lzw_decode = lambda *a, **k: calls.append(1) or orig(*a, **k)
+        try:
+            assert gifmod.gif_n_frames(data) == 5
+        finally:
+            gifmod._lzw_decode = orig
+        assert calls == []
+
+    def test_rejects_bad_input(self):
+        from flink_fingerprint_ray.functions.gif import decode_gif
+
+        with pytest.raises(ValueError):
+            decode_gif(b"not a gif at all")
+
+    def test_library_dispatch_and_stage(self, ray_session):
+        import ray.data
+
+        from flink_fingerprint_ray.stages.media import (
+            ImageDecodeStage,
+            LibraryDecoder,
+            make_gif_media,
+        )
+
+        t = make_gif_media(48, seed=17)
+        assert all(p[:6] in (b"GIF87a", b"GIF89a")
+                   for p in t["payload"].to_pylist())
+        img = LibraryDecoder().decode_image(t["payload"][0].as_py(), 0, 0)
+        assert img.dtype == np.uint8 and img.ndim == 3
+        out = ray.data.from_arrow(t).map_batches(
+            ImageDecodeStage, fn_constructor_kwargs={"decoder": "library"},
+            concurrency=2, batch_size=16, batch_format="pyarrow",
+        ).to_pandas().sort_values("media_id").reset_index(drop=True)
+        assert len(out) == 48
+        ref = ImageDecodeStage(decoder="library")(t).to_pandas() \
+            .sort_values("media_id").reset_index(drop=True)
+        pdt.assert_frame_equal(out[ref.columns.tolist()], ref)
+
+    def test_anim_video_stage(self, ray_session):
+        import ray.data
+
+        from flink_fingerprint_ray.functions.gif import gif_n_frames
+        from flink_fingerprint_ray.stages.media import (
+            VideoFrameSampleStage,
+            make_gif_anim_media,
+        )
+
+        t = make_gif_anim_media(24, seed=23)
+        out = ray.data.from_arrow(t).map_batches(
+            VideoFrameSampleStage,
+            fn_constructor_kwargs={"decoder": "library", "every": 4},
+            concurrency=2, batch_size=8, batch_format="pyarrow",
+        ).to_pandas().sort_values(["media_id", "frame_no"]) \
+            .reset_index(drop=True)
+        counts = [gif_n_frames(p.as_py()) for p in t["payload"]]
+        assert counts == t["n_frames"].to_pylist()
+        assert len(out) == sum((c + 3) // 4 for c in counts)
+        ref = VideoFrameSampleStage(decoder="library", every=4)(t).to_pandas() \
+            .sort_values(["media_id", "frame_no"]).reset_index(drop=True)
+        pdt.assert_frame_equal(out[ref.columns.tolist()], ref)

@@ -795,3 +795,35 @@ def test_adpcm_roundtrip_length_any_size(n, seed, spb):
     # one zero pad nibble that decodes to one extra (deterministic) sample
     assert len(dec) in (n, n + 1)
     assert dec[0] == pcm[0]  # block-0 predictor is the first sample
+
+
+@given(st.tuples(st.integers(1, 24), st.integers(1, 24)),
+       st.integers(2, 256), st.booleans(), st.integers(0, 2**31 - 1))
+@settings(max_examples=30, deadline=None)
+def test_gif_lossless_arbitrary_palette_images(shape, ncol, interlace, seed):
+    from flink_fingerprint_ray.functions.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(seed)
+    idx = rng.randint(0, ncol, shape).astype(np.uint8)
+    pal = rng.randint(0, 256, (ncol, 3)).astype(np.uint8)
+    dec = decode_gif(encode_gif(idx, pal, interlace=interlace))
+    assert dec.shape == shape + (3,) and np.array_equal(dec, pal[idx])
+
+
+@given(st.integers(1, 9), st.integers(0, 2**31 - 1))
+@settings(max_examples=20, deadline=None)
+def test_gif_animation_frame_count_and_content(n_frames, seed):
+    from flink_fingerprint_ray.functions.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+        gif_n_frames,
+    )
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    frames = [rng.randint(0, 16, (11, 13)).astype(np.uint8)
+              for _ in range(n_frames)]
+    data = encode_gif_animation(frames, pal)
+    assert gif_n_frames(data) == n_frames
+    dec = decode_gif_frames(data)
+    assert all(np.array_equal(d, pal[f]) for f, d in zip(frames, dec))

@@ -112,6 +112,8 @@ FAST_SQL_QUERIES = [
     "media_png_features_check",
     "media_audio_codecs_check",
     "media_video_frames_check",
+    "media_gif_features_check",
+    "media_gif_anim_frames_check",
 ]
 
 
@@ -152,7 +154,8 @@ def test_rows_only_queries_nonempty(ray_session):
     for name in ("minhash_lsh_clusters", "ann_topk_ivf", "ann_topk_pq",
                  "model_lang_score", "media_jpeg_features",
                  "media_png_features", "media_audio_codecs",
-                 "media_video_frames"):
+                 "media_video_frames", "media_gif_features",
+                 "media_gif_anim_frames"):
         df = _to_df(q[name](SF))
         assert len(df) > 0, name
 

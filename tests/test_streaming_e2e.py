@@ -672,20 +672,22 @@ def test_follow_tails_appended_epochs_exactly_once(ray_session, tmp_path):
 
 def test_streaming_media_mixed_codecs_match_oracle(ray_session, tmp_path):
     """Round 4: the media side-channel decodes MIXED real codecs in the
-    stream — netpbm P6, baseline JPEG and lossless PNG payloads cycle
-    through the same epochs; the actor-pool stage and the oracle share
-    the signature-sniffing dispatch, so features match float-exactly."""
+    stream — netpbm P6, baseline JPEG, lossless PNG and GIF89a payloads
+    cycle through the same epochs; the actor-pool stage and the oracle
+    share the signature-sniffing dispatch, so features match
+    float-exactly."""
     from flink_fingerprint_ray.oracle import oracle_media_stream
 
     root = str(tmp_path)
     pages = fixtures.make_pages(n_docs=600, seed=35, media_frac=0.2,
                                 media_codecs="mixed")
-    # prove the corpus genuinely mixes all three codecs
+    # prove the corpus genuinely mixes all four codecs
     payloads = [p for p in pages["media"].to_pylist() if p is not None]
     sigs = {(b"P6" if p[:2] == b"P6" else
              b"JPG" if p[:2] == b"\xff\xd8" else
-             b"PNG" if p[:8] == b"\x89PNG\r\n\x1a\n" else b"?") for p in payloads}
-    assert sigs == {b"P6", b"JPG", b"PNG"}
+             b"PNG" if p[:8] == b"\x89PNG\r\n\x1a\n" else
+             b"GIF" if p[:6] in (b"GIF87a", b"GIF89a") else b"?") for p in payloads}
+    assert sigs == {b"P6", b"JPG", b"PNG", b"GIF"}
     fixtures.write_epochs(pages, root, n_epochs=3, prefix="pages")
     cfg = PipelineConfig(sliding=None, session_gap_ms=0,
                          n_state_partitions=2, media_features=True)
