@@ -1314,6 +1314,94 @@ def q_media_gif_anim_frames_check(sf_dir: str):
                          "seek_ok": pd.array([seek_ok], dtype="int64")})
 
 
+def _warc_fixture_dir(sf_dir: str) -> str:
+    """Build-once cache of a sharded WARC.gz corpus derived 1:1 from the
+    documents table (the fixture-generator step): each doc becomes a
+    spec-shaped response record (HTTP envelope, per-record gzip member,
+    every 5th record chunked-transfer-coded) with
+    url = https://{source}.example.com/doc/{doc_id} — so a SQL oracle
+    over `documents` pins the WARC reader end-to-end."""
+    import pyarrow.parquet as pq
+
+    from ..functions.fingerprint import wrap_html
+    from ..sources.warc import write_warc
+
+    src_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src_path)
+    tag = (f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}"
+           f"-{st.st_size}-{int(st.st_mtime)}")
+    root = os.path.join("/tmp", "ffr_warc", tag)
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        tbl = pq.read_table(src_path, columns=["doc_id", "text", "source"])
+        ids = tbl["doc_id"].to_numpy()
+        texts = tbl["text"].to_pylist()
+        srcs = tbl["source"].to_pylist()
+        n_shards = 8
+        shards: list[list[dict]] = [[] for _ in range(n_shards)]
+        for i in range(len(ids)):
+            did = int(ids[i])
+            shards[did % n_shards].append({
+                "url": f"https://{srcs[i]}.example.com/doc/{did}",
+                "ts_ms": BASE_TS_MS + did * 1000,
+                "html": wrap_html(texts[i]),
+            })
+        for s, recs in enumerate(shards):
+            write_warc(recs, os.path.join(root, f"shard-{s:03d}.warc.gz"),
+                       gzip_members=True, chunked_every=5)
+        with open(done, "w") as f:
+            f.write(str(len(ids)))
+    return root
+
+
+def q_warc_ingest(sf_dir: str):
+    """S1 ingest analog over the archive format crawls actually ship:
+    read a sharded WARC.gz corpus (one task per file — the format's
+    natural ~1 GB blocks), de-gzip members + Content-Length framing +
+    HTTP de-chunking inside ``map_batches``, extract text with the
+    shared Arrow kernel, and aggregate per crawl source.  The corpus is
+    derived 1:1 from the documents table, so the SQL oracle pins the
+    whole reader: every record recovered, byte-exact bodies (char sums
+    match), no dup/dropped frames.  Reference: Kafka consumption
+    ``src/flink_job/kafka_config.py:24-31`` → bounded-archive mapping
+    (SURVEY.md §2.1 S1)."""
+    import glob as _glob
+
+    from ..functions.fingerprint import extract_text
+    from ..sources.warc import read_warc
+    from ..stages.shuffle import grouped_map
+
+    root = _warc_fixture_dir(sf_dir)
+    ds = read_warc(sorted(_glob.glob(os.path.join(root, "*.warc.gz"))))
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        txt = extract_text(batch["html"])
+        src = pc.struct_field(
+            pc.extract_regex(batch["url"], r"https://(?P<s>[^.]+)\."), "s")
+        ok = pc.equal(batch["http_status"], pa.scalar(200, pa.int32()))
+        t = pa.table({"source": src, "n_chars": pc.utf8_length(txt),
+                      "ok": ok})
+        df = t.to_pandas()
+        return df[df["ok"]].groupby("source", as_index=False).agg(
+            n_docs=("n_chars", "size"), total_chars=("n_chars", "sum"))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    final = grouped_map(parts, ["source"], _combine_partials,
+                        fn_kwargs={"keys": ["source"],
+                                   "sums": ["n_docs", "total_chars"]})
+    df = final.to_pandas()
+    df["n_docs"] = df["n_docs"].astype(np.int64)
+    df["total_chars"] = df["total_chars"].astype(np.int64)
+    return df.sort_values("source").reset_index(drop=True)
+
+
+SQL_WARC_INGEST = """
+SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 def _lang_model_path(sf_dir: str) -> str:
     """Train-once cache of the REAL model artifact (the fixture-generator
     step): deterministic training on the labeled fixture corpus
@@ -5230,6 +5318,7 @@ QUERIES = {
     "media_gif_features_check": q_media_gif_features_check,
     "media_gif_anim_frames": q_media_gif_anim_frames,
     "media_gif_anim_frames_check": q_media_gif_anim_frames_check,
+    "warc_ingest": q_warc_ingest,
     "simhash_clusters_dist": q_simhash_clusters_dist,
     "value_counts": q_value_counts,
     "interval_join": q_interval_join,
@@ -5363,6 +5452,7 @@ ORACLE_SQL = {
     "media_gif_anim_frames_check": ("SELECT CAST(0 AS BIGINT) AS mismatch_rows, "
                                     "CAST(1 AS BIGINT) AS frame_count_ok, "
                                     "CAST(1 AS BIGINT) AS seek_ok"),
+    "warc_ingest": SQL_WARC_INGEST,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "segment_orders": SQL_SEGMENT_ORDERS,
     "top_orders": SQL_TOP_ORDERS,

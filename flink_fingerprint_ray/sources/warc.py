@@ -1,0 +1,249 @@
+"""WARC source: read Common-Crawl-style web archives into page tables.
+
+Real web corpora arrive as WARC files (ISO 28500), usually with each
+record compressed as its own concatenated gzip member so readers can
+split without decompressing the whole file.  This module implements the
+format from the public spec with stdlib zlib only:
+
+- ``parse_warc(data)`` — bytes of one WARC(.gz) file → Arrow table
+  ``(url, warc_ts, html, http_status, content_type)`` matching the
+  engine's page schema (SURVEY.md input hint).  Handles multi-member
+  gzip, Content-Length record framing (never regex over the payload),
+  response/request/warcinfo/metadata record types, and HTTP envelopes
+  with Content-Length or chunked transfer coding.
+- ``read_warc(paths)`` — Ray Data scan: one task per WARC file
+  (``read_binary_files`` → ``map_batches(parse)``), the natural 100-TB
+  sharding since crawls ship ~1 GB per file.  Downstream column pruning
+  applies from the first map.
+- ``build_warc(records)`` / ``write_warc(...)`` — the fixture side:
+  spec-shaped response records with a genuine HTTP/1.1 envelope, each
+  record its own gzip member (the Common Crawl layout), so the parser
+  is proven on REAL framing, not on its own in-memory structures.
+
+Reference-semantics citation: the reference consumes Kafka
+(``src/flink_job/kafka_config.py:24-31``); WARC is the bounded-corpus
+ingest analog for the webtext mapping (SURVEY.md §2.1 S1 note) — the
+same page rows, sourced from the archive format crawls actually ship.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+_CRLF = b"\r\n"
+_GZIP_MAGIC = b"\x1f\x8b"
+
+PAGE_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("ms")),
+        ("html", pa.binary()),
+        ("http_status", pa.int32()),
+        ("content_type", pa.string()),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# Build (fixture side)
+# ---------------------------------------------------------------------------
+
+def _gzip_member(payload: bytes) -> bytes:
+    """One complete gzip member (RFC 1952) for per-record compression."""
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    return co.compress(payload) + co.flush()
+
+
+def _http_response(body: bytes, content_type: str = "text/html; charset=utf-8",
+                   chunked: bool = False, status: int = 200) -> bytes:
+    reason = {200: "OK", 404: "Not Found", 301: "Moved Permanently"}.get(status, "OK")
+    head = (f"HTTP/1.1 {status} {reason}\r\n"
+            f"Content-Type: {content_type}\r\n").encode("ascii")
+    if chunked:
+        head += b"Transfer-Encoding: chunked\r\n\r\n"
+        out = bytearray(head)
+        for i in range(0, len(body), 1000):
+            chunk = body[i:i + 1000]
+            out += f"{len(chunk):x}".encode("ascii") + _CRLF + chunk + _CRLF
+        out += b"0\r\n\r\n"
+        return bytes(out)
+    head += f"Content-Length: {len(body)}\r\n\r\n".encode("ascii")
+    return head + body
+
+
+def build_warc(records: list[dict], gzip_members: bool = True,
+               chunked_every: int = 0) -> bytes:
+    """Records ``{url, ts_ms, html[, status]}`` → WARC/1.0 file bytes.
+
+    ``gzip_members=True`` compresses each record as its own gzip member
+    (the Common Crawl convention); ``chunked_every=k > 0`` gives every
+    k-th record a chunked HTTP envelope so readers prove de-chunking."""
+    out = bytearray()
+    for i, rec in enumerate(records):
+        ts = datetime.datetime.fromtimestamp(rec["ts_ms"] / 1000.0,
+                                             tz=datetime.timezone.utc)
+        # WARC/1.0 dates are second-precision; sub-second inputs get the
+        # WARC/1.1 fractional form (the parser accepts both)
+        date = (ts.strftime("%Y-%m-%dT%H:%M:%SZ") if rec["ts_ms"] % 1000 == 0
+                else ts.strftime("%Y-%m-%dT%H:%M:%S.") + f"{rec['ts_ms'] % 1000:03d}Z")
+        chunked = chunked_every > 0 and i % chunked_every == chunked_every - 1
+        http = _http_response(rec["html"], chunked=chunked,
+                              status=int(rec.get("status", 200)))
+        rid = hashlib.md5(rec["url"].encode()).hexdigest()
+        head = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:{rid[:8]}-{rid[8:12]}-{rid[12:16]}"
+            f"-{rid[16:20]}-{rid[20:32]}>\r\n"
+            f"WARC-Date: {date}\r\n"
+            f"WARC-Target-URI: {rec['url']}\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n"
+            "\r\n"
+        ).encode("utf-8")
+        record = head + http + _CRLF + _CRLF
+        out += _gzip_member(record) if gzip_members else record
+    return bytes(out)
+
+
+def write_warc(records: list[dict], path: str, **kwargs) -> str:
+    with open(path, "wb") as f:
+        f.write(build_warc(records, **kwargs))
+    return path
+
+
+# ---------------------------------------------------------------------------
+# Parse
+# ---------------------------------------------------------------------------
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress concatenated gzip members (the CC per-record layout)."""
+    out = bytearray()
+    while data:
+        do = zlib.decompressobj(47)
+        out += do.decompress(data)
+        out += do.flush()
+        data = do.unused_data
+    return bytes(out)
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    """Parse CRLF header lines (after the leading version/status line has
+    been split off) into a lower-cased dict."""
+    headers: dict[str, str] = {}
+    for line in block.split(_CRLF):
+        if not line:
+            continue
+        k, _, v = line.partition(b":")
+        headers[k.strip().lower().decode("latin-1")] = v.strip().decode("latin-1")
+    return headers
+
+
+def _dechunk(body: bytes) -> bytes:
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.index(_CRLF, pos)
+        size = int(body[pos:eol].split(b";")[0], 16)
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)
+        out += body[pos:pos + size]
+        pos += size + 2     # trailing CRLF after each chunk
+
+
+def _parse_http(payload: bytes) -> tuple[int, str, bytes]:
+    """HTTP response bytes → (status, content_type, body)."""
+    sep = payload.find(_CRLF + _CRLF)
+    if sep < 0 or not payload.startswith(b"HTTP/"):
+        return 0, "", payload      # bare payload (non-HTTP record content)
+    status_line, _, header_block = payload[:sep].partition(_CRLF)
+    parts = status_line.split(b" ", 2)
+    status = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else 0
+    headers = _parse_headers(header_block)
+    body = payload[sep + 4:]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    elif "content-length" in headers:
+        body = body[: int(headers["content-length"])]
+    return status, headers.get("content-type", ""), body
+
+
+def _parse_warc_date(s: str) -> int:
+    """ISO-8601 WARC-Date (second or fractional precision) → epoch ms."""
+    fmt = "%Y-%m-%dT%H:%M:%S.%fZ" if "." in s else "%Y-%m-%dT%H:%M:%SZ"
+    dt = datetime.datetime.strptime(s, fmt).replace(tzinfo=datetime.timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
+def parse_warc(data: bytes, keep_types: tuple[str, ...] = ("response",)) -> pa.Table:
+    """One WARC(.gz) file's bytes → Arrow page rows.
+
+    Records are framed by their declared Content-Length (the spec's
+    contract) — malformed framing raises rather than resyncing, matching
+    the fail-fast retry story of ``sources/retry.py``."""
+    if data[:2] == _GZIP_MAGIC:
+        data = _gunzip_members(data)
+    urls: list[str] = []
+    ts: list[int] = []
+    htmls: list[bytes] = []
+    statuses: list[int] = []
+    ctypes: list[str] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos:pos + 2] == _CRLF:      # inter-record blank lines
+            pos += 2
+            continue
+        if not data.startswith(b"WARC/", pos):
+            raise ValueError(f"WARC framing lost at offset {pos}")
+        hdr_end = data.index(_CRLF + _CRLF, pos)
+        version_line, _, header_block = data[pos:hdr_end].partition(_CRLF)
+        if not version_line.startswith(b"WARC/1."):
+            raise ValueError(f"unsupported WARC version {version_line!r}")
+        headers = _parse_headers(header_block)
+        length = int(headers["content-length"])
+        payload = data[hdr_end + 4: hdr_end + 4 + length]
+        pos = hdr_end + 4 + length
+        if headers.get("warc-type") in keep_types:
+            status, ctype, body = _parse_http(payload)
+            urls.append(headers.get("warc-target-uri", ""))
+            ts.append(_parse_warc_date(headers["warc-date"]))
+            htmls.append(body)
+            statuses.append(status)
+            ctypes.append(ctype)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(np.array(ts, np.int64)).cast(pa.timestamp("ms")),
+            "html": pa.array(htmls, pa.binary()),
+            "http_status": pa.array(statuses, pa.int32()),
+            "content_type": pa.array(ctypes, pa.string()),
+        }
+    )
+
+
+def read_warc(paths: str | list[str], keep_types: tuple[str, ...] = ("response",),
+              **read_kwargs):
+    """Ray Data scan over WARC files: one read task per file (the format
+    ships ~1 GB/file, the natural block size), records parsed inside
+    ``map_batches`` so the driver never touches payload bytes."""
+    import ray.data
+
+    ds = ray.data.read_binary_files(paths, **read_kwargs)
+
+    def _parse_batch(batch: pa.Table) -> pa.Table:
+        tables = [parse_warc(b.as_py(), keep_types=keep_types)
+                  for b in batch["bytes"]]
+        return pa.concat_tables(tables) if tables \
+            else PAGE_SCHEMA.empty_table()
+
+    # one archive per parse task: crawls ship ~1 GB files, so a batch
+    # must never hold several payloads at once
+    return ds.map_batches(_parse_batch, batch_format="pyarrow", batch_size=1)

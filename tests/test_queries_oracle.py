@@ -114,6 +114,7 @@ FAST_SQL_QUERIES = [
     "media_video_frames_check",
     "media_gif_features_check",
     "media_gif_anim_frames_check",
+    "warc_ingest",
 ]
 
 

@@ -1,0 +1,127 @@
+"""WARC source (sources/warc.py): spec framing, gzip members, HTTP
+envelopes (Content-Length + chunked), the Ray read path, and the
+documents-table-derived ingest query vs its DuckDB oracle."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from flink_fingerprint_ray.functions.fingerprint import extract_text, wrap_html
+from flink_fingerprint_ray.sources.warc import (
+    build_warc,
+    parse_warc,
+    read_warc,
+    write_warc,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _records(n: int, seed: int = 0) -> list[dict]:
+    rng = np.random.RandomState(seed)
+    return [
+        {
+            "url": f"https://h{i % 3}.example.com/p{i}",
+            "ts_ms": 1_700_000_000_000 + i * 1000 + int(rng.randint(0, 500)),
+            "html": wrap_html(f"doc {i} body text & more <x> " + "w " * int(rng.randint(0, 40))),
+        }
+        for i in range(n)
+    ]
+
+
+class TestWarcCodec:
+    def test_roundtrip_plain_and_gzip(self):
+        recs = _records(20)
+        plain = parse_warc(build_warc(recs, gzip_members=False))
+        gz = parse_warc(build_warc(recs, gzip_members=True))
+        assert plain.num_rows == 20 and gz.equals(plain)
+        assert plain["url"].to_pylist() == [r["url"] for r in recs]
+        assert plain["html"].to_pylist() == [r["html"] for r in recs]
+        assert plain["warc_ts"].cast("int64").to_pylist() == [r["ts_ms"] for r in recs]
+        assert plain["http_status"].to_pylist() == [200] * 20
+        assert all("text/html" in c for c in plain["content_type"].to_pylist())
+
+    def test_chunked_transfer_decoding(self):
+        # bodies long enough that chunks split mid-body
+        recs = _records(6)
+        recs[2]["html"] = wrap_html("x" * 5000)
+        t = parse_warc(build_warc(recs, chunked_every=1))
+        assert t["html"].to_pylist() == [r["html"] for r in recs]
+
+    def test_extract_text_inverts_fixture_bodies(self):
+        recs = _records(8)
+        t = parse_warc(build_warc(recs))
+        txt = extract_text(t["html"]).to_pylist()
+        assert txt[0].startswith("doc 0 body text & more <x>")
+        assert all(x for x in txt)
+
+    def test_non_response_records_filtered(self):
+        recs = _records(4)
+        data = build_warc(recs, gzip_members=False)
+        # splice a warcinfo record in front (spec-shaped, no HTTP body)
+        info_body = b"software: test\r\n"
+        info = (b"WARC/1.0\r\n"
+                b"WARC-Type: warcinfo\r\n"
+                b"WARC-Date: 2023-11-14T22:13:20Z\r\n"
+                b"WARC-Record-ID: <urn:uuid:0>\r\n"
+                b"Content-Type: application/warc-fields\r\n"
+                + f"Content-Length: {len(info_body)}\r\n\r\n".encode()
+                + info_body + b"\r\n\r\n")
+        t = parse_warc(info + data)
+        assert t.num_rows == 4
+        t2 = parse_warc(info + data, keep_types=("response", "warcinfo"))
+        assert t2.num_rows == 5
+
+    def test_non_200_status_parsed(self):
+        recs = _records(3)
+        recs[1]["status"] = 404
+        t = parse_warc(build_warc(recs))
+        assert t["http_status"].to_pylist() == [200, 404, 200]
+
+    def test_fractional_warc_date(self):
+        from flink_fingerprint_ray.sources.warc import _parse_warc_date
+
+        assert _parse_warc_date("2023-11-14T22:13:20Z") == 1_700_000_000_000
+        assert _parse_warc_date("2023-11-14T22:13:20.250Z") == 1_700_000_000_250
+
+    def test_rejects_lost_framing(self):
+        recs = _records(2)
+        data = build_warc(recs, gzip_members=False)
+        with pytest.raises(ValueError):
+            parse_warc(b"garbage" + data)
+
+
+class TestWarcRay:
+    def test_read_warc_multi_file(self, ray_session, tmp_path):
+        recs = _records(30, seed=7)
+        for s in range(3):
+            write_warc(recs[s::3], str(tmp_path / f"part-{s}.warc.gz"),
+                       chunked_every=4)
+        ds = read_warc(sorted(glob.glob(str(tmp_path / "*.warc.gz"))))
+        df = ds.to_pandas().sort_values("url").reset_index(drop=True)
+        want = sorted(r["url"] for r in recs)
+        assert df["url"].tolist() == want
+        got = dict(zip(df["url"], df["html"]))
+        for r in recs:
+            assert got[r["url"]] == r["html"]
+
+    def test_warc_ingest_matches_oracle(self, ray_session):
+        from flink_fingerprint_ray.pipelines.queries import (
+            ORACLE_SQL,
+            QUERIES,
+        )
+
+        eng = QUERIES["warc_ingest"](SF)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+        ora = con.execute(ORACLE_SQL["warc_ingest"]).df()
+        pd.testing.assert_frame_equal(eng.reset_index(drop=True),
+                                      ora.reset_index(drop=True),
+                                      check_dtype=False)
