@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import datetime
 import hashlib
-import struct
+import os
 import zlib
 
 import numpy as np
@@ -247,3 +247,60 @@ def read_warc(paths: str | list[str], keep_types: tuple[str, ...] = ("response",
     # one archive per parse task: crawls ship ~1 GB files, so a batch
     # must never hold several payloads at once
     return ds.map_batches(_parse_batch, batch_format="pyarrow", batch_size=1)
+
+
+class _WarcPagePrep:
+    """Actor-pool stage turning raw WARC rows into the engine's page
+    schema: text extracted with the shared Arrow kernel, language
+    predicted by the n-gram marker model (compiled once per actor) —
+    the columns the flagship pipeline reads (``url, warc_ts, html,
+    text, lang``)."""
+
+    def __init__(self) -> None:
+        from ..functions.textstats import LangIdModel
+
+        self.model = LangIdModel()      # once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.fingerprint import extract_text
+
+        text = extract_text(batch["html"])
+        lang = pa.array(self.model.predict(text), pa.string())
+        return pa.table(
+            {
+                "url": batch["url"],
+                "warc_ts": batch["warc_ts"],
+                "html": batch["html"],
+                "text": text.cast(pa.string()),
+                "lang": lang,
+            }
+        )
+
+
+def warc_to_epochs(paths: list[str], out_root: str, prefix: str = "pages",
+                   files_per_epoch: int = 1) -> list[str]:
+    """Bridge crawl archives into the engine's epoched-parquet stream:
+    each group of ``files_per_epoch`` WARC files becomes one sealed
+    ``{out_root}/{prefix}/epoch=K/`` directory (arrival order = file
+    order, the Kafka-offset analog), with language predicted and text
+    extracted en route.  Epochs are written behind the ``_INPROGRESS``
+    marker and sealed only after the parquet lands, so a concurrently
+    tailing pipeline (``run(follow=True)``) never sees a half-written
+    epoch.  Returns the epoch directory paths."""
+    import ray.data  # noqa: F401  (read_warc needs an initialized context)
+
+    dirs = []
+    groups = [paths[i:i + files_per_epoch]
+              for i in range(0, len(paths), files_per_epoch)]
+    for k, group in enumerate(groups):
+        d = os.path.join(out_root, prefix, f"epoch={k:05d}")
+        os.makedirs(d, exist_ok=True)
+        marker = os.path.join(d, "_INPROGRESS")
+        with open(marker, "w"):
+            pass
+        ds = read_warc(group).map_batches(
+            _WarcPagePrep, concurrency=(1, 4), batch_format="pyarrow")
+        ds.write_parquet(d)
+        os.remove(marker)       # seal: now visible to the epoch cursor
+        dirs.append(d)
+    return dirs

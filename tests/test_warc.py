@@ -125,3 +125,71 @@ class TestWarcRay:
         pd.testing.assert_frame_equal(eng.reset_index(drop=True),
                                       ora.reset_index(drop=True),
                                       check_dtype=False)
+
+
+class TestWarcToEpochs:
+    def test_crawl_to_flagship_pipeline_parity(self, ray_session, tmp_path):
+        """The full story a web-corpus user runs: WARC crawl files →
+        warc_to_epochs (text extraction + lang-id en route, sealed epoch
+        dirs) → flagship streaming pipeline → oracle parity on the
+        read-back page table.  Proves the bridge emits exactly the
+        schema/ordering the engine and oracle share."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from flink_fingerprint_ray import fixtures
+        from flink_fingerprint_ray.oracle import oracle_fingerprints
+        from flink_fingerprint_ray.pipelines.streaming import (
+            PipelineConfig,
+            StreamingFingerprintPipeline,
+        )
+        from flink_fingerprint_ray.sources.warc import warc_to_epochs
+
+        pages = fixtures.make_pages(n_docs=900, seed=51)
+        # crawl files = contiguous arrival slices (the offset analog)
+        n_files = 3
+        bounds = np.linspace(0, pages.num_rows, n_files + 1).astype(int)
+        paths = []
+        for s in range(n_files):
+            sl = pages.slice(bounds[s], bounds[s + 1] - bounds[s])
+            recs = [{"url": u, "ts_ms": t, "html": h}
+                    for u, t, h in zip(sl["url"].to_pylist(),
+                                       sl["warc_ts"].cast("int64").to_pylist(),
+                                       sl["html"].to_pylist())]
+            paths.append(write_warc(recs, str(tmp_path / f"crawl-{s}.warc.gz"),
+                                    chunked_every=7))
+
+        root = str(tmp_path / "stream")
+        dirs = warc_to_epochs(paths, root, files_per_epoch=1)
+        assert len(dirs) == n_files
+        assert not any(os.path.exists(os.path.join(d, "_INPROGRESS"))
+                       for d in dirs)
+
+        # read-back table in epoch order == the oracle's arrival order
+        back = pa.concat_tables([
+            pq.read_table(f)
+            for d in dirs
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
+        ])
+        assert back.num_rows == pages.num_rows
+        assert back["url"].to_pylist() == pages["url"].to_pylist()
+        assert back["html"].to_pylist() == pages["html"].to_pylist()
+        assert (back["warc_ts"].cast("int64").to_pylist()
+                == pages["warc_ts"].cast("int64").to_pylist())
+        # text extraction inverted the fixture wrapper exactly
+        assert back["text"].to_pylist() == pages["text"].to_pylist()
+
+        cfg = PipelineConfig(sliding=None, session_gap_ms=0,
+                             n_state_partitions=2)
+        pipe = StreamingFingerprintPipeline(
+            os.path.join(root, "pages"), str(tmp_path / "out"), cfg=cfg)
+        pipe.run()
+        eng = pipe.result_dataset().to_pandas()
+        pipe.shutdown()
+
+        ora = oracle_fingerprints(back, n_files, sliding=None,
+                                  session_gap_ms=0)
+        sc = ["window_kind", "key_lang", "key_host", "window_start"]
+        pd.testing.assert_frame_equal(
+            eng.sort_values(sc).reset_index(drop=True)[ora.columns.tolist()],
+            ora.sort_values(sc).reset_index(drop=True), check_dtype=False)
