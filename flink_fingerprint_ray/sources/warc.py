@@ -122,15 +122,14 @@ def write_warc(records: list[dict], path: str, **kwargs) -> str:
 # Parse
 # ---------------------------------------------------------------------------
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress concatenated gzip members (the CC per-record layout)."""
-    out = bytearray()
+def _iter_gunzip_members(data: bytes):
+    """Yield concatenated gzip members (the CC per-record layout) one
+    decompressed member at a time — the whole archive is never resident
+    decompressed at once."""
     while data:
         do = zlib.decompressobj(47)
-        out += do.decompress(data)
-        out += do.flush()
+        yield do.decompress(data) + do.flush()
         data = do.unused_data
-    return bytes(out)
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
@@ -182,51 +181,106 @@ def _parse_warc_date(s: str) -> int:
     return int(dt.timestamp() * 1000)
 
 
-def parse_warc(data: bytes, keep_types: tuple[str, ...] = ("response",)) -> pa.Table:
-    """One WARC(.gz) file's bytes → Arrow page rows.
+class _RecordAccum:
+    """Column accumulators for parsed records, drained as Arrow chunks."""
+
+    def __init__(self) -> None:
+        self.urls: list[str] = []
+        self.ts: list[int] = []
+        self.htmls: list[bytes] = []
+        self.statuses: list[int] = []
+        self.ctypes: list[str] = []
+
+    def __len__(self) -> int:
+        return len(self.urls)
+
+    def add(self, headers: dict[str, str], payload: bytes) -> None:
+        status, ctype, body = _parse_http(payload)
+        self.urls.append(headers.get("warc-target-uri", ""))
+        self.ts.append(_parse_warc_date(headers["warc-date"]))
+        self.htmls.append(body)
+        self.statuses.append(status)
+        self.ctypes.append(ctype)
+
+    def drain(self) -> pa.Table:
+        t = pa.table(
+            {
+                "url": pa.array(self.urls, pa.string()),
+                "warc_ts": pa.array(np.array(self.ts, np.int64)).cast(pa.timestamp("ms")),
+                "html": pa.array(self.htmls, pa.binary()),
+                "http_status": pa.array(self.statuses, pa.int32()),
+                "content_type": pa.array(self.ctypes, pa.string()),
+            }
+        )
+        self.__init__()
+        return t
+
+
+def iter_warc_tables(data: bytes, keep_types: tuple[str, ...] = ("response",),
+                     chunk_rows: int = 2048):
+    """Incrementally parse one WARC(.gz) file's bytes, yielding Arrow
+    chunks of ≤ ``chunk_rows`` records.  Peak memory is bounded by one
+    gzip member (CC layout: one record) plus one chunk — the whole
+    archive is never resident decompressed, which is what lets a ~1 GB
+    crawl file ride a single read task.
 
     Records are framed by their declared Content-Length (the spec's
     contract) — malformed framing raises rather than resyncing, matching
     the fail-fast retry story of ``sources/retry.py``."""
-    if data[:2] == _GZIP_MAGIC:
-        data = _gunzip_members(data)
-    urls: list[str] = []
-    ts: list[int] = []
-    htmls: list[bytes] = []
-    statuses: list[int] = []
-    ctypes: list[str] = []
+    members = (_iter_gunzip_members(data) if data[:2] == _GZIP_MAGIC
+               else iter((data,)))
+    acc = _RecordAccum()
+    buf = bytearray()
     pos = 0
-    n = len(data)
-    while pos < n:
-        if data[pos:pos + 2] == _CRLF:      # inter-record blank lines
-            pos += 2
-            continue
-        if not data.startswith(b"WARC/", pos):
-            raise ValueError(f"WARC framing lost at offset {pos}")
-        hdr_end = data.index(_CRLF + _CRLF, pos)
-        version_line, _, header_block = data[pos:hdr_end].partition(_CRLF)
-        if not version_line.startswith(b"WARC/1."):
-            raise ValueError(f"unsupported WARC version {version_line!r}")
-        headers = _parse_headers(header_block)
-        length = int(headers["content-length"])
-        payload = data[hdr_end + 4: hdr_end + 4 + length]
-        pos = hdr_end + 4 + length
-        if headers.get("warc-type") in keep_types:
-            status, ctype, body = _parse_http(payload)
-            urls.append(headers.get("warc-target-uri", ""))
-            ts.append(_parse_warc_date(headers["warc-date"]))
-            htmls.append(body)
-            statuses.append(status)
-            ctypes.append(ctype)
-    return pa.table(
-        {
-            "url": pa.array(urls, pa.string()),
-            "warc_ts": pa.array(np.array(ts, np.int64)).cast(pa.timestamp("ms")),
-            "html": pa.array(htmls, pa.binary()),
-            "http_status": pa.array(statuses, pa.int32()),
-            "content_type": pa.array(ctypes, pa.string()),
-        }
-    )
+    done_members = False
+    while True:
+        # parse complete records off the buffer front
+        progressed = True
+        while progressed:
+            progressed = False
+            if pos + 2 <= len(buf) and buf[pos:pos + 2] == _CRLF:
+                pos += 2        # inter-record blank lines
+                progressed = True
+                continue
+            if pos + 5 <= len(buf) and not buf.startswith(b"WARC/", pos):
+                raise ValueError(f"WARC framing lost at offset {pos}")
+            hdr_end = buf.find(_CRLF + _CRLF, pos)
+            if hdr_end < 0:
+                break           # need more bytes for the header
+            version_line, _, header_block = bytes(buf[pos:hdr_end]).partition(_CRLF)
+            if not version_line.startswith(b"WARC/1."):
+                raise ValueError(f"unsupported WARC version {version_line!r}")
+            headers = _parse_headers(header_block)
+            length = int(headers["content-length"])
+            if hdr_end + 4 + length > len(buf):
+                break           # need more bytes for the payload
+            if headers.get("warc-type") in keep_types:
+                acc.add(headers, bytes(buf[hdr_end + 4: hdr_end + 4 + length]))
+                if len(acc) >= chunk_rows:
+                    yield acc.drain()
+            pos = hdr_end + 4 + length
+            progressed = True
+        del buf[:pos]           # drop consumed prefix, keep partial tail
+        pos = 0
+        if done_members:
+            break
+        member = next(members, None)
+        if member is None:
+            done_members = True
+        else:
+            buf += member
+    if len(buf.strip(b"\r\n")):
+        raise ValueError("WARC file ends with a truncated record")
+    if len(acc):
+        yield acc.drain()
+
+
+def parse_warc(data: bytes, keep_types: tuple[str, ...] = ("response",)) -> pa.Table:
+    """One WARC(.gz) file's bytes → one Arrow table of page rows (the
+    convenience form of ``iter_warc_tables``; use the iterator inside
+    read tasks so big archives stream)."""
+    chunks = list(iter_warc_tables(data, keep_types=keep_types))
+    return pa.concat_tables(chunks) if chunks else PAGE_SCHEMA.empty_table()
 
 
 def read_warc(paths: str | list[str], keep_types: tuple[str, ...] = ("response",),
@@ -238,11 +292,15 @@ def read_warc(paths: str | list[str], keep_types: tuple[str, ...] = ("response",
 
     ds = ray.data.read_binary_files(paths, **read_kwargs)
 
-    def _parse_batch(batch: pa.Table) -> pa.Table:
-        tables = [parse_warc(b.as_py(), keep_types=keep_types)
-                  for b in batch["bytes"]]
-        return pa.concat_tables(tables) if tables \
-            else PAGE_SCHEMA.empty_table()
+    def _parse_batch(batch: pa.Table):
+        got = False
+        for b in batch["bytes"]:
+            for chunk in iter_warc_tables(b.as_py(), keep_types=keep_types):
+                got = True
+                yield chunk     # generator: records stream out in bounded
+                # chunks while the archive is still being decompressed
+        if not got:
+            yield PAGE_SCHEMA.empty_table()
 
     # one archive per parse task: crawls ship ~1 GB files, so a batch
     # must never hold several payloads at once

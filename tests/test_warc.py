@@ -193,3 +193,39 @@ class TestWarcToEpochs:
         pd.testing.assert_frame_equal(
             eng.sort_values(sc).reset_index(drop=True)[ora.columns.tolist()],
             ora.sort_values(sc).reset_index(drop=True), check_dtype=False)
+
+
+class TestWarcIncremental:
+    def test_iter_warc_tables_chunking(self):
+        from flink_fingerprint_ray.sources.warc import iter_warc_tables
+
+        recs = _records(25, seed=11)
+        data = build_warc(recs, gzip_members=True, chunked_every=6)
+        chunks = list(iter_warc_tables(data, chunk_rows=7))
+        assert [c.num_rows for c in chunks] == [7, 7, 7, 4]
+        import pyarrow as pa
+
+        joined = pa.concat_tables(chunks)
+        assert joined["url"].to_pylist() == [r["url"] for r in recs]
+        assert joined["html"].to_pylist() == [r["html"] for r in recs]
+
+    def test_truncated_archive_raises(self):
+        recs = _records(3)
+        data = build_warc(recs, gzip_members=False)
+        with pytest.raises(ValueError, match="truncated"):
+            parse_warc(data[:-40])
+
+    def test_record_spanning_member_boundary(self):
+        # spec-legal: one gzip member holding SEVERAL records, and a
+        # whole-file single-member archive — framing must not assume
+        # member == record
+        import zlib
+
+        from flink_fingerprint_ray.sources.warc import parse_warc as pw
+
+        recs = _records(10, seed=13)
+        plain = build_warc(recs, gzip_members=False)
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        whole = co.compress(plain) + co.flush()
+        t = pw(whole)
+        assert t["url"].to_pylist() == [r["url"] for r in recs]
