@@ -1402,6 +1402,83 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def _wet_fixture_dir(sf_dir: str) -> str:
+    """Build-once cache of a sharded WET.gz corpus (WARC conversion
+    records — extracted plain text, the form LLM pipelines consume)
+    derived 1:1 from the documents table, lang carried in the URL path
+    so the reader side recovers it without a join."""
+    import pyarrow.parquet as pq
+
+    from ..sources.warc import write_wet
+
+    src_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src_path)
+    tag = (f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}"
+           f"-{st.st_size}-{int(st.st_mtime)}")
+    root = os.path.join("/tmp", "ffr_wet", tag)
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        tbl = pq.read_table(src_path, columns=["doc_id", "text", "lang", "source"])
+        ids = tbl["doc_id"].to_numpy()
+        texts = tbl["text"].to_pylist()
+        langs = tbl["lang"].to_pylist()
+        srcs = tbl["source"].to_pylist()
+        n_shards = 8
+        shards: list[list[dict]] = [[] for _ in range(n_shards)]
+        for i in range(len(ids)):
+            did = int(ids[i])
+            shards[did % n_shards].append({
+                "url": f"https://{srcs[i]}.example.com/{langs[i]}/doc/{did}",
+                "ts_ms": BASE_TS_MS + did * 1000,
+                "text": texts[i],
+            })
+        for s, recs in enumerate(shards):
+            write_wet(recs, os.path.join(root, f"shard-{s:03d}.warc.wet.gz"))
+        with open(done, "w") as f:
+            f.write(str(len(ids)))
+    return root
+
+
+def q_wet_ingest(sf_dir: str):
+    """S1 ingest analog over WET files (WARC *conversion* records — the
+    extracted-plain-text form LLM corpus pipelines actually consume from
+    crawls): same streaming reader as ``warc_ingest`` but no HTTP
+    envelope, text decoded straight from record bodies, aggregated per
+    language.  The corpus is derived 1:1 from the documents table, so
+    the SQL oracle pins byte-exact text recovery."""
+    import glob as _glob
+
+    from ..sources.warc import read_wet
+    from ..stages.shuffle import grouped_map
+
+    root = _wet_fixture_dir(sf_dir)
+    ds = read_wet(sorted(_glob.glob(os.path.join(root, "*.warc.wet.gz"))))
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        lang = pc.struct_field(
+            pc.extract_regex(batch["url"], r"\.com/(?P<g>[^/]+)/doc/"), "g")
+        t = pa.table({"lang": lang,
+                      "n_chars": pc.utf8_length(batch["text"])})
+        return t.to_pandas().groupby("lang", as_index=False).agg(
+            n_docs=("n_chars", "size"), total_chars=("n_chars", "sum"))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    final = grouped_map(parts, ["lang"], _combine_partials,
+                        fn_kwargs={"keys": ["lang"],
+                                   "sums": ["n_docs", "total_chars"]})
+    df = final.to_pandas()
+    df["n_docs"] = df["n_docs"].astype(np.int64)
+    df["total_chars"] = df["total_chars"].astype(np.int64)
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+SQL_WET_INGEST = """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def _lang_model_path(sf_dir: str) -> str:
     """Train-once cache of the REAL model artifact (the fixture-generator
     step): deterministic training on the labeled fixture corpus
@@ -5319,6 +5396,7 @@ QUERIES = {
     "media_gif_anim_frames": q_media_gif_anim_frames,
     "media_gif_anim_frames_check": q_media_gif_anim_frames_check,
     "warc_ingest": q_warc_ingest,
+    "wet_ingest": q_wet_ingest,
     "simhash_clusters_dist": q_simhash_clusters_dist,
     "value_counts": q_value_counts,
     "interval_join": q_interval_join,
@@ -5453,6 +5531,7 @@ ORACLE_SQL = {
                                     "CAST(1 AS BIGINT) AS frame_count_ok, "
                                     "CAST(1 AS BIGINT) AS seek_ok"),
     "warc_ingest": SQL_WARC_INGEST,
+    "wet_ingest": SQL_WET_INGEST,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "segment_orders": SQL_SEGMENT_ORDERS,
     "top_orders": SQL_TOP_ORDERS,

@@ -118,6 +118,40 @@ def write_warc(records: list[dict], path: str, **kwargs) -> str:
     return path
 
 
+def build_wet(records: list[dict], gzip_members: bool = True) -> bytes:
+    """Records ``{url, ts_ms, text}`` → WET file bytes (the WARC
+    *conversion*-record form — extracted plain text, no HTTP envelope —
+    that LLM text pipelines actually consume from crawls)."""
+    out = bytearray()
+    for rec in records:
+        ts = datetime.datetime.fromtimestamp(rec["ts_ms"] / 1000.0,
+                                             tz=datetime.timezone.utc)
+        date = (ts.strftime("%Y-%m-%dT%H:%M:%SZ") if rec["ts_ms"] % 1000 == 0
+                else ts.strftime("%Y-%m-%dT%H:%M:%S.") + f"{rec['ts_ms'] % 1000:03d}Z")
+        body = rec["text"].encode("utf-8")
+        rid = hashlib.md5(rec["url"].encode()).hexdigest()
+        head = (
+            "WARC/1.0\r\n"
+            "WARC-Type: conversion\r\n"
+            f"WARC-Record-ID: <urn:uuid:{rid[:8]}-{rid[8:12]}-{rid[12:16]}"
+            f"-{rid[16:20]}-{rid[20:32]}>\r\n"
+            f"WARC-Date: {date}\r\n"
+            f"WARC-Target-URI: {rec['url']}\r\n"
+            "Content-Type: text/plain\r\n"
+            f"Content-Length: {len(body)}\r\n"
+            "\r\n"
+        ).encode("utf-8")
+        record = head + body + _CRLF + _CRLF
+        out += _gzip_member(record) if gzip_members else record
+    return bytes(out)
+
+
+def write_wet(records: list[dict], path: str, **kwargs) -> str:
+    with open(path, "wb") as f:
+        f.write(build_wet(records, **kwargs))
+    return path
+
+
 # ---------------------------------------------------------------------------
 # Parse
 # ---------------------------------------------------------------------------
@@ -305,6 +339,23 @@ def read_warc(paths: str | list[str], keep_types: tuple[str, ...] = ("response",
     # one archive per parse task: crawls ship ~1 GB files, so a batch
     # must never hold several payloads at once
     return ds.map_batches(_parse_batch, batch_format="pyarrow", batch_size=1)
+
+
+def read_wet(paths: str | list[str], **read_kwargs):
+    """Ray Data scan over WET files (conversion records): same streaming
+    reader, text decoded from the record body → ``(url, warc_ts, text)``."""
+    ds = read_warc(paths, keep_types=("conversion",), **read_kwargs)
+
+    def _to_text(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch["url"],
+                "warc_ts": batch["warc_ts"],
+                "text": batch["html"].cast(pa.string()),
+            }
+        )
+
+    return ds.map_batches(_to_text, batch_format="pyarrow")
 
 
 class _WarcPagePrep:

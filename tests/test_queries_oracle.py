@@ -115,6 +115,7 @@ FAST_SQL_QUERIES = [
     "media_gif_features_check",
     "media_gif_anim_frames_check",
     "warc_ingest",
+    "wet_ingest",
 ]
 
 

@@ -229,3 +229,50 @@ class TestWarcIncremental:
         whole = co.compress(plain) + co.flush()
         t = pw(whole)
         assert t["url"].to_pylist() == [r["url"] for r in recs]
+
+
+class TestWet:
+    def test_wet_roundtrip(self):
+        from flink_fingerprint_ray.sources.warc import build_wet, parse_warc
+
+        recs = [{"url": f"https://h{i}.example.com/{i}",
+                 "ts_ms": 1_700_000_000_000 + i * 777,
+                 "text": f"doc {i} plain text & <no html> " + "t " * i}
+                for i in range(12)]
+        t = parse_warc(build_wet(recs), keep_types=("conversion",))
+        assert t.num_rows == 12
+        assert [b.decode() for b in t["html"].to_pylist()] \
+            == [r["text"] for r in recs]
+        assert t["http_status"].to_pylist() == [0] * 12  # no HTTP envelope
+        # response-only parse sees none of them
+        assert parse_warc(build_wet(recs)).num_rows == 0
+
+    def test_read_wet_ray(self, ray_session, tmp_path):
+        from flink_fingerprint_ray.sources.warc import read_wet, write_wet
+
+        recs = [{"url": f"https://h.example.com/{i}",
+                 "ts_ms": 1_700_000_000_000 + i,
+                 "text": f"text {i}"} for i in range(9)]
+        write_wet(recs[:5], str(tmp_path / "a.warc.wet.gz"))
+        write_wet(recs[5:], str(tmp_path / "b.warc.wet.gz"))
+        df = read_wet([str(tmp_path / "a.warc.wet.gz"),
+                       str(tmp_path / "b.warc.wet.gz")]).to_pandas() \
+            .sort_values("url").reset_index(drop=True)
+        assert df["text"].tolist() == [r["text"] for r in recs]
+        ms = ((df["warc_ts"] - pd.Timestamp(0)) // pd.Timedelta(milliseconds=1))
+        assert ms.tolist() == [r["ts_ms"] for r in recs]
+
+    def test_wet_ingest_matches_oracle(self, ray_session):
+        from flink_fingerprint_ray.pipelines.queries import (
+            ORACLE_SQL,
+            QUERIES,
+        )
+
+        eng = QUERIES["wet_ingest"](SF)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+        ora = con.execute(ORACLE_SQL["wet_ingest"]).df()
+        pd.testing.assert_frame_equal(eng.reset_index(drop=True),
+                                      ora.reset_index(drop=True),
+                                      check_dtype=False)
