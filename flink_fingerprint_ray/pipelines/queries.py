@@ -1479,6 +1479,59 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def q_warc_cdx_lookup(sf_dir: str):
+    """Random access into the crawl, the cc-index pattern: build the
+    capture index over the WARC shards (header-only parse, one task per
+    archive), select ~1/7 of the records by doc id, then fetch ONLY
+    those byte ranges (seek + bounded read per record inside
+    ``map_batches`` — archives live on shared storage, so any worker can
+    range-read any shard) and aggregate the recovered text per source.
+    The SQL oracle over `documents` pins that the index addressed, the
+    range reads recovered, and the parse decoded exactly the selected
+    subset — without ever scanning the unselected 6/7 of the corpus."""
+    import glob as _glob
+
+    from ..functions.fingerprint import extract_text
+    from ..sources.warc import fetch_warc_records, index_warc_files
+    from ..stages.shuffle import grouped_map
+
+    root = _warc_fixture_dir(sf_dir)
+    idx = index_warc_files(sorted(_glob.glob(os.path.join(root, "*.warc.gz"))))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        did = pc.struct_field(
+            pc.extract_regex(batch["url"], r"/doc/(?P<d>\d+)$"), "d") \
+            .cast(pa.int64())
+        mod7 = pc.subtract(did, pc.multiply(pc.divide(did, 7), 7))
+        return batch.filter(pc.equal(mod7, pa.scalar(0, pa.int64())))
+
+    def fetch_and_agg(batch: pa.Table) -> pd.DataFrame:
+        rows = fetch_warc_records(batch)
+        txt = extract_text(rows["html"])
+        src = pc.struct_field(
+            pc.extract_regex(rows["url"], r"https://(?P<s>[^.]+)\."), "s")
+        t = pa.table({"source": src, "n_chars": pc.utf8_length(txt)})
+        return t.to_pandas().groupby("source", as_index=False).agg(
+            n_docs=("n_chars", "size"), total_chars=("n_chars", "sum"))
+
+    parts = idx.map_batches(pick, batch_format="pyarrow") \
+        .map_batches(fetch_and_agg, batch_format="pyarrow")
+    final = grouped_map(parts, ["source"], _combine_partials,
+                        fn_kwargs={"keys": ["source"],
+                                   "sums": ["n_docs", "total_chars"]})
+    df = final.to_pandas()
+    df["n_docs"] = df["n_docs"].astype(np.int64)
+    df["total_chars"] = df["total_chars"].astype(np.int64)
+    return df.sort_values("source").reset_index(drop=True)
+
+
+SQL_WARC_CDX_LOOKUP = """
+SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM documents WHERE doc_id % 7 = 0
+GROUP BY source ORDER BY source
+"""
+
+
 def _lang_model_path(sf_dir: str) -> str:
     """Train-once cache of the REAL model artifact (the fixture-generator
     step): deterministic training on the labeled fixture corpus
@@ -5397,6 +5450,7 @@ QUERIES = {
     "media_gif_anim_frames_check": q_media_gif_anim_frames_check,
     "warc_ingest": q_warc_ingest,
     "wet_ingest": q_wet_ingest,
+    "warc_cdx_lookup": q_warc_cdx_lookup,
     "simhash_clusters_dist": q_simhash_clusters_dist,
     "value_counts": q_value_counts,
     "interval_join": q_interval_join,
@@ -5532,6 +5586,7 @@ ORACLE_SQL = {
                                     "CAST(1 AS BIGINT) AS seek_ok"),
     "warc_ingest": SQL_WARC_INGEST,
     "wet_ingest": SQL_WET_INGEST,
+    "warc_cdx_lookup": SQL_WARC_CDX_LOOKUP,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "segment_orders": SQL_SEGMENT_ORDERS,
     "top_orders": SQL_TOP_ORDERS,

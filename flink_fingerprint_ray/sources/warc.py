@@ -317,6 +317,28 @@ def parse_warc(data: bytes, keep_types: tuple[str, ...] = ("response",)) -> pa.T
     return pa.concat_tables(chunks) if chunks else PAGE_SCHEMA.empty_table()
 
 
+def _raw_binary_datasource_cls():
+    """Binary file datasource that NEVER decompresses by extension: the
+    engine's WARC readers need the exact on-disk bytes (the member-at-a-
+    time gunzip keeps memory bounded; the CDX index addresses COMPRESSED
+    byte ranges), but Ray's stock reader gunzips ``*.gz`` whole-file."""
+    from ray.data._internal.datasource.binary_datasource import BinaryDatasource
+
+    class _RawBinary(BinaryDatasource):
+        def _open_input_source(self, filesystem, path, **open_args):
+            buffer_size = open_args.pop("buffer_size", None)
+            if buffer_size is None:
+                buffer_size = self._data_context.streaming_read_buffer_size
+            return filesystem.open_input_stream(
+                path, buffer_size=buffer_size, compression=None)
+
+    return _RawBinary
+
+
+def _RawBinaryDatasource(paths, **kwargs):
+    return _raw_binary_datasource_cls()(paths, **kwargs)
+
+
 def read_warc(paths: str | list[str], keep_types: tuple[str, ...] = ("response",),
               **read_kwargs):
     """Ray Data scan over WARC files: one read task per file (the format
@@ -324,7 +346,8 @@ def read_warc(paths: str | list[str], keep_types: tuple[str, ...] = ("response",
     ``map_batches`` so the driver never touches payload bytes."""
     import ray.data
 
-    ds = ray.data.read_binary_files(paths, **read_kwargs)
+    ds = ray.data.read_datasource(
+        _RawBinaryDatasource(paths, **read_kwargs))
 
     def _parse_batch(batch: pa.Table):
         got = False
@@ -339,6 +362,106 @@ def read_warc(paths: str | list[str], keep_types: tuple[str, ...] = ("response",
     # one archive per parse task: crawls ship ~1 GB files, so a batch
     # must never hold several payloads at once
     return ds.map_batches(_parse_batch, batch_format="pyarrow", batch_size=1)
+
+
+CDX_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("ms")),
+        ("warc_type", pa.string()),
+        ("file", pa.string()),
+        ("offset", pa.int64()),
+        ("length", pa.int64()),
+    ]
+)
+
+
+def build_cdx_index(data: bytes, filename: str = "") -> pa.Table:
+    """Capture index over a per-record-gzipped WARC file: one row per
+    record with its (offset, length) byte range in the COMPRESSED file —
+    the Common-Crawl cc-index pattern that makes a 100-TB crawl randomly
+    addressable.  Only record HEADERS are parsed (payload bytes are
+    skipped), so indexing is cheap relative to a full read.
+
+    Requires the one-record-per-gzip-member layout (``build_warc``'s
+    default and the CC convention); a member holding several records or
+    a record spanning members raises."""
+    if data[:2] != _GZIP_MAGIC:
+        raise ValueError("CDX indexing requires per-record gzip members")
+    urls: list[str] = []
+    ts: list[int] = []
+    types: list[str] = []
+    offsets: list[int] = []
+    lengths: list[int] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        do = zlib.decompressobj(47)
+        member = do.decompress(data[pos:]) + do.flush()
+        consumed = (n - pos) - len(do.unused_data)
+        body = member.lstrip(b"\r\n")
+        if not body.startswith(b"WARC/1."):
+            raise ValueError(f"gzip member at {pos} is not a WARC record")
+        hdr_end = body.index(_CRLF + _CRLF)
+        _, _, header_block = body[:hdr_end].partition(_CRLF)
+        headers = _parse_headers(header_block)
+        rec_end = hdr_end + 4 + int(headers["content-length"])
+        if len(body[rec_end:].strip(b"\r\n")):
+            raise ValueError(
+                f"gzip member at {pos} holds more than one WARC record")
+        urls.append(headers.get("warc-target-uri", ""))
+        ts.append(_parse_warc_date(headers["warc-date"]))
+        types.append(headers.get("warc-type", ""))
+        offsets.append(pos)
+        lengths.append(consumed)
+        pos += consumed
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(np.array(ts, np.int64)).cast(pa.timestamp("ms")),
+            "warc_type": pa.array(types, pa.string()),
+            "file": pa.array([filename] * len(urls), pa.string()),
+            "offset": pa.array(offsets, pa.int64()),
+            "length": pa.array(lengths, pa.int64()),
+        }
+    )
+
+
+def index_warc_files(paths: list[str]):
+    """Ray Data scan building the capture index over many archives —
+    one index task per file, header-only parse."""
+    import ray.data
+
+    ds = ray.data.read_datasource(
+        _RawBinaryDatasource(paths, include_paths=True))
+
+    def _index(batch: pa.Table):
+        for p, b in zip(batch["path"].to_pylist(), batch["bytes"]):
+            yield build_cdx_index(b.as_py(), filename=p)
+
+    return ds.map_batches(_index, batch_format="pyarrow", batch_size=1)
+
+
+def fetch_warc_records(index: pa.Table) -> pa.Table:
+    """Random-access fetch: read ONLY the indexed byte ranges (seek +
+    bounded read per record, grouped per file) and parse them — the
+    0.1%-of-the-crawl access path that never scans the archive."""
+    chunks = []
+    df_files = index["file"].to_pylist()
+    offs = index["offset"].to_pylist()
+    lens = index["length"].to_pylist()
+    by_file: dict[str, list[tuple[int, int]]] = {}
+    for f, o, ln in zip(df_files, offs, lens):
+        by_file.setdefault(f, []).append((o, ln))
+    for f, ranges in by_file.items():
+        with open(f, "rb") as fh:
+            for o, ln in sorted(ranges):
+                fh.seek(o)
+                chunks.append(parse_warc(fh.read(ln),
+                                         keep_types=("response", "conversion",
+                                                     "warcinfo", "request",
+                                                     "metadata")))
+    return pa.concat_tables(chunks) if chunks else PAGE_SCHEMA.empty_table()
 
 
 def read_wet(paths: str | list[str], **read_kwargs):

@@ -116,6 +116,7 @@ FAST_SQL_QUERIES = [
     "media_gif_anim_frames_check",
     "warc_ingest",
     "wet_ingest",
+    "warc_cdx_lookup",
 ]
 
 

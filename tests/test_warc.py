@@ -276,3 +276,65 @@ class TestWet:
         pd.testing.assert_frame_equal(eng.reset_index(drop=True),
                                       ora.reset_index(drop=True),
                                       check_dtype=False)
+
+
+class TestCdxIndex:
+    def test_index_offsets_tile_file_and_random_access(self, tmp_path):
+        from flink_fingerprint_ray.sources.warc import (
+            build_cdx_index,
+            fetch_warc_records,
+        )
+
+        recs = _records(40, seed=17)
+        p = str(tmp_path / "a.warc.gz")
+        write_warc(recs, p, chunked_every=5)
+        data = open(p, "rb").read()
+        idx = build_cdx_index(data, filename=p)
+        assert idx.num_rows == 40
+        assert idx["url"].to_pylist() == [r["url"] for r in recs]
+        offs = idx["offset"].to_pylist()
+        lens = idx["length"].to_pylist()
+        assert offs[0] == 0
+        assert all(offs[k + 1] == offs[k] + lens[k] for k in range(39))
+        assert offs[-1] + lens[-1] == len(data)
+        # fetch every 7th record by byte range only
+        sub = idx.take([k for k in range(40) if k % 7 == 0])
+        got = fetch_warc_records(sub)
+        assert got["url"].to_pylist() == [recs[k]["url"] for k in range(0, 40, 7)]
+        assert got["html"].to_pylist() == [recs[k]["html"] for k in range(0, 40, 7)]
+
+    def test_rejects_non_member_layouts(self):
+        from flink_fingerprint_ray.sources.warc import build_cdx_index
+
+        recs = _records(3)
+        with pytest.raises(ValueError):
+            build_cdx_index(build_warc(recs, gzip_members=False))
+
+    def test_ray_reader_keeps_raw_bytes(self, ray_session, tmp_path):
+        # .gz paths must NOT be auto-gunzipped by the read task — the
+        # index addresses compressed ranges and the streaming parser
+        # decodes member-at-a-time
+        from flink_fingerprint_ray.sources.warc import index_warc_files
+
+        recs = _records(12, seed=19)
+        p = str(tmp_path / "b.warc.gz")
+        write_warc(recs, p)
+        idx = index_warc_files([p]).to_pandas()
+        assert len(idx) == 12
+        assert idx["offset"].iloc[0] == 0
+        assert (idx["offset"] + idx["length"]).iloc[-1] == os.path.getsize(p)
+
+    def test_cdx_lookup_matches_oracle(self, ray_session):
+        from flink_fingerprint_ray.pipelines.queries import (
+            ORACLE_SQL,
+            QUERIES,
+        )
+
+        eng = QUERIES["warc_cdx_lookup"](SF)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+        ora = con.execute(ORACLE_SQL["warc_cdx_lookup"]).df()
+        pd.testing.assert_frame_equal(eng.reset_index(drop=True),
+                                      ora.reset_index(drop=True),
+                                      check_dtype=False)
