@@ -5384,6 +5384,115 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# URL canonicalization + SURT keys (webtext curation; the flagship keys
+# windows by url-host — BASELINE.json north_star)
+# ---------------------------------------------------------------------------
+
+def _synth_urls(batch: pa.Table) -> pa.Table:
+    """Deterministic messy-URL synthesis from (doc_id, source) — testdata
+    ships no URL column, so both the engine query and the SQL oracle
+    construct the SAME raw URLs (mixed-case scheme/host, default and
+    non-default ports, dot-segments, tracking params, unordered query
+    strings, fragments); each side then canonicalizes INDEPENDENTLY."""
+    ids = batch["doc_id"].to_numpy()
+    src = batch["source"].to_pandas().astype(str).reset_index(drop=True)
+    m = {k: pd.Series(ids % k) for k in (2, 3, 4, 5, 6, 7, 9, 11, 13)}
+
+    def _sel(cond, a, b):
+        return pd.Series(np.where(cond, a, b)).astype(str)
+
+    scheme = _sel(m[3] == 0, "HTTP", "htTPs")
+    host = _sel(m[2] == 0, "WWW." + src + ".Example.COM",
+                src + ".Example.ORG")
+    port = _sel(m[5] == 0, ":8080",
+                _sel((m[3] == 0) & (m[4] == 0), ":80",
+                     _sel((m[3] != 0) & (m[4] == 1), ":443", "")))
+    path = _sel(m[13] == 0, "",
+                _sel(m[6] == 0, "/a/x/../b/page",
+                     _sel(m[6] == 3, "/a/./b/page",
+                          "/p" + m[7].astype(str) + "/item"
+                          + m[11].astype(str) + ".html")))
+    ids_s = pd.Series(ids).astype(str)
+    query = _sel(m[4] == 0, "",
+                 _sel(m[4] == 1, "?b=2&utm_source=feed&a=1",
+                      _sel(m[4] == 2, "?id=" + ids_s + "&a=3&fbclid=zz",
+                           "?z=1&ref=home&y=" + m[9].astype(str))))
+    frag = _sel(m[2] == 0, "#Sec" + m[5].astype(str), "")
+    url = scheme + "://" + host + port + path + query + frag
+    return pa.table({"doc_id": batch["doc_id"],
+                     "url": pa.array(url, type=pa.string())})
+
+
+def q_url_canonicalize(sf_dir: str):
+    """RFC 3986 URL canonicalization + SURT dedup keys over a synthesized
+    messy-URL column: the engine PARSES each raw URL string and normalizes
+    it with vectorized polars expressions (functions/url.py); the DuckDB
+    oracle re-derives the canonical form from the synthesis parts with its
+    own lowercase/sort/filter logic — two independent implementations of
+    the same normalization rules."""
+    from ..functions.url import canonicalize_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    urls = ds.map_batches(_synth_urls, batch_format="pyarrow")
+    return urls.map_batches(canonicalize_batch, batch_format="pyarrow")
+
+
+SQL_URL_CANONICALIZE = """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 2 AS m2, doc_id % 3 AS m3, doc_id % 4 AS m4,
+         doc_id % 5 AS m5, doc_id % 6 AS m6, doc_id % 7 AS m7,
+         doc_id % 9 AS m9, doc_id % 11 AS m11, doc_id % 13 AS m13,
+         source
+  FROM documents),
+parts AS (
+  SELECT doc_id, m2, m3, m4, m5, m6, m13,
+         CASE WHEN m3 = 0 THEN 'HTTP' ELSE 'htTPs' END AS scheme_raw,
+         CASE WHEN m2 = 0 THEN 'WWW.' || source || '.Example.COM'
+              ELSE source || '.Example.ORG' END AS host_raw,
+         CASE WHEN m5 = 0 THEN ':8080'
+              WHEN m3 = 0 AND m4 = 0 THEN ':80'
+              WHEN m3 != 0 AND m4 = 1 THEN ':443'
+              ELSE '' END AS port_raw,
+         CASE WHEN m13 = 0 THEN ''
+              WHEN m6 = 0 THEN '/a/x/../b/page'
+              WHEN m6 = 3 THEN '/a/./b/page'
+              ELSE '/p' || m7 || '/item' || m11 || '.html' END AS path_raw,
+         CASE WHEN m4 = 0 THEN ''
+              WHEN m4 = 1 THEN '?b=2&utm_source=feed&a=1'
+              WHEN m4 = 2 THEN '?id=' || doc_id || '&a=3&fbclid=zz'
+              ELSE '?z=1&ref=home&y=' || m9 END AS query_raw,
+         CASE WHEN m2 = 0 THEN '#Sec' || m5 ELSE '' END AS frag_raw
+  FROM p),
+canon AS (
+  SELECT doc_id,
+         scheme_raw || '://' || host_raw || port_raw || path_raw
+           || query_raw || frag_raw AS url,
+         lower(CASE WHEN m3 = 0 THEN 'http' ELSE 'https' END) AS cscheme,
+         lower(host_raw) AS chost,
+         CASE WHEN m5 = 0 THEN ':8080' ELSE '' END AS cport,
+         CASE WHEN path_raw = '' THEN '/'
+              ELSE regexp_replace(regexp_replace(path_raw,
+                     '/[^/]+/\\.\\./', '/', 'g'), '/\\./', '/', 'g')
+         END AS cpath,
+         coalesce(array_to_string(list_sort(list_filter(
+             string_split(ltrim(query_raw, '?'), '&'),
+             x -> x != '' AND NOT starts_with(x, 'utm_')
+                  AND string_split(x, '=')[1] NOT IN ('fbclid','gclid','ref')
+         )), '&'), '') AS cquery
+  FROM parts)
+SELECT doc_id, url,
+       cscheme || '://' || chost || cport || cpath
+         || CASE WHEN cquery = '' THEN '' ELSE '?' || cquery END AS canon_url,
+       array_to_string(list_reverse(string_split(
+           regexp_replace(chost, '^www\\.', ''), '.')), ',')
+         || ')' || cpath
+         || CASE WHEN cquery = '' THEN '' ELSE '?' || cquery END AS surt_key
+FROM canon
+"""
+
+
 QUERIES = {
     "tumbling_stats": q_tumbling_stats,
     "sliding_counts": q_sliding_counts,
@@ -5510,6 +5619,7 @@ QUERIES = {
     "supplier_pagerank": q_supplier_pagerank,
     "supplier_pagerank_check": q_supplier_pagerank_check,
     "top_bigrams": q_top_bigrams,
+    "url_canonicalize": q_url_canonicalize,
 }
 
 ORACLE_SQL = {
@@ -5658,4 +5768,5 @@ ORACLE_SQL = {
     # distributed-vs-single-process agreement like the dist-CC checks
     "supplier_pagerank_check": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
     "top_bigrams": SQL_TOP_BIGRAMS,
+    "url_canonicalize": SQL_URL_CANONICALIZE,
 }

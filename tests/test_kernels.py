@@ -332,3 +332,29 @@ def test_lowess_smooth_kernel():
     assert (out["b"] == "x").all()
     assert out["c"].isna().all()
     assert np.abs(out["a"].to_numpy() - line).mean() < np.abs(noisy - line).mean()
+
+
+def test_url_canonicalize_kernel():
+    from flink_fingerprint_ray.functions.url import canonicalize_batch
+
+    t = pa.table({"url": pa.array([
+        "HTTP://WWW.Example.COM:80/a/b/../c/./page.html?b=2&utm_source=f&a=1#x",
+        "https://News.example.org:443/",
+        "https://sub.site.net:8080/x?id=9&a=3&fbclid=zz",
+        "http://example.com",                       # no path -> '/'
+        "https://www.foo.bar/p/q/../../r?utm_campaign=x&ref=home",
+        "https://a.b/x/./././y/../z/.",             # stacked dot segments
+        "HTTPS://Host.TLD/path?gclid=1&Z=2&a=10&a=2",  # dup keys kept, sorted
+    ])})
+    out = canonicalize_batch(t).to_pylist()
+    got = [(r["canon_url"], r["surt_key"]) for r in out]
+    assert got == [
+        ("http://www.example.com/a/c/page.html?a=1&b=2",
+         "com,example)/a/c/page.html?a=1&b=2"),
+        ("https://news.example.org/", "org,example,news)/"),
+        ("https://sub.site.net:8080/x?a=3&id=9", "net,site,sub)/x?a=3&id=9"),
+        ("http://example.com/", "com,example)/"),
+        ("https://www.foo.bar/r", "bar,foo)/r"),
+        ("https://a.b/x/z/", "b,a)/x/z/"),
+        ("https://host.tld/path?Z=2&a=10&a=2", "tld,host)/path?Z=2&a=10&a=2"),
+    ]
