@@ -5493,6 +5493,73 @@ FROM canon
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup (Lee et al. 2022 "Deduplicating Training Data
+# Makes Language Models Better" — overlapping k-gram variant)
+# ---------------------------------------------------------------------------
+
+def q_exact_substring_dedup(sf_dir: str, k: int = 5):
+    """ExactSubstr at token granularity: every overlapping k-token gram
+    occurring >= 2 times in the corpus marks its positions duplicate;
+    per-doc output is the merged-span coverage (total_tokens, dup_tokens,
+    dup_spans).  Distributed shape: one narrow (doc_id, pos, 2x64-bit key)
+    row per gram exchanges — never the text — then a doc-keyed tagged
+    union resolves coverage.  The SQL oracle groups the literal k-gram
+    strings (exact; the engine's 128-bit keys are its collision-free
+    stand-in)."""
+    from ..stages.textops import (doc_kgram_rows, kgram_dup_positions,
+                                  kgram_span_sweep)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    grams = ds.map_batches(doc_kgram_rows, fn_kwargs={"k": k},
+                           batch_format="pyarrow")
+    dup_pos = grouped_map(grams, ["ka", "kb"], kgram_dup_positions)
+
+    def totals(batch: pa.Table) -> pa.Table:
+        n_tok = pc.count_substring_regex(
+            pc.utf8_lower(batch["text"].cast(pa.large_string())), "[a-z0-9]+")
+        return pa.table({"doc_id": batch["doc_id"],
+                         "pos": n_tok.cast(pa.int64()),
+                         "tag": pa.array(np.zeros(batch.num_rows, np.int64))})
+
+    tot = ds.map_batches(totals, batch_format="pyarrow")
+
+    def tag_dup(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "tag", pa.array(np.ones(batch.num_rows, np.int64)))
+
+    tagged = tot.union(dup_pos.map_batches(tag_dup, batch_format="pyarrow"))
+    return grouped_map(tagged, ["doc_id"], kgram_span_sweep,
+                       fn_kwargs={"k": k})
+
+
+SQL_EXACT_SUBSTRING_DEDUP = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents),
+tot AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS total_tokens FROM toks),
+kg AS (
+  SELECT doc_id, i AS pos, array_to_string(ts[i:i+4], ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(ts) - 4)) AS t(i)),
+dup AS (SELECT gram FROM kg GROUP BY gram HAVING COUNT(*) >= 2),
+hit AS (SELECT k.doc_id, k.pos FROM kg k JOIN dup USING (gram)),
+cov AS (SELECT DISTINCT doc_id, p
+        FROM hit, unnest(generate_series(pos, pos + 4)) AS c(p)),
+runs AS (
+  SELECT doc_id,
+         CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                   OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 1
+              THEN 1 ELSE 0 END AS is_start
+  FROM cov)
+SELECT t.doc_id, t.total_tokens,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS dup_tokens,
+       CAST(coalesce(s.n, 0) AS BIGINT) AS dup_spans
+FROM tot t
+LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM cov GROUP BY 1) a USING (doc_id)
+LEFT JOIN (SELECT doc_id, SUM(is_start) AS n FROM runs GROUP BY 1) s USING (doc_id)
+"""
+
+
 QUERIES = {
     "tumbling_stats": q_tumbling_stats,
     "sliding_counts": q_sliding_counts,
@@ -5620,6 +5687,7 @@ QUERIES = {
     "supplier_pagerank_check": q_supplier_pagerank_check,
     "top_bigrams": q_top_bigrams,
     "url_canonicalize": q_url_canonicalize,
+    "exact_substring_dedup": q_exact_substring_dedup,
 }
 
 ORACLE_SQL = {
@@ -5769,4 +5837,5 @@ ORACLE_SQL = {
     "supplier_pagerank_check": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
     "top_bigrams": SQL_TOP_BIGRAMS,
     "url_canonicalize": SQL_URL_CANONICALIZE,
+    "exact_substring_dedup": SQL_EXACT_SUBSTRING_DEDUP,
 }

@@ -166,3 +166,138 @@ def doc_word_chunks(batch: pa.Table, k: int = 5, id_col: str = "doc_id",
     )
     return pa.table({"doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
                      "chunk": pa.array(out["chunk"].to_list(), pa.string())})
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (overlapping k-gram) span dedup
+# ---------------------------------------------------------------------------
+# The ExactSubstr recipe of Lee et al. 2022 ("Deduplicating Training Data
+# Makes Language Models Better"): any token span that occurs >= 2 times in
+# the corpus is a duplicate span to cut.  The suffix-array construction of
+# the paper is single-machine; the distributed shape here exchanges one row
+# per OVERLAPPING k-token gram keyed by a 2x64-bit rolling-polynomial key
+# (collision probability ~2^-128 per pair — the exchange never carries
+# text), counts key occurrences inside hash partitions, and resolves the
+# surviving positions to per-document merged span coverage.
+
+_KGRAM_KEY1 = "0123456789123456"   # pandas siphash keys (16 bytes each);
+_KGRAM_KEY2 = "fedcba9876543210"   # two independent 64-bit key streams
+_KGRAM_M1 = np.uint64(0x9E3779B97F4A7C15)   # odd multipliers for the
+_KGRAM_M2 = np.uint64(0xC2B2AE3D27D4EB4F)   # positional polynomial
+
+
+def _token_rows(batch: pa.Table, id_col: str, text_col: str):
+    """lowercase [a-z0-9]+ tokens of every doc in the batch, exploded in
+    document order: (doc_ids_per_token, token pandas Series)."""
+    from ..functions.fingerprint import _polars
+
+    pl = _polars()
+    df = pl.DataFrame({
+        "doc_id": pl.Series(batch[id_col].to_numpy(zero_copy_only=False)),
+        "text": pl.from_arrow(batch[text_col].cast(pa.large_string())),
+    })
+    out = (
+        df.with_columns(pl.col("text").str.to_lowercase()
+                        .str.extract_all(r"[a-z0-9]+").alias("tok"))
+          .drop("text").explode("tok").drop_nulls("tok")
+    )
+    return out["doc_id"].to_numpy(), out["tok"].to_pandas()
+
+
+def doc_kgram_rows(batch: pa.Table, k: int = 5, id_col: str = "doc_id",
+                   text_col: str = "text") -> pa.Table:
+    """Per-block (doc_id, pos, ka, kb) rows — one per overlapping k-token
+    gram.  ka/kb are two independent rolling-polynomial combinations of
+    per-token siphash values (vectorized: k shifted adds per key stream);
+    a gram is valid when all k tokens fall inside one document."""
+    import pandas as pd
+
+    doc_ids, toks = _token_rows(batch, id_col, text_col)
+    n = len(doc_ids)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "pos": pa.array([], pa.int64()),
+                      "ka": pa.array([], pa.int64()),
+                      "kb": pa.array([], pa.int64())})
+    if n < k:
+        return empty
+    h1 = pd.util.hash_pandas_object(toks, index=False, hash_key=_KGRAM_KEY1).to_numpy()
+    h2 = pd.util.hash_pandas_object(toks, index=False, hash_key=_KGRAM_KEY2).to_numpy()
+    m = n - k + 1
+    ka = np.zeros(m, dtype=np.uint64)
+    kb = np.zeros(m, dtype=np.uint64)
+    p1 = np.uint64(1)
+    p2 = np.uint64(1)
+    for j in range(k):
+        ka += h1[j:j + m] * p1
+        kb += h2[j:j + m] * p2
+        # scalar uint64 wraparound is the intent; keep it warning-free
+        p1 = np.uint64((int(p1) * int(_KGRAM_M1)) & 0xFFFFFFFFFFFFFFFF)
+        p2 = np.uint64((int(p2) * int(_KGRAM_M2)) & 0xFFFFFFFFFFFFFFFF)
+    valid = doc_ids[:m] == doc_ids[k - 1:]
+    if not valid.any():
+        return empty
+    # per-document 0-based token position of each gram start
+    starts = np.flatnonzero(np.r_[True, doc_ids[1:] != doc_ids[:-1]])
+    doc_first = np.zeros(n, dtype=np.int64)
+    doc_first[starts] = np.r_[starts[0], np.diff(starts)]
+    doc_first = np.cumsum(doc_first)  # index of each token's doc start
+    pos = np.arange(n, dtype=np.int64) - doc_first
+    idx = np.flatnonzero(valid)
+    return pa.table({"doc_id": pa.array(doc_ids[idx], pa.int64()),
+                     "pos": pa.array(pos[idx], pa.int64()),
+                     "ka": pa.array(ka[idx].view(np.int64), pa.int64()),
+                     "kb": pa.array(kb[idx].view(np.int64), pa.int64())})
+
+
+def kgram_dup_positions(t: pa.Table) -> "pd.DataFrame":
+    """Per (ka, kb)-partition sweep: keep the positions of every gram key
+    occurring >= 2 times in the corpus (all rows of a key are co-located
+    here).  Output is (doc_id, pos) — the text never shuffles."""
+    import pandas as pd
+
+    pdf = t.to_pandas()
+    sizes = pdf.groupby(["ka", "kb"], sort=False)["pos"].transform("size")
+    return pdf.loc[sizes.to_numpy() >= 2, ["doc_id", "pos"]]
+
+
+def kgram_span_sweep(t: pa.Table, k: int) -> "pd.DataFrame":
+    """Per doc-partition sweep over the tagged union of per-doc token
+    totals (tag 0, pos = total_tokens) and duplicate gram positions
+    (tag 1): merge overlapping/adjacent [pos, pos+k-1] intervals into
+    spans; dup_tokens = |coverage union|, dup_spans = merged-run count.
+    Sorted-diff sweep + 1-D reduceat, no per-group dispatch."""
+    import pandas as pd
+
+    pdf = t.to_pandas()
+    tot = pdf[pdf["tag"] == 0]
+    dup = pdf[pdf["tag"] == 1].sort_values(["doc_id", "pos"], kind="mergesort")
+    out = pd.DataFrame({"doc_id": tot["doc_id"].to_numpy(),
+                        "total_tokens": tot["pos"].to_numpy()})
+    if len(dup):
+        d = dup["doc_id"].to_numpy()
+        p = dup["pos"].to_numpy()
+        first = np.r_[True, d[1:] != d[:-1]]
+        diff = np.empty(len(p), dtype=np.int64)
+        diff[0] = k
+        diff[1:] = np.minimum(p[1:] - p[:-1], k)
+        diff[first] = k
+        starts = np.flatnonzero(first)
+        cover = np.add.reduceat(diff, starts)
+        # diff is clipped at k for coverage; spans need the unclipped gap
+        gap = np.empty(len(p), dtype=np.int64)
+        gap[0] = k + 1
+        gap[1:] = p[1:] - p[:-1]
+        gap[first] = k + 1
+        spans = np.add.reduceat((gap > k).astype(np.int64), starts)
+        stats = pd.DataFrame({"doc_id": d[starts], "dup_tokens": cover,
+                              "dup_spans": spans})
+        out = out.merge(stats, on="doc_id", how="left")
+    else:
+        out["dup_tokens"] = 0
+        out["dup_spans"] = 0
+    return pd.DataFrame({
+        "doc_id": out["doc_id"].to_numpy(),
+        "total_tokens": out["total_tokens"].to_numpy().astype(np.int64),
+        "dup_tokens": np.nan_to_num(out["dup_tokens"].to_numpy(dtype=np.float64)).astype(np.int64),
+        "dup_spans": np.nan_to_num(out["dup_spans"].to_numpy(dtype=np.float64)).astype(np.int64),
+    })

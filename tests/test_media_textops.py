@@ -735,3 +735,63 @@ class TestGifCodec:
         ref = VideoFrameSampleStage(decoder="library", every=4)(t).to_pandas() \
             .sort_values(["media_id", "frame_no"]).reset_index(drop=True)
         pdt.assert_frame_equal(out[ref.columns.tolist()], ref)
+
+
+def test_exact_substring_kernels_vs_brute():
+    """doc_kgram_rows + dup-position + span sweep vs a pure-Python
+    k-gram counter on handcrafted overlapping-duplicate docs."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from flink_fingerprint_ray.stages.textops import (
+        doc_kgram_rows, kgram_dup_positions, kgram_span_sweep)
+
+    k = 3
+    docs = {
+        0: "alpha beta gamma delta epsilon zeta",
+        1: "x alpha beta gamma delta y z",          # shares a 4-token run
+        2: "one two three one two three one two",   # self-repeat
+        3: "unique words only here now",
+        4: "aa bb",                                 # shorter than k
+    }
+    batch = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                      "text": pa.array(list(docs.values()))})
+    grams = doc_kgram_rows(batch, k=k)
+    dup = kgram_dup_positions(grams)
+
+    # brute force: literal k-gram strings
+    toks = {d: re.findall(r"[a-z0-9]+", t.lower()) for d, t in docs.items()}
+    lit = Counter()
+    pos_of = {}
+    for d, ts in toks.items():
+        for i in range(len(ts) - k + 1):
+            g = " ".join(ts[i:i + k])
+            lit[g] += 1
+            pos_of.setdefault(g, []).append((d, i))
+    want = sorted(p for g, n in lit.items() if n >= 2 for p in pos_of[g])
+    got = sorted(zip(dup["doc_id"].to_numpy(), dup["pos"].to_numpy()))
+    assert got == want
+
+    # span sweep vs brute coverage
+    tagged = pd.concat([
+        pd.DataFrame({"doc_id": list(docs), "pos": [len(toks[d]) for d in docs],
+                      "tag": 0}),
+        dup.assign(tag=1),
+    ])
+    out = kgram_span_sweep(pa.Table.from_pandas(tagged, preserve_index=False), k=k)
+    out = out.set_index("doc_id").sort_index()
+    for d in docs:
+        covered = set()
+        for (dd, i) in want:
+            if dd == d:
+                covered.update(range(i, i + k))
+        runs = 0
+        for p in sorted(covered):
+            if p - 1 not in covered:
+                runs += 1
+        assert out.loc[d, "total_tokens"] == len(toks[d])
+        assert out.loc[d, "dup_tokens"] == len(covered), d
+        assert out.loc[d, "dup_spans"] == runs, d
