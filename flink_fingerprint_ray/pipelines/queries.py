@@ -5560,6 +5560,56 @@ LEFT JOIN (SELECT doc_id, SUM(is_start) AS n FROM runs GROUP BY 1) s USING (doc_
 """
 
 
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 / MOSS)
+# ---------------------------------------------------------------------------
+
+def q_winnow_fingerprints(sf_dir: str, k: int = 4, w: int = 4):
+    """Per-doc winnowing fingerprint stats (rows-only — the hash-order
+    min selection is not SQL-expressible; ``winnow_fingerprints_check``
+    is the paired driver-visible invariant).  Selection runs locally in
+    map_batches; only (doc_id, pos, fp) rows reach the doc-keyed combine,
+    so the exchange is ~2/(w+1) of the gram count."""
+    from ..stages.textops import winnow_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    fps = ds.map_batches(winnow_rows, fn_kwargs={"k": k, "w": w},
+                         batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        g = df.groupby("doc_id", sort=False)["fp"]
+        return g.agg(n_fps="size", n_distinct_fps="nunique").reset_index()
+
+    parts = fps.map_batches(partial, batch_format="pyarrow")
+    return grouped_map(parts, ["doc_id"], _combine_partials,
+                       fn_kwargs={"keys": ["doc_id"],
+                                  "sums": ["n_fps", "n_distinct_fps"]})
+
+
+def q_winnow_fingerprints_check(sf_dir: str, k: int = 4, w: int = 4):
+    """Vectorized sliding-window winnowing vs the paper-pseudocode loop
+    reference (shares only the per-token hash kernel); oracle pins
+    mismatch_rows=0 over the full (doc_id, pos, fp) fingerprint sets."""
+    import pyarrow.parquet as pq
+
+    from ..stages.textops import winnow_reference, winnow_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    eng = ds.map_batches(winnow_rows, fn_kwargs={"k": k, "w": w},
+                         batch_format="pyarrow").to_pandas() \
+        .sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    ref = winnow_reference(tbl["doc_id"].to_numpy(), tbl["text"], k=k, w=w) \
+        .sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    if len(eng) != len(ref):
+        mism = max(len(eng), len(ref))
+    else:
+        mism = int((eng.to_numpy() != ref.to_numpy()).any(axis=1).sum())
+    return pd.DataFrame({"mismatch_rows": pd.array([mism], dtype="int64")})
+
+
 QUERIES = {
     "tumbling_stats": q_tumbling_stats,
     "sliding_counts": q_sliding_counts,
@@ -5688,6 +5738,8 @@ QUERIES = {
     "top_bigrams": q_top_bigrams,
     "url_canonicalize": q_url_canonicalize,
     "exact_substring_dedup": q_exact_substring_dedup,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_fingerprints_check": q_winnow_fingerprints_check,
 }
 
 ORACLE_SQL = {
@@ -5838,4 +5890,7 @@ ORACLE_SQL = {
     "top_bigrams": SQL_TOP_BIGRAMS,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "exact_substring_dedup": SQL_EXACT_SUBSTRING_DEDUP,
+    # winnowing min-selection follows the engine's hash order (not
+    # SQL-expressible); the check pins vectorized-vs-loop-reference parity
+    "winnow_fingerprints_check": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
 }

@@ -301,3 +301,121 @@ def kgram_span_sweep(t: pa.Table, k: int) -> "pd.DataFrame":
         "dup_tokens": np.nan_to_num(out["dup_tokens"].to_numpy(dtype=np.float64)).astype(np.int64),
         "dup_spans": np.nan_to_num(out["dup_spans"].to_numpy(dtype=np.float64)).astype(np.int64),
     })
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+# "Winnowing: Local Algorithms for Document Fingerprinting", the MOSS
+# selection rule)
+# ---------------------------------------------------------------------------
+
+def winnow_rows(batch: pa.Table, k: int = 4, w: int = 4,
+                id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Selected winnowing fingerprints per document: k-token gram hashes,
+    then for every window of w consecutive grams select the minimum hash
+    (rightmost on ties — the paper's robust rule), keep distinct selected
+    positions.  Guarantees: every match of length >= w+k-1 tokens shares
+    a fingerprint; density ~ 2/(w+1).  Fully vectorized (one
+    sliding_window_view argmin per batch); selection is local to the
+    document, so only (doc_id, pos, fp) rows ever leave the stage."""
+    import pandas as pd
+
+    doc_ids, toks = _token_rows(batch, id_col, text_col)
+    n = len(doc_ids)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "pos": pa.array([], pa.int64()),
+                      "fp": pa.array([], pa.int64())})
+    if n < k:
+        return empty
+    h = pd.util.hash_pandas_object(toks, index=False,
+                                   hash_key=_KGRAM_KEY1).to_numpy()
+    m = n - k + 1
+    gh = np.zeros(m, dtype=np.uint64)
+    p1 = np.uint64(1)
+    for j in range(k):
+        gh += h[j:j + m] * p1
+        p1 = np.uint64((int(p1) * int(_KGRAM_M1)) & 0xFFFFFFFFFFFFFFFF)
+    gvalid = doc_ids[:m] == doc_ids[k - 1:]
+    gdoc = doc_ids[:m][gvalid]
+    gh = gh[gvalid]
+    # per-doc 0-based gram position
+    if len(gdoc) == 0:
+        return empty
+    starts = np.flatnonzero(np.r_[True, gdoc[1:] != gdoc[:-1]])
+    doc_first = np.zeros(len(gdoc), dtype=np.int64)
+    doc_first[starts] = np.r_[starts[0], np.diff(starts)]
+    gpos = np.arange(len(gdoc), dtype=np.int64) - np.cumsum(doc_first)
+    if len(gh) < w:
+        win_ok = np.zeros(0, dtype=bool)
+    else:
+        win_ok = gdoc[:len(gdoc) - w + 1] == gdoc[w - 1:]
+    if not win_ok.any():
+        # every doc has fewer than w grams: select each doc's min (the
+        # paper treats short docs as one window)
+        sel = []
+        for s, e in zip(starts, np.r_[starts[1:], len(gdoc)]):
+            seg = gh[s:e]
+            j = int(len(seg) - 1 - np.argmin(seg[::-1]))
+            sel.append(s + j)
+        sel = np.asarray(sel, dtype=np.int64)
+    else:
+        sw = np.lib.stride_tricks.sliding_window_view(gh, w)
+        rel = (w - 1) - np.argmin(sw[:, ::-1], axis=1)
+        sel_all = np.arange(len(rel), dtype=np.int64) + rel
+        sel = np.unique(sel_all[win_ok])
+        # docs shorter than w grams contribute their single min
+        seg_len = np.r_[starts[1:], len(gdoc)] - starts
+        for s, L in zip(starts[seg_len < w], seg_len[seg_len < w]):
+            seg = gh[s:s + L]
+            j = int(L - 1 - np.argmin(seg[::-1]))
+            sel = np.union1d(sel, np.int64(s + j))
+    return pa.table({"doc_id": pa.array(gdoc[sel], pa.int64()),
+                     "pos": pa.array(gpos[sel], pa.int64()),
+                     "fp": pa.array(gh[sel].view(np.int64), pa.int64())})
+
+
+def winnow_reference(doc_ids: np.ndarray, texts, k: int = 4,
+                     w: int = 4) -> "pd.DataFrame":
+    """Single-process per-doc LOOP implementation of robust winnowing
+    (paper pseudocode: scan windows, record min with rightmost tie, skip
+    re-records) sharing only the per-token hash kernel — the independent
+    check for ``winnow_rows``'s vectorized selection."""
+    import re
+
+    import pandas as pd
+
+    rows = []
+    for d, t in zip(doc_ids, texts):
+        t = t.as_py() if hasattr(t, "as_py") else t
+        ts = re.findall(r"[a-z0-9]+", (t or "").lower())
+        if len(ts) < k:
+            continue
+        th = pd.util.hash_pandas_object(pd.Series(ts), index=False,
+                                        hash_key=_KGRAM_KEY1).to_numpy()
+        gh = []
+        for i in range(len(ts) - k + 1):
+            v = np.uint64(0)
+            p = np.uint64(1)
+            for j in range(k):
+                v = np.uint64((int(v) + int(th[i + j]) * int(p))
+                              & 0xFFFFFFFFFFFFFFFF)
+                p = np.uint64((int(p) * int(_KGRAM_M1)) & 0xFFFFFFFFFFFFFFFF)
+            gh.append(int(v))
+        sel = set()
+        if len(gh) < w:
+            best = len(gh) - 1
+            for j in range(len(gh) - 1, -1, -1):
+                if gh[j] < gh[best]:
+                    best = j
+            sel.add(best)
+        else:
+            for s in range(len(gh) - w + 1):
+                best = s + w - 1
+                for j in range(s + w - 1, s - 1, -1):
+                    if gh[j] < gh[best]:
+                        best = j
+                sel.add(best)
+        for i in sorted(sel):
+            rows.append((d, i, np.uint64(gh[i]).astype(np.int64)))
+    return pd.DataFrame(rows, columns=["doc_id", "pos", "fp"]) \
+        .astype({"doc_id": "int64", "pos": "int64", "fp": "int64"})

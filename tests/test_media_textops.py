@@ -795,3 +795,34 @@ def test_exact_substring_kernels_vs_brute():
         assert out.loc[d, "total_tokens"] == len(toks[d])
         assert out.loc[d, "dup_tokens"] == len(covered), d
         assert out.loc[d, "dup_spans"] == runs, d
+
+
+def test_winnow_guarantee_and_reference_parity():
+    """Winnowing guarantee: two docs sharing a token run of length
+    >= w+k-1 share at least one selected fingerprint; vectorized kernel
+    == paper-pseudocode loop reference on mixed-length docs."""
+    import pyarrow as pa
+
+    from flink_fingerprint_ray.stages.textops import winnow_reference, winnow_rows
+
+    k, w = 3, 4
+    shared = "lorem ipsum dolor sit amet consectetur"  # 6 tokens = w+k-1
+    docs = {
+        0: "prefix words here " + shared + " and a tail",
+        1: shared + " totally different ending text",
+        2: "tiny doc",            # < k tokens -> no fingerprints
+        3: "four little tokens",  # k<=tokens<w+k-1 -> short-doc single window
+        4: "a b c d",
+    }
+    batch = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                      "text": pa.array(list(docs.values()))})
+    eng = winnow_rows(batch, k=k, w=w).to_pandas()
+    ref = winnow_reference(batch["doc_id"].to_numpy(), batch["text"], k=k, w=w)
+    key = ["doc_id", "pos", "fp"]
+    assert eng.sort_values(key).reset_index(drop=True).equals(
+        ref.sort_values(key).reset_index(drop=True))
+    f0 = set(eng.loc[eng.doc_id == 0, "fp"])
+    f1 = set(eng.loc[eng.doc_id == 1, "fp"])
+    assert f0 & f1, "shared w+k-1 run must share a fingerprint"
+    assert (eng.doc_id != 2).all()
+    assert (eng.loc[eng.doc_id == 3].shape[0]) == 1
