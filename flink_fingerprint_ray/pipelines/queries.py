@@ -5610,6 +5610,89 @@ def q_winnow_fingerprints_check(sf_dir: str, k: int = 4, w: int = 4):
     return pd.DataFrame({"mismatch_rows": pd.array([mism], dtype="int64")})
 
 
+# ---------------------------------------------------------------------------
+# General HTML text extraction (boilerplate-aware tag stripping)
+# ---------------------------------------------------------------------------
+
+_HTML_HEAD0 = ('<!DOCTYPE html><html><head><title>T</title>'
+               '<style>body { color: #fff; }</style>'
+               '<script type="text/javascript">'
+               'if (x<y && y>z) { alert("</div>"); }</script></head><body>')
+
+
+def _synth_html(batch: pa.Table) -> pa.Table:
+    """Deterministic messy-HTML synthesis from (doc_id, text): four page
+    templates cycling on doc_id — head with hostile script content,
+    comments holding fake tags, quoted '>' attributes, named + numeric
+    character references, nav/list/table/noscript/template boilerplate.
+    The SQL oracle constructs the EXPECTED extraction of the same
+    templates; the engine must recover it by actually parsing."""
+    ids = batch["doc_id"].to_numpy()
+    text = batch["text"].to_pandas().astype(str).reset_index(drop=True)
+    m4 = ids % 4
+    v0 = (_HTML_HEAD0 + '<nav><a href="/">Home</a> <a href="/about">About'
+          '</a></nav><!-- hidden <p>not text</p> --><p>' + text
+          + '</p><footer>Copyright &copy; 2024 &#8212; Example Corp'
+          '</footer></body></html>')
+    v1 = ('<div id="menu" data-x="a>b"><span>Menu&nbsp;One</span> '
+          '<span>Menu&#32;Two</span></div><div class="content">' + text
+          + '</div><div>Contact: info&#64;example.com</div>')
+    v2 = ('<ul><li>alpha</li><li>beta &amp; gamma</li></ul><p>' + text
+          + '</p><table><tr><td>cell1</td><td>2 &lt; 3</td></tr></table>')
+    v3 = ('<h1>Header &quot;Quoted&quot;</h1><noscript><p>enable js</p>'
+          '</noscript><article>' + text + '</article><template><div>never '
+          'shown</div></template><p>fin&hellip;</p>')
+    html = pd.Series(np.select([m4 == 0, m4 == 1, m4 == 2], [v0, v1, v2], v3))
+    return pa.table({"doc_id": batch["doc_id"],
+                     "html": pa.array(html.to_numpy(), type=pa.binary())})
+
+
+def q_html_extract_text(sf_dir: str):
+    """General HTML extraction over synthesized messy pages: comments /
+    script / style / noscript / template removal (hostile bodies), block
+    tags to newlines, quote-aware attribute grammar, named + numeric
+    entity decode, whitespace normalization, plus the link-density
+    boilerplate signal.  The oracle pins the exact expected text per
+    template — the extractor must PARSE its way there."""
+    from ..functions.html import extract_text_general, link_density
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pages = ds.map_batches(_synth_html, batch_format="pyarrow")
+
+    def extract(batch: pa.Table) -> pa.Table:
+        xt = extract_text_general(batch["html"])
+        ld = link_density(batch["html"]).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "xtext": xt,
+            "ld_micros": pa.array(
+                np.floor(ld * 1e6 + 0.5).astype(np.int64), pa.int64()),
+        })
+
+    return pages.map_batches(extract, batch_format="pyarrow")
+
+
+SQL_HTML_EXTRACT_TEXT = """
+WITH exp AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'Home About' || chr(10) || text || chr(10)
+                       || 'Copyright © 2024 — Example Corp'
+           WHEN 1 THEN 'Menu One Menu Two' || chr(10) || text || chr(10)
+                       || 'Contact: info@example.com'
+           WHEN 2 THEN 'alpha' || chr(10) || 'beta & gamma' || chr(10)
+                       || text || chr(10) || 'cell1' || chr(10) || '2 < 3'
+           ELSE 'Header "Quoted"' || chr(10) || text || chr(10) || 'fin…'
+         END AS xtext
+  FROM documents)
+SELECT doc_id, xtext,
+       CASE WHEN doc_id % 4 = 0
+            THEN CAST(floor((9.0 / length(xtext)) * 1000000 + 0.5) AS BIGINT)
+            ELSE 0 END AS ld_micros
+FROM exp
+"""
+
+
 QUERIES = {
     "tumbling_stats": q_tumbling_stats,
     "sliding_counts": q_sliding_counts,
@@ -5740,6 +5823,7 @@ QUERIES = {
     "exact_substring_dedup": q_exact_substring_dedup,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_fingerprints_check": q_winnow_fingerprints_check,
+    "html_extract_text": q_html_extract_text,
 }
 
 ORACLE_SQL = {
@@ -5893,4 +5977,5 @@ ORACLE_SQL = {
     # winnowing min-selection follows the engine's hash order (not
     # SQL-expressible); the check pins vectorized-vs-loop-reference parity
     "winnow_fingerprints_check": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
+    "html_extract_text": SQL_HTML_EXTRACT_TEXT,
 }

@@ -358,3 +358,47 @@ def test_url_canonicalize_kernel():
         ("https://a.b/x/z/", "b,a)/x/z/"),
         ("https://host.tld/path?Z=2&a=10&a=2", "tld,host)/path?Z=2&a=10&a=2"),
     ]
+
+
+def test_html_extract_general_adversarial():
+    from flink_fingerprint_ray.functions.html import (
+        extract_text_general, link_density)
+
+    col = pa.array([
+        # script body with <, >, && and a fake closing tag in a string
+        '<head><script>if(a<b&&c>d){x="</p>";}</script></head><p>keep</p>',
+        # quoted '>' inside attribute
+        '<div data-x="a>b">inner</div>',
+        # comment hiding tags and entities
+        '<!-- <p>ghost &amp; gone</p> --><p>real</p>',
+        # numeric decimal + hex refs, double-escaped amp stays literal
+        '<p>&#65;&#x42; &amp;#67; &amp;copy;</p>',
+        # nbsp + named set
+        '<p>a&nbsp;b &lt;tag&gt; &quot;q&quot;</p>',
+        # block soup collapses to single newlines; inline tags vanish
+        '<ul><li>one</li><li><b>two</b></li></ul><table><tr><td>x</td>'
+        '<td>y</td></tr></table>',
+        # empty / whitespace-only
+        '<div>   </div>',
+        # unclosed tag tail survives as text (malformed input)
+        '<p>ok</p><p>trailing',
+    ])
+    got = extract_text_general(col).to_pylist()
+    assert got == [
+        "keep",
+        "inner",
+        "real",
+        "AB &#67; &copy;",
+        'a b <tag> "q"',
+        "one\ntwo\nx\ny",
+        "",
+        "ok\ntrailing",
+    ]
+    # anchors: 6 chars of link text out of 10 total ('menu12 body')
+    ld = link_density(pa.array([
+        '<nav><a href="/">menu12</a></nav><p>body</p>',
+        '<p>no links</p>',
+        '',
+    ])).to_pylist()
+    assert abs(ld[0] - 6 / 11) < 1e-12
+    assert ld[1] == 0.0 and ld[2] == 0.0
