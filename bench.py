@@ -51,6 +51,7 @@ SKIP_QUERIES = {
     "lowess_smooth_check",
     "media_image_features_check",
     "countmin_check",
+    "winnow_fingerprints_check",
 }
 
 
