@@ -5693,6 +5693,90 @@ FROM exp
 """
 
 
+# ---------------------------------------------------------------------------
+# URL blocklist filtering (curation: domain-suffix + path-prefix rules)
+# ---------------------------------------------------------------------------
+
+_URL_BLOCK_HOSTS = ("src2.example.org", "src3.example.com")
+_URL_BLOCK_PATHS = ("/p3/",)
+
+
+def q_url_blocklist_filter(sf_dir: str):
+    """Crawl-curation URL filter: canonicalize, then match the host
+    against a blocklist with DOMAIN-SUFFIX semantics (entry blocks itself
+    and every subdomain) and the path against prefix rules.  The
+    blocklist is ray.put ONCE and read inside every map_batches task —
+    a broadcast lookup, never a shuffle join (at 100 TB the list is
+    100k+ entries; the per-suffix vectorized ends_with loop stays, or
+    swaps for a reversed-host sorted-array searchsorted at larger list
+    sizes)."""
+    from ..functions.url import canonicalize_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    urls = ds.map_batches(_synth_urls, batch_format="pyarrow")
+    canon = urls.map_batches(canonicalize_batch, batch_format="pyarrow")
+    rules_ref = ray.put({"hosts": _URL_BLOCK_HOSTS,
+                         "paths": _URL_BLOCK_PATHS})
+
+    class BlocklistFilter:
+        def __init__(self) -> None:
+            self.rules = ray.get(rules_ref)  # once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            host = pc.struct_field(pc.extract_regex(
+                batch["canon_url"], r"^[a-z]+://(?P<h>[^/:?#]+)"), "h")
+            path = pc.struct_field(pc.extract_regex(
+                batch["canon_url"], r"^[a-z]+://[^/]+(?P<p>/[^?#]*)"), "p")
+            host_bad = np.zeros(batch.num_rows, dtype=bool)
+            for h in self.rules["hosts"]:
+                host_bad |= pc.equal(host, h).to_numpy(zero_copy_only=False)
+                host_bad |= pc.ends_with(host, pattern="." + h) \
+                    .to_numpy(zero_copy_only=False)
+            path_bad = np.zeros(batch.num_rows, dtype=bool)
+            for p in self.rules["paths"]:
+                path_bad |= pc.starts_with(path, pattern=p) \
+                    .to_numpy(zero_copy_only=False)
+            reason = np.where(host_bad, "host",
+                              np.where(path_bad, "path", ""))
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "blocked": pa.array((host_bad | path_bad).astype(np.int64)),
+                "reason": pa.array(reason.astype(object), pa.string()),
+            })
+
+    return canon.map_batches(BlocklistFilter, concurrency=2,
+                             batch_format="pyarrow")
+
+
+SQL_URL_BLOCKLIST_FILTER = """
+WITH p AS (
+  SELECT doc_id, doc_id % 2 AS m2, doc_id % 3 AS m3, doc_id % 5 AS m5,
+         doc_id % 6 AS m6, doc_id % 7 AS m7, doc_id % 13 AS m13, source
+  FROM documents),
+canon AS (
+  SELECT doc_id,
+         lower(CASE WHEN m2 = 0 THEN 'www.' || source || '.example.com'
+                    ELSE source || '.example.org' END) AS chost,
+         CASE WHEN m13 = 0 THEN '/'
+              WHEN m6 IN (0, 3) THEN '/a/b/page'
+              ELSE '/p' || m7 || '/item' || (doc_id % 11) || '.html'
+         END AS cpath
+  FROM p),
+v AS (
+  SELECT doc_id,
+         (chost IN ('src2.example.org', 'src3.example.com')
+          OR chost LIKE '%.src2.example.org'
+          OR chost LIKE '%.src3.example.com') AS host_bad,
+         (cpath LIKE '/p3/%') AS path_bad
+  FROM canon)
+SELECT doc_id,
+       CAST(host_bad OR path_bad AS BIGINT) AS blocked,
+       CASE WHEN host_bad THEN 'host'
+            WHEN path_bad THEN 'path' ELSE '' END AS reason
+FROM v
+"""
+
+
 QUERIES = {
     "tumbling_stats": q_tumbling_stats,
     "sliding_counts": q_sliding_counts,
@@ -5824,6 +5908,7 @@ QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_fingerprints_check": q_winnow_fingerprints_check,
     "html_extract_text": q_html_extract_text,
+    "url_blocklist_filter": q_url_blocklist_filter,
 }
 
 ORACLE_SQL = {
@@ -5978,4 +6063,5 @@ ORACLE_SQL = {
     # SQL-expressible); the check pins vectorized-vs-loop-reference parity
     "winnow_fingerprints_check": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
     "html_extract_text": SQL_HTML_EXTRACT_TEXT,
+    "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,
 }
