@@ -92,6 +92,7 @@ def make_pages(
     tokens_hi: int = 40,
     media_frac: float = 0.0,
     media_codecs: str = "netpbm",
+    html_style: str = "strict",
 ) -> pa.Table:
     """F1 `pages` table: (url, warc_ts, html, text, lang [, media]).
 
@@ -130,7 +131,14 @@ def make_pages(
     empty = rng.rand(n_docs) < empty_frac
     for i in np.flatnonzero(empty):
         texts[i] = ""
-    html = [wrap_html(t) for t in texts]
+    if html_style == "messy":
+        # real-world markup (the four hostile templates of
+        # functions/html.py) — pair with PipelineConfig(extractor="general")
+        from .functions.html import wrap_html_messy
+
+        html = [wrap_html_messy(t, i) for i, t in enumerate(texts)]
+    else:
+        html = [wrap_html(t) for t in texts]
 
     cols = {
         "url": pa.array(urls, type=pa.string()),

@@ -51,6 +51,38 @@ _NAMED_ENTITIES = [
 
 _NUMREF_RE = r"&#[0-9]+;|&#[xX][0-9a-fA-F]+;"
 
+# Four messy-page templates (prefix, suffix) shared by the fixture writer
+# and the oracle-backed queries: hostile script bodies, comments hiding
+# tags, quoted '>' attributes, named + numeric character references.
+MESSY_HEAD = ('<!DOCTYPE html><html><head><title>T</title>'
+              '<style>body { color: #fff; }</style>'
+              '<script type="text/javascript">'
+              'if (x<y && y>z) { alert("</div>"); }</script></head><body>')
+MESSY_TEMPLATES = [
+    (MESSY_HEAD + '<nav><a href="/">Home</a> <a href="/about">About</a>'
+     '</nav><!-- hidden <p>not text</p> --><p>',
+     '</p><footer>Copyright &copy; 2024 &#8212; Example Corp</footer>'
+     '</body></html>'),
+    ('<div id="menu" data-x="a>b"><span>Menu&nbsp;One</span> '
+     '<span>Menu&#32;Two</span></div><div class="content">',
+     '</div><div>Contact: info&#64;example.com</div>'),
+    ('<ul><li>alpha</li><li>beta &amp; gamma</li></ul><p>',
+     '</p><table><tr><td>cell1</td><td>2 &lt; 3</td></tr></table>'),
+    ('<h1>Header &quot;Quoted&quot;</h1><noscript><p>enable js</p>'
+     '</noscript><article>',
+     '</article><template><div>never shown</div></template>'
+     '<p>fin&hellip;</p>'),
+]
+
+
+def wrap_html_messy(text: str, variant: int) -> bytes:
+    """One messy page (template ``variant % 4``) around escaped text —
+    the fixture-side counterpart of ``extract_text_general``."""
+    import html as _htmlmod
+
+    pre, suf = MESSY_TEMPLATES[variant % 4]
+    return (pre + _htmlmod.escape(text, quote=False) + suf).encode("utf-8")
+
 
 def _decode_numeric_refs(pl, expr, frame):
     """Replace every distinct numeric character reference present in the

@@ -80,6 +80,7 @@ def oracle_fingerprints(
     lateness_ms: int = 10_000,
     join_retention_ms: int = 300_000,
     session_max_ms: int | None = None,
+    extractor: str = "strict",
 ) -> pd.DataFrame:
     """Expected engine output (F3 schema + update counts) for `pages`
     split into `n_epochs` arrival epochs."""
@@ -87,7 +88,12 @@ def oracle_fingerprints(
         # mirror PipelineConfig.__post_init__'s AUTO rule exactly
         session_max_ms = 20 * session_gap_ms if session_gap_ms else 0
     # per-doc fingerprints (shared deterministic kernels)
-    text = fp.extract_text(pages["html"])
+    if extractor == "general":
+        from .functions.html import extract_text_general
+
+        text = extract_text_general(pages["html"])
+    else:
+        text = fp.extract_text(pages["html"])
     ts_all = pages["warc_ts"].cast(pa.int64()).to_numpy()
     host_all = np.asarray(fp.host_of(pages["url"]), dtype=object)
     lang_all = np.asarray(pages["lang"], dtype=object)

@@ -5614,35 +5614,21 @@ def q_winnow_fingerprints_check(sf_dir: str, k: int = 4, w: int = 4):
 # General HTML text extraction (boilerplate-aware tag stripping)
 # ---------------------------------------------------------------------------
 
-_HTML_HEAD0 = ('<!DOCTYPE html><html><head><title>T</title>'
-               '<style>body { color: #fff; }</style>'
-               '<script type="text/javascript">'
-               'if (x<y && y>z) { alert("</div>"); }</script></head><body>')
-
-
 def _synth_html(batch: pa.Table) -> pa.Table:
-    """Deterministic messy-HTML synthesis from (doc_id, text): four page
-    templates cycling on doc_id — head with hostile script content,
-    comments holding fake tags, quoted '>' attributes, named + numeric
-    character references, nav/list/table/noscript/template boilerplate.
-    The SQL oracle constructs the EXPECTED extraction of the same
-    templates; the engine must recover it by actually parsing."""
+    """Deterministic messy-HTML synthesis from (doc_id, text): the four
+    shared page templates (functions/html.py MESSY_TEMPLATES) cycling on
+    doc_id — head with hostile script content, comments holding fake
+    tags, quoted '>' attributes, named + numeric character references,
+    nav/list/table/noscript/template boilerplate.  The SQL oracle
+    constructs the EXPECTED extraction of the same templates; the engine
+    must recover it by actually parsing."""
+    from ..functions.html import MESSY_TEMPLATES
+
     ids = batch["doc_id"].to_numpy()
     text = batch["text"].to_pandas().astype(str).reset_index(drop=True)
     m4 = ids % 4
-    v0 = (_HTML_HEAD0 + '<nav><a href="/">Home</a> <a href="/about">About'
-          '</a></nav><!-- hidden <p>not text</p> --><p>' + text
-          + '</p><footer>Copyright &copy; 2024 &#8212; Example Corp'
-          '</footer></body></html>')
-    v1 = ('<div id="menu" data-x="a>b"><span>Menu&nbsp;One</span> '
-          '<span>Menu&#32;Two</span></div><div class="content">' + text
-          + '</div><div>Contact: info&#64;example.com</div>')
-    v2 = ('<ul><li>alpha</li><li>beta &amp; gamma</li></ul><p>' + text
-          + '</p><table><tr><td>cell1</td><td>2 &lt; 3</td></tr></table>')
-    v3 = ('<h1>Header &quot;Quoted&quot;</h1><noscript><p>enable js</p>'
-          '</noscript><article>' + text + '</article><template><div>never '
-          'shown</div></template><p>fin&hellip;</p>')
-    html = pd.Series(np.select([m4 == 0, m4 == 1, m4 == 2], [v0, v1, v2], v3))
+    v = [pre + text + suf for pre, suf in MESSY_TEMPLATES]
+    html = pd.Series(np.select([m4 == 0, m4 == 1, m4 == 2], v[:3], v[3]))
     return pa.table({"doc_id": batch["doc_id"],
                      "html": pa.array(html.to_numpy(), type=pa.binary())})
 

@@ -106,6 +106,13 @@ class PipelineConfig:
     # neardup-p*.parquet; band state lives in the NearDupStateActor pool
     # (delta-snapshotted, close→reduce→register→snapshot→commit ordering)
     neardup: bool = False
+    # html -> text extraction kernel: "strict" = the invertible
+    # single-block extractor (fp.extract_text, the byte-identical
+    # fixture contract), "general" = the boilerplate-aware parser
+    # (functions/html.extract_text_general) for real-world markup.
+    # Recorded in the checkpoint manifest channel set — a resume under a
+    # different extractor would silently change every fingerprint.
+    extractor: str = "strict"
 
     def __post_init__(self) -> None:
         if self.session_max_ms is None:
@@ -288,7 +295,8 @@ class MetricCounter:
 
 def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix: str = "",
                    curation_min_chars: int = 0, bench_ref=None,
-                   late_side: bool = False, neardup: bool = False) -> pa.Table:
+                   late_side: bool = False, neardup: bool = False,
+                   extractor: str = "strict") -> pa.Table:
     """Stateless per-batch transform: late-drop, extract, fingerprint.
 
     Emits a NARROW table (html/text projected away) so only ~300-byte rows
@@ -304,7 +312,12 @@ def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix:
     batch = batch.filter(keep_late)
     n_late = n_in - batch.num_rows
 
-    text = fp.extract_text(batch["html"])
+    if extractor == "general":
+        from ..functions.html import extract_text_general
+
+        text = extract_text_general(batch["html"])
+    else:
+        text = fp.extract_text(batch["html"])
     nonempty = pc.not_equal(text, "")
     n_empty = batch.num_rows - pc.sum(pc.cast(nonempty, pa.int64())).as_py() if batch.num_rows else 0
     batch = batch.filter(nonempty)
@@ -858,6 +871,7 @@ class StreamingFingerprintPipeline:
             "neardup": bool(self.cfg.neardup),
             "media": bool(self.cfg.media_features),
             "late_side": bool(self.cfg.late_side_output),
+            "extractor": self.cfg.extractor,
         })
         self.pool = StatePool(
             self.cfg.n_state_partitions, self.cfg.session_gap_ms,
@@ -934,6 +948,8 @@ class StreamingFingerprintPipeline:
             fn_kwargs["late_side"] = True
         if cfg.neardup:
             fn_kwargs["neardup"] = True
+        if cfg.extractor != "strict":
+            fn_kwargs["extractor"] = cfg.extractor
         ds = ds.map_batches(page_transform, fn_kwargs=fn_kwargs, batch_format="pyarrow")
         if not side_channel:
             # fused single pass (no curation/media side-channel)

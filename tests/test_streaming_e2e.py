@@ -705,3 +705,44 @@ def test_streaming_media_mixed_codecs_match_oracle(ray_session, tmp_path):
         ora[mcols].sort_values(["url", "ts_ms"]).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_general_extractor_parity_and_resume_guard(ray_session, tmp_path):
+    """extractor="general" end-to-end: messy real-world markup pages
+    (hostile scripts/comments/entities) flow through the flagship with
+    the boilerplate-aware parser; engine == oracle row-exactly; the
+    checkpoint refuses a resume under a different extractor; and the
+    general extraction genuinely differs from the strict kernel's view
+    (boilerplate text enters the stream)."""
+    root = str(tmp_path)
+    pages = fixtures.make_pages(n_docs=600, seed=23, html_style="messy")
+    updates = fixtures.make_page_updates(pages, seed=24)
+    fixtures.write_epochs(pages, root, n_epochs=3, prefix="pages")
+    fixtures.write_epochs(updates, root, n_epochs=3, prefix="updates")
+    cfg = PipelineConfig(sliding=(120_000, 60_000), session_gap_ms=30_000,
+                         n_state_partitions=3, extractor="general")
+    pipe = StreamingFingerprintPipeline(
+        os.path.join(root, "pages"), os.path.join(root, "out_gen"),
+        updates_root=os.path.join(root, "updates"), cfg=cfg)
+    pipe.run()
+    eng = pipe.result_dataset().to_pandas()
+    pipe.shutdown()
+    ora = oracle_fingerprints(pages, 3, updates=updates,
+                              sliding=(120_000, 60_000),
+                              session_gap_ms=30_000, extractor="general")
+    assert len(eng) == len(ora) > 0
+    pd.testing.assert_frame_equal(
+        _norm(eng, ora.columns), _norm(ora, ora.columns), check_dtype=False)
+    # the strict kernel sees DIFFERENT text on messy pages (the general
+    # parser recovers boilerplate lines strict cannot) -> different stats
+    ora_strict = oracle_fingerprints(pages, 3, updates=updates,
+                                     sliding=(120_000, 60_000),
+                                     session_gap_ms=30_000)
+    assert not _norm(ora, ora.columns).equals(_norm(ora_strict, ora.columns))
+    # resume under a different extractor must refuse loudly
+    cfg2 = PipelineConfig(sliding=(120_000, 60_000), session_gap_ms=30_000,
+                          n_state_partitions=3, extractor="strict")
+    with pytest.raises(RuntimeError, match="side-channel"):
+        StreamingFingerprintPipeline(
+            os.path.join(root, "pages"), os.path.join(root, "out_gen"),
+            updates_root=os.path.join(root, "updates"), cfg=cfg2)
