@@ -5763,6 +5763,83 @@ FROM v
 """
 
 
+def _warc_messy_fixture_dir(sf_dir: str) -> str:
+    """Build-once cache of a WARC.gz corpus whose payloads are the four
+    MESSY page templates — the crawl-archive end of the general-extractor
+    path (``_warc_fixture_dir`` ships the strict invertible pages)."""
+    import pyarrow.parquet as pq
+
+    from ..functions.html import wrap_html_messy
+    from ..sources.warc import write_warc
+
+    src_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src_path)
+    tag = (f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}"
+           f"-{st.st_size}-{int(st.st_mtime)}")
+    root = os.path.join("/tmp", "ffr_warc_messy", tag)
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        tbl = pq.read_table(src_path, columns=["doc_id", "text", "source"])
+        ids = tbl["doc_id"].to_numpy()
+        texts = tbl["text"].to_pylist()
+        srcs = tbl["source"].to_pylist()
+        n_shards = 8
+        shards: list[list[dict]] = [[] for _ in range(n_shards)]
+        for i in range(len(ids)):
+            did = int(ids[i])
+            shards[did % n_shards].append({
+                "url": f"https://{srcs[i]}.example.com/doc/{did}",
+                "ts_ms": BASE_TS_MS + did * 1000,
+                "html": wrap_html_messy(texts[i], did),
+            })
+        for s, recs in enumerate(shards):
+            write_warc(recs, os.path.join(root, f"shard-{s:03d}.warc.gz"),
+                       gzip_members=True, chunked_every=5)
+        with open(done, "w") as f:
+            f.write(str(len(ids)))
+    return root
+
+
+def q_warc_extract_general(sf_dir: str):
+    """The full crawl-to-text path end-to-end: WARC.gz archive bytes →
+    record/HTTP framing → general HTML extraction (hostile markup) →
+    (doc_id, xtext).  The SQL oracle constructs the byte-exact expected
+    text per template straight from `documents`, pinning reader AND
+    parser in one hash."""
+    import glob as _glob
+
+    from ..functions.html import extract_text_general
+    from ..sources.warc import read_warc
+
+    root = _warc_messy_fixture_dir(sf_dir)
+    ds = read_warc(sorted(_glob.glob(os.path.join(root, "*.warc.gz"))))
+
+    def extract(batch: pa.Table) -> pa.Table:
+        doc_id = pc.struct_field(
+            pc.extract_regex(batch["url"], r"/doc/(?P<d>[0-9]+)$"), "d") \
+            .cast(pa.int64())
+        return pa.table({"doc_id": doc_id,
+                         "xtext": extract_text_general(batch["html"])})
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
+SQL_WARC_EXTRACT_GENERAL = """
+SELECT doc_id,
+       CASE doc_id % 4
+         WHEN 0 THEN 'Home About' || chr(10) || text || chr(10)
+                     || 'Copyright © 2024 — Example Corp'
+         WHEN 1 THEN 'Menu One Menu Two' || chr(10) || text || chr(10)
+                     || 'Contact: info@example.com'
+         WHEN 2 THEN 'alpha' || chr(10) || 'beta & gamma' || chr(10)
+                     || text || chr(10) || 'cell1' || chr(10) || '2 < 3'
+         ELSE 'Header "Quoted"' || chr(10) || text || chr(10) || 'fin…'
+       END AS xtext
+FROM documents
+"""
+
+
 QUERIES = {
     "tumbling_stats": q_tumbling_stats,
     "sliding_counts": q_sliding_counts,
@@ -5895,6 +5972,7 @@ QUERIES = {
     "winnow_fingerprints_check": q_winnow_fingerprints_check,
     "html_extract_text": q_html_extract_text,
     "url_blocklist_filter": q_url_blocklist_filter,
+    "warc_extract_general": q_warc_extract_general,
 }
 
 ORACLE_SQL = {
@@ -6050,4 +6128,5 @@ ORACLE_SQL = {
     "winnow_fingerprints_check": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
     "html_extract_text": SQL_HTML_EXTRACT_TEXT,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,
+    "warc_extract_general": SQL_WARC_EXTRACT_GENERAL,
 }
