@@ -5840,6 +5840,72 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Outlink graph extraction (href parsing -> host-level edge list)
+# ---------------------------------------------------------------------------
+
+def q_outlink_graph(sf_dir: str):
+    """Host-level outlink graph from markup: each doc's page carries
+    1 + doc_id % 3 anchors to deterministic foreign hosts; the engine
+    parses ``href`` attributes out of the (quoted, attribute-noisy)
+    anchor tags with vectorized polars extract_all, resolves target
+    hosts, and aggregates (src_host, dst_host, n_links) — the edge list
+    a crawl-graph PageRank consumes.  The SQL oracle re-derives the
+    same edges from the doc_id arithmetic, pinning the parse."""
+    from ..functions.fingerprint import _polars
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def build_and_parse(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        src = batch["source"].to_pandas().astype(str).reset_index(drop=True)
+        # synthesize the page fragment: 1 + doc_id%3 anchors, each with
+        # noise attributes so the href needs a real parse
+        parts = []
+        for j in range(3):
+            dst = pd.Series((ids * 7 + j) % 25).astype(str)
+            a = ('<a class="x" data-v="y>z" href="https://src' + dst
+                 + '.example.org/p' + pd.Series(ids % 9).astype(str)
+                 + '">t</a> ')
+            parts.append(pd.Series(np.where(ids % 3 >= j, a, "")).astype(str))
+        html = "<div>" + parts[0] + parts[1] + parts[2] + "</div>"
+
+        pl = _polars()
+        df = pl.DataFrame({"src_host": pl.Series((src + ".example.com").to_numpy()),
+                           "h": pl.Series(html.to_numpy())})
+        edges = (
+            df.with_columns(
+                pl.col("h").str.extract_all(r'href="[^"]*"').alias("href"))
+            .drop("h").explode("href").drop_nulls("href")
+            .with_columns(pl.col("href")
+                          .str.extract(r'href="https?://([^/"]+)', 1)
+                          .alias("dst_host"))
+            .drop_nulls("dst_host")
+            .group_by(["src_host", "dst_host"]).len(name="n_links")
+        )
+        return pa.table({
+            "src_host": pa.array(edges["src_host"].to_list(), pa.string()),
+            "dst_host": pa.array(edges["dst_host"].to_list(), pa.string()),
+            "n_links": pa.array(edges["n_links"].to_numpy(), pa.int64()),
+        })
+
+    parts = ds.map_batches(build_and_parse, batch_format="pyarrow")
+    return grouped_map(parts, ["src_host", "dst_host"], _combine_partials,
+                       fn_kwargs={"keys": ["src_host", "dst_host"],
+                                  "sums": ["n_links"]})
+
+
+SQL_OUTLINK_GRAPH = """
+WITH links AS (
+  SELECT source || '.example.com' AS src_host,
+         'src' || CAST((doc_id * 7 + j) % 25 AS VARCHAR)
+           || '.example.org' AS dst_host
+  FROM documents, unnest(generate_series(0, doc_id % 3)) AS t(j))
+SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+FROM links GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "tumbling_stats": q_tumbling_stats,
     "sliding_counts": q_sliding_counts,
@@ -5973,6 +6039,7 @@ QUERIES = {
     "html_extract_text": q_html_extract_text,
     "url_blocklist_filter": q_url_blocklist_filter,
     "warc_extract_general": q_warc_extract_general,
+    "outlink_graph": q_outlink_graph,
 }
 
 ORACLE_SQL = {
@@ -6129,4 +6196,5 @@ ORACLE_SQL = {
     "html_extract_text": SQL_HTML_EXTRACT_TEXT,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,
     "warc_extract_general": SQL_WARC_EXTRACT_GENERAL,
+    "outlink_graph": SQL_OUTLINK_GRAPH,
 }
