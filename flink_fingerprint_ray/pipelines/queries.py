@@ -5906,6 +5906,84 @@ FROM links GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# robots.txt (RFC 9309) crawl filter
+# ---------------------------------------------------------------------------
+
+def q_robots_filter(sf_dir: str):
+    """REP crawl gate end-to-end: per-host robots.txt bodies (agent
+    groups, comments, allow-overrides, empty-disallow) are PARSED by the
+    vectorized RFC 9309 parser, the rule table broadcasts once via
+    ray.put (robots is the classic small side), and the URL stream is
+    admitted by longest-match with Allow winning ties.  The SQL oracle
+    re-derives the verdicts from the synthesis arithmetic — the parser +
+    matcher must reproduce them exactly."""
+    import pyarrow.parquet as pq
+
+    from ..functions.robots import parse_robots, robots_allowed
+    from ..functions.url import canonicalize_batch
+
+    srcs = sorted(set(pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                                    columns=["source"])["source"].to_pylist()))
+    hosts, bodies = [], []
+    for s in srcs:
+        n = int(s[3:])
+        body = ("# robots for {h}\n"
+                "User-agent: evilbot\nDisallow: /\n\n"
+                "User-agent: *\n"
+                f"Disallow: /p{n % 7}/   # hot section\n"
+                f"Allow: /p{n % 7}/item{(n * 3) % 11}.html\n"
+                "Disallow: /a/x/\n"
+                "Disallow:\n")
+        for h in (f"www.{s}.example.com", f"{s}.example.org"):
+            hosts.append(h)
+            bodies.append(body.format(h=h))
+    rules_ref = ray.put(parse_robots(hosts, bodies))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    urls = ds.map_batches(_synth_urls, batch_format="pyarrow")
+    canon = urls.map_batches(canonicalize_batch, batch_format="pyarrow")
+
+    class RobotsGate:
+        def __init__(self) -> None:
+            self.rules = ray.get(rules_ref)  # once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            host = pc.struct_field(pc.extract_regex(
+                batch["canon_url"], r"^[a-z]+://(?P<h>[^/:?#]+)"), "h")
+            path = pc.struct_field(pc.extract_regex(
+                batch["canon_url"], r"^[a-z]+://[^/]+(?P<p>/[^?#]*)"), "p")
+            ok = robots_allowed(self.rules, host, path)
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "robots_blocked": pa.array((~ok).astype(np.int64)),
+            })
+
+    return canon.map_batches(RobotsGate, concurrency=2,
+                             batch_format="pyarrow")
+
+
+SQL_ROBOTS_FILTER = """
+WITH p AS (
+  SELECT doc_id, doc_id % 6 AS m6, doc_id % 7 AS m7, doc_id % 11 AS m11,
+         doc_id % 13 AS m13,
+         CAST(substr(source, 4) AS INT) AS n
+  FROM documents),
+canon AS (
+  SELECT doc_id, n,
+         CASE WHEN m13 = 0 THEN '/'
+              WHEN m6 IN (0, 3) THEN '/a/b/page'
+              ELSE '/p' || m7 || '/item' || m11 || '.html' END AS cpath
+  FROM p)
+SELECT doc_id,
+       CAST(CASE WHEN cpath LIKE '/p' || (n % 7) || '/%'
+                  AND cpath != '/p' || (n % 7) || '/item'
+                               || ((n * 3) % 11) || '.html'
+                 THEN 1 ELSE 0 END AS BIGINT) AS robots_blocked
+FROM canon
+"""
+
+
 QUERIES = {
     "tumbling_stats": q_tumbling_stats,
     "sliding_counts": q_sliding_counts,
@@ -6040,6 +6118,7 @@ QUERIES = {
     "url_blocklist_filter": q_url_blocklist_filter,
     "warc_extract_general": q_warc_extract_general,
     "outlink_graph": q_outlink_graph,
+    "robots_filter": q_robots_filter,
 }
 
 ORACLE_SQL = {
@@ -6197,4 +6276,5 @@ ORACLE_SQL = {
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,
     "warc_extract_general": SQL_WARC_EXTRACT_GENERAL,
     "outlink_graph": SQL_OUTLINK_GRAPH,
+    "robots_filter": SQL_ROBOTS_FILTER,
 }

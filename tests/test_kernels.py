@@ -402,3 +402,40 @@ def test_html_extract_general_adversarial():
     ])).to_pylist()
     assert abs(ld[0] - 6 / 11) < 1e-12
     assert ld[1] == 0.0 and ld[2] == 0.0
+
+
+def test_robots_rfc9309_semantics():
+    from flink_fingerprint_ray.functions.robots import parse_robots, robots_allowed
+
+    body = (
+        "# comment line\n"
+        "User-agent: evilbot\nDisallow: /\n\n"
+        "User-agent: a\nUser-agent: b\nDisallow: /shared/\n\n"
+        "User-agent: *\n"
+        "Disallow: /p3/   # trailing comment\n"
+        "Allow: /p3/item5.html\n"
+        "Disallow: /a/x/\n"
+        "Disallow:\n"          # empty disallow = allow-all, no rule
+        "Crawl-delay: 2\n"     # non-rule directive ignored
+    )
+    rules = parse_robots(["h1"], [body])
+    got = sorted(zip(rules["prefix"], rules["allow"]))
+    assert got == [("/a/x/", False), ("/p3/", False), ("/p3/item5.html", True)]
+
+    paths = pa.array(["/p3/item1.html", "/p3/item5.html", "/a/b",
+                      "/a/x/deep", "/", "/p4/x"])
+    ok = robots_allowed(rules, ["h1"] * 6, paths)
+    assert list(ok) == [False, True, True, False, True, True]
+
+    # exact agent group wins over '*'; consecutive UA lines share a group
+    r_evil = parse_robots(["h1"], [body], agent="evilbot")
+    assert list(robots_allowed(r_evil, ["h1"], pa.array(["/any"]))) == [False]
+    r_b = parse_robots(["h1"], [body], agent="b")
+    assert list(robots_allowed(
+        r_b, ["h1", "h1"], pa.array(["/shared/x", "/p3/y"]))) == [False, True]
+
+    # rules scoped per host: h2's rules never leak onto h1
+    r2 = parse_robots(["h1", "h2"], ["User-agent: *\nAllow: /\n",
+                                     "User-agent: *\nDisallow: /\n"])
+    assert list(robots_allowed(r2, ["h1", "h2"],
+                               pa.array(["/x", "/x"]))) == [True, False]
