@@ -5984,6 +5984,48 @@ FROM canon
 """
 
 
+# ---------------------------------------------------------------------------
+# Charset detection + transcode (crawl payload ingest)
+# ---------------------------------------------------------------------------
+
+def q_charset_decode(sf_dir: str):
+    """Mixed-encoding payload ingest: a third of the corpus arrives as
+    Latin-1 bytes (accented suffix — invalid UTF-8), a third as
+    multibyte UTF-8, a third pure ASCII.  The engine must detect
+    validity with the vectorized RFC 3629 mask and transcode the
+    fallback rows by byte surgery (functions/charset.py); the oracle
+    pins charset verdicts and the decoded text exactly."""
+    from ..functions.charset import decode_with_fallback
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def synth_and_decode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        m3 = ids % 3
+        raw = [
+            (t + " café résumé").encode("latin-1") if m == 0
+            else (t + " naïve €").encode("utf-8") if m == 1
+            else t.encode("ascii")
+            for t, m in zip(texts, m3)
+        ]
+        charset, out = decode_with_fallback(pa.array(raw, pa.binary()))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "charset": charset, "text_out": out})
+
+    return ds.map_batches(synth_and_decode, batch_format="pyarrow")
+
+
+SQL_CHARSET_DECODE = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'latin-1' ELSE 'utf-8' END AS charset,
+       text || CASE doc_id % 3 WHEN 0 THEN ' café résumé'
+                               WHEN 1 THEN ' naïve €'
+                               ELSE '' END AS text_out
+FROM documents
+"""
+
+
 QUERIES = {
     "tumbling_stats": q_tumbling_stats,
     "sliding_counts": q_sliding_counts,
@@ -6119,6 +6161,7 @@ QUERIES = {
     "warc_extract_general": q_warc_extract_general,
     "outlink_graph": q_outlink_graph,
     "robots_filter": q_robots_filter,
+    "charset_decode": q_charset_decode,
 }
 
 ORACLE_SQL = {
@@ -6277,4 +6320,5 @@ ORACLE_SQL = {
     "warc_extract_general": SQL_WARC_EXTRACT_GENERAL,
     "outlink_graph": SQL_OUTLINK_GRAPH,
     "robots_filter": SQL_ROBOTS_FILTER,
+    "charset_decode": SQL_CHARSET_DECODE,
 }

@@ -439,3 +439,43 @@ def test_robots_rfc9309_semantics():
                                      "User-agent: *\nDisallow: /\n"])
     assert list(robots_allowed(r2, ["h1", "h2"],
                                pa.array(["/x", "/x"]))) == [True, False]
+
+
+def test_charset_kernels_match_python_decoder():
+    """Vectorized RFC 3629 validity + Latin-1 byte-surgery transcode vs
+    Python's own codecs over edge cases and random blobs."""
+    import random
+
+    from flink_fingerprint_ray.functions.charset import (
+        decode_with_fallback, latin1_to_utf8, utf8_valid_mask)
+
+    random.seed(17)
+    cases = [
+        b"plain ascii", "naïve café".encode(), "café".encode("latin-1"),
+        b"", b"\xc0\xaf", b"\xc1\xbf",            # overlong 2-byte
+        b"\xed\xa0\x80", b"\xed\x9f\xbf",          # surrogate edge
+        b"\xf4\x90\x80\x80", b"\xf4\x8f\xbf\xbf",  # > / == U+10FFFF
+        b"\xe0\x9f\xbf", b"\xe0\xa0\x80",          # overlong 3-byte edge
+        b"\xf0\x8f\xbf\xbf", b"\xf0\x90\x80\x80",  # overlong 4-byte edge
+        b"truncated \xe2\x82", b"orphan \x80", b"\xff\xfe",
+        "𝄞 music".encode(), b"\xe2\x82\xac ok",
+    ]
+    for _ in range(500):
+        cases.append(bytes(random.getrandbits(8)
+                           for _ in range(random.randint(0, 16))))
+    col = pa.array(cases, pa.binary())
+    want_valid = []
+    for c in cases:
+        try:
+            c.decode("utf-8")
+            want_valid.append(True)
+        except UnicodeDecodeError:
+            want_valid.append(False)
+    assert list(utf8_valid_mask(col)) == want_valid
+    assert latin1_to_utf8(pa.array([bytes(range(256))], pa.binary())) \
+        .to_pylist() == [bytes(range(256)).decode("latin-1")]
+    cs, txt = decode_with_fallback(col)
+    assert txt.to_pylist() == [
+        c.decode("utf-8") if v else c.decode("latin-1")
+        for c, v in zip(cases, want_valid)]
+    assert cs.to_pylist() == ["utf-8" if v else "latin-1" for v in want_valid]
