@@ -219,6 +219,31 @@ def make_page_updates(pages: pa.Table, seed: int = 43, hit_frac: float = 0.3) ->
     )
 
 
+def make_blocklist(pages: pa.Table, n_hosts: int = 3,
+                   seed: int = 51) -> pa.Table:
+    """Broadcast-state side-input stream: (host, update_ts) rows naming
+    hosts to drop from ingest.  Hosts are drawn from the corpus's hot end
+    (so the rules measurably bite) and rows are spread over arrival order
+    — split with ``write_epochs`` they become a dynamic rules stream
+    whose epoch-K rows gate page epochs > K."""
+    rng = np.random.RandomState(seed)
+    hosts = np.asarray(
+        [u.split("/")[2] for u in np.asarray(pages["url"], dtype=object)],
+        dtype=object)
+    uniq, counts = np.unique(hosts, return_counts=True)
+    hot = uniq[np.argsort(-counts)][:max(8, n_hosts * 2)]
+    chosen = hot[rng.choice(len(hot), size=n_hosts, replace=False)]
+    ts0 = int(pages["warc_ts"].cast(pa.int64())[0].as_py())
+    # a few rows per chosen host so every side epoch carries something
+    rows = [(h, ts0 + 1000 * (i * n_hosts + j))
+            for j, h in enumerate(chosen) for i in range(3)]
+    return pa.table({
+        "host": pa.array([r[0] for r in rows], pa.string()),
+        "update_ts": pa.array(np.array([r[1] for r in rows], np.int64),
+                              pa.timestamp("ms")),
+    })
+
+
 def write_epochs(
     table: pa.Table,
     out_dir: str,

@@ -81,6 +81,7 @@ def oracle_fingerprints(
     join_retention_ms: int = 300_000,
     session_max_ms: int | None = None,
     extractor: str = "strict",
+    blocklist: pa.Table | None = None,
 ) -> pd.DataFrame:
     """Expected engine output (F3 schema + update counts) for `pages`
     split into `n_epochs` arrival epochs."""
@@ -133,6 +134,13 @@ def oracle_fingerprints(
         )
         upd_bounds = _epoch_bounds(len(upd_df), n_epochs)
 
+    bl_hosts_all = None
+    bl_bounds = None
+    if blocklist is not None:
+        bl_hosts_all = np.asarray(blocklist["host"], dtype=object)
+        bl_bounds = _epoch_bounds(len(bl_hosts_all), n_epochs)
+    bl_set: set = set()
+
     wm = 0
     fixed_buf: dict[tuple, list[int]] = {}   # (kind,lang,host,start,end) -> row idx
     session_buf: dict[tuple, list[int]] = {}  # (lang,host) -> row idx
@@ -165,6 +173,13 @@ def oracle_fingerprints(
                 ignore_index=True,
             )
         rows = rows[(rows["ts_ms"] >= wm_prev) & (~rows["_empty"])]
+        # broadcast-state blocklist: side epochs STRICTLY BEFORE this one
+        # (engine: page_transform blocked_ref, same strictly-before rule)
+        if bl_hosts_all is not None:
+            if e_i > 0:
+                bl_set.update(bl_hosts_all[bl_bounds[e_i - 1]: bl_bounds[e_i]])
+            if bl_set:
+                rows = rows[~rows["key_host"].isin(bl_set)]
 
         # buffer fixed windows
         for kind, wins in _assign(rows, tumbling_size_ms, sliding):

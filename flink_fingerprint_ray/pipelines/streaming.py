@@ -296,7 +296,7 @@ class MetricCounter:
 def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix: str = "",
                    curation_min_chars: int = 0, bench_ref=None,
                    late_side: bool = False, neardup: bool = False,
-                   extractor: str = "strict") -> pa.Table:
+                   extractor: str = "strict", blocked_ref=None) -> pa.Table:
     """Stateless per-batch transform: late-drop, extract, fingerprint.
 
     Emits a NARROW table (html/text projected away) so only ~300-byte rows
@@ -311,6 +311,21 @@ def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix:
     late_sub = batch.filter(pc.invert(keep_late)) if late_side else None
     batch = batch.filter(keep_late)
     n_late = n_in - batch.num_rows
+
+    # broadcast-state side input (Flink BroadcastProcessFunction analog):
+    # the dynamic host blocklist accumulated from side-input epochs
+    # STRICTLY BEFORE this one — read from plasma, applied before the
+    # (expensive) extraction; rules are deterministic per epoch, so
+    # resume replays the same verdicts.
+    n_blocked = 0
+    if blocked_ref is not None and batch.num_rows:
+        blocked = ray.get(blocked_ref)
+        if len(blocked):
+            hosts = np.asarray(fp.host_of(batch["url"]), dtype=object)
+            bad = np.isin(hosts, blocked)
+            n_blocked = int(bad.sum())
+            if n_blocked:
+                batch = batch.filter(pa.array(~bad))
 
     if extractor == "general":
         from ..functions.html import extract_text_general
@@ -330,6 +345,8 @@ def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix:
         # stay exact and no keys accrete in the counter dict.
         if n_late:
             counter.add.remote(metric_prefix + "late_dropped", n_late)
+        if n_blocked:
+            counter.add.remote(metric_prefix + "blocklist_dropped", n_blocked)
         if n_empty:
             counter.add.remote(metric_prefix + "empty_dropped", n_empty)
         if batch.num_rows:
@@ -857,10 +874,22 @@ class StreamingFingerprintPipeline:
         out_dir: str,
         updates_root: str | None = None,
         cfg: PipelineConfig | None = None,
+        blocklist_root: str | None = None,
     ) -> None:
         self.cfg = cfg or PipelineConfig()
         self.source = EpochSource(pages_root)
         self.updates_source = EpochSource(updates_root, ts_col="update_ts") if updates_root else None
+        # broadcast-state side input: an epoch stream of host-blocklist
+        # rows; rules from side epochs < K apply to page epoch K (the
+        # strictly-before rule keeps verdicts deterministic under resume
+        # — the committed cursor replays the same side-input prefix)
+        self.blocklist_source = (
+            EpochSource(blocklist_root, ts_col="update_ts")
+            if blocklist_root else None)
+        self._bl_hosts: set = set()
+        self._bl_loaded_upto = 0   # side epochs with index < this are in
+        self._bl_ref = None
+        self._bl_ref_n = -1
         os.makedirs(out_dir, exist_ok=True)
         self.sink = EpochSink(out_dir)
         self.manifest = CheckpointManifest(out_dir)
@@ -872,6 +901,7 @@ class StreamingFingerprintPipeline:
             "media": bool(self.cfg.media_features),
             "late_side": bool(self.cfg.late_side_output),
             "extractor": self.cfg.extractor,
+            "blocklist": bool(blocklist_root),
         })
         self.pool = StatePool(
             self.cfg.n_state_partitions, self.cfg.session_gap_ms,
@@ -899,6 +929,27 @@ class StreamingFingerprintPipeline:
         rather than actor process startup."""
         self.pool.ready()
         ray.get(self.counter.__ray_ready__.remote())
+
+    def _blocked_ref_for(self, epoch_index: int):
+        """Plasma ref of the blocklist-host array effective for page epoch
+        ``epoch_index`` (side epochs strictly before it).  Side files are
+        read ONCE driver-side (a rules stream is small by construction)
+        and the broadcast object is re-put only when the set grew."""
+        import pyarrow.parquet as pq
+
+        self.blocklist_source.refresh()
+        for ep in self.blocklist_source.epochs(self._bl_loaded_upto):
+            if ep.index >= epoch_index:
+                break
+            for f in ep.files:
+                self._bl_hosts.update(
+                    pq.read_table(f, columns=["host"])["host"].to_pylist())
+            self._bl_loaded_upto = ep.index + 1
+        if self._bl_ref is None or len(self._bl_hosts) != self._bl_ref_n:
+            self._bl_ref = ray.put(
+                np.asarray(sorted(self._bl_hosts), dtype=object))
+            self._bl_ref_n = len(self._bl_hosts)
+        return self._bl_ref
 
     # -- transform (Dataset execution; prefetchable) -----------------------
     def _transform_refs(self, epoch, late_cutoff_ms: int) -> list:
@@ -950,6 +1001,8 @@ class StreamingFingerprintPipeline:
             fn_kwargs["neardup"] = True
         if cfg.extractor != "strict":
             fn_kwargs["extractor"] = cfg.extractor
+        if self.blocklist_source is not None:
+            fn_kwargs["blocked_ref"] = self._blocked_ref_for(epoch.index)
         ds = ds.map_batches(page_transform, fn_kwargs=fn_kwargs, batch_format="pyarrow")
         if not side_channel:
             # fused single pass (no curation/media side-channel)

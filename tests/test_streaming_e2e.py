@@ -746,3 +746,65 @@ def test_general_extractor_parity_and_resume_guard(ray_session, tmp_path):
         StreamingFingerprintPipeline(
             os.path.join(root, "pages"), os.path.join(root, "out_gen"),
             updates_root=os.path.join(root, "updates"), cfg=cfg2)
+
+
+def test_broadcast_blocklist_side_input_parity_and_resume(ray_session, tmp_path):
+    """Flink broadcast-state analog: a dynamic host-blocklist epoch
+    stream gates ingest with the strictly-before rule (side epoch K's
+    rules apply from page epoch K+1).  Engine == oracle row-exactly,
+    the rules measurably drop rows, rules replay deterministically
+    across kill/resume, and the channel guard refuses a resume without
+    the side input."""
+    root = str(tmp_path)
+    pages = fixtures.make_pages(n_docs=800, seed=31)
+    updates = fixtures.make_page_updates(pages, seed=32)
+    bl = fixtures.make_blocklist(pages, n_hosts=3, seed=33)
+    n_ep = 4
+    fixtures.write_epochs(pages, root, n_epochs=n_ep, prefix="pages")
+    fixtures.write_epochs(updates, root, n_epochs=n_ep, prefix="updates")
+    fixtures.write_epochs(bl, root, n_epochs=n_ep, prefix="blocklist")
+    cfg = PipelineConfig(sliding=(120_000, 60_000), session_gap_ms=30_000,
+                         n_state_partitions=3)
+
+    def mk(out):
+        return StreamingFingerprintPipeline(
+            os.path.join(root, "pages"), os.path.join(root, out),
+            updates_root=os.path.join(root, "updates"), cfg=cfg,
+            blocklist_root=os.path.join(root, "blocklist"))
+
+    pipe = mk("out_bl")
+    stats = pipe.run()
+    eng = pipe.result_dataset().to_pandas()
+    pipe.shutdown()
+    n_blocked = sum(m.get("blocklist_dropped", 0) for m in stats["per_epoch"])
+    assert n_blocked > 0
+    ora = oracle_fingerprints(pages, n_ep, updates=updates,
+                              sliding=(120_000, 60_000),
+                              session_gap_ms=30_000, blocklist=bl)
+    assert len(eng) == len(ora) > 0
+    pd.testing.assert_frame_equal(
+        _norm(eng, ora.columns), _norm(ora, ora.columns), check_dtype=False)
+    # a no-blocklist oracle differs -> the rules really changed the output
+    ora_plain = oracle_fingerprints(pages, n_ep, updates=updates,
+                                    sliding=(120_000, 60_000),
+                                    session_gap_ms=30_000)
+    assert not _norm(ora, ora.columns).equals(
+        _norm(ora_plain, ora_plain.columns))
+
+    # kill after 2 epochs, resume in a FRESH pipeline: the side-input
+    # prefix replays deterministically and output still matches
+    pipe1 = mk("out_bl_resume")
+    pipe1.run(max_epochs=2)
+    pipe1.shutdown()
+    pipe2 = mk("out_bl_resume")
+    pipe2.run()
+    eng2 = pipe2.result_dataset().to_pandas()
+    pipe2.shutdown()
+    pd.testing.assert_frame_equal(
+        _norm(eng2, ora.columns), _norm(ora, ora.columns), check_dtype=False)
+
+    # resume WITHOUT the side input must refuse loudly
+    with pytest.raises(RuntimeError, match="side-channel"):
+        StreamingFingerprintPipeline(
+            os.path.join(root, "pages"), os.path.join(root, "out_bl"),
+            updates_root=os.path.join(root, "updates"), cfg=cfg)
