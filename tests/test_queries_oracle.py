@@ -117,6 +117,15 @@ FAST_SQL_QUERIES = [
     "warc_ingest",
     "wet_ingest",
     "warc_cdx_lookup",
+    "url_canonicalize",
+    "url_blocklist_filter",
+    "robots_filter",
+    "exact_substring_dedup",
+    "winnow_fingerprints_check",
+    "html_extract_text",
+    "warc_extract_general",
+    "outlink_graph",
+    "charset_decode",
 ]
 
 
