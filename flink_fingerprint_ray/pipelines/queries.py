@@ -6026,6 +6026,84 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Crawl curation chain: archive bytes -> curated corpus in one pipeline
+# ---------------------------------------------------------------------------
+
+def q_crawl_curation_chain(sf_dir: str, min_chars: int = 120):
+    """The curation flagship composed from the crawl end: WARC.gz record
+    framing → general HTML extraction (hostile markup) → host blocklist
+    → quality length gate → exact dedup (min-id keep, 128-bit text-hash
+    exchange — extracted text never shuffles).  The SQL oracle rebuilds
+    the whole chain from `documents`, pinning every stage's composition
+    in one value hash."""
+    import glob as _glob
+
+    from ..functions.html import extract_text_general
+    from ..sources.warc import read_warc
+
+    root = _warc_messy_fixture_dir(sf_dir)
+    ds = read_warc(sorted(_glob.glob(os.path.join(root, "*.warc.gz"))))
+
+    def extract_gate_hash(batch: pa.Table) -> pa.Table:
+        doc_id = pc.struct_field(
+            pc.extract_regex(batch["url"], r"/doc/(?P<d>[0-9]+)$"), "d") \
+            .cast(pa.int64())
+        host = pc.struct_field(pc.extract_regex(
+            batch["url"], r"^https?://(?P<h>[^/]+)"), "h")
+        xt = extract_text_general(batch["html"])
+        keep = pc.greater_equal(pc.utf8_length(xt), min_chars).to_numpy(
+            zero_copy_only=False)
+        hostnp = np.asarray(host.to_pandas(), dtype=object)
+        for h in _URL_BLOCK_HOSTS:
+            keep &= ~((hostnp == h)
+                      | pc.ends_with(host, pattern="." + h)
+                      .to_numpy(zero_copy_only=False))
+        txt = pd.Series(xt.to_pandas()[keep]).reset_index(drop=True)
+        h1 = pd.util.hash_pandas_object(txt, index=False).to_numpy()
+        h2 = pd.util.hash_pandas_object(txt, index=False,
+                                        hash_key="fedcba9876543210").to_numpy()
+        return pa.table({
+            "doc_id": pa.array(doc_id.to_numpy(zero_copy_only=False)[keep],
+                               pa.int64()),
+            "h1": pa.array(h1.view(np.int64), pa.int64()),
+            "h2": pa.array(h2.view(np.int64), pa.int64()),
+        })
+
+    rows = ds.map_batches(extract_gate_hash, batch_format="pyarrow")
+
+    def keep_first(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        g = df.groupby(["h1", "h2"], sort=False)["doc_id"]
+        out = g.agg(doc_id="min", n_dups="size").reset_index(drop=True)
+        return out.astype({"doc_id": "int64", "n_dups": "int64"})
+
+    return grouped_map(rows, ["h1", "h2"], keep_first)
+
+
+SQL_CRAWL_CURATION_CHAIN = """
+WITH x AS (
+  SELECT doc_id, source,
+         CASE doc_id % 4
+           WHEN 0 THEN 'Home About' || chr(10) || text || chr(10)
+                       || 'Copyright © 2024 — Example Corp'
+           WHEN 1 THEN 'Menu One Menu Two' || chr(10) || text || chr(10)
+                       || 'Contact: info@example.com'
+           WHEN 2 THEN 'alpha' || chr(10) || 'beta & gamma' || chr(10)
+                       || text || chr(10) || 'cell1' || chr(10) || '2 < 3'
+           ELSE 'Header "Quoted"' || chr(10) || text || chr(10) || 'fin…'
+         END AS xtext
+  FROM documents),
+clean AS (
+  SELECT doc_id, xtext FROM x
+  WHERE length(xtext) >= 120
+    AND source || '.example.com' NOT IN ('src2.example.org',
+                                         'src3.example.com'))
+SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM clean GROUP BY xtext
+"""
+
+
 QUERIES = {
     "tumbling_stats": q_tumbling_stats,
     "sliding_counts": q_sliding_counts,
@@ -6162,6 +6240,7 @@ QUERIES = {
     "outlink_graph": q_outlink_graph,
     "robots_filter": q_robots_filter,
     "charset_decode": q_charset_decode,
+    "crawl_curation_chain": q_crawl_curation_chain,
 }
 
 ORACLE_SQL = {
@@ -6321,4 +6400,5 @@ ORACLE_SQL = {
     "outlink_graph": SQL_OUTLINK_GRAPH,
     "robots_filter": SQL_ROBOTS_FILTER,
     "charset_decode": SQL_CHARSET_DECODE,
+    "crawl_curation_chain": SQL_CRAWL_CURATION_CHAIN,
 }

@@ -126,6 +126,7 @@ FAST_SQL_QUERIES = [
     "warc_extract_general",
     "outlink_graph",
     "charset_decode",
+    "crawl_curation_chain",
 ]
 
 
