@@ -134,10 +134,17 @@ def _normalize_ws(t):
 def extract_text_general(html_col: pa.Array | pa.ChunkedArray,
                          decode_entities: bool = True) -> pa.Array:
     """binary/string html column → extracted plain text (one line per
-    block element, entities decoded, whitespace normalized)."""
+    block element, entities decoded, whitespace normalized).  Binary
+    input goes through the crawl charset-fallback rule first (UTF-8
+    where valid, Latin-1 otherwise — functions/charset.py), so legacy-
+    encoded pages extract instead of failing the Arrow UTF-8 cast."""
     pl = _polars()
     if isinstance(html_col, pa.ChunkedArray):
         html_col = html_col.combine_chunks()
+    if pa.types.is_binary(html_col.type) or pa.types.is_large_binary(html_col.type):
+        from .charset import decode_with_fallback
+
+        _, html_col = decode_with_fallback(html_col)
     s = html_col.cast(pa.large_string())
     frame = pl.DataFrame({"t": pl.from_arrow(s)})
     t = _extract_exprs(pl, "t")
@@ -162,6 +169,10 @@ def link_density(html_col: pa.Array | pa.ChunkedArray) -> pa.Array:
     pl = _polars()
     if isinstance(html_col, pa.ChunkedArray):
         html_col = html_col.combine_chunks()
+    if pa.types.is_binary(html_col.type) or pa.types.is_large_binary(html_col.type):
+        from .charset import decode_with_fallback
+
+        _, html_col = decode_with_fallback(html_col)
     s = html_col.cast(pa.large_string())
     frame = pl.DataFrame({"t": pl.from_arrow(s)})
     # anchor inner text, entity-decoded like the extraction output so the

@@ -479,3 +479,19 @@ def test_charset_kernels_match_python_decoder():
         c.decode("utf-8") if v else c.decode("latin-1")
         for c, v in zip(cases, want_valid)]
     assert cs.to_pylist() == ["utf-8" if v else "latin-1" for v in want_valid]
+
+
+def test_html_extract_general_latin1_fallback():
+    """Binary html in a legacy encoding goes through the charset
+    fallback instead of failing the Arrow UTF-8 cast."""
+    from flink_fingerprint_ray.functions.html import (
+        extract_text_general, link_density)
+
+    col = pa.array([
+        '<p>café résumé</p><nav><a href="/">menü</a></nav>'.encode("latin-1"),
+        "<p>utf8 naïve</p>".encode("utf-8"),
+    ], pa.binary())
+    assert extract_text_general(col).to_pylist() == [
+        "café résumé\nmenü", "utf8 naïve"]
+    ld = link_density(col).to_pylist()
+    assert abs(ld[0] - 4 / 16) < 1e-12 and ld[1] == 0.0
