@@ -66,6 +66,10 @@ def _canon_exprs(pl, url_col: str):
         norm_path = norm_path.str.replace_all(r"/\.$", "/")
         norm_path = norm_path.str.replace_all(r"/[^/]+/\.\./", "/")
         norm_path = norm_path.str.replace_all(r"/[^/]+/\.\.$", "/")
+        # excess leading '..' with nothing left to remove (RFC 3986
+        # §5.2.4 step 2C when the output stack is empty)
+        norm_path = norm_path.str.replace_all(r"^/\.\./", "/")
+        norm_path = norm_path.str.replace_all(r"^/\.\.$", "/")
     norm_path = pl.when(norm_path == "").then(pl.lit("/")).otherwise(norm_path)
 
     is_tracking = None

@@ -827,3 +827,81 @@ def test_gif_animation_frame_count_and_content(n_frames, seed):
     assert gif_n_frames(data) == n_frames
     dec = decode_gif_frames(data)
     assert all(np.array_equal(d, pal[f]) for f, d in zip(frames, dec))
+
+
+# --- URL canonicalization vs an independent urllib-based reference -------
+
+def _canon_reference(url: str) -> tuple[str, str]:
+    """Independent single-URL reference built on stdlib urllib.parse:
+    same normalization rules as functions/url.py, different machinery."""
+    from urllib.parse import urlsplit
+
+    sp = urlsplit(url)
+    scheme = sp.scheme.lower()
+    host = (sp.hostname or "").lower()
+    port = ""
+    if sp.port is not None and not (
+            (scheme == "http" and sp.port == 80)
+            or (scheme == "https" and sp.port == 443)):
+        port = f":{sp.port}"
+    # RFC 3986 §5.2.4 remove_dot_segments
+    out: list[str] = []
+    path = sp.path or "/"
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if len(out) > 1:
+                out.pop()
+            continue
+        out.append(seg)
+    if path.endswith(("/.", "/..")) or path.endswith("/"):
+        if out and out[-1] != "":
+            out.append("")
+    npath = "/".join(out)
+    if not npath.startswith("/"):
+        npath = "/" + npath
+    params = [p for p in (sp.query or "").split("&")
+              if p and not p.startswith("utm_")
+              and p.split("=")[0] not in ("fbclid", "gclid", "ref")]
+    q = "&".join(sorted(params))
+    canon = scheme + "://" + host + port + npath + (("?" + q) if q else "")
+    surt_host = host[4:] if host.startswith("www.") else host
+    surt = ",".join(reversed(surt_host.split("."))) + ")" + npath \
+        + (("?" + q) if q else "")
+    return canon, surt
+
+
+_seg = st.text(alphabet="abcz09-_", min_size=1, max_size=5)
+_urls = st.builds(
+    lambda scheme, host_parts, www, port, segs, dots, params, frag: (
+        scheme + "://" + ("WWW." if www else "") + ".".join(host_parts)
+        + port
+        + "".join(
+            "/" + (d if d else s)
+            for s, d in zip(segs, dots + [""] * (len(segs) - len(dots))))
+        + (("?" + "&".join(params)) if params else "")
+        + (("#f" + frag) if frag else "")),
+    st.sampled_from(["http", "HTTP", "https", "HTTPS", "hTtPs"]),
+    st.lists(_seg, min_size=2, max_size=3),
+    st.booleans(),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.lists(_seg, min_size=0, max_size=4),
+    st.lists(st.sampled_from(["", ".", ".."]), min_size=0, max_size=2),
+    st.lists(st.sampled_from(
+        ["a=1", "b=2", "id=9", "utm_source=x", "fbclid=z", "ref=h", "z="]),
+        min_size=0, max_size=4, unique=True),
+    st.sampled_from(["", "1", "rag"]),
+)
+
+
+@given(st.lists(_urls, min_size=1, max_size=25))
+@settings(max_examples=60, deadline=None)
+def test_url_canonicalize_matches_urllib_reference(urls):
+    from flink_fingerprint_ray.functions.url import canonicalize_batch
+
+    out = canonicalize_batch(pa.table({"url": pa.array(urls)})).to_pylist()
+    for row, url in zip(out, urls):
+        canon, surt = _canon_reference(url)
+        assert row["canon_url"] == canon, url
+        assert row["surt_key"] == surt, url
