@@ -905,3 +905,91 @@ def test_url_canonicalize_matches_urllib_reference(urls):
         canon, surt = _canon_reference(url)
         assert row["canon_url"] == canon, url
         assert row["surt_key"] == surt, url
+
+
+# --- general HTML extraction vs an independent html.parser reference ------
+
+def _extract_reference(docs: list[str]) -> list[str]:
+    """Independent reference extractor on stdlib html.parser (event-based
+    tokenizer vs the engine's regex grammar)."""
+    import re
+    from html.parser import HTMLParser
+
+    BLOCK = {"p", "div", "br", "li", "ul", "ol", "tr", "td", "th", "table",
+             "h1", "h2", "nav", "footer", "header", "blockquote", "pre"}
+    SKIP = {"script", "style", "noscript", "template", "head", "title"}
+
+    class Ref(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.parts: list[str] = []
+            self.skip_depth = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in SKIP:
+                self.skip_depth += 1
+            elif tag in BLOCK:
+                self.parts.append("\n")
+
+        def handle_endtag(self, tag):
+            if tag in SKIP:
+                self.skip_depth = max(0, self.skip_depth - 1)
+            elif tag in BLOCK:
+                self.parts.append("\n")
+
+        def handle_data(self, data):
+            if not self.skip_depth:
+                self.parts.append(data)
+
+    out = []
+    for d in docs:
+        p = Ref()
+        p.feed(d)
+        p.close()
+        s = "".join(p.parts)
+        s = s.replace("\xa0", " ")  # engine maps &nbsp; to plain space
+        s = re.sub(r"[\t\r\f\v]", " ", s)
+        s = re.sub(r" {2,}", " ", s)
+        s = re.sub(r" ?\n ?", "\n", s)
+        s = re.sub(r"\n+", "\n", s)
+        out.append(s.strip(" \n"))
+    return out
+
+
+_words = st.text(alphabet="abcz XYZ09.,!", min_size=0, max_size=12)
+_entity = st.sampled_from(["&amp;", "&lt;", "&gt;", "&quot;", "&copy;",
+                           "&nbsp;", "&#65;", "&#x42;", "&hellip;"])
+_textnode = st.builds(lambda a, e, b: a + e + b, _words, _entity, _words) | _words
+_attr = st.sampled_from(["", ' class="x"', ' data-q="a>b"', " id='7'",
+                         ' href="https://h/p"'])
+
+
+def _el(children):
+    inline = st.builds(lambda t, a, c: f"<{t}{a}>{c}</{t}>",
+                       st.sampled_from(["span", "b", "i", "a", "em"]),
+                       _attr, children)
+    block = st.builds(lambda t, a, c: f"<{t}{a}>{c}</{t}>",
+                      st.sampled_from(["p", "div", "li", "td", "h1", "nav"]),
+                      _attr, children)
+    comment = st.builds(lambda c: f"<!-- {c} <p>fake</p> -->", _words)
+    script = st.builds(lambda c: f"<script>if(a<b&&c>d){{x=\"{c}\";}}</script>",
+                       _words)
+    return inline | block | comment | script
+
+
+_html_doc = st.recursive(
+    _textnode,
+    lambda kids: st.builds(lambda parts: "".join(parts),
+                           st.lists(_el(kids) | _textnode, max_size=4)),
+    max_leaves=12,
+)
+
+
+@given(st.lists(_html_doc, min_size=1, max_size=12))
+@settings(max_examples=60, deadline=None)
+def test_html_extract_general_matches_htmlparser_reference(docs):
+    from flink_fingerprint_ray.functions.html import extract_text_general
+
+    got = extract_text_general(pa.array(docs, pa.string())).to_pylist()
+    want = _extract_reference(docs)
+    assert got == want, docs
