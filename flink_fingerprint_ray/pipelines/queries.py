@@ -3255,6 +3255,32 @@ GROUP BY ROLLUP(c.c_mktsegment, o.o_orderpriority)
 """
 
 
+def q_cube_revenue(sf_dir: str):
+    """GROUP BY CUBE shape: all FOUR grouping sets over (segment,
+    priority) — same single broadcast-join partial pass as the rollup;
+    the three coarser sets re-aggregate the tiny fine grid on the
+    driver, so the cube costs one scan regardless of dimension count."""
+    roll = q_rollup_revenue(sf_dir)
+    fine = roll[(roll["c_mktsegment"] != "ALL")
+                & (roll["o_orderpriority"] != "ALL")]
+    by_pri = (fine.groupby("o_orderpriority", sort=False)
+              .agg(n_orders=("n_orders", "sum"),
+                   revenue_cents=("revenue_cents", "sum"))
+              .reset_index().assign(c_mktsegment="ALL"))
+    cols = ["c_mktsegment", "o_orderpriority", "n_orders", "revenue_cents"]
+    return pd.concat([roll[cols], by_pri[cols]], ignore_index=True)
+
+
+SQL_CUBE_REVENUE = """
+SELECT COALESCE(c.c_mktsegment, 'ALL') AS c_mktsegment,
+       COALESCE(o.o_orderpriority, 'ALL') AS o_orderpriority,
+       COUNT(*) AS n_orders,
+       SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY CUBE(c.c_mktsegment, o.o_orderpriority)
+"""
+
+
 def _running_sweep(t: pa.Table) -> pd.DataFrame:
     """Segmented cumulative sum over one hash partition: sort by
     (custkey, date, orderkey), global int cumsum, subtract each key
@@ -6241,6 +6267,7 @@ QUERIES = {
     "robots_filter": q_robots_filter,
     "charset_decode": q_charset_decode,
     "crawl_curation_chain": q_crawl_curation_chain,
+    "cube_revenue": q_cube_revenue,
 }
 
 ORACLE_SQL = {
@@ -6401,4 +6428,5 @@ ORACLE_SQL = {
     "robots_filter": SQL_ROBOTS_FILTER,
     "charset_decode": SQL_CHARSET_DECODE,
     "crawl_curation_chain": SQL_CRAWL_CURATION_CHAIN,
+    "cube_revenue": SQL_CUBE_REVENUE,
 }

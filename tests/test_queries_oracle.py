@@ -127,6 +127,7 @@ FAST_SQL_QUERIES = [
     "outlink_graph",
     "charset_decode",
     "crawl_curation_chain",
+    "cube_revenue",
 ]
 
 
