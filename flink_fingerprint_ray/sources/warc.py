@@ -488,15 +488,19 @@ class _WarcPagePrep:
     the columns the flagship pipeline reads (``url, warc_ts, html,
     text, lang``)."""
 
-    def __init__(self) -> None:
+    def __init__(self, extractor: str = "strict") -> None:
         from ..functions.textstats import LangIdModel
 
         self.model = LangIdModel()      # once per actor
+        self.extractor = extractor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.fingerprint import extract_text
+        if self.extractor == "general":
+            from ..functions.html import extract_text_general as _extract
+        else:
+            from ..functions.fingerprint import extract_text as _extract
 
-        text = extract_text(batch["html"])
+        text = _extract(batch["html"])
         lang = pa.array(self.model.predict(text), pa.string())
         return pa.table(
             {
@@ -510,7 +514,8 @@ class _WarcPagePrep:
 
 
 def warc_to_epochs(paths: list[str], out_root: str, prefix: str = "pages",
-                   files_per_epoch: int = 1) -> list[str]:
+                   files_per_epoch: int = 1,
+                   extractor: str = "strict") -> list[str]:
     """Bridge crawl archives into the engine's epoched-parquet stream:
     each group of ``files_per_epoch`` WARC files becomes one sealed
     ``{out_root}/{prefix}/epoch=K/`` directory (arrival order = file
@@ -531,7 +536,8 @@ def warc_to_epochs(paths: list[str], out_root: str, prefix: str = "pages",
         with open(marker, "w"):
             pass
         ds = read_warc(group).map_batches(
-            _WarcPagePrep, concurrency=(1, 4), batch_format="pyarrow")
+            _WarcPagePrep, fn_constructor_kwargs={"extractor": extractor},
+            concurrency=(1, 4), batch_format="pyarrow")
         ds.write_parquet(d)
         os.remove(marker)       # seal: now visible to the epoch cursor
         dirs.append(d)

@@ -338,3 +338,65 @@ class TestCdxIndex:
         pd.testing.assert_frame_equal(eng.reset_index(drop=True),
                                       ora.reset_index(drop=True),
                                       check_dtype=False)
+
+
+class TestWarcGeneralExtraction:
+    def test_crawl_bridge_with_general_extractor_parity(self, ray_session,
+                                                        tmp_path):
+        """Messy real-world markup through the WHOLE crawl story:
+        WARC.gz files of hostile-template pages → warc_to_epochs with
+        extractor="general" → flagship pipeline (same extractor) →
+        oracle parity on the read-back table."""
+        import glob as _glob
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from flink_fingerprint_ray import fixtures
+        from flink_fingerprint_ray.oracle import oracle_fingerprints
+        from flink_fingerprint_ray.pipelines.streaming import (
+            PipelineConfig,
+            StreamingFingerprintPipeline,
+        )
+        from flink_fingerprint_ray.sources.warc import warc_to_epochs, write_warc
+
+        pages = fixtures.make_pages(n_docs=600, seed=61, html_style="messy")
+        n_files = 3
+        bounds = np.linspace(0, pages.num_rows, n_files + 1).astype(int)
+        paths = []
+        for s in range(n_files):
+            sl = pages.slice(bounds[s], bounds[s + 1] - bounds[s])
+            recs = [{"url": u, "ts_ms": t, "html": h}
+                    for u, t, h in zip(sl["url"].to_pylist(),
+                                       sl["warc_ts"].cast("int64").to_pylist(),
+                                       sl["html"].to_pylist())]
+            paths.append(write_warc(recs, str(tmp_path / f"c{s}.warc.gz"),
+                                    chunked_every=5))
+        root = str(tmp_path / "stream")
+        dirs = warc_to_epochs(paths, root, files_per_epoch=1,
+                              extractor="general")
+        back = pa.concat_tables([
+            pq.read_table(f)
+            for d in dirs
+            for f in sorted(_glob.glob(os.path.join(d, "*.parquet")))
+        ])
+        # the bridge's text column is the GENERAL extraction (includes
+        # template boilerplate lines), not the strict fixture text
+        assert back.num_rows == pages.num_rows
+        assert back["text"].to_pylist() != pages["text"].to_pylist()
+        assert all("\n" in t for t in back["text"].to_pylist()[:10])
+
+        cfg = PipelineConfig(sliding=None, session_gap_ms=0,
+                             n_state_partitions=2, extractor="general")
+        pipe = StreamingFingerprintPipeline(
+            os.path.join(root, "pages"), str(tmp_path / "out"), cfg=cfg)
+        pipe.run()
+        eng = pipe.result_dataset().to_pandas()
+        pipe.shutdown()
+        ora = oracle_fingerprints(back, n_files, sliding=None,
+                                  session_gap_ms=0, extractor="general")
+        sc = ["window_kind", "key_lang", "key_host", "window_start"]
+        pd.testing.assert_frame_equal(
+            eng.sort_values(sc).reset_index(drop=True)[ora.columns.tolist()],
+            ora.sort_values(sc).reset_index(drop=True), check_dtype=False)
