@@ -5603,14 +5603,21 @@ def q_winnow_fingerprints(sf_dir: str, k: int = 4, w: int = 4):
                          batch_format="pyarrow")
 
     def partial(batch: pa.Table) -> pd.DataFrame:
+        # (doc_id, fp)-level partials: a doc's rows may split across
+        # batches, so distinct-fp counting must wait for the doc
+        # partition — summing per-batch nunique would overcount
         df = batch.to_pandas()
-        g = df.groupby("doc_id", sort=False)["fp"]
-        return g.agg(n_fps="size", n_distinct_fps="nunique").reset_index()
+        g = df.groupby(["doc_id", "fp"], sort=False)
+        return g.size().rename("n").reset_index()
+
+    def per_doc(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        g = df.groupby(["doc_id", "fp"], sort=False)["n"].sum().reset_index()
+        d = g.groupby("doc_id", sort=False)["n"]
+        return d.agg(n_fps="sum", n_distinct_fps="size").reset_index()
 
     parts = fps.map_batches(partial, batch_format="pyarrow")
-    return grouped_map(parts, ["doc_id"], _combine_partials,
-                       fn_kwargs={"keys": ["doc_id"],
-                                  "sums": ["n_fps", "n_distinct_fps"]})
+    return grouped_map(parts, ["doc_id"], per_doc)
 
 
 def q_winnow_fingerprints_check(sf_dir: str, k: int = 4, w: int = 4):
