@@ -52,6 +52,7 @@ SKIP_QUERIES = {
     "media_image_features_check",
     "countmin_check",
     "winnow_fingerprints_check",
+    "host_pagerank_check",
 }
 
 

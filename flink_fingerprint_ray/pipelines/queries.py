@@ -6137,6 +6137,345 @@ FROM clean GROUP BY xtext
 """
 
 
+# ---------------------------------------------------------------------------
+# Flink-SQL window/CEP parity extensions (round 4d): CUMULATE TVF, windowed
+# Top-N, MATCH_RECOGNIZE-style consecutive pattern, upsert-stream aggregate,
+# and PageRank over the crawl outlink host graph.
+# ---------------------------------------------------------------------------
+
+CUMULATE_STEP_MS = 300_000       # 5-min emit step
+CUMULATE_MAX_MS = 1_200_000      # 20-min max span (4 cumulative slices)
+
+
+def q_cumulate_windows(sf_dir: str):
+    """Flink CUMULATE window TVF analog (public Flink SQL semantics: a
+    tumbling max-span window that emits a growing prefix every step): an
+    event at ts belongs to every (window_start, window_end) pair with
+    window_start = floor(ts/max)*max and window_end = window_start + k*step
+    for each step boundary AFTER the event.  The explode is vectorized
+    (repeat by per-row slice count); partials pre-aggregate per
+    (event_type, start, end) inside map_batches so the exchange carries
+    one row per key per block, never per event."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    n_slices = CUMULATE_MAX_MS // CUMULATE_STEP_MS
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        tms = batch["ts"].cast(pa.int64()).to_numpy() // 1000
+        start = (tms // CUMULATE_MAX_MS) * CUMULATE_MAX_MS
+        # first emitting slice index for each row: the step boundary
+        # strictly after ts
+        k0 = (tms - start) // CUMULATE_STEP_MS + 1
+        reps = (n_slices - k0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(tms)), reps)
+        # k values: k0[i] .. n_slices for each row i, flattened
+        offs = np.arange(len(idx)) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)[:-1])), reps)
+        k = k0[idx] + offs
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas().to_numpy()[idx],
+            "window_start": start[idx],
+            "window_end": start[idx] + k * CUMULATE_STEP_MS,
+            "value": batch["value"].to_numpy()[idx],
+        })
+        g = df.groupby(["event_type", "window_start", "window_end"], sort=False)["value"]
+        return g.agg(n_events="size", sum_value="sum").reset_index()
+
+    parts = ds.map_batches(explode, batch_format="pyarrow")
+    final = grouped_map(
+        parts, ["event_type", "window_start", "window_end"], _combine_partials,
+        fn_kwargs={"keys": ["event_type", "window_start", "window_end"],
+                   "sums": ["n_events", "sum_value"]},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "window_start": batch["window_start"].cast(pa.int64()),
+            "window_end": batch["window_end"].cast(pa.int64()),
+            "n_events": batch["n_events"].cast(pa.int64()),
+            "sum_value_cents": pa.array(_cents(batch["sum_value"].to_numpy()), pa.int64()),
+        })
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_CUMULATE_WINDOWS = """
+SELECT event_type,
+       (epoch_ms(ts) // 1200000) * 1200000 AS window_start,
+       (epoch_ms(ts) // 1200000) * 1200000 + k * 300000 AS window_end,
+       COUNT(*) AS n_events,
+       CAST(floor(SUM(value) * 100 + 0.5) AS BIGINT) AS sum_value_cents
+FROM events CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS k) s
+WHERE epoch_ms(ts) < (epoch_ms(ts) // 1200000) * 1200000 + k * 300000
+GROUP BY 1, 2, 3
+"""
+
+
+WINDOW_TOPN_MS = 600_000   # 10-min tumbling windows
+WINDOW_TOPN_K = 3
+
+
+def q_window_topn_hosts(sf_dir: str):
+    """Flink windowed Top-N analog over the pages stream: per tumbling
+    10-min event-time window, the top-3 hosts by doc count with dense
+    row-number ranks (ties broken by host asc, matching the SQL
+    ROW_NUMBER() ORDER BY doc_count DESC, key_host).  Partial counts per
+    (window, host) inside map_batches; ONE exchange on window_start —
+    each window's candidate set lands whole in one partition, where the
+    combine + rank is a vectorized sort + cumcount."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy()
+        tms = BASE_TS_MS + ids.astype(np.int64) * 1000
+        df = pd.DataFrame({
+            "window_start": (tms // WINDOW_TOPN_MS) * WINDOW_TOPN_MS,
+            "key_host": "h" + pd.Series(ids % 20).astype(str) + ".example.com",
+        })
+        return (df.groupby(["window_start", "key_host"], sort=False)
+                .size().rename("doc_count").reset_index())
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def topn(t: pa.Table) -> pd.DataFrame:
+        df = (t.to_pandas()
+              .groupby(["window_start", "key_host"], sort=False)["doc_count"]
+              .sum().reset_index()
+              .sort_values(["window_start", "doc_count", "key_host"],
+                           ascending=[True, False, True], kind="stable"))
+        df["rnk"] = df.groupby("window_start", sort=False).cumcount() + 1
+        out = df[df["rnk"] <= WINDOW_TOPN_K].reset_index(drop=True)
+        return out.astype({"window_start": "int64", "doc_count": "int64",
+                           "rnk": "int64"})
+
+    return grouped_map(parts, ["window_start"], topn)
+
+
+SQL_WINDOW_TOPN_HOSTS = """
+WITH pages AS (
+  SELECT ((1700000000000 + doc_id * 1000) // 600000) * 600000 AS window_start,
+         'h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS key_host
+  FROM documents),
+c AS (SELECT window_start, key_host, COUNT(*) AS doc_count
+      FROM pages GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY window_start
+                                   ORDER BY doc_count DESC, key_host) AS rnk
+      FROM c)
+SELECT window_start, key_host, doc_count, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+"""
+
+
+def _cep_sweep(t: pa.Table) -> pd.DataFrame:
+    """Vectorized MATCH_RECOGNIZE over one user-hash partition: find every
+    strictly-consecutive ``view+ click purchase`` match in each user's
+    (ts, event_id)-ordered stream.  Run lengths come from the
+    maximum.accumulate barrier trick (no Python row loop); user
+    boundaries cap the run so patterns never cross users."""
+    df = t.to_pandas().sort_values(["user_id", "ts_us", "event_id"],
+                                   kind="stable").reset_index(drop=True)
+    n = len(df)
+    if n < 3:
+        return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                             "start_ts_us": pd.Series([], dtype="int64"),
+                             "n_views": pd.Series([], dtype="int64"),
+                             "purchase_ts_us": pd.Series([], dtype="int64")})
+    user = df["user_id"].to_numpy()
+    ts = df["ts_us"].to_numpy()
+    et = df["event_type"].to_numpy()
+    idx = np.arange(n)
+    new_user = np.concatenate(([True], user[1:] != user[:-1]))
+    # longest view-run ending at j (within user): distance to the last
+    # non-view row, capped at the user-segment start
+    last_nonview = np.maximum.accumulate(np.where(et != "view", idx, -1))
+    user_start = np.maximum.accumulate(np.where(new_user, idx, 0))
+    run = np.minimum(idx - last_nonview, idx - user_start + 1)
+    run = np.where(et == "view", run, 0)
+    # match anchor: purchase at j, click at j-1, view-run >= 1 at j-2,
+    # all three rows in the same user segment
+    j = idx[2:][(et[2:] == "purchase") & (et[1:-1] == "click")
+                & (run[:-2] >= 1) & (user[2:] == user[:-2])]
+    n_views = run[j - 2]
+    start = j - 2 - (n_views - 1)
+    return pd.DataFrame({
+        "user_id": user[j].astype(np.int64),
+        "start_ts_us": ts[start].astype(np.int64),
+        "n_views": n_views.astype(np.int64),
+        "purchase_ts_us": ts[j].astype(np.int64),
+    })
+
+
+def q_cep_pattern_matches(sf_dir: str):
+    """CEP pattern matching (Flink MATCH_RECOGNIZE analog, public SQL-2016
+    row-pattern semantics with greedy ``A+ B C``): per user, every
+    maximal run of consecutive 'view' events followed immediately by
+    'click' then 'purchase'.  One hash exchange on user_id co-locates
+    each user's stream; the per-partition sweep is fully vectorized."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "event_type": batch["event_type"],
+            "ts_us": batch["ts"].cast(pa.int64()),
+        })
+
+    return grouped_map(ds.map_batches(prep, batch_format="pyarrow"),
+                       ["user_id"], _cep_sweep)
+
+
+SQL_CEP_PATTERN_MATCHES = """
+WITH s AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+nv AS (
+  SELECT user_id, rn, tus,
+         max(CASE WHEN event_type <> 'view' THEN rn ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY rn) AS last_nonview
+  FROM s)
+SELECT p.user_id,
+       b.tus AS start_ts_us,
+       CAST((p.rn - 2) - w.last_nonview AS BIGINT) AS n_views,
+       p.tus AS purchase_ts_us
+FROM s p
+JOIN s c ON c.user_id = p.user_id AND c.rn = p.rn - 1
+JOIN nv w ON w.user_id = p.user_id AND w.rn = p.rn - 2
+JOIN s b ON b.user_id = p.user_id AND b.rn = w.last_nonview + 1
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+  AND (p.rn - 2) - w.last_nonview >= 1
+"""
+
+
+def _upsert_sweep(t: pa.Table) -> pd.DataFrame:
+    """Latest row per (user_id, event_type) upsert key — all rows of a
+    user are co-located, so per-partition latest IS the global latest —
+    then a local partial aggregate per event_type."""
+    df = (t.to_pandas()
+          .sort_values(["user_id", "event_type", "ts_us", "event_id"],
+                       ascending=[True, True, False, False], kind="stable")
+          .drop_duplicates(["user_id", "event_type"], keep="first"))
+    g = df.groupby("event_type", sort=False)["value"]
+    return g.agg(n_keys="size", sum_latest="sum").reset_index()
+
+
+def q_upsert_aggregate(sf_dir: str):
+    """Flink upsert/changelog-stream aggregation analog (public Flink
+    retract-stream semantics: the aggregate reflects only each key's
+    LATEST row): events form an upsert stream keyed by (user_id,
+    event_type) with (ts, event_id) as the version; aggregate the
+    materialized latest values per event_type.  One exchange on user_id;
+    the retraction logic collapses to a per-partition keep-latest because
+    every version of a key lands in the same partition."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "event_type", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "event_type": batch["event_type"],
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "value": batch["value"],
+        })
+
+    parts = grouped_map(ds.map_batches(prep, batch_format="pyarrow"),
+                        ["user_id"], _upsert_sweep)
+    final = grouped_map(parts, ["event_type"], _combine_partials,
+                        fn_kwargs={"keys": ["event_type"],
+                                   "sums": ["n_keys", "sum_latest"]})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "n_keys": batch["n_keys"].cast(pa.int64()),
+            "sum_latest_cents": pa.array(
+                _cents(batch["sum_latest"].to_numpy()), pa.int64()),
+        })
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_UPSERT_AGGREGATE = """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT event_type, COUNT(*) AS n_keys,
+       CAST(floor(SUM(value) * 100 + 0.5) AS BIGINT) AS sum_latest_cents
+FROM r WHERE rn = 1 GROUP BY event_type
+"""
+
+
+def _host_edges(sf_dir: str):
+    """Int-keyed edge Dataset + (node, host) dictionary Dataset from the
+    outlink host graph (q_outlink_graph's parse).  Node id is the 64-bit
+    text hash of the host — the hash-as-id idiom of web-graph systems —
+    so edges stream straight into the resident-partition PageRank with
+    no driver-side id assignment; the dictionary (one row per DISTINCT
+    host, the same cardinality as the rank output itself) is the only
+    small side."""
+    edges = q_outlink_graph(sf_dir)
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            s = fp.text_hash64(batch["src_host"]).view(np.int64)
+            d = fp.text_hash64(batch["dst_host"]).view(np.int64)
+        return pa.table({"src": pa.array(s, pa.int64()),
+                         "dst": pa.array(d, pa.int64())})
+
+    def to_dict(batch: pa.Table) -> pd.DataFrame:
+        hosts = pd.concat([batch["src_host"].to_pandas(),
+                           batch["dst_host"].to_pandas()]).drop_duplicates()
+        with np.errstate(over="ignore"):
+            node = fp.text_hash64(pa.array(hosts, pa.string())).view(np.int64)
+        return pd.DataFrame({"node": node, "host": hosts.to_numpy()})
+
+    ids = edges.map_batches(to_ids, batch_format="pyarrow")
+    hostmap = grouped_map(edges.map_batches(to_dict, batch_format="pyarrow"),
+                          ["node"], _hostmap_dedup)
+    return ids, hostmap
+
+
+def _hostmap_dedup(t: pa.Table) -> pd.DataFrame:
+    return t.to_pandas().drop_duplicates("node").reset_index(drop=True)
+
+
+def q_host_pagerank(sf_dir: str):
+    """Crawl-graph PageRank: the outlink host graph (parsed from anchor
+    markup, q_outlink_graph) ranked by the resident-partition power
+    iteration of stages/graph.py (edges hash-partitioned once, only
+    locally-summed contribution rows cross the exchange per iteration).
+    Rows-only — float iteration; the paired check pins distributed vs
+    single-process agreement."""
+    from ..stages.graph import distributed_pagerank
+
+    ids, hostmap = _host_edges(sf_dir)
+    ranks = distributed_pagerank(ids)
+    hm = hostmap.to_pandas()
+    out = ranks.merge(hm, on="node", how="left")
+    return (out[["host", "rank_micros"]]
+            .sort_values("host", kind="stable").reset_index(drop=True))
+
+
+def q_host_pagerank_check(sf_dir: str):
+    """Driver-visible invariant: the distributed crawl-graph PageRank
+    agrees with the single-process numpy recompute on every host to
+    within 2 micros (float summation order is the only degree of
+    freedom).  The oracle pins mismatch_rows = 0."""
+    from ..stages.graph import distributed_pagerank, reference_pagerank
+
+    ids, _ = _host_edges(sf_dir)
+    dist = distributed_pagerank(ids)
+    ref = reference_pagerank(ids.to_pandas())
+    m = dist.merge(ref, on="node", how="outer", suffixes=("_d", "_r"))
+    bad = (m["rank_micros_d"].isna() | m["rank_micros_r"].isna()
+           | ((m["rank_micros_d"] - m["rank_micros_r"]).abs() > 2))
+    return pd.DataFrame({"mismatch_rows": pd.array([int(bad.sum())], dtype="int64")})
+
+
 QUERIES = {
     "tumbling_stats": q_tumbling_stats,
     "sliding_counts": q_sliding_counts,
@@ -6275,6 +6614,12 @@ QUERIES = {
     "charset_decode": q_charset_decode,
     "crawl_curation_chain": q_crawl_curation_chain,
     "cube_revenue": q_cube_revenue,
+    "cumulate_windows": q_cumulate_windows,
+    "window_topn_hosts": q_window_topn_hosts,
+    "cep_pattern_matches": q_cep_pattern_matches,
+    "upsert_aggregate": q_upsert_aggregate,
+    "host_pagerank": q_host_pagerank,
+    "host_pagerank_check": q_host_pagerank_check,
 }
 
 ORACLE_SQL = {
@@ -6436,4 +6781,11 @@ ORACLE_SQL = {
     "charset_decode": SQL_CHARSET_DECODE,
     "crawl_curation_chain": SQL_CRAWL_CURATION_CHAIN,
     "cube_revenue": SQL_CUBE_REVENUE,
+    "cumulate_windows": SQL_CUMULATE_WINDOWS,
+    "window_topn_hosts": SQL_WINDOW_TOPN_HOSTS,
+    "cep_pattern_matches": SQL_CEP_PATTERN_MATCHES,
+    "upsert_aggregate": SQL_UPSERT_AGGREGATE,
+    # host_pagerank is rows-only (float power iteration); the paired
+    # check pins distributed-vs-reference agreement
+    "host_pagerank_check": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
 }

@@ -128,6 +128,11 @@ FAST_SQL_QUERIES = [
     "charset_decode",
     "crawl_curation_chain",
     "cube_revenue",
+    "cumulate_windows",
+    "window_topn_hosts",
+    "cep_pattern_matches",
+    "upsert_aggregate",
+    "host_pagerank_check",
 ]
 
 
@@ -169,7 +174,7 @@ def test_rows_only_queries_nonempty(ray_session):
                  "model_lang_score", "media_jpeg_features",
                  "media_png_features", "media_audio_codecs",
                  "media_video_frames", "media_gif_features",
-                 "media_gif_anim_frames"):
+                 "media_gif_anim_frames", "host_pagerank"):
         df = _to_df(q[name](SF))
         assert len(df) > 0, name
 
