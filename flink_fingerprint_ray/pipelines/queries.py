@@ -6476,6 +6476,253 @@ def q_host_pagerank_check(sf_dir: str):
     return pd.DataFrame({"mismatch_rows": pd.array([int(bad.sum())], dtype="int64")})
 
 
+HOST_QUOTA_K = 10
+
+
+def q_host_quota_cap(sf_dir: str):
+    """Per-domain quota cap (the FineWeb/CC curation primitive that
+    bounds any one site's share of the corpus): keep each host's first
+    K=10 pages by event time, drop the rest.  ONE exchange on key_host
+    co-locates a host's pages; the per-partition sweep is a vectorized
+    sort + cumcount — the distributed ROW_NUMBER() <= K idiom."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy()
+        return pd.DataFrame({
+            "key_host": "h" + pd.Series(ids % 20).astype(str) + ".example.com",
+            "tms": BASE_TS_MS + ids.astype(np.int64) * 1000,
+            "doc_id": ids.astype(np.int64),
+        })
+
+    def cap(t: pa.Table) -> pd.DataFrame:
+        df = (t.to_pandas()
+              .sort_values(["key_host", "tms", "doc_id"], kind="stable")
+              .reset_index(drop=True))
+        df["rn"] = df.groupby("key_host", sort=False).cumcount() + 1
+        out = df[df["rn"] <= HOST_QUOTA_K][["key_host", "doc_id", "rn"]]
+        return out.astype({"doc_id": "int64", "rn": "int64"}).reset_index(drop=True)
+
+    parts = ds.map_batches(prep, batch_format="pyarrow")
+    return grouped_map(parts, ["key_host"], cap)
+
+
+SQL_HOST_QUOTA_CAP = """
+WITH pages AS (
+  SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS key_host,
+         1700000000000 + doc_id * 1000 AS tms, doc_id
+  FROM documents),
+r AS (SELECT key_host, doc_id,
+             row_number() OVER (PARTITION BY key_host
+                                ORDER BY tms, doc_id) AS rn
+      FROM pages)
+SELECT key_host, doc_id, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 10
+"""
+
+
+def q_bigram_logprob(sf_dir: str):
+    """Bigram language-model quality score (the KenLM-perplexity-filter
+    shape of CCNet at n=2): tokens map to a 25-class alphabet (top-24
+    corpus unigrams + one OOV class, same vocab rule as
+    ``unigram_logprob``); the class-bigram transition table with add-one
+    smoothing is trained corpus-wide and scores every adjacent pair.
+    Scale shape: pass 1 exchanges bounded word-count partials, pass 2
+    exchanges 25x25-bounded pair-count partials, pass 3 broadcasts the
+    625-entry micros log-prob matrix via ray.put and streams the corpus;
+    per-pair micros round BEFORE the doc sum keeps the value int-exact
+    regardless of summation order."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    # ---- pass 1: top-V vocab (same exchange as unigram_logprob) ----
+    def count_partial(batch: pa.Table) -> pd.DataFrame:
+        pl = fp._polars()
+        s = pl.Series(batch["text"].combine_chunks().cast(pa.large_string()))
+        vc = s.str.extract_all(r"\S+").explode().value_counts()
+        return pd.DataFrame({"word": vc[vc.columns[0]].to_pandas(),
+                             "n": vc["count"].to_numpy().astype(np.int64)})
+
+    def count_sweep(t: pa.Table) -> pd.DataFrame:
+        return t.to_pandas().groupby("word", sort=False)["n"].sum().reset_index()
+
+    counts = grouped_map(ds.map_batches(count_partial, batch_format="pyarrow"),
+                         ["word"], count_sweep).to_pandas()
+    top = (counts.sort_values(["n", "word"], ascending=[False, True],
+                              kind="stable").head(LM_TOP_V))
+    vocab_index = pd.Index(top["word"])
+    n_classes = LM_TOP_V + 1            # class LM_TOP_V == OOV
+    vocab_ref = ray.put(vocab_index)
+
+    def _classes(batch: pa.Table):
+        """(per-doc token counts, flattened class ids) for one block."""
+        pl = fp._polars()
+        vidx = ray.get(vocab_ref)
+        s = pl.Series(batch["text"].combine_chunks().cast(pa.large_string()))
+        lists = s.str.extract_all(r"\S+")
+        lens = lists.list.len().to_numpy().astype(np.int64)
+        flat = lists.explode().drop_nulls().to_pandas()
+        cls = vidx.get_indexer(flat)
+        cls = np.where(cls >= 0, cls, LM_TOP_V)
+        return lens, cls
+
+    # ---- pass 2: class-bigram transition counts (25x25-bounded) ----
+    def pair_partial(batch: pa.Table) -> pd.DataFrame:
+        lens, cls = _classes(batch)
+        if len(cls) < 2:
+            return pd.DataFrame({"pair": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        doc = np.repeat(np.arange(len(lens)), lens)
+        adj = doc[1:] == doc[:-1]
+        pair = cls[:-1][adj] * n_classes + cls[1:][adj]
+        u, c = np.unique(pair, return_counts=True)
+        return pd.DataFrame({"pair": u.astype(np.int64),
+                             "n": c.astype(np.int64)})
+
+    pair_pdf = (ds.map_batches(pair_partial, batch_format="pyarrow")
+                .to_pandas().groupby("pair", sort=False)["n"].sum())
+    c2 = np.zeros(n_classes * n_classes, np.int64)
+    c2[pair_pdf.index.to_numpy()] = pair_pdf.to_numpy()
+    c2 = c2.reshape(n_classes, n_classes)
+    ctx = c2.sum(axis=1)                 # context counts = rows
+    # add-one smoothing over the class alphabet
+    lp = np.log((c2 + 1.0) / (ctx[:, None] + n_classes))
+    lp_micros = np.floor(lp * 1e6 + 0.5).astype(np.int64)
+    mat_ref = ray.put(lp_micros)
+
+    # ---- pass 3: score every doc ----
+    def score(batch: pa.Table) -> pa.Table:
+        lens, cls = _classes(batch)
+        mat = ray.get(mat_ref)
+        sums = np.zeros(len(lens), np.int64)
+        npairs = np.maximum(lens - 1, 0)
+        if len(cls) >= 2:
+            doc = np.repeat(np.arange(len(lens)), lens)
+            adj = doc[1:] == doc[:-1]
+            pm = mat[cls[:-1][adj], cls[1:][adj]]
+            nz = npairs > 0
+            if nz.any():
+                offsets = np.zeros(int(nz.sum()), np.int64)
+                np.cumsum(npairs[nz][:-1], out=offsets[1:])
+                sums[nz] = np.add.reduceat(pm, offsets)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_pairs": pa.array(npairs, pa.int64()),
+            "logprob_sum_micros": pa.array(sums, pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_BIGRAM_LOGPROB = r"""
+WITH cnt AS (
+  SELECT w, COUNT(*) AS n
+  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents)
+  GROUP BY w),
+top AS (SELECT w, row_number() OVER (ORDER BY n DESC, w) - 1 AS cls
+        FROM cnt ORDER BY n DESC, w LIMIT 24),
+l AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+prs AS (
+  SELECT doc_id, toks[pos] AS w1, toks[pos + 1] AS w2
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - 1)) AS pos FROM l)),
+pc AS (
+  SELECT doc_id,
+         COALESCE(t1.cls, 24) AS c1, COALESCE(t2.cls, 24) AS c2
+  FROM prs LEFT JOIN top t1 ON prs.w1 = t1.w
+           LEFT JOIN top t2 ON prs.w2 = t2.w),
+c2tab AS (SELECT c1, c2, COUNT(*) AS n FROM pc GROUP BY c1, c2),
+ctx AS (SELECT c1, SUM(n) AS n_ctx FROM c2tab GROUP BY c1),
+lp AS (
+  SELECT pc.doc_id,
+         CAST(floor(ln((COALESCE(t.n, 0) + 1.0) / (x.n_ctx + 25.0))
+                    * 1e6 + 0.5) AS BIGINT) AS micros
+  FROM pc JOIN ctx x ON pc.c1 = x.c1
+          LEFT JOIN c2tab t ON pc.c1 = t.c1 AND pc.c2 = t.c2)
+SELECT d.doc_id,
+       CAST(greatest(COALESCE(array_length(regexp_extract_all(d.text, '\S+')), 0)
+                     - 1, 0) AS BIGINT) AS n_pairs,
+       COALESCE(s.micros_sum, 0) AS logprob_sum_micros
+FROM documents d
+LEFT JOIN (SELECT doc_id, SUM(micros) AS micros_sum FROM lp GROUP BY doc_id) s
+  ON d.doc_id = s.doc_id
+"""
+
+
+def q_anchor_text_index(sf_dir: str):
+    """Anchor-text aggregation per link target (the classic web-ranking
+    signal: what OTHER pages call a host): the same noisy-markup anchors
+    as ``outlink_graph`` but now the INNER TEXT is parsed too, and the
+    exchange aggregates per dst_host — n_links, distinct anchor strings,
+    and the lexicographically-first anchor.  Distinct-anchor partials
+    stay exact because the combine keys on (dst_host, anchor) before the
+    per-host rollup."""
+    from ..functions.fingerprint import _polars
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def build_and_parse(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy()
+        parts = []
+        for j in range(3):
+            dst = pd.Series((ids * 7 + j) % 25).astype(str)
+            txt = pd.Series((ids + j) % 13).astype(str)
+            a = ('<a class="x" data-v="y>z" href="https://src' + dst
+                 + '.example.org/p">anchor ' + txt + '</a> ')
+            parts.append(pd.Series(np.where(ids % 3 >= j, a, "")).astype(str))
+        html = "<div>" + parts[0] + parts[1] + parts[2] + "</div>"
+
+        pl = _polars()
+        df = pl.DataFrame({"h": pl.Series(html.to_numpy())})
+        pairs = (
+            # quote-aware attribute grammar (the markup carries '>' inside
+            # quoted attribute values, so [^>]* cannot span the tag)
+            df.with_columns(pl.col("h")
+                            .str.extract_all(r'<a\b(?:[^>"]|"[^"]*")*>[^<]*</a>')
+                            .alias("tag"))
+            .drop("h").explode("tag").drop_nulls("tag")
+            .with_columns(
+                pl.col("tag").str.extract(r'href="https?://([^/"]+)', 1)
+                .alias("dst_host"),
+                # [^<>]* pins the capture to the run after the tag's FINAL
+                # '>' (earlier '>'s sit inside quoted attribute values)
+                pl.col("tag").str.extract(r'>([^<>]*)</a>', 1).alias("anchor"))
+            .drop_nulls(["dst_host", "anchor"])
+            .group_by(["dst_host", "anchor"]).len(name="n_links")
+        )
+        return pd.DataFrame({
+            "dst_host": pairs["dst_host"].to_list(),
+            "anchor": pairs["anchor"].to_list(),
+            "n_links": pairs["n_links"].to_numpy().astype(np.int64),
+        })
+
+    parts = ds.map_batches(build_and_parse, batch_format="pyarrow")
+
+    def rollup(t: pa.Table) -> pd.DataFrame:
+        df = (t.to_pandas()
+              .groupby(["dst_host", "anchor"], sort=False)["n_links"]
+              .sum().reset_index())
+        g = df.groupby("dst_host", sort=False)
+        out = g.agg(n_links=("n_links", "sum"),
+                    n_anchors=("anchor", "size"),
+                    first_anchor=("anchor", "min")).reset_index()
+        return out.astype({"n_links": "int64", "n_anchors": "int64"})
+
+    return grouped_map(parts, ["dst_host"], rollup)
+
+
+SQL_ANCHOR_TEXT_INDEX = """
+WITH links AS (
+  SELECT 'src' || CAST((doc_id * 7 + j) % 25 AS VARCHAR)
+           || '.example.org' AS dst_host,
+         'anchor ' || CAST((doc_id + j) % 13 AS VARCHAR) AS anchor
+  FROM documents, unnest(generate_series(0, doc_id % 3)) AS t(j))
+SELECT dst_host,
+       CAST(COUNT(*) AS BIGINT) AS n_links,
+       CAST(COUNT(DISTINCT anchor) AS BIGINT) AS n_anchors,
+       MIN(anchor) AS first_anchor
+FROM links GROUP BY dst_host
+"""
+
+
 QUERIES = {
     "tumbling_stats": q_tumbling_stats,
     "sliding_counts": q_sliding_counts,
@@ -6620,6 +6867,9 @@ QUERIES = {
     "upsert_aggregate": q_upsert_aggregate,
     "host_pagerank": q_host_pagerank,
     "host_pagerank_check": q_host_pagerank_check,
+    "host_quota_cap": q_host_quota_cap,
+    "bigram_logprob": q_bigram_logprob,
+    "anchor_text_index": q_anchor_text_index,
 }
 
 ORACLE_SQL = {
@@ -6788,4 +7038,7 @@ ORACLE_SQL = {
     # host_pagerank is rows-only (float power iteration); the paired
     # check pins distributed-vs-reference agreement
     "host_pagerank_check": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
+    "host_quota_cap": SQL_HOST_QUOTA_CAP,
+    "bigram_logprob": SQL_BIGRAM_LOGPROB,
+    "anchor_text_index": SQL_ANCHOR_TEXT_INDEX,
 }

@@ -133,6 +133,9 @@ FAST_SQL_QUERIES = [
     "cep_pattern_matches",
     "upsert_aggregate",
     "host_pagerank_check",
+    "host_quota_cap",
+    "bigram_logprob",
+    "anchor_text_index",
 ]
 
 
