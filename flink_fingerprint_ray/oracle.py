@@ -76,6 +76,7 @@ def oracle_fingerprints(
     updates: pa.Table | None = None,
     tumbling_size_ms: int = 60_000,
     sliding: tuple[int, int] | None = None,
+    cumulate: tuple[int, int] | None = None,
     session_gap_ms: int = 0,
     lateness_ms: int = 10_000,
     join_retention_ms: int = 300_000,
@@ -182,7 +183,7 @@ def oracle_fingerprints(
                 rows = rows[~rows["key_host"].isin(bl_set)]
 
         # buffer fixed windows
-        for kind, wins in _assign(rows, tumbling_size_ms, sliding):
+        for kind, wins in _assign(rows, tumbling_size_ms, sliding, cumulate):
             for (lang, host, s, en), idx in wins.items():
                 fixed_buf.setdefault((kind, lang, host, s, en), []).extend(idx)
         # buffer sessions
@@ -455,7 +456,8 @@ def oracle_alerts(fingerprints: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(columns=["key_lang", "key_host", "window_kind",
                                      "window_start", "window_end", "dup_cluster_count"])
     df = fingerprints.sort_values(
-        ["key_lang", "key_host", "window_kind", "window_start"], kind="stable")
+        ["key_lang", "key_host", "window_kind", "window_start", "window_end"],
+        kind="stable")
     flags = (df["dup_cluster_count"].to_numpy() > 0)
     keys = (df["key_lang"].astype(str) + "\x1f" + df["key_host"].astype(str)
             + "\x1f" + df["window_kind"].astype(str)).to_numpy()
@@ -470,7 +472,8 @@ def oracle_alerts(fingerprints: pd.DataFrame) -> pd.DataFrame:
                   ].reset_index(drop=True)
 
 
-def _assign(rows: pd.DataFrame, tumbling_size_ms: int, sliding):
+def _assign(rows: pd.DataFrame, tumbling_size_ms: int, sliding,
+            cumulate=None):
     """Yield (kind, {(lang,host,start,end): [row_idx]}) per configured kind."""
     ts = rows["ts_ms"].to_numpy()
     idx = rows.index.to_numpy()
@@ -490,3 +493,9 @@ def _assign(rows: pd.DataFrame, tumbling_size_ms: int, sliding):
         size, slide = sliding
         take, starts = sliding_window_starts(ts, size, slide)
         yield "sliding", group(starts, starts + size, take)
+    if cumulate is not None:
+        from .stages.windows import cumulate_window_slices
+
+        step, mx = cumulate
+        take, starts, ends = cumulate_window_slices(ts, step, mx)
+        yield "cumulate", group(starts, ends, take)

@@ -62,6 +62,12 @@ SESSION_STATE_WARN_ROWS = 500_000
 class PipelineConfig:
     tumbling_size_ms: int = 60_000            # reference: 1-min window (config.py:36)
     sliding: tuple[int, int] | None = None    # (size_ms, slide_ms)
+    cumulate: tuple[int, int] | None = None   # (step_ms, max_ms): Flink
+                                              # CUMULATE window TVF — emits
+                                              # growing [start, start+k*step)
+                                              # prefixes of each max-span
+                                              # window; max must be a
+                                              # multiple of step
     session_gap_ms: int = 0                   # 0 = session windows off
     session_max_ms: int | None = None         # None = AUTO (20 x gap); >0
                                               # force-closes sessions older than
@@ -121,6 +127,11 @@ class PipelineConfig:
             # that never idles cannot grow state forever (round-3 finding:
             # unbounded default left monotone buffered_rows_final)
             self.session_max_ms = 20 * self.session_gap_ms if self.session_gap_ms else 0
+        if self.cumulate is not None:
+            step, mx = self.cumulate
+            if step <= 0 or mx % step != 0:
+                raise ValueError("cumulate=(step_ms, max_ms) needs step > 0 "
+                                 "and max a multiple of step")
 
 
 FINGERPRINT_COLS = [
@@ -494,6 +505,14 @@ def explode_windows(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
         take, starts = sliding_window_starts(ts, size, slide)
         sl = batch.take(pa.array(take))
         parts.append(stamp(sl, "sliding", starts, starts + size))
+
+    if cfg.cumulate is not None:
+        from ..stages.windows import cumulate_window_slices
+
+        step, mx = cfg.cumulate
+        take, starts, ends = cumulate_window_slices(ts, step, mx)
+        cu = batch.take(pa.array(take))
+        parts.append(stamp(cu, "cumulate", starts, ends))
 
     if cfg.session_gap_ms > 0:
         sentinel = np.full(len(ts), -1, dtype=np.int64)
@@ -902,6 +921,11 @@ class StreamingFingerprintPipeline:
             "late_side": bool(self.cfg.late_side_output),
             "extractor": self.cfg.extractor,
             "blocklist": bool(blocklist_root),
+            # window-shape config is part of output identity: a resume
+            # under a different cumulate spec would change the row set.
+            # Key present ONLY when enabled, so checkpoints from builds
+            # predating the kind still resume when cumulate stays off.
+            **({"cumulate": list(self.cfg.cumulate)} if self.cfg.cumulate else {}),
         })
         self.pool = StatePool(
             self.cfg.n_state_partitions, self.cfg.session_gap_ms,

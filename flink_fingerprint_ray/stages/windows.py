@@ -59,6 +59,30 @@ def sliding_window_starts(ts_ms: np.ndarray, size_ms: int, slide_ms: int):
     return take_idx, starts.ravel()
 
 
+def cumulate_window_slices(ts_ms: np.ndarray, step_ms: int, max_ms: int):
+    """Explode rows into Flink CUMULATE windows (public Flink SQL window
+    TVF semantics): a row at ts belongs to every (start, end) with
+    start = floor(ts/max)*max and end = start + k*step for each step
+    boundary strictly after ts (k rises to max/step, where the cumulate
+    window coincides with the tumbling max-span window).
+
+    Returns (take_idx, window_start, window_end); row i appears once per
+    remaining slice.  Identity needs BOTH bounds — slices share a start.
+    """
+    if max_ms % step_ms != 0:
+        raise ValueError("max_ms must be a multiple of step_ms")
+    n_slices = max_ms // step_ms
+    start = (ts_ms // max_ms) * max_ms
+    k0 = (ts_ms - start) // step_ms + 1          # first emitting slice
+    reps = (n_slices - k0 + 1).astype(np.int64)
+    take_idx = np.repeat(np.arange(len(ts_ms), dtype=np.int64), reps)
+    offs = np.arange(len(take_idx), dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(reps)[:-1])), reps)
+    k = k0[take_idx] + offs
+    starts = start[take_idx]
+    return take_idx, starts, starts + k * step_ms
+
+
 def sessionize_sorted(ts_ms_sorted: np.ndarray, gap_ms: int) -> np.ndarray:
     """Session ids (0..k-1) for an ALREADY ts-sorted array: a new session
     starts when the gap to the previous event is > gap_ms (strict, matching
@@ -120,7 +144,7 @@ def fingerprint_id(key_lang: str, key_host: str, kind: str, start_ms: int, end_m
 # In-window duplicate-cluster counting
 # ---------------------------------------------------------------------------
 
-_KIND_CODE = {"tumbling": 0, "sliding": 1, "session": 2}
+_KIND_CODE = {"tumbling": 0, "sliding": 1, "session": 2, "cumulate": 3}
 
 
 class _UnionFind:
@@ -314,8 +338,11 @@ def finalize_many(table) -> pd.DataFrame:
         bands = np.column_stack([table[c].to_numpy() for c in band_cols]).astype(np.uint64)
         sig = np.column_stack([table[c].to_numpy() for c in mh_cols]).astype(np.uint32)
 
-    kind_code = pd.Series(kind).map(_KIND_CODE).fillna(3).to_numpy(dtype=np.int8)
-    order = np.lexsort((ws, kind_code, khash))
+    # window_end participates in identity: cumulate slices share a start
+    # and differ only in end (for the other kinds end is a function of
+    # (kind, start), so including it is a no-op)
+    kind_code = pd.Series(kind).map(_KIND_CODE).fillna(4).to_numpy(dtype=np.int8)
+    order = np.lexsort((we, ws, kind_code, khash))
     lang, host, kind = lang[order], host[order], kind[order]
     ws, we, tlen, thash = ws[order], we[order], tlen[order], thash[order]
     khash_s, kind_code = khash[order], kind_code[order]
@@ -326,18 +353,18 @@ def finalize_many(table) -> pd.DataFrame:
     tie = np.zeros(n, dtype=bool)
     tie[1:] = (
         (khash_s[1:] == khash_s[:-1]) & (kind_code[1:] == kind_code[:-1])
-        & (ws[1:] == ws[:-1])
+        & (ws[1:] == ws[:-1]) & (we[1:] == we[:-1])
     )
     frag = tie & np.concatenate(([False], (lang[1:] != lang[:-1]) | (host[1:] != host[:-1])))
     if frag.any():
-        order2 = np.lexsort((ws, kind, host, lang))
+        order2 = np.lexsort((we, ws, kind, host, lang))
         lang, host, kind = lang[order2], host[order2], kind[order2]
         ws, we, tlen, thash = ws[order2], we[order2], tlen[order2], thash[order2]
         bands, sig = bands[order2], sig[order2]
     new_group = np.ones(n, dtype=bool)
     new_group[1:] = (
         (lang[1:] != lang[:-1]) | (host[1:] != host[:-1])
-        | (kind[1:] != kind[:-1]) | (ws[1:] != ws[:-1])
+        | (kind[1:] != kind[:-1]) | (ws[1:] != ws[:-1]) | (we[1:] != we[:-1])
     )
     starts = np.flatnonzero(new_group)
     ends = np.append(starts[1:], n)

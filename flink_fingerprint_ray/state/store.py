@@ -386,8 +386,13 @@ class AlertStateActor:
         if not tabs:
             return schema.empty_table()
         df = pa.concat_tables(tabs, promote_options="default").to_pandas()
-        df = df.sort_values(["key_lang", "key_host", "window_kind", "window_start"],
-                            kind="stable")
+        # window_end breaks ties for cumulate slices sharing a start;
+        # across epochs windows close in end order (watermark
+        # monotonicity), and for cumulate (start, end) lexicographic
+        # order equals end order, so the scan still matches the oracle's
+        # global sort
+        df = df.sort_values(["key_lang", "key_host", "window_kind",
+                             "window_start", "window_end"], kind="stable")
         flags = (df["dup_cluster_count"].to_numpy() > 0)
         keys = (df["key_lang"].astype(str) + _ALERT_SEP + df["key_host"].astype(str)
                 + _ALERT_SEP + df["window_kind"].astype(str)).to_numpy()

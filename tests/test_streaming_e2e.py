@@ -808,3 +808,55 @@ def test_broadcast_blocklist_side_input_parity_and_resume(ray_session, tmp_path)
         StreamingFingerprintPipeline(
             os.path.join(root, "pages"), os.path.join(root, "out_bl"),
             updates_root=os.path.join(root, "updates"), cfg=cfg)
+
+
+def test_cumulate_windows_parity_and_resume(ray_session, corpus):
+    """Flink CUMULATE window kind end-to-end: each 4-min max span emits
+    growing per-minute prefixes that close at their own step boundary, so
+    window identity is (start, END).  Engine output must match the
+    oracle row-exactly (including rising-edge alert ordering with the
+    window_end tiebreak), survive kill + resume, and the channel guard
+    must refuse a resume with the kind toggled off."""
+    from flink_fingerprint_ray.oracle import oracle_alerts
+
+    root, pages, updates = corpus
+    cum = (60_000, 240_000)
+    want = oracle_fingerprints(
+        pages, N_EPOCHS, updates=updates,
+        sliding=CFG["sliding"], session_gap_ms=CFG["session_gap_ms"],
+        cumulate=cum,
+    )
+    sc = SORT_COLS + ["window_end"]
+
+    def norm(df):
+        return (df.sort_values(sc, kind="stable").reset_index(drop=True)
+                [want.columns.tolist()])
+
+    p1 = _run(root, "out_cumulate", cfg_extra={"cumulate": cum})
+    eng = p1.result_dataset().to_pandas()
+    alerts = p1.alerts_df()
+    p1.shutdown()
+    assert set(eng["window_kind"]) == {"tumbling", "sliding", "session",
+                                       "cumulate"}
+    cu = eng[eng["window_kind"] == "cumulate"]
+    # cumulate slices genuinely share a start — identity needs the end
+    assert cu.groupby(["key_lang", "key_host", "window_start"]).size().max() > 1
+    pd.testing.assert_frame_equal(norm(eng), norm(want), check_dtype=False)
+    want_alerts = oracle_alerts(want)
+    ac = ["key_lang", "key_host", "window_kind", "window_start", "window_end"]
+    pd.testing.assert_frame_equal(
+        alerts.sort_values(ac).reset_index(drop=True),
+        want_alerts.sort_values(ac).reset_index(drop=True), check_dtype=False)
+
+    # kill after 2 epochs, resume, finish: output identical
+    p2 = _run(root, "out_cumulate_resume", max_epochs=2,
+              cfg_extra={"cumulate": cum})
+    p2.shutdown()
+    p3 = _run(root, "out_cumulate_resume", cfg_extra={"cumulate": cum})
+    eng2 = p3.result_dataset().to_pandas()
+    p3.shutdown()
+    pd.testing.assert_frame_equal(norm(eng2), norm(want), check_dtype=False)
+
+    # toggling the window shape across a resume must be refused loudly
+    with pytest.raises(RuntimeError, match="side-channel"):
+        _run(root, "out_cumulate_resume")
