@@ -472,6 +472,63 @@ def oracle_alerts(fingerprints: pd.DataFrame) -> pd.DataFrame:
                   ].reset_index(drop=True)
 
 
+def oracle_cep_matches(fingerprints: pd.DataFrame, pattern) -> pd.DataFrame:
+    """Expected streaming-CEP output (Flink MATCH_RECOGNIZE analog,
+    AFTER MATCH SKIP TO NEXT ROW): over the globally sorted closed-window
+    stream, emit one row per window whose last len(pattern) strictly-
+    consecutive windows of the same (key_lang, key_host, window_kind)
+    satisfy the pattern's dup_cluster_count predicates elementwise.
+    Mirrors CepStateActor.feed (state/store.py)."""
+    from .state.store import _CEP_OPS, parse_cep_pattern
+
+    preds = parse_cep_pattern(pattern)
+    R = len(preds)
+    df = fingerprints.sort_values(
+        ["key_lang", "key_host", "window_kind", "window_start", "window_end"],
+        kind="stable").reset_index(drop=True)
+    keys = (df["key_lang"].astype(str) + "\x1f" + df["key_host"].astype(str)
+            + "\x1f" + df["window_kind"].astype(str)).to_numpy()
+    d = df["dup_cluster_count"].to_numpy().astype(np.int64)
+    n = len(df)
+    new_key = np.ones(n, dtype=bool)
+    new_key[1:] = keys[1:] != keys[:-1]
+    gs = np.flatnonzero(new_key)
+    pos = np.arange(n) - np.repeat(gs, np.diff(np.append(gs, n)))
+    ok = pos >= R - 1
+    for j, (op, c) in enumerate(preds):
+        shift = R - 1 - j
+        pj = _CEP_OPS[op](d, c)
+        if shift == 0:
+            ok &= pj
+        else:
+            shifted = np.zeros(n, dtype=bool)
+            shifted[shift:] = pj[:-shift]
+            ok &= shifted
+    hits = np.flatnonzero(ok)
+    out = df.iloc[hits][["key_lang", "key_host", "window_kind",
+                         "window_start", "window_end"]].reset_index(drop=True)
+    out.insert(3, "match_start",
+               df["window_start"].to_numpy()[hits - (R - 1)])
+    return out
+
+
+def oracle_window_topn(fingerprints: pd.DataFrame, n: int) -> pd.DataFrame:
+    """Expected windowed Top-N output from the oracle fingerprint rows:
+    per tumbling window, hosts ranked by total doc_count (desc, host asc
+    tiebreak), rank <= n.  Mirrors the engine's write_topn_part — the
+    per-epoch union equals this global ranking because a tumbling window
+    closes atomically within one epoch."""
+    df = fingerprints[fingerprints["window_kind"] == "tumbling"]
+    g = (df.groupby(["window_start", "window_end", "key_host"], as_index=False)
+           ["doc_count"].sum())
+    g = g.sort_values(["window_start", "doc_count", "key_host"],
+                      ascending=[True, False, True], kind="stable")
+    g["rank"] = g.groupby("window_start").cumcount() + 1
+    out = g[g["rank"] <= n][
+        ["window_start", "window_end", "rank", "key_host", "doc_count"]]
+    return out.reset_index(drop=True)
+
+
 def _assign(rows: pd.DataFrame, tumbling_size_ms: int, sliding,
             cumulate=None):
     """Yield (kind, {(lang,host,start,end): [row_idx]}) per configured kind."""

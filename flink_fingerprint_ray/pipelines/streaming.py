@@ -119,6 +119,21 @@ class PipelineConfig:
     # Recorded in the checkpoint manifest channel set — a resume under a
     # different extractor would silently change every fingerprint.
     extractor: str = "strict"
+    # streaming CEP (Flink MATCH_RECOGNIZE analog, AFTER MATCH SKIP TO
+    # NEXT ROW): a sequence of comparison predicates over
+    # dup_cluster_count, e.g. ("==0", ">0", ">0"); a match row is staged
+    # under the fence at every window whose last len(pattern) strictly-
+    # consecutive closed windows of the same (lang, host, kind) satisfy
+    # the predicates elementwise.  Cross-epoch partial-match state lives
+    # in a CepStateActor pool (snapshotted + resumable).
+    cep_pattern: tuple | None = None
+    # Flink window Top-N analog: >0 stages, per CLOSED tumbling window,
+    # the top-N hosts by total doc_count (summed over langs) as a
+    # per-epoch topn.parquet under the same exactly-once fence.  Needs
+    # no cross-epoch state: a tumbling window closes atomically within
+    # one epoch (a row for an already-matured window would be behind the
+    # late cutoff), so per-epoch ranking IS the global ranking.
+    window_topn: int = 0
 
     def __post_init__(self) -> None:
         if self.session_max_ms is None:
@@ -132,6 +147,10 @@ class PipelineConfig:
             if step <= 0 or mx % step != 0:
                 raise ValueError("cumulate=(step_ms, max_ms) needs step > 0 "
                                  "and max a multiple of step")
+        if self.cep_pattern is not None:
+            from ..state.store import parse_cep_pattern
+
+            parse_cep_pattern(self.cep_pattern)  # config-time validation
 
 
 FINGERPRINT_COLS = [
@@ -804,6 +823,72 @@ def write_media_part(path: str, block: pa.Table) -> int:
     return sub.num_rows
 
 
+TOPN_SCHEMA = pa.schema([
+    ("window_start", pa.int64()),
+    ("window_end", pa.int64()),
+    ("rank", pa.int64()),
+    ("key_host", pa.string()),
+    ("doc_count", pa.int64()),
+])
+
+
+@ray.remote
+def write_topn_part(path: str, n: int, part_paths: list) -> int:
+    """Windowed Top-N (Flink window Top-N analog): from this epoch's
+    staged fingerprint parts, rank hosts per closed TUMBLING window by
+    total doc_count (desc, host asc tiebreak) and stage the rank<=n rows
+    as topn.parquet under the same idempotent epoch fence.
+
+    Per-epoch ranking is exact globally because a tumbling window closes
+    atomically within one epoch: maturity is a pure function of the
+    shared watermark, and any later row for a matured window would be
+    behind the late cutoff.  Runs after the finalize barrier (the parts
+    are complete); reads only the 4 needed columns of the narrow staged
+    parts, so the extra I/O is a sliver of what finalize just wrote."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    cols = ["window_kind", "window_start", "window_end", "key_host", "doc_count"]
+    tabs = []
+    for p in part_paths:
+        if not os.path.exists(p):
+            continue  # partitions with no rows never write their part
+        t = pq.read_table(p, columns=cols)
+        t = t.filter(pc.equal(t["window_kind"], "tumbling"))
+        if t.num_rows:
+            tabs.append(t.drop_columns(["window_kind"]))
+    if not tabs:
+        pq.write_table(TOPN_SCHEMA.empty_table(), path)
+        return 0
+    t = pa.concat_tables(tabs, promote_options="default").combine_chunks()
+    ws = t["window_start"].to_numpy()
+    we = t["window_end"].to_numpy()
+    host = np.asarray(t["key_host"], dtype=object)
+    dc = t["doc_count"].to_numpy()
+    # a host splits across finalize partitions by lang: sum per (window, host)
+    order = np.lexsort((host, ws))
+    ws, we, host, dc = ws[order], we[order], host[order], dc[order]
+    new = np.concatenate(([True], (ws[1:] != ws[:-1]) | (host[1:] != host[:-1])))
+    starts = np.flatnonzero(new)
+    tot = np.add.reduceat(dc, starts)
+    g_ws, g_we, g_host = ws[starts], we[starts], host[starts]
+    order2 = np.lexsort((g_host, -tot, g_ws))
+    g_ws, g_we, g_host, tot = g_ws[order2], g_we[order2], g_host[order2], tot[order2]
+    idx = np.arange(len(g_ws), dtype=np.int64)
+    w_first = np.concatenate(([True], g_ws[1:] != g_ws[:-1]))
+    rank = idx - np.maximum.accumulate(np.where(w_first, idx, 0)) + 1
+    keep = rank <= n
+    out = pa.table({
+        "window_start": pa.array(g_ws[keep], pa.int64()),
+        "window_end": pa.array(g_we[keep], pa.int64()),
+        "rank": pa.array(rank[keep], pa.int64()),
+        "key_host": pa.array(g_host[keep], pa.string()),
+        "doc_count": pa.array(tot[keep], pa.int64()),
+    })
+    pq.write_table(out, path)
+    return out.num_rows
+
+
 @ray.remote
 def write_late_part(path: str, block: pa.Table) -> int:
     """Stage one per-doc block's dead-letter rows (url, ts_ms of rows
@@ -926,6 +1011,12 @@ class StreamingFingerprintPipeline:
             # Key present ONLY when enabled, so checkpoints from builds
             # predating the kind still resume when cumulate stays off.
             **({"cumulate": list(self.cfg.cumulate)} if self.cfg.cumulate else {}),
+            # same present-only-when-enabled contract as cumulate: a
+            # resume under a different N would mix rankings across epochs
+            **({"window_topn": int(self.cfg.window_topn)}
+               if self.cfg.window_topn else {}),
+            **({"cep": [str(p) for p in self.cfg.cep_pattern]}
+               if self.cfg.cep_pattern else {}),
         })
         self.pool = StatePool(
             self.cfg.n_state_partitions, self.cfg.session_gap_ms,
@@ -933,6 +1024,7 @@ class StreamingFingerprintPipeline:
             self.cfg.session_max_ms,
             with_dedup=self.cfg.curation_min_chars > 0,
             with_neardup=self.cfg.neardup,
+            cep_pattern=self.cfg.cep_pattern,
         )
         self.counter = MetricCounter.remote()
         # curation: broadcast the benchmark gram set ONCE (ray.put), read
@@ -945,7 +1037,24 @@ class StreamingFingerprintPipeline:
         self._session_warn_rows = SESSION_STATE_WARN_ROWS
         self._wm = self.manifest.watermark_ms  # in-memory watermark chain
         if self.manifest.cursor >= 0:  # resume: restore actor state snapshots
-            self.pool.restore(self.manifest.last_snapshot(), self.manifest.watermark_ms)
+            snap = self.manifest.last_snapshot()
+            old_n = sum(1 for k in snap
+                        if k.startswith("window_") and k[7:].isdigit())
+            if old_n and old_n != self.cfg.n_state_partitions:
+                # savepoint rescaling: the checkpoint was written at a
+                # different parallelism — re-partition the committed
+                # state by the routing hashes at the new count
+                if self.cfg.neardup:
+                    raise RuntimeError(
+                        "cannot rescale n_state_partitions with neardup "
+                        f"enabled (checkpoint has {old_n} partitions, config "
+                        f"wants {self.cfg.n_state_partitions}): the band "
+                        "registry spills to per-partition sorted runs on "
+                        "disk; resume with the original partition count"
+                    )
+                self.pool.rescale_restore(snap, self.manifest.watermark_ms, old_n)
+            else:
+                self.pool.restore(snap, self.manifest.watermark_ms)
 
     def ready(self) -> None:
         """Wait for the state-actor pool to finish spawning (see
@@ -1229,10 +1338,11 @@ class StreamingFingerprintPipeline:
         )
         if update_routes:
             ray.get(update_routes)  # build side complete before any probe
-        write_refs, alert_refs = [], []
+        write_refs, alert_refs, part_paths = [], [], []
         for p in (range(P) if fin_refs else []):
+            part_paths.append(os.path.join(staging, f"part-{p:05d}.parquet"))
             cnt, al = finalize_partition.remote(
-                os.path.join(staging, f"part-{p:05d}.parquet"),
+                part_paths[-1],
                 self.pool.join_actors, cfg.n_state_partitions,
                 p, P, *fin_refs,
             )
@@ -1287,6 +1397,7 @@ class StreamingFingerprintPipeline:
             "upd_epoch": upd_epoch,
             "write_refs": write_refs,
             "alert_refs": alert_refs,
+            "part_paths": part_paths,
             "staging": staging,
             "wm": wm_new,
             "snap_dir": snap_dir,
@@ -1342,12 +1453,27 @@ class StreamingFingerprintPipeline:
         # rising-edge alerts (T3 analog): strictly sequential per epoch —
         # fed AFTER the finalize barrier, written into the staging dir so
         # they ride the same idempotent fence, state snapshotted with it
-        pending["alert_feed_refs"] = (
-            self.pool.feed_alerts(pending["alert_refs"]) if pending["alert_refs"] else []
+        pending["alert_feed_refs"], pending["cep_feed_refs"] = (
+            self.pool.feed_alerts_and_cep(pending["alert_refs"])
+            if pending["alert_refs"] else ([], [])
         )
+        # windowed Top-N side output: submitted AFTER the finalize barrier
+        # (the staged parts this task reads are complete), awaited with
+        # everything else in _finish_commit's combined ray.get
+        pending["topn_refs"] = []
+        if self.cfg.window_topn > 0:
+            pending["topn_refs"] = [write_topn_part.remote(
+                os.path.join(pending["staging"], "topn.parquet"),
+                self.cfg.window_topn, pending["part_paths"],
+            )]
         pending["evict_refs"] = self.pool.evict_join_refs(pending["wm"])
         pending["j_snap_refs"] = self.pool.snapshot_join_refs(pending["snap_dir"])
         pending["a_snap_refs"] = self.pool.snapshot_alerts_refs(pending["snap_dir"])
+        # feed-before-snapshot holds per actor FIFO (same submitter),
+        # exactly like the alert pool above.  Snapshot submitted
+        # unconditionally whenever the pool exists: an epoch with no
+        # closed windows must still record the cumulative tail state.
+        pending["c_snap_refs"] = self.pool.snapshot_cep_refs(pending["snap_dir"])
         (pending["buf_w_refs"], pending["buf_j_refs"],
          pending["buf_d_refs"], pending["buf_nd_refs"]) = self.pool.buffered_refs()
         pending["metrics_ref"] = self.counter.take_prefix.remote(f"e{epoch.index}:")
@@ -1391,9 +1517,11 @@ class StreamingFingerprintPipeline:
             nd_kept = int(sum(r[0] for r in nd_results))
             nd_docs = int(sum(r[1] for r in nd_results))
         alert_feed_refs = pending["alert_feed_refs"]
+        cep_feed_refs = pending.get("cep_feed_refs", [])
         evict_refs = pending["evict_refs"]
         j_snap_refs = pending["j_snap_refs"]
         a_snap_refs = pending["a_snap_refs"]
+        c_snap_refs = pending.get("c_snap_refs", [])
         buf_w_refs, buf_j_refs = pending["buf_w_refs"], pending["buf_j_refs"]
         buf_d_refs, buf_nd_refs = pending["buf_d_refs"], pending["buf_nd_refs"]
         metrics_ref, stale_ref = pending["metrics_ref"], pending["stale_ref"]
@@ -1403,12 +1531,14 @@ class StreamingFingerprintPipeline:
         d_snap_refs = pending.get("d_snap_refs", [])
         media_write_refs = pending.get("media_write_refs", [])
         late_write_refs = pending.get("late_write_refs", [])
+        topn_refs = pending.get("topn_refs", [])
         flat = ray.get(
-            list(pending["w_snap_refs"]) + alert_feed_refs + evict_refs
-            + j_snap_refs + a_snap_refs + buf_w_refs + buf_j_refs
+            list(pending["w_snap_refs"]) + alert_feed_refs + cep_feed_refs
+            + evict_refs
+            + j_snap_refs + a_snap_refs + c_snap_refs + buf_w_refs + buf_j_refs
             + buf_d_refs + buf_nd_refs
             + clean_write_refs + d_snap_refs + nd_snap_refs + media_write_refs
-            + late_write_refs + [metrics_ref, stale_ref]
+            + late_write_refs + topn_refs + [metrics_ref, stale_ref]
         )
         i = 0
         def _take(n):
@@ -1418,9 +1548,11 @@ class StreamingFingerprintPipeline:
             return out
         w_snap = {f"window_{k}": p for k, p in enumerate(_take(len(pending["w_snap_refs"])))}
         alert_tabs = _take(len(alert_feed_refs))
+        cep_tabs = _take(len(cep_feed_refs))
         evicted = int(sum(_take(len(evict_refs))))
         j_snap = {f"join_{k}": p for k, p in enumerate(_take(len(j_snap_refs)))}
         a_snap = {f"alerts_{k}": p for k, p in enumerate(_take(len(a_snap_refs)))}
+        c_snap = {f"cep_{k}": p for k, p in enumerate(_take(len(c_snap_refs)))}
         buf_w = _take(len(buf_w_refs))
         buf_j = _take(len(buf_j_refs))
         buf_d = _take(len(buf_d_refs))
@@ -1430,6 +1562,7 @@ class StreamingFingerprintPipeline:
         nd_snap = {f"neardup_{k}": p for k, p in enumerate(_take(len(nd_snap_refs)))}
         n_media = int(sum(_take(len(media_write_refs))))
         n_late_dlq = int(sum(_take(len(late_write_refs))))
+        n_topn = int(sum(_take(len(topn_refs))))
         metrics, stale = _take(2)
 
         n_alerts = 0
@@ -1440,8 +1573,16 @@ class StreamingFingerprintPipeline:
 
             _pq.write_table(alerts, os.path.join(pending["staging"], "alerts.parquet"))
             n_alerts = alerts.num_rows
+        n_cep = 0
+        cep = pa.concat_tables([t for t in cep_tabs if t.num_rows]) \
+            if any(t.num_rows for t in cep_tabs) else None
+        if cep is not None:
+            import pyarrow.parquet as _pq
+
+            _pq.write_table(cep, os.path.join(pending["staging"], "cep.parquet"))
+            n_cep = cep.num_rows
         t_fin = time.perf_counter()
-        snapshot = {**w_snap, **j_snap, **a_snap, **d_snap, **nd_snap}
+        snapshot = {**w_snap, **j_snap, **a_snap, **c_snap, **d_snap, **nd_snap}
         # reclaim counts of EARLIER epochs delivered after their collection
         for k, v in stale.items():
             metrics[k] = metrics.get(k, 0) + v
@@ -1456,6 +1597,8 @@ class StreamingFingerprintPipeline:
                 "neardup_dropped": nd_docs - nd_kept,
                 "media_docs": n_media,
                 "late_dlq_rows": n_late_dlq,
+                "topn_rows": n_topn,
+                "cep_matches": n_cep,
                 "join_evicted": evicted,
                 # S9 lag analog: epochs discovered but not yet committed
                 "epochs_behind": max(0, len(self.source) - epoch.index - 1),
@@ -1703,6 +1846,35 @@ class StreamingFingerprintPipeline:
         return pa.concat_tables(
             [_pq.read_table(f) for f in files], promote_options="default"
         ).to_pandas()
+
+    def topn_df(self) -> pd.DataFrame:
+        """Committed windowed Top-N rows (window_start, window_end, rank,
+        key_host, doc_count), all epochs — the Flink window Top-N analog."""
+        import glob
+
+        import pyarrow.parquet as _pq
+
+        files = sorted(glob.glob(os.path.join(self.sink.out_dir, "epoch=*", "topn.parquet")))
+        if not files:
+            return pd.DataFrame(columns=TOPN_SCHEMA.names)
+        return pa.concat_tables(
+            [_pq.read_table(f) for f in files], promote_options="default"
+        ).to_pandas()
+
+    def cep_df(self) -> pd.DataFrame:
+        """Committed CEP match rows (Flink MATCH_RECOGNIZE analog), all
+        epochs: one row per window ending a pattern match, with the first
+        matched window's start as match_start."""
+        import glob
+
+        import pyarrow.parquet as _pq
+
+        files = sorted(glob.glob(os.path.join(self.sink.out_dir, "epoch=*", "cep.parquet")))
+        if not files:
+            return pd.DataFrame(columns=[
+                "key_lang", "key_host", "window_kind", "match_start",
+                "window_start", "window_end"])
+        return pa.concat_tables([_pq.read_table(f) for f in files]).to_pandas()
 
     def alerts_df(self) -> pd.DataFrame:
         """Committed rising-edge alert rows (T3 analog), all epochs."""

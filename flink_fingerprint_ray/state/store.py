@@ -212,6 +212,21 @@ class WindowStateActor:
         self.mature_fixed(watermark_ms)      # discard: already emitted
         self.mature_sessions(watermark_ms)   # discard: already emitted
 
+    def restore_tables(self, fixed: pa.Table | None, session: pa.Table | None,
+                       watermark_ms: int) -> None:
+        """Savepoint-rescale restore: receive this partition's re-hashed
+        share of the committed state as in-memory tables (no backing
+        checkpoint files yet), replay mature() at the committed
+        watermark, and keep everything as un-snapshotted DELTA so the
+        next snapshot writes this partition's full state."""
+        self._fixed = [fixed] if fixed is not None and fixed.num_rows else []
+        self._session = [session] if session is not None and session.num_rows else []
+        self._snap_paths = {"fixed": [], "session": []}
+        self._delta = {"fixed": [], "session": []}
+        self.mature_fixed(watermark_ms)
+        self.mature_sessions(watermark_ms)
+        self._delta = {"fixed": list(self._fixed), "session": list(self._session)}
+
 
 @ray.remote(num_cpus=0.25)
 class JoinStateActor:
@@ -351,6 +366,16 @@ class JoinStateActor:
         self._index = None
         self.evict(watermark_ms)  # drop rows past retention at the cursor
 
+    def restore_table(self, tab: pa.Table | None, watermark_ms: int) -> None:
+        """Savepoint-rescale restore (see WindowStateActor.restore_tables):
+        in-memory share, evict at the cursor, keep all as delta."""
+        self._buf = [tab] if tab is not None and tab.num_rows else []
+        self._snap_paths = []
+        self._delta = []
+        self._index = None
+        self.evict(watermark_ms)
+        self._delta = list(self._buf)
+
 
 ALERT_COLS = ["key_lang", "key_host", "window_kind", "window_start",
               "window_end", "dup_cluster_count"]
@@ -428,6 +453,165 @@ class AlertStateActor:
                 self.state = json.load(f)
         else:
             self.state = {}
+
+    def restore_state(self, state: dict) -> None:
+        """Savepoint-rescale restore: this partition's re-hashed share of
+        the merged per-key flags (snapshots are full JSON, so the next
+        snapshot persists it unchanged)."""
+        self.state = dict(state)
+
+
+_CEP_OPS = {
+    "==": np.equal, "!=": np.not_equal, ">": np.greater,
+    ">=": np.greater_equal, "<": np.less, "<=": np.less_equal,
+}
+
+
+def parse_cep_pattern(pattern) -> list[tuple[str, int]]:
+    """Parse a CEP pattern — a sequence of comparison predicates over
+    dup_cluster_count, e.g. ("==0", ">0", ">0") — into (op, const)
+    pairs.  Raises ValueError on anything else (config-time validation)."""
+    import re
+
+    out = []
+    for p in pattern:
+        m = re.fullmatch(r"\s*(==|!=|>=|<=|>|<)\s*(-?\d+)\s*", str(p))
+        if not m:
+            raise ValueError(
+                f"cep predicate {p!r} must be <op><int> with op in "
+                f"{sorted(_CEP_OPS)}")
+        out.append((m.group(1), int(m.group(2))))
+    if not out:
+        raise ValueError("cep_pattern must have at least one predicate")
+    return out
+
+
+@ray.remote(num_cpus=0)
+class CepStateActor:
+    """Streaming MATCH_RECOGNIZE over the closed-window stream (Flink CEP
+    analog, AFTER MATCH SKIP TO NEXT ROW): a match is emitted at every
+    window whose last R strictly-consecutive closed windows of the same
+    (key_lang, key_host, window_kind) satisfy the pattern's predicates
+    over dup_cluster_count, elementwise.
+
+    Same ordering contract as AlertStateActor: fed once per epoch with
+    that epoch's closed-window rows; per key, windows close in
+    (window_start, window_end) order across epochs (watermark
+    monotonicity), and the per-call sort orders them within the epoch —
+    so the concatenated scan equals the oracle's global scan.  Cross-
+    epoch state is each key's last R-1 (dup_cluster_count, window_start)
+    pairs, snapshotted as JSON."""
+
+    def __init__(self, partition_id: int, pattern) -> None:
+        self.partition_id = partition_id
+        self.preds = parse_cep_pattern(pattern)
+        # key -> list of [dup, window_start] for the last R-1 windows
+        self.state: dict[str, list] = {}
+
+    def feed(self, *tables: pa.Table) -> pa.Table:
+        schema = pa.schema([
+            ("key_lang", pa.string()), ("key_host", pa.string()),
+            ("window_kind", pa.string()), ("match_start", pa.int64()),
+            ("window_start", pa.int64()), ("window_end", pa.int64()),
+        ])
+        tabs = [t for t in tables if t is not None and t.num_rows]
+        if not tabs:
+            return schema.empty_table()
+        R = len(self.preds)
+        df = pa.concat_tables(tabs, promote_options="default").to_pandas()
+        df = df.sort_values(["key_lang", "key_host", "window_kind",
+                             "window_start", "window_end"],
+                            kind="stable").reset_index(drop=True)
+        keys = (df["key_lang"].astype(str) + _ALERT_SEP
+                + df["key_host"].astype(str) + _ALERT_SEP
+                + df["window_kind"].astype(str)).to_numpy()
+        d = df["dup_cluster_count"].to_numpy().astype(np.int64)
+        ws = df["window_start"].to_numpy().astype(np.int64)
+        n = len(df)
+        gs = np.flatnonzero(np.concatenate(
+            ([True], keys[1:] != keys[:-1])))
+        ge = np.append(gs[1:], n)
+        # per group, prepend the stored tail so the sliding check sees
+        # cross-epoch history; tail rows provide lags but never END a
+        # match.  aug_pos counts from the group start, so any row with
+        # aug_pos >= R-1 has its whole R-window lookback inside its own
+        # group — no group-id bookkeeping needed.
+        segs_d, segs_ws, segs_real, segs_orig, segs_pos = [], [], [], [], []
+        for s, e in zip(gs, ge):
+            key = keys[s]
+            tail = self.state.get(key, []) if R > 1 else []
+            if tail:
+                t_arr = np.asarray(tail, dtype=np.int64).reshape(-1, 2)
+                seg_d = np.concatenate((t_arr[:, 0], d[s:e]))
+                seg_ws = np.concatenate((t_arr[:, 1], ws[s:e]))
+                seg_real = np.concatenate(
+                    (np.zeros(len(tail), dtype=bool),
+                     np.ones(e - s, dtype=bool)))
+                seg_orig = np.concatenate(
+                    (np.full(len(tail), -1, dtype=np.int64),
+                     np.arange(s, e, dtype=np.int64)))
+            else:
+                seg_d, seg_ws = d[s:e], ws[s:e]
+                seg_real = np.ones(e - s, dtype=bool)
+                seg_orig = np.arange(s, e, dtype=np.int64)
+            segs_d.append(seg_d)
+            segs_ws.append(seg_ws)
+            segs_real.append(seg_real)
+            segs_orig.append(seg_orig)
+            segs_pos.append(np.arange(len(seg_d), dtype=np.int64))
+            if R > 1:
+                # new tail: last R-1 (dup, ws) of (old tail + this feed)
+                self.state[key] = [
+                    [int(a), int(b)]
+                    for a, b in zip(seg_d[-(R - 1):], seg_ws[-(R - 1):])
+                ]
+        aug_d = np.concatenate(segs_d)
+        aug_ws = np.concatenate(segs_ws)
+        real = np.concatenate(segs_real)
+        orig = np.concatenate(segs_orig)
+        aug_pos = np.concatenate(segs_pos)
+        m = len(aug_d)
+        ok = real & (aug_pos >= R - 1)
+        for j, (op, c) in enumerate(self.preds):
+            shift = R - 1 - j  # predicate j applies to the row `shift` back
+            pj = _CEP_OPS[op](aug_d, c)
+            if shift == 0:
+                ok &= pj
+            else:
+                shifted = np.zeros(m, dtype=bool)
+                shifted[shift:] = pj[:-shift]
+                ok &= shifted
+        hits = np.flatnonzero(ok)
+        if len(hits) == 0:
+            return schema.empty_table()
+        first = hits - (R - 1)
+        out = df.iloc[orig[hits]][
+            ["key_lang", "key_host", "window_kind",
+             "window_start", "window_end"]].reset_index(drop=True)
+        out.insert(3, "match_start", aug_ws[first])
+        return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
+
+    def snapshot(self, snap_dir: str) -> dict[str, str]:
+        import json
+
+        os.makedirs(snap_dir, exist_ok=True)
+        p = os.path.join(snap_dir, f"p{self.partition_id:04d}_cep.json")
+        with open(p, "w") as f:
+            json.dump(self.state, f)
+        return {"cep": p}
+
+    def restore(self, paths: dict[str, str]) -> None:
+        import json
+
+        if "cep" in paths:
+            with open(paths["cep"]) as f:
+                self.state = json.load(f)
+        else:
+            self.state = {}
+
+    def restore_state(self, state: dict) -> None:
+        """Savepoint-rescale restore (see AlertStateActor.restore_state)."""
+        self.state = dict(state)
 
 
 @ray.remote(num_cpus=0)
@@ -521,6 +705,15 @@ class DedupStateActor:
         )
         self._snap_paths = list(paths.get("dedup", []))
         self._delta = []
+
+    def restore_hashes(self, h: "np.ndarray") -> None:
+        """Savepoint-rescale restore: this partition's re-hashed share of
+        the seen set, kept as delta so the next snapshot persists it."""
+        self.seen = (np.unique(np.asarray(h, dtype=np.uint64))
+                     if len(h) else np.empty(0, dtype=np.uint64))
+        self._snap_paths = []
+        self._cand = []
+        self._delta = [self.seen] if len(self.seen) else []
         self._cand = []
 
 
@@ -847,7 +1040,8 @@ class StatePool:
 
     def __init__(self, n_partitions: int, session_gap_ms: int, join_retention_ms: int,
                  compact_every: int = 8, session_max_ms: int = 0,
-                 with_dedup: bool = False, with_neardup: bool = False) -> None:
+                 with_dedup: bool = False, with_neardup: bool = False,
+                 cep_pattern=None) -> None:
         self.n = n_partitions
         # adaptive reservation: never let the 2·n state actors claim more
         # than ~40% of the cluster's scheduling budget, or map/finalize
@@ -878,6 +1072,11 @@ class StatePool:
         self.neardup_actors = [
             NearDupStateActor.remote(i, compact_every) for i in range(n_partitions)
         ] if with_neardup else []
+        # streaming CEP over the closed-window stream (num_cpus=0,
+        # lazy-spawned like the other optional pools)
+        self.cep_actors = [
+            CepStateActor.remote(i, cep_pattern) for i in range(n_partitions)
+        ] if cep_pattern else []
 
     def ready(self) -> None:
         """Block until every state actor process is constructed.  Actor
@@ -887,7 +1086,8 @@ class StatePool:
         ray.get([
             a.__ray_ready__.remote()
             for a in (self.window_actors + self.join_actors + self.alert_actors
-                      + self.dedup_actors + self.neardup_actors)
+                      + self.dedup_actors + self.neardup_actors
+                      + self.cep_actors)
         ])
 
     def feed_alerts(self, alert_refs: list) -> list:
@@ -903,6 +1103,25 @@ class StatePool:
             self.alert_actors[p].feed.remote(*[row[p] for row in parted])
             for p in range(self.n)
         ]
+
+    def feed_alerts_and_cep(self, alert_refs: list) -> tuple[list, list]:
+        """Like feed_alerts, but the per-key split is shared with the CEP
+        pool: both consume the same partitioned closed-window rows, so
+        every row is split exactly once.  Returns (alert_feed_refs,
+        cep_feed_refs); the second list is empty when CEP is off."""
+        parted = [
+            split_alert_rows.options(num_returns=self.n).remote(r, self.n)
+            for r in alert_refs
+        ]
+        alert_out = [
+            self.alert_actors[p].feed.remote(*[row[p] for row in parted])
+            for p in range(self.n)
+        ]
+        cep_out = [
+            self.cep_actors[p].feed.remote(*[row[p] for row in parted])
+            for p in range(self.n)
+        ] if self.cep_actors else []
+        return alert_out, cep_out
 
     def snapshot_alerts(self, snap_dir: str) -> dict[str, dict[str, str]]:
         a = ray.get([x.snapshot.remote(os.path.join(snap_dir, "alerts")) for x in self.alert_actors])
@@ -954,6 +1173,9 @@ class StatePool:
     def snapshot_alerts_refs(self, snap_dir: str) -> list:
         return [x.snapshot.remote(os.path.join(snap_dir, "alerts")) for x in self.alert_actors]
 
+    def snapshot_cep_refs(self, snap_dir: str) -> list:
+        return [x.snapshot.remote(os.path.join(snap_dir, "cep")) for x in self.cep_actors]
+
     def close_dedup_refs(self) -> list:
         return [a.close_epoch.remote() for a in self.dedup_actors]
 
@@ -1004,14 +1226,115 @@ class StatePool:
             refs.append(a.restore.remote(snap.get(f"dedup_{i}", {})))
         for i, a in enumerate(self.neardup_actors):
             refs.append(a.restore.remote(snap.get(f"neardup_{i}", {})))
+        for i, a in enumerate(self.cep_actors):
+            refs.append(a.restore.remote(snap.get(f"cep_{i}", {})))
+        ray.get(refs)
+
+    def rescale_restore(self, snap: dict, watermark_ms: int, old_n: int) -> None:
+        """Savepoint-style RESCALE restore (Flink savepoint-rescaling
+        analog): the checkpoint was written by ``old_n`` state partitions,
+        this pool has ``self.n`` — read every partition's committed
+        state, re-split each row by the SAME ownership hash the routing
+        uses at the new partition count, and hand each actor its share
+        as in-memory tables (the next snapshot persists the re-hashed
+        layout, so a later resume is a plain restore).
+
+        Supported for window / join / alert / CEP / exact-dedup state;
+        the caller refuses near-dup rescale (its band registry spills to
+        per-partition sorted runs on disk).  v1 funnels the open state
+        through the driver once at rescale time — open state is
+        watermark-bounded (not corpus-sized); at cluster scale this
+        becomes a task-parallel exchange with the same split rules."""
+        from ..functions import fingerprint as fp
+        from ..pipelines.streaming import window_salt_hash  # runtime import: no cycle at module load
+
+        def _read_concat(paths: list[str]) -> pa.Table | None:
+            tabs = [pq.read_table(p) for p in paths]
+            tabs = [t for t in tabs if t.num_rows]
+            return (pa.concat_tables(tabs, promote_options="default").combine_chunks()
+                    if tabs else None)
+
+        def _split(tab: pa.Table | None, part: "np.ndarray | None") -> list:
+            if tab is None:
+                return [None] * self.n
+            return [
+                tab.take(pa.array(np.flatnonzero(part == p)))
+                for p in range(self.n)
+            ]
+
+        refs = []
+        # windows: fixed rows re-salt by (key_hash, window_start); session
+        # rows re-own by key_hash — identical to route_and_split
+        fixed = _read_concat([
+            p for i in range(old_n)
+            for p in snap.get(f"window_{i}", {}).get("fixed", [])])
+        sess = _read_concat([
+            p for i in range(old_n)
+            for p in snap.get(f"window_{i}", {}).get("session", [])])
+        f_part = None
+        if fixed is not None:
+            f_part = (window_salt_hash(
+                fixed["key_hash"].to_numpy(),
+                fixed["window_start"].to_numpy()) % np.uint64(self.n)).astype(np.int64)
+        s_part = None
+        if sess is not None:
+            s_part = (sess["key_hash"].to_numpy().astype(np.uint64)
+                      % np.uint64(self.n)).astype(np.int64)
+        for p, (fx, ss) in enumerate(zip(_split(fixed, f_part), _split(sess, s_part))):
+            refs.append(self.window_actors[p].restore_tables.remote(fx, ss, watermark_ms))
+        # join build side: owned by host hash (feed_updates' rule)
+        join = _read_concat([
+            p for i in range(old_n)
+            for p in snap.get(f"join_{i}", {}).get("join", [])])
+        j_part = None
+        if join is not None:
+            j_part = (fp.text_hash64(join["key_host"].combine_chunks())
+                      % np.uint64(self.n)).astype(np.int64)
+        for p, jt in enumerate(_split(join, j_part)):
+            refs.append(self.join_actors[p].restore_table.remote(jt, watermark_ms))
+        # alert / CEP per-key JSON state: owned by hash of lang\x1fhost
+        # (split_alert_rows' rule; the stored key appends \x1fkind)
+        for name, actors in (("alerts", self.alert_actors),
+                             ("cep", self.cep_actors)):
+            merged: dict = {}
+            for i in range(old_n):
+                pth = snap.get(f"{name}_{i}", {}).get(name)
+                if pth:
+                    import json
+
+                    with open(pth) as f:
+                        merged.update(json.load(f))
+            shares: list[dict] = [{} for _ in range(self.n)]
+            if merged:
+                ks = list(merged)
+                prefix = np.array([k.rsplit(_ALERT_SEP, 1)[0] for k in ks],
+                                  dtype=object)
+                part = (pd.util.hash_array(prefix, categorize=False)
+                        % np.uint64(self.n)).astype(np.int64)
+                for k, p in zip(ks, part):
+                    shares[int(p)][k] = merged[k]
+            for p, a in enumerate(actors):
+                refs.append(a.restore_state.remote(shares[p]))
+        # exact-dedup seen set: owned by text_hash
+        if self.dedup_actors:
+            arrs = [
+                pq.read_table(p)["h"].to_numpy().astype(np.uint64)
+                for i in range(old_n)
+                for p in snap.get(f"dedup_{i}", {}).get("dedup", [])
+            ]
+            h = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.uint64)
+            d_part = (h % np.uint64(self.n)).astype(np.int64)
+            for p, a in enumerate(self.dedup_actors):
+                refs.append(a.restore_hashes.remote(h[d_part == p]))
         ray.get(refs)
 
     def shutdown(self) -> None:
         for a in (self.window_actors + self.join_actors + self.alert_actors
-                  + self.dedup_actors + self.neardup_actors):
+                  + self.dedup_actors + self.neardup_actors + self.cep_actors):
             ray.kill(a)
         self.window_actors = []
         self.join_actors = []
         self.alert_actors = []
         self.dedup_actors = []
         self.neardup_actors = []
+        self.cep_actors = []

@@ -860,3 +860,150 @@ def test_cumulate_windows_parity_and_resume(ray_session, corpus):
     # toggling the window shape across a resume must be refused loudly
     with pytest.raises(RuntimeError, match="side-channel"):
         _run(root, "out_cumulate_resume")
+
+
+def test_window_topn_parity_and_resume(ray_session, corpus, oracle_df):
+    """Windowed Top-N side output (Flink window Top-N analog): per
+    closed tumbling window, the top-3 hosts by total doc_count ride the
+    epoch fence as topn.parquet.  The per-epoch union must equal the
+    global oracle ranking (a tumbling window closes atomically in one
+    epoch), survive kill + resume, and the channel guard must refuse a
+    resume with the channel toggled off."""
+    from flink_fingerprint_ray.oracle import oracle_window_topn
+
+    root, _, _ = corpus
+    want = oracle_window_topn(oracle_df, 3)
+    assert len(want) > 0 and (want["rank"] == 3).any()
+    sc = ["window_start", "rank"]
+
+    def norm(df):
+        return (df.sort_values(sc, kind="stable").reset_index(drop=True)
+                [want.columns.tolist()])
+
+    p1 = _run(root, "out_topn", cfg_extra={"window_topn": 3})
+    topn = p1.topn_df()
+    m = p1.manifest.state["epochs"]
+    p1.shutdown()
+    # every committed epoch carries the metric; the channel stays exact
+    assert sum(m[str(e)]["metrics"]["topn_rows"] for e in range(N_EPOCHS)) == len(topn)
+    pd.testing.assert_frame_equal(norm(topn), norm(want), check_dtype=False)
+
+    # kill after 2 epochs, resume, finish: output identical
+    p2 = _run(root, "out_topn_resume", max_epochs=2,
+              cfg_extra={"window_topn": 3})
+    p2.shutdown()
+    p3 = _run(root, "out_topn_resume", cfg_extra={"window_topn": 3})
+    topn2 = p3.topn_df()
+    p3.shutdown()
+    pd.testing.assert_frame_equal(norm(topn2), norm(want), check_dtype=False)
+
+    # toggling the channel across a resume must be refused loudly
+    with pytest.raises(RuntimeError, match="side-channel"):
+        _run(root, "out_topn_resume")
+
+
+def test_streaming_cep_parity_and_resume(ray_session, corpus, oracle_df):
+    """Streaming CEP (MATCH_RECOGNIZE analog): matches over strictly-
+    consecutive closed windows of a key must equal the oracle's global
+    scan — including matches whose earlier windows closed in EARLIER
+    epochs (the cross-epoch tail state) — survive kill + resume, and the
+    channel guard must refuse a resume with the pattern toggled."""
+    from flink_fingerprint_ray.oracle import oracle_cep_matches
+
+    root, _, _ = corpus
+    pattern = (">0", "==0")  # a dup window followed by a clean one
+    want = oracle_cep_matches(oracle_df, pattern)
+    assert len(want) > 0
+    # the pattern spans 2 windows, so match_start differs from the
+    # emitting window's start — the tail state is actually exercised
+    assert (want["match_start"] < want["window_start"]).all()
+    sc = ["key_lang", "key_host", "window_kind", "window_start", "window_end"]
+
+    def norm(df):
+        return (df.sort_values(sc, kind="stable").reset_index(drop=True)
+                [want.columns.tolist()])
+
+    p1 = _run(root, "out_cep", cfg_extra={"cep_pattern": pattern})
+    cep = p1.cep_df()
+    m = p1.manifest.state["epochs"]
+    p1.shutdown()
+    assert sum(m[str(e)]["metrics"]["cep_matches"] for e in range(N_EPOCHS)) == len(cep)
+    # matches must be emitted in more than one epoch (cross-epoch state)
+    emitting = [e for e in range(N_EPOCHS) if m[str(e)]["metrics"]["cep_matches"]]
+    assert len(emitting) >= 2
+    pd.testing.assert_frame_equal(norm(cep), norm(want), check_dtype=False)
+
+    # kill after 2 epochs, resume, finish: output identical
+    p2 = _run(root, "out_cep_resume", max_epochs=2,
+              cfg_extra={"cep_pattern": pattern})
+    p2.shutdown()
+    p3 = _run(root, "out_cep_resume", cfg_extra={"cep_pattern": pattern})
+    cep2 = p3.cep_df()
+    p3.shutdown()
+    pd.testing.assert_frame_equal(norm(cep2), norm(want), check_dtype=False)
+
+    # a resume under a DIFFERENT pattern must be refused loudly
+    with pytest.raises(RuntimeError, match="side-channel"):
+        _run(root, "out_cep_resume", cfg_extra={"cep_pattern": (">0", ">0")})
+
+
+def test_savepoint_rescale_resume(ray_session, corpus, oracle_df):
+    """Savepoint rescaling (Flink savepoint-rescale analog): a checkpoint
+    written with n_state_partitions=3 resumes under n=5 (and 5 under 2) —
+    the committed window/join/alert/CEP/dedup state is re-partitioned by
+    the routing hashes at the new count, and every output stream still
+    matches the oracle row-exactly."""
+    from flink_fingerprint_ray.oracle import (
+        oracle_alerts,
+        oracle_cep_matches,
+        oracle_clean_stream,
+    )
+
+    root, pages, _ = corpus
+    MIN_CHARS = 120
+    pattern = (">0", "==0")
+    extra = {"curation_min_chars": MIN_CHARS, "cep_pattern": pattern}
+    want_alerts = oracle_alerts(oracle_df)
+    want_cep = oracle_cep_matches(oracle_df, pattern)
+    want_clean = oracle_clean_stream(pages, N_EPOCHS, MIN_CHARS, None)
+    assert len(want_alerts) and len(want_cep) and len(want_clean)
+
+    # 2 epochs at n=3, then resume AND RESCALE to n=5
+    p1 = _run(root, "out_rescale", max_epochs=2, cfg_extra=extra)
+    p1.shutdown()
+    p2 = _run(root, "out_rescale",
+              cfg_extra={**extra, "n_state_partitions": 5})
+    eng = p2.result_dataset().to_pandas()
+    alerts, cep, clean = p2.alerts_df(), p2.cep_df(), p2.clean_df()
+    p2.shutdown()
+    pd.testing.assert_frame_equal(
+        _norm(eng, oracle_df.columns), _norm(oracle_df, oracle_df.columns),
+        check_dtype=False)
+    ac = ["key_lang", "key_host", "window_kind", "window_start", "window_end"]
+    for got, want, cols in (
+            (alerts, want_alerts, ac),
+            (cep, want_cep, ac),
+            (clean, want_clean, ["url", "ts_ms", "text_hash"])):
+        pd.testing.assert_frame_equal(
+            got.sort_values(cols).reset_index(drop=True)[want.columns.tolist()],
+            want.sort_values(cols).reset_index(drop=True), check_dtype=False)
+
+    # and DOWN: 2 epochs at n=5, resume at n=2
+    p3 = _run(root, "out_rescale_down", max_epochs=2,
+              cfg_extra={**extra, "n_state_partitions": 5})
+    p3.shutdown()
+    p4 = _run(root, "out_rescale_down",
+              cfg_extra={**extra, "n_state_partitions": 2})
+    eng_d = p4.result_dataset().to_pandas()
+    p4.shutdown()
+    pd.testing.assert_frame_equal(
+        _norm(eng_d, oracle_df.columns), _norm(oracle_df, oracle_df.columns),
+        check_dtype=False)
+
+    # near-dup state spills to per-partition disk runs: rescale refused
+    p5 = _run(root, "out_rescale_nd", max_epochs=2,
+              cfg_extra={"neardup": True})
+    p5.shutdown()
+    with pytest.raises(RuntimeError, match="rescale"):
+        _run(root, "out_rescale_nd",
+             cfg_extra={"neardup": True, "n_state_partitions": 4})
