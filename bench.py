@@ -47,6 +47,7 @@ SKIP_QUERIES = {
     "semantic_dedup_check",
     "ann_topk_ivf_check",
     "ann_topk_pq_check",
+    "ann_topk_ivfpq_check",
     "supplier_pagerank_check",
     "lowess_smooth_check",
     "media_image_features_check",

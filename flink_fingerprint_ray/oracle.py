@@ -488,16 +488,17 @@ def oracle_cep_matches(fingerprints: pd.DataFrame, pattern) -> pd.DataFrame:
         kind="stable").reset_index(drop=True)
     keys = (df["key_lang"].astype(str) + "\x1f" + df["key_host"].astype(str)
             + "\x1f" + df["window_kind"].astype(str)).to_numpy()
-    d = df["dup_cluster_count"].to_numpy().astype(np.int64)
+    vals = {c: df[c].to_numpy().astype(np.int64)
+            for c in {col for col, _, _ in preds}}
     n = len(df)
     new_key = np.ones(n, dtype=bool)
     new_key[1:] = keys[1:] != keys[:-1]
     gs = np.flatnonzero(new_key)
     pos = np.arange(n) - np.repeat(gs, np.diff(np.append(gs, n)))
     ok = pos >= R - 1
-    for j, (op, c) in enumerate(preds):
+    for j, (col, op, c) in enumerate(preds):
         shift = R - 1 - j
-        pj = _CEP_OPS[op](d, c)
+        pj = _CEP_OPS[op](vals[col], c)
         if shift == 0:
             ok &= pj
         else:

@@ -1896,6 +1896,39 @@ def q_ann_topk_pq_check(sf_dir: str):
         "recall_at_least_080": pd.array([1 if rec >= 0.8 else 0], dtype="int64")})
 
 
+def q_ann_topk_ivfpq(sf_dir: str):
+    """IVF-PQ ANN (rows-only; recall pinned by the paired check): the
+    FAISS-canonical composition — coarse cells bound how much of the
+    corpus each query touches, PQ codes bound the bytes per touched
+    vector (64 floats -> 8 uint8), exact rerank only on the ADC
+    shortlist.  Probe/rerank settings chosen for recall >= 0.8 on the
+    fixture's unclustered sphere (see q_ann_topk_ivf's note)."""
+    import pyarrow.parquet as pq
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+    sample = np.stack(t["embedding"].to_pandas().head(2000).to_numpy())
+    cents = sim.train_centroids(sample, n_cells=8, seed=0)
+    books = sim.train_pq(sample, m_sub=8, n_codes=64, seed=0)
+    q, qids = _query_vectors(sf_dir)
+    return sim.ivfpq_topk(ds, q, qids, cents, books, k=ANN_K,
+                          n_probe=6, rerank=48)
+
+
+def q_ann_topk_ivfpq_check(sf_dir: str):
+    """Driver-visible IVF-PQ quality invariant (same pattern as the IVF
+    and PQ checks): recall@k vs the oracle-green brute force >= 0.8."""
+    res = q_ann_topk_ivfpq(sf_dir)
+    exact = q_ann_topk(sf_dir)
+    if not isinstance(res, pd.DataFrame):
+        res = res.to_pandas()
+    if not isinstance(exact, pd.DataFrame):
+        exact = exact.to_pandas()
+    rec = sim.ivf_recall(exact, res)
+    return pd.DataFrame({
+        "recall_at_least_080": pd.array([1 if rec >= 0.8 else 0], dtype="int64")})
+
+
 # ---------------------------------------------------------------------------
 # Relational operator coverage (TPC-H-ish tables)
 # ---------------------------------------------------------------------------
@@ -6845,6 +6878,8 @@ QUERIES = {
     "pruned_date_scan": q_pruned_date_scan,
     "ann_topk_pq": q_ann_topk_pq,
     "ann_topk_pq_check": q_ann_topk_pq_check,
+    "ann_topk_ivfpq": q_ann_topk_ivfpq,
+    "ann_topk_ivfpq_check": q_ann_topk_ivfpq_check,
     "robust_length_stats": q_robust_length_stats,
     "supplier_pagerank": q_supplier_pagerank,
     "supplier_pagerank_check": q_supplier_pagerank_check,
@@ -7013,6 +7048,7 @@ ORACLE_SQL = {
     # PQ is approximate by design; the check query pins its recall-vs-
     # brute-force invariant exactly as ann_topk_ivf_check does
     "ann_topk_pq_check": "SELECT CAST(1 AS BIGINT) AS recall_at_least_080",
+    "ann_topk_ivfpq_check": "SELECT CAST(1 AS BIGINT) AS recall_at_least_080",
     "robust_length_stats": SQL_ROBUST_LENGTH_STATS,
     # PageRank is iterative (not SQL-expressible); the check query pins
     # distributed-vs-single-process agreement like the dist-CC checks

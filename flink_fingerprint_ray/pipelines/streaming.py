@@ -253,10 +253,13 @@ def finalize_partition(
     t_probe = time.perf_counter()
     pq.write_table(enriched, path)
     # second return: the closed-window rows the rising-edge alert state
-    # consumes (T3 analog) — tiny projection, one row per window
+    # and the CEP state consume (T3 analog) — tiny projection, one row
+    # per window; the int64 count columns are the CEP predicate surface
+    # (state/store.py CEP_COLS)
     alert_rows = fps.select(
         ["key_lang", "key_host", "window_kind", "window_start",
-         "window_end", "dup_cluster_count"]
+         "window_end", "dup_cluster_count", "doc_count",
+         "exact_dup_count", "near_dup_count"]
     )
     timings = {
         "sel": round(t_sel - t_start, 4),

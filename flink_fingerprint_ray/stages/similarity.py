@@ -187,6 +187,64 @@ def ivf_topk(
     return out.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def ivfpq_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """IVF-PQ (the FAISS-canonical index): probe only the ``n_probe``
+    coarse cells nearest each query AND scan the probed vectors by ADC
+    lookups over their uint8 codes, exact-reranking only the per-query
+    shortlist.  Composes the two pruning axes a 100-TB embedding corpus
+    needs together — cell masking bounds how much of the corpus is
+    touched, PQ bounds the bytes per touched vector — with the same
+    output contract as ``brute_force_topk``."""
+    c = np.asarray(centroids, dtype=np.float64)
+    b = np.asarray(books, np.float64)
+    m_sub, _, ds_ = b.shape
+    q_n = _normalize(np.asarray(queries, dtype=np.float64))
+    q_cells = np.argsort(-(q_n @ c.T), axis=1, kind="stable")[:, :n_probe]
+    lut = np.stack([q_n[:, m * ds_:(m + 1) * ds_] @ b[m].T for m in range(m_sub)])
+    tagged = ivf_assign(ds, c, id_col, vec_col)
+    q_ref = ray.put((np.asarray(query_ids, np.int64), q_n, q_cells, lut, b))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        qids, qmat, qcells, lut_, b_ = ray.get(q_ref)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        cells = batch["cell"].to_numpy().astype(np.int64)
+        mat = _normalize(_stack(batch[vec_col]))
+        codes = _pq_codes(mat, b_)
+        approx = np.zeros((len(qids), len(ids)), np.float64)
+        for m in range(len(lut_)):
+            approx += lut_[m][:, codes[:, m]]
+        probe_mask = (cells[None, :, None] == qcells[:, None, :]).any(axis=2)
+        if exclude_self:
+            probe_mask &= qids[:, None] != ids[None, :]
+        approx[~probe_mask] = -np.inf
+        rr = min(rerank, len(ids))
+        shortlist = np.argpartition(-approx, rr - 1, axis=1)[:, :rr]
+        micros = np.full((len(qids), len(ids)), _MICROS_SENTINEL, np.int64)
+        for qi in range(len(qids)):
+            cols = shortlist[qi][np.isfinite(approx[qi, shortlist[qi]])]
+            if len(cols):
+                ex = qmat[qi] @ mat[cols].T
+                micros[qi, cols] = np.floor(ex * 1e6 + 0.5).astype(np.int64)
+        return _select_block_topk(qids, ids, micros, k)
+
+    cands = tagged.map_batches(block_topk, batch_format="pyarrow")
+    out = cands.groupby("query_id").map_groups(
+        lambda g: _merge_topk(g, k), batch_format="pandas")
+    return out.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def ivf_recall(exact: pd.DataFrame, approx: pd.DataFrame) -> float:
     """Recall@k of the IVF result vs the brute-force ground truth."""
     e = exact.groupby("query_id")["vec_id"].apply(set)

@@ -467,20 +467,34 @@ _CEP_OPS = {
 }
 
 
-def parse_cep_pattern(pattern) -> list[tuple[str, int]]:
+# numeric closed-window columns a CEP predicate may reference (these ride
+# the finalize→alert feed projection)
+CEP_COLS = ("dup_cluster_count", "doc_count", "exact_dup_count",
+            "near_dup_count")
+
+
+def parse_cep_pattern(pattern) -> list[tuple[str, str, int]]:
     """Parse a CEP pattern — a sequence of comparison predicates over
-    dup_cluster_count, e.g. ("==0", ">0", ">0") — into (op, const)
-    pairs.  Raises ValueError on anything else (config-time validation)."""
+    numeric closed-window columns, e.g. ("==0", "doc_count>=5", ">0") —
+    into (column, op, const) triples.  A bare "<op><int>" defaults to
+    dup_cluster_count.  Raises ValueError on anything else (config-time
+    validation)."""
     import re
 
     out = []
     for p in pattern:
-        m = re.fullmatch(r"\s*(==|!=|>=|<=|>|<)\s*(-?\d+)\s*", str(p))
+        m = re.fullmatch(
+            r"\s*([a-z_]*)\s*(==|!=|>=|<=|>|<)\s*(-?\d+)\s*", str(p))
         if not m:
             raise ValueError(
-                f"cep predicate {p!r} must be <op><int> with op in "
+                f"cep predicate {p!r} must be [column]<op><int> with op in "
                 f"{sorted(_CEP_OPS)}")
-        out.append((m.group(1), int(m.group(2))))
+        col = m.group(1) or "dup_cluster_count"
+        if col not in CEP_COLS:
+            raise ValueError(
+                f"cep predicate {p!r} references {col!r}; available "
+                f"columns: {CEP_COLS}")
+        out.append((col, m.group(2), int(m.group(3))))
     if not out:
         raise ValueError("cep_pattern must have at least one predicate")
     return out
@@ -499,13 +513,15 @@ class CepStateActor:
     (window_start, window_end) order across epochs (watermark
     monotonicity), and the per-call sort orders them within the epoch —
     so the concatenated scan equals the oracle's global scan.  Cross-
-    epoch state is each key's last R-1 (dup_cluster_count, window_start)
-    pairs, snapshotted as JSON."""
+    epoch state is each key's last R-1 windows as
+    [window_start, <referenced column values in self.cols order>] rows,
+    snapshotted as JSON."""
 
     def __init__(self, partition_id: int, pattern) -> None:
         self.partition_id = partition_id
         self.preds = parse_cep_pattern(pattern)
-        # key -> list of [dup, window_start] for the last R-1 windows
+        self.cols = tuple(sorted({c for c, _, _ in self.preds}))
+        # key -> list of [window_start, *col values] for the last R-1 windows
         self.state: dict[str, list] = {}
 
     def feed(self, *tables: pa.Table) -> pa.Table:
@@ -525,7 +541,7 @@ class CepStateActor:
         keys = (df["key_lang"].astype(str) + _ALERT_SEP
                 + df["key_host"].astype(str) + _ALERT_SEP
                 + df["window_kind"].astype(str)).to_numpy()
-        d = df["dup_cluster_count"].to_numpy().astype(np.int64)
+        vals = {c: df[c].to_numpy().astype(np.int64) for c in self.cols}
         ws = df["window_start"].to_numpy().astype(np.int64)
         n = len(df)
         gs = np.flatnonzero(np.concatenate(
@@ -535,15 +551,21 @@ class CepStateActor:
         # cross-epoch history; tail rows provide lags but never END a
         # match.  aug_pos counts from the group start, so any row with
         # aug_pos >= R-1 has its whole R-window lookback inside its own
-        # group — no group-id bookkeeping needed.
-        segs_d, segs_ws, segs_real, segs_orig, segs_pos = [], [], [], [], []
+        # group — no group-id bookkeeping needed.  (The python loop is
+        # O(distinct keys per feed), the same cost class as the alert
+        # actor's per-key transitions.)
+        width = 1 + len(self.cols)
+        segs_vals: dict[str, list] = {c: [] for c in self.cols}
+        segs_ws, segs_real, segs_orig, segs_pos = [], [], [], []
         for s, e in zip(gs, ge):
             key = keys[s]
             tail = self.state.get(key, []) if R > 1 else []
             if tail:
-                t_arr = np.asarray(tail, dtype=np.int64).reshape(-1, 2)
-                seg_d = np.concatenate((t_arr[:, 0], d[s:e]))
-                seg_ws = np.concatenate((t_arr[:, 1], ws[s:e]))
+                t_arr = np.asarray(tail, dtype=np.int64).reshape(-1, width)
+                seg_ws = np.concatenate((t_arr[:, 0], ws[s:e]))
+                for ci, c in enumerate(self.cols):
+                    segs_vals[c].append(
+                        np.concatenate((t_arr[:, 1 + ci], vals[c][s:e])))
                 seg_real = np.concatenate(
                     (np.zeros(len(tail), dtype=bool),
                      np.ones(e - s, dtype=bool)))
@@ -551,30 +573,30 @@ class CepStateActor:
                     (np.full(len(tail), -1, dtype=np.int64),
                      np.arange(s, e, dtype=np.int64)))
             else:
-                seg_d, seg_ws = d[s:e], ws[s:e]
+                seg_ws = ws[s:e]
+                for c in self.cols:
+                    segs_vals[c].append(vals[c][s:e])
                 seg_real = np.ones(e - s, dtype=bool)
                 seg_orig = np.arange(s, e, dtype=np.int64)
-            segs_d.append(seg_d)
             segs_ws.append(seg_ws)
             segs_real.append(seg_real)
             segs_orig.append(seg_orig)
-            segs_pos.append(np.arange(len(seg_d), dtype=np.int64))
+            segs_pos.append(np.arange(len(seg_ws), dtype=np.int64))
             if R > 1:
-                # new tail: last R-1 (dup, ws) of (old tail + this feed)
-                self.state[key] = [
-                    [int(a), int(b)]
-                    for a, b in zip(seg_d[-(R - 1):], seg_ws[-(R - 1):])
-                ]
-        aug_d = np.concatenate(segs_d)
+                # new tail: last R-1 [ws, *cols] rows of (old tail + feed)
+                rows = np.column_stack(
+                    [seg_ws] + [segs_vals[c][-1] for c in self.cols])
+                self.state[key] = rows[-(R - 1):].tolist()
+        aug_vals = {c: np.concatenate(v) for c, v in segs_vals.items()}
         aug_ws = np.concatenate(segs_ws)
         real = np.concatenate(segs_real)
         orig = np.concatenate(segs_orig)
         aug_pos = np.concatenate(segs_pos)
-        m = len(aug_d)
+        m = len(aug_ws)
         ok = real & (aug_pos >= R - 1)
-        for j, (op, c) in enumerate(self.preds):
+        for j, (col, op, c) in enumerate(self.preds):
             shift = R - 1 - j  # predicate j applies to the row `shift` back
-            pj = _CEP_OPS[op](aug_d, c)
+            pj = _CEP_OPS[op](aug_vals[col], c)
             if shift == 0:
                 ok &= pj
             else:

@@ -993,3 +993,91 @@ def test_html_extract_general_matches_htmlparser_reference(docs):
     got = extract_text_general(pa.array(docs, pa.string())).to_pylist()
     want = _extract_reference(docs)
     assert got == want, docs
+
+
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=200),
+       st.integers(1, 5), st.integers(1, 4))
+@settings(max_examples=80, deadline=None)
+def test_cumulate_slices_match_bruteforce(ts_list, step_k, n_slices):
+    """Every row lands in exactly the CUMULATE slices whose end lies
+    strictly after it, within its max-span window — checked row by row
+    against the definition."""
+    from flink_fingerprint_ray.stages.windows import cumulate_window_slices
+
+    step = step_k * 100
+    mx = step * n_slices
+    ts = np.asarray(ts_list, dtype=np.int64)
+    take, starts, ends = cumulate_window_slices(ts, step, mx)
+    got = set(zip(take.tolist(), starts.tolist(), ends.tolist()))
+    want = set()
+    for i, t in enumerate(ts_list):
+        s = (t // mx) * mx
+        for k in range(1, n_slices + 1):
+            if s + k * step > t:
+                want.add((i, s, s + k * step))
+    assert got == want
+    # one emission per (row, slice): no duplicates
+    assert len(take) == len(want)
+
+
+@given(
+    st.lists(  # per key: a sequence of (dup, doc) window values
+        st.tuples(st.integers(0, 3), st.integers(1, 6)),
+        min_size=1, max_size=24),
+    st.lists(st.tuples(
+        st.sampled_from(["", "doc_count"]),
+        st.sampled_from(["==", "!=", ">", ">=", "<", "<="]),
+        st.integers(0, 4)), min_size=1, max_size=4),
+    st.lists(st.integers(1, 6), min_size=1, max_size=5),
+    st.integers(2, 3),
+)
+@settings(max_examples=120, deadline=None)
+def test_cep_epoch_split_matches_global_bruteforce(seq, preds, cuts, n_keys):
+    """CepStateActor fed the same per-key window stream in ARBITRARY
+    epoch slices must emit exactly the brute-force global matches —
+    the cross-epoch tail state cannot lose or duplicate a match."""
+    import pandas as pd
+
+    from flink_fingerprint_ray.state.store import _CEP_OPS, CepStateActor
+
+    pattern = tuple(f"{c}{op}{v}" for c, op, v in preds)
+    R = len(pattern)
+    # build the global closed-window stream: n_keys interleaved hosts,
+    # each seeing the same seq (keys are independent streams)
+    rows = []
+    for ki in range(n_keys):
+        for wi, (dup, doc) in enumerate(seq):
+            rows.append({
+                "key_lang": "en", "key_host": f"h{ki}",
+                "window_kind": "tumbling",
+                "window_start": wi * 100, "window_end": wi * 100 + 100,
+                "dup_cluster_count": dup, "doc_count": doc,
+                "exact_dup_count": 0, "near_dup_count": 0,
+            })
+    df = pd.DataFrame(rows).sort_values(
+        ["key_host", "window_start"], kind="stable").reset_index(drop=True)
+
+    # brute force per key over the global stream
+    want = set()
+    for ki in range(n_keys):
+        for end in range(R - 1, len(seq)):
+            vals = seq[end - R + 1:end + 1]
+            okm = all(
+                _CEP_OPS[op]((v[1] if c == "doc_count" else v[0]), cv)
+                for (c, op, cv), v in zip(preds, vals))
+            if okm:
+                want.add((f"h{ki}", (end - R + 1) * 100, end * 100))
+
+    # engine: feed in arbitrary epoch slices (cuts normalized to bounds)
+    actor = CepStateActor.__ray_metadata__.modified_class(0, pattern)
+    bounds = sorted({min(c * len(seq) // 6, len(seq)) for c in cuts})
+    bounds = [0] + [b for b in bounds if 0 < b < len(seq)] + [len(seq)]
+    got = set()
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        # an epoch closes windows [lo, hi) for EVERY key
+        chunk = df[(df["window_start"] >= lo * 100)
+                   & (df["window_start"] < hi * 100)]
+        out = actor.feed(pa.Table.from_pandas(chunk, preserve_index=False))
+        for r in out.to_pylist():
+            got.add((r["key_host"], r["match_start"], r["window_start"]))
+    assert got == want

@@ -103,6 +103,7 @@ FAST_SQL_QUERIES = [
     "bucketed_join_revenue",
     "pruned_date_scan",
     "ann_topk_pq_check",
+    "ann_topk_ivfpq_check",
     "robust_length_stats",
     "supplier_pagerank_check",
     "top_bigrams",

@@ -946,6 +946,19 @@ def test_streaming_cep_parity_and_resume(ray_session, corpus, oracle_df):
     with pytest.raises(RuntimeError, match="side-channel"):
         _run(root, "out_cep_resume", cfg_extra={"cep_pattern": (">0", ">0")})
 
+    # column-qualified predicates: two busy windows then a clean one
+    pat2 = ("doc_count>=2", "doc_count>=2", "==0")
+    want2 = oracle_cep_matches(oracle_df, pat2)
+    assert len(want2) > 50  # non-vacuous mixed-column pattern
+    p4 = _run(root, "out_cep_cols", cfg_extra={"cep_pattern": pat2})
+    cep4 = p4.cep_df()
+    p4.shutdown()
+    pd.testing.assert_frame_equal(
+        cep4.sort_values(sc, kind="stable").reset_index(drop=True)
+        [want2.columns.tolist()],
+        want2.sort_values(sc, kind="stable").reset_index(drop=True),
+        check_dtype=False)
+
 
 def test_savepoint_rescale_resume(ray_session, corpus, oracle_df):
     """Savepoint rescaling (Flink savepoint-rescale analog): a checkpoint
