@@ -478,7 +478,7 @@ def oracle_cep_matches(fingerprints: pd.DataFrame, pattern) -> pd.DataFrame:
     stream, emit one row per window whose last len(pattern) strictly-
     consecutive windows of the same (key_lang, key_host, window_kind)
     satisfy the pattern's dup_cluster_count predicates elementwise.
-    Mirrors CepStateActor.feed (state/store.py)."""
+    Mirrors cep_scan (state/store.py)."""
     from .state.store import _CEP_OPS, parse_cep_pattern
 
     preds = parse_cep_pattern(pattern)

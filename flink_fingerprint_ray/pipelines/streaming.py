@@ -125,7 +125,8 @@ class PipelineConfig:
     # under the fence at every window whose last len(pattern) strictly-
     # consecutive closed windows of the same (lang, host, kind) satisfy
     # the predicates elementwise.  Cross-epoch partial-match state lives
-    # in a CepStateActor pool (snapshotted + resumable).
+    # in the alert actor pool (one sorted pass serves both scans;
+    # snapshotted + resumable).
     cep_pattern: tuple | None = None
     # Flink window Top-N analog: >0 stages, per CLOSED tumbling window,
     # the top-N hosts by total doc_count (summed over langs) as a
@@ -1471,12 +1472,10 @@ class StreamingFingerprintPipeline:
             )]
         pending["evict_refs"] = self.pool.evict_join_refs(pending["wm"])
         pending["j_snap_refs"] = self.pool.snapshot_join_refs(pending["snap_dir"])
+        # the alert snapshot also persists the CEP tail state when a
+        # pattern is configured (same actor, same feed-before-snapshot
+        # FIFO ordering)
         pending["a_snap_refs"] = self.pool.snapshot_alerts_refs(pending["snap_dir"])
-        # feed-before-snapshot holds per actor FIFO (same submitter),
-        # exactly like the alert pool above.  Snapshot submitted
-        # unconditionally whenever the pool exists: an epoch with no
-        # closed windows must still record the cumulative tail state.
-        pending["c_snap_refs"] = self.pool.snapshot_cep_refs(pending["snap_dir"])
         (pending["buf_w_refs"], pending["buf_j_refs"],
          pending["buf_d_refs"], pending["buf_nd_refs"]) = self.pool.buffered_refs()
         pending["metrics_ref"] = self.counter.take_prefix.remote(f"e{epoch.index}:")
@@ -1524,7 +1523,6 @@ class StreamingFingerprintPipeline:
         evict_refs = pending["evict_refs"]
         j_snap_refs = pending["j_snap_refs"]
         a_snap_refs = pending["a_snap_refs"]
-        c_snap_refs = pending.get("c_snap_refs", [])
         buf_w_refs, buf_j_refs = pending["buf_w_refs"], pending["buf_j_refs"]
         buf_d_refs, buf_nd_refs = pending["buf_d_refs"], pending["buf_nd_refs"]
         metrics_ref, stale_ref = pending["metrics_ref"], pending["stale_ref"]
@@ -1538,7 +1536,7 @@ class StreamingFingerprintPipeline:
         flat = ray.get(
             list(pending["w_snap_refs"]) + alert_feed_refs + cep_feed_refs
             + evict_refs
-            + j_snap_refs + a_snap_refs + c_snap_refs + buf_w_refs + buf_j_refs
+            + j_snap_refs + a_snap_refs + buf_w_refs + buf_j_refs
             + buf_d_refs + buf_nd_refs
             + clean_write_refs + d_snap_refs + nd_snap_refs + media_write_refs
             + late_write_refs + topn_refs + [metrics_ref, stale_ref]
@@ -1554,8 +1552,8 @@ class StreamingFingerprintPipeline:
         cep_tabs = _take(len(cep_feed_refs))
         evicted = int(sum(_take(len(evict_refs))))
         j_snap = {f"join_{k}": p for k, p in enumerate(_take(len(j_snap_refs)))}
+        # alert snapshot dicts carry the CEP tail path too when enabled
         a_snap = {f"alerts_{k}": p for k, p in enumerate(_take(len(a_snap_refs)))}
-        c_snap = {f"cep_{k}": p for k, p in enumerate(_take(len(c_snap_refs)))}
         buf_w = _take(len(buf_w_refs))
         buf_j = _take(len(buf_j_refs))
         buf_d = _take(len(buf_d_refs))
@@ -1585,7 +1583,7 @@ class StreamingFingerprintPipeline:
             _pq.write_table(cep, os.path.join(pending["staging"], "cep.parquet"))
             n_cep = cep.num_rows
         t_fin = time.perf_counter()
-        snapshot = {**w_snap, **j_snap, **a_snap, **c_snap, **d_snap, **nd_snap}
+        snapshot = {**w_snap, **j_snap, **a_snap, **d_snap, **nd_snap}
         # reclaim counts of EARLIER epochs delivered after their collection
         for k, v in stale.items():
             metrics[k] = metrics.get(k, 0) + v

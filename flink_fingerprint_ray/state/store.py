@@ -382,6 +382,13 @@ ALERT_COLS = ["key_lang", "key_host", "window_kind", "window_start",
 _ALERT_SEP = "\x1f"
 
 
+ALERT_SCHEMA = pa.schema([
+    ("key_lang", pa.string()), ("key_host", pa.string()),
+    ("window_kind", pa.string()), ("window_start", pa.int64()),
+    ("window_end", pa.int64()), ("dup_cluster_count", pa.int64()),
+])
+
+
 @ray.remote(num_cpus=0)
 class AlertStateActor:
     """Incremental rising-edge alert state (reference:
@@ -395,21 +402,30 @@ class AlertStateActor:
     monotonicity), and the per-call sort orders them within the epoch —
     so the scan order equals the oracle's global (key, window_start)
     scan.  State is a tiny per-key bool map, snapshotted as JSON
-    (num_cpus=0: microseconds of work per epoch)."""
+    (num_cpus=0: microseconds of work per epoch).
 
-    def __init__(self, partition_id: int) -> None:
+    With ``cep_pattern`` set the SAME actor also runs the streaming CEP
+    scan (``cep_scan``) on the SAME sorted frame and returns the match
+    table as ``feed``'s second element — one concat + one sort + one
+    actor pool serve both consumers (a separate CEP pool measured
+    ~+30-40% headline wall: n extra worker processes plus a duplicate
+    full sort of every epoch's closed rows)."""
+
+    def __init__(self, partition_id: int, cep_pattern=None) -> None:
         self.partition_id = partition_id
         self.state: dict[str, bool] = {}
+        self.cep_preds = parse_cep_pattern(cep_pattern) if cep_pattern else None
+        self.cep_cols = (tuple(sorted({c for c, _, _ in self.cep_preds}))
+                         if self.cep_preds else ())
+        # key -> list of [window_start, *col values] for the last R-1 windows
+        self.cep_state: dict[str, list] = {}
 
-    def feed(self, *tables: pa.Table) -> pa.Table:
+    def feed(self, *tables: pa.Table) -> tuple[pa.Table, pa.Table]:
+        """Returns (rising-edge alert rows, CEP match rows) — the second
+        table is empty when no pattern is configured."""
         tabs = [t for t in tables if t is not None and t.num_rows]
-        schema = pa.schema([
-            ("key_lang", pa.string()), ("key_host", pa.string()),
-            ("window_kind", pa.string()), ("window_start", pa.int64()),
-            ("window_end", pa.int64()), ("dup_cluster_count", pa.int64()),
-        ])
         if not tabs:
-            return schema.empty_table()
+            return ALERT_SCHEMA.empty_table(), CEP_SCHEMA.empty_table()
         df = pa.concat_tables(tabs, promote_options="default").to_pandas()
         # window_end breaks ties for cumulate slices sharing a start;
         # across epochs windows close in end order (watermark
@@ -417,7 +433,8 @@ class AlertStateActor:
         # order equals end order, so the scan still matches the oracle's
         # global sort
         df = df.sort_values(["key_lang", "key_host", "window_kind",
-                             "window_start", "window_end"], kind="stable")
+                             "window_start", "window_end"],
+                            kind="stable").reset_index(drop=True)
         flags = (df["dup_cluster_count"].to_numpy() > 0)
         keys = (df["key_lang"].astype(str) + _ALERT_SEP + df["key_host"].astype(str)
                 + _ALERT_SEP + df["window_kind"].astype(str)).to_numpy()
@@ -434,7 +451,11 @@ class AlertStateActor:
         for i in key_end:
             self.state[keys[i]] = bool(flags[i])
         out = df.loc[rising, ALERT_COLS]
-        return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
+        alerts = pa.Table.from_pandas(out, preserve_index=False).cast(ALERT_SCHEMA)
+        matches = (cep_scan(self.cep_state, self.cep_preds, self.cep_cols,
+                            df, keys)
+                   if self.cep_preds else CEP_SCHEMA.empty_table())
+        return alerts, matches
 
     def snapshot(self, snap_dir: str) -> dict[str, str]:
         import json
@@ -443,7 +464,13 @@ class AlertStateActor:
         p = os.path.join(snap_dir, f"p{self.partition_id:04d}_alerts.json")
         with open(p, "w") as f:
             json.dump(self.state, f)
-        return {"alerts": p}
+        out = {"alerts": p}
+        if self.cep_preds is not None:
+            pc = os.path.join(snap_dir, f"p{self.partition_id:04d}_cep.json")
+            with open(pc, "w") as f:
+                json.dump(self.cep_state, f)
+            out["cep"] = pc
+        return out
 
     def restore(self, paths: dict[str, str]) -> None:
         import json
@@ -453,12 +480,18 @@ class AlertStateActor:
                 self.state = json.load(f)
         else:
             self.state = {}
+        if "cep" in paths:
+            with open(paths["cep"]) as f:
+                self.cep_state = json.load(f)
+        else:
+            self.cep_state = {}
 
-    def restore_state(self, state: dict) -> None:
+    def restore_state(self, state: dict, cep_state: dict | None = None) -> None:
         """Savepoint-rescale restore: this partition's re-hashed share of
-        the merged per-key flags (snapshots are full JSON, so the next
-        snapshot persists it unchanged)."""
+        the merged per-key flags and CEP tails (snapshots are full JSON,
+        so the next snapshot persists them unchanged)."""
         self.state = dict(state)
+        self.cep_state = dict(cep_state or {})
 
 
 _CEP_OPS = {
@@ -500,140 +533,99 @@ def parse_cep_pattern(pattern) -> list[tuple[str, str, int]]:
     return out
 
 
-@ray.remote(num_cpus=0)
-class CepStateActor:
-    """Streaming MATCH_RECOGNIZE over the closed-window stream (Flink CEP
-    analog, AFTER MATCH SKIP TO NEXT ROW): a match is emitted at every
-    window whose last R strictly-consecutive closed windows of the same
-    (key_lang, key_host, window_kind) satisfy the pattern's predicates
-    over dup_cluster_count, elementwise.
+CEP_SCHEMA = pa.schema([
+    ("key_lang", pa.string()), ("key_host", pa.string()),
+    ("window_kind", pa.string()), ("match_start", pa.int64()),
+    ("window_start", pa.int64()), ("window_end", pa.int64()),
+])
 
-    Same ordering contract as AlertStateActor: fed once per epoch with
-    that epoch's closed-window rows; per key, windows close in
-    (window_start, window_end) order across epochs (watermark
-    monotonicity), and the per-call sort orders them within the epoch —
-    so the concatenated scan equals the oracle's global scan.  Cross-
-    epoch state is each key's last R-1 windows as
-    [window_start, <referenced column values in self.cols order>] rows,
-    snapshotted as JSON."""
 
-    def __init__(self, partition_id: int, pattern) -> None:
-        self.partition_id = partition_id
-        self.preds = parse_cep_pattern(pattern)
-        self.cols = tuple(sorted({c for c, _, _ in self.preds}))
-        # key -> list of [window_start, *col values] for the last R-1 windows
-        self.state: dict[str, list] = {}
-
-    def feed(self, *tables: pa.Table) -> pa.Table:
-        schema = pa.schema([
-            ("key_lang", pa.string()), ("key_host", pa.string()),
-            ("window_kind", pa.string()), ("match_start", pa.int64()),
-            ("window_start", pa.int64()), ("window_end", pa.int64()),
-        ])
-        tabs = [t for t in tables if t is not None and t.num_rows]
-        if not tabs:
-            return schema.empty_table()
-        R = len(self.preds)
-        df = pa.concat_tables(tabs, promote_options="default").to_pandas()
-        df = df.sort_values(["key_lang", "key_host", "window_kind",
-                             "window_start", "window_end"],
-                            kind="stable").reset_index(drop=True)
-        keys = (df["key_lang"].astype(str) + _ALERT_SEP
-                + df["key_host"].astype(str) + _ALERT_SEP
-                + df["window_kind"].astype(str)).to_numpy()
-        vals = {c: df[c].to_numpy().astype(np.int64) for c in self.cols}
-        ws = df["window_start"].to_numpy().astype(np.int64)
-        n = len(df)
-        gs = np.flatnonzero(np.concatenate(
-            ([True], keys[1:] != keys[:-1])))
-        ge = np.append(gs[1:], n)
-        # per group, prepend the stored tail so the sliding check sees
-        # cross-epoch history; tail rows provide lags but never END a
-        # match.  aug_pos counts from the group start, so any row with
-        # aug_pos >= R-1 has its whole R-window lookback inside its own
-        # group — no group-id bookkeeping needed.  (The python loop is
-        # O(distinct keys per feed), the same cost class as the alert
-        # actor's per-key transitions.)
-        width = 1 + len(self.cols)
-        segs_vals: dict[str, list] = {c: [] for c in self.cols}
-        segs_ws, segs_real, segs_orig, segs_pos = [], [], [], []
-        for s, e in zip(gs, ge):
-            key = keys[s]
-            tail = self.state.get(key, []) if R > 1 else []
-            if tail:
-                t_arr = np.asarray(tail, dtype=np.int64).reshape(-1, width)
-                seg_ws = np.concatenate((t_arr[:, 0], ws[s:e]))
-                for ci, c in enumerate(self.cols):
-                    segs_vals[c].append(
-                        np.concatenate((t_arr[:, 1 + ci], vals[c][s:e])))
-                seg_real = np.concatenate(
-                    (np.zeros(len(tail), dtype=bool),
-                     np.ones(e - s, dtype=bool)))
-                seg_orig = np.concatenate(
-                    (np.full(len(tail), -1, dtype=np.int64),
-                     np.arange(s, e, dtype=np.int64)))
-            else:
-                seg_ws = ws[s:e]
-                for c in self.cols:
-                    segs_vals[c].append(vals[c][s:e])
-                seg_real = np.ones(e - s, dtype=bool)
-                seg_orig = np.arange(s, e, dtype=np.int64)
-            segs_ws.append(seg_ws)
-            segs_real.append(seg_real)
-            segs_orig.append(seg_orig)
-            segs_pos.append(np.arange(len(seg_ws), dtype=np.int64))
-            if R > 1:
-                # new tail: last R-1 [ws, *cols] rows of (old tail + feed)
-                rows = np.column_stack(
-                    [seg_ws] + [segs_vals[c][-1] for c in self.cols])
-                self.state[key] = rows[-(R - 1):].tolist()
-        aug_vals = {c: np.concatenate(v) for c, v in segs_vals.items()}
-        aug_ws = np.concatenate(segs_ws)
-        real = np.concatenate(segs_real)
-        orig = np.concatenate(segs_orig)
-        aug_pos = np.concatenate(segs_pos)
-        m = len(aug_ws)
-        ok = real & (aug_pos >= R - 1)
-        for j, (col, op, c) in enumerate(self.preds):
-            shift = R - 1 - j  # predicate j applies to the row `shift` back
-            pj = _CEP_OPS[op](aug_vals[col], c)
-            if shift == 0:
-                ok &= pj
-            else:
-                shifted = np.zeros(m, dtype=bool)
-                shifted[shift:] = pj[:-shift]
-                ok &= shifted
-        hits = np.flatnonzero(ok)
-        if len(hits) == 0:
-            return schema.empty_table()
-        first = hits - (R - 1)
-        out = df.iloc[orig[hits]][
-            ["key_lang", "key_host", "window_kind",
-             "window_start", "window_end"]].reset_index(drop=True)
-        out.insert(3, "match_start", aug_ws[first])
-        return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
-
-    def snapshot(self, snap_dir: str) -> dict[str, str]:
-        import json
-
-        os.makedirs(snap_dir, exist_ok=True)
-        p = os.path.join(snap_dir, f"p{self.partition_id:04d}_cep.json")
-        with open(p, "w") as f:
-            json.dump(self.state, f)
-        return {"cep": p}
-
-    def restore(self, paths: dict[str, str]) -> None:
-        import json
-
-        if "cep" in paths:
-            with open(paths["cep"]) as f:
-                self.state = json.load(f)
+def cep_scan(state: dict, preds: list, cols: tuple,
+             df, keys: "np.ndarray") -> pa.Table:
+    """Streaming MATCH_RECOGNIZE scan (Flink CEP analog, AFTER MATCH SKIP
+    TO NEXT ROW) over one epoch's closed-window rows, ALREADY globally
+    sorted by (key_lang, key_host, window_kind, window_start, window_end)
+    with ``keys`` the per-row key strings — runs inside
+    ``AlertStateActor.feed`` on the same sorted frame the alert scan
+    uses.  A match is emitted at every window whose last R strictly-
+    consecutive closed windows of its key satisfy the (column, op, const)
+    predicates elementwise.  ``state`` (mutated) holds each key's last
+    R-1 windows as [window_start, *referenced column values in ``cols``
+    order] rows; per key, windows close in (start, end) order across
+    epochs (watermark monotonicity), so feeding epoch slices through this
+    scan equals the oracle's global scan."""
+    R = len(preds)
+    vals = {c: df[c].to_numpy().astype(np.int64) for c in cols}
+    ws = df["window_start"].to_numpy().astype(np.int64)
+    n = len(df)
+    gs = np.flatnonzero(np.concatenate(
+        ([True], keys[1:] != keys[:-1])))
+    ge = np.append(gs[1:], n)
+    # per group, prepend the stored tail so the sliding check sees
+    # cross-epoch history; tail rows provide lags but never END a
+    # match.  aug_pos counts from the group start, so any row with
+    # aug_pos >= R-1 has its whole R-window lookback inside its own
+    # group — no group-id bookkeeping needed.  (The python loop is
+    # O(distinct keys per feed), the same cost class as the alert
+    # actor's per-key transitions.)
+    width = 1 + len(cols)
+    segs_vals: dict[str, list] = {c: [] for c in cols}
+    segs_ws, segs_real, segs_orig, segs_pos = [], [], [], []
+    for s, e in zip(gs, ge):
+        key = keys[s]
+        tail = state.get(key, []) if R > 1 else []
+        if tail:
+            t_arr = np.asarray(tail, dtype=np.int64).reshape(-1, width)
+            seg_ws = np.concatenate((t_arr[:, 0], ws[s:e]))
+            for ci, c in enumerate(cols):
+                segs_vals[c].append(
+                    np.concatenate((t_arr[:, 1 + ci], vals[c][s:e])))
+            seg_real = np.concatenate(
+                (np.zeros(len(tail), dtype=bool),
+                 np.ones(e - s, dtype=bool)))
+            seg_orig = np.concatenate(
+                (np.full(len(tail), -1, dtype=np.int64),
+                 np.arange(s, e, dtype=np.int64)))
         else:
-            self.state = {}
-
-    def restore_state(self, state: dict) -> None:
-        """Savepoint-rescale restore (see AlertStateActor.restore_state)."""
-        self.state = dict(state)
+            seg_ws = ws[s:e]
+            for c in cols:
+                segs_vals[c].append(vals[c][s:e])
+            seg_real = np.ones(e - s, dtype=bool)
+            seg_orig = np.arange(s, e, dtype=np.int64)
+        segs_ws.append(seg_ws)
+        segs_real.append(seg_real)
+        segs_orig.append(seg_orig)
+        segs_pos.append(np.arange(len(seg_ws), dtype=np.int64))
+        if R > 1:
+            # new tail: last R-1 [ws, *cols] rows of (old tail + feed)
+            rows = np.column_stack(
+                [seg_ws] + [segs_vals[c][-1] for c in cols])
+            state[key] = rows[-(R - 1):].tolist()
+    aug_vals = {c: np.concatenate(v) for c, v in segs_vals.items()}
+    aug_ws = np.concatenate(segs_ws)
+    real = np.concatenate(segs_real)
+    orig = np.concatenate(segs_orig)
+    aug_pos = np.concatenate(segs_pos)
+    m = len(aug_ws)
+    ok = real & (aug_pos >= R - 1)
+    for j, (col, op, c) in enumerate(preds):
+        shift = R - 1 - j  # predicate j applies to the row `shift` back
+        pj = _CEP_OPS[op](aug_vals[col], c)
+        if shift == 0:
+            ok &= pj
+        else:
+            shifted = np.zeros(m, dtype=bool)
+            shifted[shift:] = pj[:-shift]
+            ok &= shifted
+    hits = np.flatnonzero(ok)
+    if len(hits) == 0:
+        return CEP_SCHEMA.empty_table()
+    first = hits - (R - 1)
+    out = df.iloc[orig[hits]][
+        ["key_lang", "key_host", "window_kind",
+         "window_start", "window_end"]].reset_index(drop=True)
+    out.insert(3, "match_start", aug_ws[first])
+    return pa.Table.from_pandas(out, preserve_index=False).cast(CEP_SCHEMA)
 
 
 @ray.remote(num_cpus=0)
@@ -1080,7 +1072,12 @@ class StatePool:
                 i, join_retention_ms, compact_every)
             for i in range(n_partitions)
         ]
-        self.alert_actors = [AlertStateActor.remote(i) for i in range(n_partitions)]
+        # the alert pool also runs the streaming-CEP scan when a pattern
+        # is configured (one sorted pass and one set of processes serve
+        # both — a separate CEP pool measured ~+30-40% headline wall)
+        self.alert_actors = [
+            AlertStateActor.remote(i, cep_pattern) for i in range(n_partitions)
+        ]
         # Optional state pools spawn ONLY when their feature is on: every
         # actor is a whole Python worker process, and 2n idle processes
         # measurably slow the default pipeline on a saturated node
@@ -1094,11 +1091,6 @@ class StatePool:
         self.neardup_actors = [
             NearDupStateActor.remote(i, compact_every) for i in range(n_partitions)
         ] if with_neardup else []
-        # streaming CEP over the closed-window stream (num_cpus=0,
-        # lazy-spawned like the other optional pools)
-        self.cep_actors = [
-            CepStateActor.remote(i, cep_pattern) for i in range(n_partitions)
-        ] if cep_pattern else []
 
     def ready(self) -> None:
         """Block until every state actor process is constructed.  Actor
@@ -1108,42 +1100,26 @@ class StatePool:
         ray.get([
             a.__ray_ready__.remote()
             for a in (self.window_actors + self.join_actors + self.alert_actors
-                      + self.dedup_actors + self.neardup_actors
-                      + self.cep_actors)
+                      + self.dedup_actors + self.neardup_actors)
         ])
 
-    def feed_alerts(self, alert_refs: list) -> list:
+    def feed_alerts_and_cep(self, alert_refs: list) -> tuple[list, list]:
         """Route finalize partitions' closed-window rows to the per-key
         alert actors; ONE feed per actor per epoch (transition order must
-        be the in-feed sort, not RPC arrival order).  Returns refs of the
-        emitted alert tables."""
+        be the in-feed sort, not RPC arrival order).  Each feed returns
+        BOTH the emitted alert table and the CEP match table (empty when
+        no pattern is configured) from one sorted pass — returned here as
+        (alert_feed_refs, cep_feed_refs) via num_returns=2."""
         parted = [
             split_alert_rows.options(num_returns=self.n).remote(r, self.n)
             for r in alert_refs
         ]
-        return [
-            self.alert_actors[p].feed.remote(*[row[p] for row in parted])
+        pairs = [
+            self.alert_actors[p].feed.options(num_returns=2).remote(
+                *[row[p] for row in parted])
             for p in range(self.n)
         ]
-
-    def feed_alerts_and_cep(self, alert_refs: list) -> tuple[list, list]:
-        """Like feed_alerts, but the per-key split is shared with the CEP
-        pool: both consume the same partitioned closed-window rows, so
-        every row is split exactly once.  Returns (alert_feed_refs,
-        cep_feed_refs); the second list is empty when CEP is off."""
-        parted = [
-            split_alert_rows.options(num_returns=self.n).remote(r, self.n)
-            for r in alert_refs
-        ]
-        alert_out = [
-            self.alert_actors[p].feed.remote(*[row[p] for row in parted])
-            for p in range(self.n)
-        ]
-        cep_out = [
-            self.cep_actors[p].feed.remote(*[row[p] for row in parted])
-            for p in range(self.n)
-        ] if self.cep_actors else []
-        return alert_out, cep_out
+        return [a for a, _ in pairs], [c for _, c in pairs]
 
     def snapshot_alerts(self, snap_dir: str) -> dict[str, dict[str, str]]:
         a = ray.get([x.snapshot.remote(os.path.join(snap_dir, "alerts")) for x in self.alert_actors])
@@ -1195,9 +1171,6 @@ class StatePool:
     def snapshot_alerts_refs(self, snap_dir: str) -> list:
         return [x.snapshot.remote(os.path.join(snap_dir, "alerts")) for x in self.alert_actors]
 
-    def snapshot_cep_refs(self, snap_dir: str) -> list:
-        return [x.snapshot.remote(os.path.join(snap_dir, "cep")) for x in self.cep_actors]
-
     def close_dedup_refs(self) -> list:
         return [a.close_epoch.remote() for a in self.dedup_actors]
 
@@ -1248,8 +1221,6 @@ class StatePool:
             refs.append(a.restore.remote(snap.get(f"dedup_{i}", {})))
         for i, a in enumerate(self.neardup_actors):
             refs.append(a.restore.remote(snap.get(f"neardup_{i}", {})))
-        for i, a in enumerate(self.cep_actors):
-            refs.append(a.restore.remote(snap.get(f"cep_{i}", {})))
         ray.get(refs)
 
     def rescale_restore(self, snap: dict, watermark_ms: int, old_n: int) -> None:
@@ -1314,13 +1285,13 @@ class StatePool:
                       % np.uint64(self.n)).astype(np.int64)
         for p, jt in enumerate(_split(join, j_part)):
             refs.append(self.join_actors[p].restore_table.remote(jt, watermark_ms))
-        # alert / CEP per-key JSON state: owned by hash of lang\x1fhost
+        # alert flag + CEP tail per-key JSON state (both live in the alert
+        # pool's snapshot): owned by hash of lang\x1fhost
         # (split_alert_rows' rule; the stored key appends \x1fkind)
-        for name, actors in (("alerts", self.alert_actors),
-                             ("cep", self.cep_actors)):
+        def _shares(name: str) -> list[dict]:
             merged: dict = {}
             for i in range(old_n):
-                pth = snap.get(f"{name}_{i}", {}).get(name)
+                pth = snap.get(f"alerts_{i}", {}).get(name)
                 if pth:
                     import json
 
@@ -1335,8 +1306,11 @@ class StatePool:
                         % np.uint64(self.n)).astype(np.int64)
                 for k, p in zip(ks, part):
                     shares[int(p)][k] = merged[k]
-            for p, a in enumerate(actors):
-                refs.append(a.restore_state.remote(shares[p]))
+            return shares
+
+        flag_shares, cep_shares = _shares("alerts"), _shares("cep")
+        for p, a in enumerate(self.alert_actors):
+            refs.append(a.restore_state.remote(flag_shares[p], cep_shares[p]))
         # exact-dedup seen set: owned by text_hash
         if self.dedup_actors:
             arrs = [
@@ -1352,11 +1326,10 @@ class StatePool:
 
     def shutdown(self) -> None:
         for a in (self.window_actors + self.join_actors + self.alert_actors
-                  + self.dedup_actors + self.neardup_actors + self.cep_actors):
+                  + self.dedup_actors + self.neardup_actors):
             ray.kill(a)
         self.window_actors = []
         self.join_actors = []
         self.alert_actors = []
         self.dedup_actors = []
         self.neardup_actors = []
-        self.cep_actors = []

@@ -1033,12 +1033,13 @@ def test_cumulate_slices_match_bruteforce(ts_list, step_k, n_slices):
 )
 @settings(max_examples=120, deadline=None)
 def test_cep_epoch_split_matches_global_bruteforce(seq, preds, cuts, n_keys):
-    """CepStateActor fed the same per-key window stream in ARBITRARY
-    epoch slices must emit exactly the brute-force global matches —
-    the cross-epoch tail state cannot lose or duplicate a match."""
+    """The alert actor's CEP scan, fed the same per-key window stream in
+    ARBITRARY epoch slices, must emit exactly the brute-force global
+    matches — the cross-epoch tail state cannot lose or duplicate a
+    match."""
     import pandas as pd
 
-    from flink_fingerprint_ray.state.store import _CEP_OPS, CepStateActor
+    from flink_fingerprint_ray.state.store import _CEP_OPS, AlertStateActor
 
     pattern = tuple(f"{c}{op}{v}" for c, op, v in preds)
     R = len(pattern)
@@ -1069,7 +1070,7 @@ def test_cep_epoch_split_matches_global_bruteforce(seq, preds, cuts, n_keys):
                 want.add((f"h{ki}", (end - R + 1) * 100, end * 100))
 
     # engine: feed in arbitrary epoch slices (cuts normalized to bounds)
-    actor = CepStateActor.__ray_metadata__.modified_class(0, pattern)
+    actor = AlertStateActor.__ray_metadata__.modified_class(0, pattern)
     bounds = sorted({min(c * len(seq) // 6, len(seq)) for c in cuts})
     bounds = [0] + [b for b in bounds if 0 < b < len(seq)] + [len(seq)]
     got = set()
@@ -1077,7 +1078,7 @@ def test_cep_epoch_split_matches_global_bruteforce(seq, preds, cuts, n_keys):
         # an epoch closes windows [lo, hi) for EVERY key
         chunk = df[(df["window_start"] >= lo * 100)
                    & (df["window_start"] < hi * 100)]
-        out = actor.feed(pa.Table.from_pandas(chunk, preserve_index=False))
+        _, out = actor.feed(pa.Table.from_pandas(chunk, preserve_index=False))
         for r in out.to_pylist():
             got.add((r["key_host"], r["match_start"], r["window_start"]))
     assert got == want
