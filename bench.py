@@ -113,7 +113,8 @@ def write_corpus(dest: str, n_docs: int, n_epochs: int) -> int:
 
 
 def run_headline(num_cpus: int, n_docs: int = N_DOCS, n_epochs: int = N_EPOCHS,
-                 corpus_dir: str | None = None, neardup: bool = False) -> dict:
+                 corpus_dir: str | None = None, neardup: bool = False,
+                 channels: bool = False) -> dict:
     """The flagship streaming pipeline on a seeded page stream; returns
     wall seconds + docs/sec.  ``corpus_dir``: pre-generated corpus to
     reuse (the --scaling parent writes it ONCE so both parallelism levels
@@ -139,6 +140,9 @@ def run_headline(num_cpus: int, n_docs: int = N_DOCS, n_epochs: int = N_EPOCHS,
             # there — actor CPU reservation starves the transform)
             n_state_partitions=min(8, max(4, num_cpus // 2)),
             neardup=neardup,
+            # --channels-ab: the round-4d window Top-N + CEP side outputs
+            **({"window_topn": 3, "cep_pattern": (">0", "==0")}
+               if channels else {}),
         )
         pipe = StreamingFingerprintPipeline(
             os.path.join(tmp, "pages"),
@@ -318,7 +322,50 @@ def main() -> None:
                     help="interleaved plain-vs-neardup A/B pairs on one "
                          "shared corpus (the only drift-proof overhead "
                          "measurement on this host)")
+    ap.add_argument("--channels-ab", dest="channels_ab", action="store_true",
+                    help="interleaved plain-vs-(window_topn+cep_pattern) "
+                         "A/B pairs on one shared corpus — the round-4d "
+                         "side-channel cost protocol")
     args = ap.parse_args()
+
+    if args.channels_ab:
+        # same drift-proof protocol as --neardup-ab: shared corpus,
+        # unrecorded warmup, alternating-order same-minute pairs
+        import ray
+
+        n_docs = int(os.environ.get("BENCH_N_DOCS", N_DOCS))
+        n_epochs = int(os.environ.get("BENCH_N_EPOCHS", N_EPOCHS))
+        pairs_n = int(os.environ.get("BENCH_AB_PAIRS", "3"))
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+        corpus = tempfile.mkdtemp(prefix="ffr_chab_corpus_")
+        os.environ["BENCH_CORPUS_BYTES"] = str(write_corpus(corpus, n_docs, n_epochs))
+        run_headline(NUM_CPUS, n_docs=n_docs, n_epochs=n_epochs, corpus_dir=corpus)
+        pairs = []
+        for k in range(pairs_n):
+            order = (False, True) if k % 2 == 0 else (True, False)
+            res = {}
+            for ch_flag in order:
+                res[ch_flag] = run_headline(NUM_CPUS, n_docs=n_docs,
+                                            n_epochs=n_epochs,
+                                            corpus_dir=corpus, channels=ch_flag)
+            plain, ch = res[False], res[True]
+            pairs.append({
+                "plain_sec": plain["sec"], "channels_sec": ch["sec"],
+                "overhead": round(ch["sec"] / plain["sec"] - 1.0, 3),
+            })
+        ratios = sorted(p["overhead"] for p in pairs)
+        print(json.dumps({
+            "metric": "window_topn+cep channel overhead (interleaved same-corpus A/B)",
+            "value": ratios[len(ratios) // 2],
+            "unit": "fractional wall overhead (median pair)",
+            "overhead_min_pair": ratios[0],
+            "pairs": pairs,
+            "n_docs": n_docs,
+            "n_epochs": n_epochs,
+            "num_cpus": NUM_CPUS,
+        }))
+        ray.shutdown()
+        return
 
     if args.neardup_ab:
         # Host capacity swings 2-4x minute-to-minute (BASELINE.md), so
