@@ -1082,3 +1082,47 @@ def test_cep_epoch_split_matches_global_bruteforce(seq, preds, cuts, n_keys):
         for r in out.to_pylist():
             got.add((r["key_host"], r["match_start"], r["window_start"]))
     assert got == want
+
+
+@given(st.lists(st.tuples(st.sampled_from(["en", "de", "fr"]),
+                          st.text(alphabet="abcxyz.", min_size=1, max_size=10),
+                          st.sampled_from(["tumbling", "sliding", "session",
+                                           "cumulate"])),
+                min_size=1, max_size=40),
+       st.integers(2, 9))
+@settings(max_examples=60, deadline=None)
+def test_rescale_key_hash_agrees_with_alert_split(rows, n_parts):
+    """Savepoint rescaling re-owns alert/CEP state keys by hashing the
+    stored key's lang\\x1fhost prefix — that MUST equal the partition
+    split_alert_rows assigns the same key's rows, or a rescaled resume
+    would consult the wrong actor's state."""
+    import pandas as pd
+
+    from flink_fingerprint_ray.state.store import _ALERT_SEP, split_alert_rows
+
+    block = pa.table({
+        "key_lang": pa.array([r[0] for r in rows]),
+        "key_host": pa.array([r[1] for r in rows]),
+        "window_kind": pa.array([r[2] for r in rows]),
+        "window_start": pa.array([0] * len(rows), pa.int64()),
+        "window_end": pa.array([1] * len(rows), pa.int64()),
+        "dup_cluster_count": pa.array([0] * len(rows), pa.int64()),
+    })
+    parts = split_alert_rows._function(block, n_parts)
+    route = {}
+    for p, t in enumerate(parts):
+        if t is None:
+            continue
+        for r in t.to_pylist():
+            route[(r["key_lang"], r["key_host"])] = p
+    # the rescale-side rule: hash of the stored key's lang\x1fhost prefix
+    for (lang, host, kind) in rows:
+        key = lang + _ALERT_SEP + host + _ALERT_SEP + kind
+        prefix = np.array([key.rsplit(_ALERT_SEP, 1)[0]], dtype=object)
+        # % np.uint64(n), as both product paths do — a bare python-int
+        # modulus silently promotes uint64 hashes to float64 and corrupts
+        # the low bits (this test exists to catch exactly that class of
+        # drift between the two ownership computations)
+        p = int(pd.util.hash_array(prefix, categorize=False)[0]
+                % np.uint64(n_parts))
+        assert p == route[(lang, host)]
