@@ -6645,6 +6645,157 @@ def q_bigram_logprob(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR-style importance weight (Data Selection via Importance
+    Resampling, Xie et al. 2023 — public method): per doc,
+    log p_target(x) − log p_raw(x) under two class-bigram LMs over a
+    SHARED feature space (the same corpus-wide 25-class alphabet as
+    ``bigram_logprob``).  The target LM trains on one source's docs
+    ('src1', the stand-in for a high-quality seed corpus); the raw LM
+    trains corpus-wide.  Scale shape: ONE pair-count exchange carries
+    BOTH counts as (pair, n_all, n_tgt) partials; the 625-entry
+    DIFFERENCE matrix — each side's log-prob independently floored to
+    micros, so every per-pair value is int-exact — broadcasts via
+    ray.put and the corpus streams through the score pass.  Positive
+    weight ⇒ the doc looks more target-like (DSIR resamples with
+    probability ∝ exp(weight))."""
+    TARGET = "src1"
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    # ---- pass 1: shared top-V vocab (identical rule to bigram_logprob)
+    def count_partial(batch: pa.Table) -> pd.DataFrame:
+        pl = fp._polars()
+        s = pl.Series(batch["text"].combine_chunks().cast(pa.large_string()))
+        vc = s.str.extract_all(r"\S+").explode().value_counts()
+        return pd.DataFrame({"word": vc[vc.columns[0]].to_pandas(),
+                             "n": vc["count"].to_numpy().astype(np.int64)})
+
+    def count_sweep(t: pa.Table) -> pd.DataFrame:
+        return t.to_pandas().groupby("word", sort=False)["n"].sum().reset_index()
+
+    counts = grouped_map(ds.map_batches(count_partial, batch_format="pyarrow"),
+                         ["word"], count_sweep).to_pandas()
+    top = (counts.sort_values(["n", "word"], ascending=[False, True],
+                              kind="stable").head(LM_TOP_V))
+    vocab_index = pd.Index(top["word"])
+    n_classes = LM_TOP_V + 1
+    vocab_ref = ray.put(vocab_index)
+
+    def _classes(batch: pa.Table):
+        pl = fp._polars()
+        vidx = ray.get(vocab_ref)
+        s = pl.Series(batch["text"].combine_chunks().cast(pa.large_string()))
+        lists = s.str.extract_all(r"\S+")
+        lens = lists.list.len().to_numpy().astype(np.int64)
+        flat = lists.explode().drop_nulls().to_pandas()
+        cls = vidx.get_indexer(flat)
+        cls = np.where(cls >= 0, cls, LM_TOP_V)
+        return lens, cls
+
+    # ---- pass 2: ONE exchange with both LMs' pair counts ----
+    def pair_partial(batch: pa.Table) -> pd.DataFrame:
+        lens, cls = _classes(batch)
+        empty = pd.DataFrame({"pair": pd.Series([], dtype="int64"),
+                              "n_all": pd.Series([], dtype="int64"),
+                              "n_tgt": pd.Series([], dtype="int64")})
+        if len(cls) < 2:
+            return empty
+        doc = np.repeat(np.arange(len(lens)), lens)
+        adj = doc[1:] == doc[:-1]
+        if not adj.any():
+            return empty
+        pair = cls[:-1][adj] * n_classes + cls[1:][adj]
+        is_tgt = (np.asarray(batch["source"], dtype=object) == TARGET)
+        tgt_pair = is_tgt[doc[:-1][adj]]
+        u, inv = np.unique(pair, return_inverse=True)
+        return pd.DataFrame({
+            "pair": u.astype(np.int64),
+            "n_all": np.bincount(inv).astype(np.int64),
+            "n_tgt": np.bincount(inv, weights=tgt_pair).astype(np.int64),
+        })
+
+    pair_pdf = (ds.map_batches(pair_partial, batch_format="pyarrow")
+                .to_pandas().groupby("pair", sort=False)[["n_all", "n_tgt"]].sum())
+
+    def _lp_micros(flat_counts: np.ndarray) -> np.ndarray:
+        c2 = flat_counts.reshape(n_classes, n_classes)
+        ctx = c2.sum(axis=1)
+        lp = np.log((c2 + 1.0) / (ctx[:, None] + n_classes))
+        return np.floor(lp * 1e6 + 0.5).astype(np.int64)
+
+    flat_all = np.zeros(n_classes * n_classes, np.int64)
+    flat_tgt = np.zeros(n_classes * n_classes, np.int64)
+    flat_all[pair_pdf.index.to_numpy()] = pair_pdf["n_all"].to_numpy()
+    flat_tgt[pair_pdf.index.to_numpy()] = pair_pdf["n_tgt"].to_numpy()
+    diff_ref = ray.put(_lp_micros(flat_tgt) - _lp_micros(flat_all))
+
+    # ---- pass 3: per-doc weight ----
+    def score(batch: pa.Table) -> pa.Table:
+        lens, cls = _classes(batch)
+        mat = ray.get(diff_ref)
+        sums = np.zeros(len(lens), np.int64)
+        npairs = np.maximum(lens - 1, 0)
+        if len(cls) >= 2:
+            doc = np.repeat(np.arange(len(lens)), lens)
+            adj = doc[1:] == doc[:-1]
+            pm = mat[cls[:-1][adj], cls[1:][adj]]
+            nz = npairs > 0
+            if nz.any():
+                offsets = np.zeros(int(nz.sum()), np.int64)
+                np.cumsum(npairs[nz][:-1], out=offsets[1:])
+                sums[nz] = np.add.reduceat(pm, offsets)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_pairs": pa.array(npairs, pa.int64()),
+            "dsir_sum_micros": pa.array(sums, pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_DSIR_WEIGHTS = r"""
+WITH cnt AS (
+  SELECT w, COUNT(*) AS n
+  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents)
+  GROUP BY w),
+top AS (SELECT w, row_number() OVER (ORDER BY n DESC, w) - 1 AS cls
+        FROM cnt ORDER BY n DESC, w LIMIT 24),
+l AS (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS toks
+      FROM documents),
+prs AS (
+  SELECT doc_id, source, toks[pos] AS w1, toks[pos + 1] AS w2
+  FROM (SELECT doc_id, source, toks,
+               unnest(generate_series(1, len(toks) - 1)) AS pos FROM l)),
+pc AS (
+  SELECT doc_id, source,
+         COALESCE(t1.cls, 24) AS c1, COALESCE(t2.cls, 24) AS c2
+  FROM prs LEFT JOIN top t1 ON prs.w1 = t1.w
+           LEFT JOIN top t2 ON prs.w2 = t2.w),
+ca AS (SELECT c1, c2, COUNT(*) AS n FROM pc GROUP BY c1, c2),
+xa AS (SELECT c1, SUM(n) AS n_ctx FROM ca GROUP BY c1),
+ct AS (SELECT c1, c2, COUNT(*) AS n FROM pc WHERE source = 'src1'
+       GROUP BY c1, c2),
+xt AS (SELECT c1, SUM(n) AS n_ctx FROM ct GROUP BY c1),
+lp AS (
+  SELECT pc.doc_id,
+         CAST(floor(ln((COALESCE(t.n, 0) + 1.0)
+                       / (COALESCE(xt.n_ctx, 0) + 25.0)) * 1e6 + 0.5) AS BIGINT)
+         - CAST(floor(ln((COALESCE(a.n, 0) + 1.0)
+                         / (xa.n_ctx + 25.0)) * 1e6 + 0.5) AS BIGINT) AS micros
+  FROM pc JOIN xa ON pc.c1 = xa.c1
+          LEFT JOIN ca a ON pc.c1 = a.c1 AND pc.c2 = a.c2
+          LEFT JOIN xt ON pc.c1 = xt.c1
+          LEFT JOIN ct t ON pc.c1 = t.c1 AND pc.c2 = t.c2)
+SELECT d.doc_id,
+       CAST(greatest(COALESCE(array_length(regexp_extract_all(d.text, '\S+')), 0)
+                     - 1, 0) AS BIGINT) AS n_pairs,
+       COALESCE(s.micros_sum, 0) AS dsir_sum_micros
+FROM documents d
+LEFT JOIN (SELECT doc_id, SUM(micros) AS micros_sum FROM lp GROUP BY doc_id) s
+  ON d.doc_id = s.doc_id
+"""
+
+
 SQL_BIGRAM_LOGPROB = r"""
 WITH cnt AS (
   SELECT w, COUNT(*) AS n
@@ -6904,6 +7055,7 @@ QUERIES = {
     "host_pagerank_check": q_host_pagerank_check,
     "host_quota_cap": q_host_quota_cap,
     "bigram_logprob": q_bigram_logprob,
+    "dsir_weights": q_dsir_weights,
     "anchor_text_index": q_anchor_text_index,
 }
 
@@ -7076,5 +7228,6 @@ ORACLE_SQL = {
     "host_pagerank_check": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
     "host_quota_cap": SQL_HOST_QUOTA_CAP,
     "bigram_logprob": SQL_BIGRAM_LOGPROB,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
     "anchor_text_index": SQL_ANCHOR_TEXT_INDEX,
 }

@@ -104,6 +104,7 @@ FAST_SQL_QUERIES = [
     "pruned_date_scan",
     "ann_topk_pq_check",
     "ann_topk_ivfpq_check",
+    "dsir_weights",
     "robust_length_stats",
     "supplier_pagerank_check",
     "top_bigrams",
