@@ -4902,17 +4902,12 @@ FROM b GROUP BY 1, 2
 LM_TOP_V = 24  # fixture vocab is 31 distinct words -> 7 fall in the OOV bucket
 
 
-def q_unigram_logprob(sf_dir: str):
-    """CCNet-style language-model quality score: pass 1 builds a top-V
-    unigram model over the corpus (per-block word-count partials are the
-    only exchange — bounded by blocks x vocab, skew-proof for hot words);
-    pass 2 broadcasts the tiny (top-V + OOV floor) log-prob table via
-    ray.put and scores every doc as the exact integer sum of per-token
-    micros-rounded ln p(w) (rounded per token BEFORE summing, so the
-    value is order-exact).  Emitting (sum, n_tokens) instead of the mean
-    keeps the column integer-exact."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
+def _unigram_model_ref(ds):
+    """Pass 1 of the CCNet-style scorer: corpus-wide top-V unigram LM.
+    Per-block word-count partials are the only exchange — bounded by
+    blocks x vocab, skew-proof for hot words.  Returns a ray.put handle
+    on (vocab Index, per-word ln-p micros, OOV micros); shared by
+    ``unigram_logprob`` and ``ccnet_lang_buckets``."""
     def count_partial(batch: pa.Table) -> pd.DataFrame:
         pl = fp._polars()
         s = pl.Series(batch["text"].combine_chunks().cast(pa.large_string()))
@@ -4937,7 +4932,19 @@ def q_unigram_logprob(sf_dir: str):
     vocab_index = pd.Index(top["word"])
     vocab_micros = np.floor(
         np.log(top["n"].to_numpy(np.float64) / total) * 1e6 + 0.5).astype(np.int64)
-    model = ray.put((vocab_index, vocab_micros, oov_micros))
+    return ray.put((vocab_index, vocab_micros, oov_micros))
+
+
+def q_unigram_logprob(sf_dir: str):
+    """CCNet-style language-model quality score: pass 1 builds a top-V
+    unigram model over the corpus (see ``_unigram_model_ref``); pass 2
+    broadcasts the tiny (top-V + OOV floor) log-prob table via ray.put
+    and scores every doc as the exact integer sum of per-token
+    micros-rounded ln p(w) (rounded per token BEFORE summing, so the
+    value is order-exact).  Emitting (sum, n_tokens) instead of the mean
+    keeps the column integer-exact."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    model = _unigram_model_ref(ds)
 
     def score(batch: pa.Table) -> pa.Table:
         pl = fp._polars()
@@ -6907,6 +6914,240 @@ FROM links GROUP BY dst_host
 """
 
 
+# ---------------------------------------------------------------------------
+# Training-data packing + CCNet perplexity buckets + Flink window dedup
+# (round 4e)
+# ---------------------------------------------------------------------------
+
+PACK_CTX = 128      # tokens per packed training context
+PACK_SPAN = 128     # doc_ids per prefix-sum carry range
+
+
+def q_pack_contexts(sf_dir: str):
+    """GPT-style concat-and-chunk sequence packing — the standard
+    training-data layout at scale (docs concatenated in doc_id order
+    with one EOS token each, the stream cut into fixed PACK_CTX-token
+    contexts).  Per doc: its token count, stream offset, and the first /
+    last context it lands in.
+
+    Scale shape: a DISTRIBUTED PREFIX SUM (scan-with-carry).  Pass 1
+    tokenizes once and keeps only 24-byte (doc_id, n_tokens) rows; the
+    per-range weight totals (one int per PACK_SPAN docs) come to the
+    driver for the tiny exclusive scan; the carry offsets ship back as
+    plain fn_kwargs arrays and each range partition resolves its docs
+    with one local cumsum.  Nothing wide ever moves — the exchange is
+    the narrow token-count rows, never text.  (At petascale PACK_SPAN
+    grows with the corpus, or the range totals get a second scan level —
+    the carry stays one int per range either way.)"""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        pl = fp._polars()
+        s = pl.Series(batch["text"].combine_chunks().cast(pa.large_string()))
+        ntok = s.str.extract_all(r"\S+").list.len().to_numpy().astype(np.int64)
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "rng": pa.array(ids // PACK_SPAN, pa.int64()),
+            "n_tokens": pa.array(ntok, pa.int64()),
+        })
+
+    # tokenize ONCE: the narrow (doc_id, rng, n_tokens) rows are consumed
+    # twice (range totals, then the per-range resolve), so materialize
+    # them — 24 bytes/doc, not text
+    toks = ds.map_batches(tok_partial, batch_format="pyarrow").materialize()
+
+    def range_partial(batch: pa.Table) -> pd.DataFrame:
+        rng = batch["rng"].to_numpy()
+        w = batch["n_tokens"].to_numpy() + 1  # +1 EOS per doc
+        u, inv = np.unique(rng, return_inverse=True)
+        return pd.DataFrame({"rng": u.astype(np.int64),
+                             "w": np.bincount(inv, weights=w).astype(np.int64)})
+
+    totals = (toks.map_batches(range_partial, batch_format="pyarrow")
+              .to_pandas().groupby("rng", sort=True)["w"].sum())
+    rngs = totals.index.to_numpy(np.int64)
+    offs = np.zeros(len(rngs), np.int64)
+    np.cumsum(totals.to_numpy(np.int64)[:-1], out=offs[1:])  # exclusive scan
+
+    def pack_sweep(t: pa.Table, rngs: np.ndarray, offs: np.ndarray) -> pd.DataFrame:
+        df = t.to_pandas().sort_values("doc_id", kind="stable")
+        w = df["n_tokens"].to_numpy() + 1
+        rng = df["rng"].to_numpy()
+        cum = np.cumsum(w) - w  # local exclusive prefix (rng nondecreasing)
+        starts = np.flatnonzero(np.diff(rng, prepend=rng[0] - 1))
+        base = np.repeat(cum[starts], np.diff(np.append(starts, len(rng))))
+        start = offs[np.searchsorted(rngs, rng)] + (cum - base)
+        ntok = df["n_tokens"].to_numpy()
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_tokens": ntok,
+            "start_tok": start,
+            "first_ctx": start // PACK_CTX,
+            "last_ctx": (start + ntok) // PACK_CTX,  # end-1 = start+ntok
+        })
+
+    return grouped_map(toks, ["rng"], pack_sweep,
+                       fn_kwargs={"rngs": rngs, "offs": offs})
+
+
+SQL_PACK_CONTEXTS = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(COALESCE(array_length(regexp_extract_all(text, '\S+')), 0)
+              AS BIGINT) AS n_tokens
+  FROM documents),
+s AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens + 1) OVER (
+                ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_tok
+  FROM t)
+SELECT doc_id, n_tokens, start_tok,
+       CAST(start_tok // {PACK_CTX} AS BIGINT) AS first_ctx,
+       CAST((start_tok + n_tokens) // {PACK_CTX} AS BIGINT) AS last_ctx
+FROM s
+"""
+
+
+def q_ccnet_lang_buckets(sf_dir: str):
+    """CCNet head/middle/tail buckets (Wenzek et al. 2020, public
+    method): per language, docs ranked by per-token unigram-LM log-prob
+    (higher = more fluent = 'head') and cut into NTILE(3) terciles.
+    Per-token mean is the int-exact floor division sum_micros // n_tokens
+    (rounded-per-token sum, so the ordering key is order-independent);
+    empty docs are excluded.  Scale shape: the LM build is the bounded
+    word-count exchange of ``_unigram_model_ref``; the rank pass moves
+    only 24-byte (doc_id, lang, avg) rows through one groupby(lang) —
+    per-language partitions, the same skew budget as stratified_sample.
+    (At petascale the exact per-lang sort becomes a distributed
+    quantile-sketch cut — the two tercile boundaries per language — with
+    identical bucket semantics away from ties.)"""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    model = _unigram_model_ref(ds)
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        pl = fp._polars()
+        vidx, vmic, oov = ray.get(model)
+        s = pl.Series(batch["text"].combine_chunks().cast(pa.large_string()))
+        lists = s.str.extract_all(r"\S+")
+        lens = lists.list.len().to_numpy().astype(np.int64)
+        flat = lists.explode().drop_nulls().to_pandas()
+        idx = vidx.get_indexer(flat)
+        lp = np.where(idx >= 0, vmic[np.clip(idx, 0, None)], oov)
+        sums = np.zeros(len(lens), np.int64)
+        nz = lens > 0
+        if nz.any():
+            offsets = np.zeros(int(nz.sum()), np.int64)
+            np.cumsum(lens[nz][:-1], out=offsets[1:])
+            sums[nz] = np.add.reduceat(lp, offsets)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy()[nz],
+            "lang": batch["lang"].to_pandas().to_numpy()[nz],
+            "avg_lp_micros": sums[nz] // lens[nz],  # int floor division
+        })
+
+    def bucket_sweep(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas().sort_values(
+            ["lang", "avg_lp_micros", "doc_id"],
+            ascending=[True, False, True], kind="stable")
+        r = df.groupby("lang", sort=False).cumcount().to_numpy(np.int64)
+        n = df.groupby("lang", sort=False)["lang"].transform("size") \
+              .to_numpy(np.int64)
+        # NTILE(3): first (n % 3) tiles get one extra row
+        q, rem = n // 3, n % 3
+        cut = rem * (q + 1)
+        tile = np.where(r < cut, r // np.maximum(q + 1, 1),
+                        rem + (r - cut) // np.maximum(q, 1))
+        df["bucket"] = np.array(["head", "middle", "tail"], object)[tile]
+        return df.reset_index(drop=True)
+
+    parts = ds.map_batches(score, batch_format="pyarrow")
+    return grouped_map(parts, ["lang"], bucket_sweep)
+
+
+SQL_CCNET_LANG_BUCKETS = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents),
+cnt AS (SELECT w, COUNT(*) AS n FROM tok GROUP BY w),
+tot AS (SELECT SUM(n) AS total FROM cnt),
+top AS (SELECT w, n FROM cnt ORDER BY n DESC, w LIMIT 24),
+oov AS (
+  SELECT CASE WHEN total - (SELECT SUM(n) FROM top) > 0
+              THEN CAST(floor(ln((total - (SELECT SUM(n) FROM top)) * 1.0 / total)
+                              * 1e6 + 0.5) AS BIGINT)
+              ELSE -50000000 END AS oov_micros,
+         total
+  FROM tot),
+lp AS (
+  SELECT t.doc_id,
+         COALESCE(CAST(floor(ln(p.n * 1.0 / o.total) * 1e6 + 0.5) AS BIGINT),
+                  o.oov_micros) AS micros
+  FROM tok t CROSS JOIN oov o LEFT JOIN top p ON t.w = p.w),
+a AS (
+  SELECT d.doc_id, d.lang,
+         CAST(floor(CAST(s.micros_sum AS DOUBLE) / s.n_tok) AS BIGINT)
+           AS avg_lp_micros
+  FROM documents d
+  JOIN (SELECT doc_id, SUM(micros) AS micros_sum, COUNT(*) AS n_tok
+        FROM lp GROUP BY doc_id) s ON d.doc_id = s.doc_id)
+SELECT doc_id, lang, avg_lp_micros,
+       CASE ntile(3) OVER (PARTITION BY lang
+                           ORDER BY avg_lp_micros DESC, doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM a
+"""
+
+
+def q_window_dedup_first(sf_dir: str):
+    """Flink SQL 'Window Deduplication' (window TVF + ROW_NUMBER = 1):
+    the FIRST event per (user, 1-minute tumbling window) by event time,
+    ties broken on event_id.  Completes the window-TVF family alongside
+    window aggregate / window Top-N / interval join.  Scale shape:
+    block-local min per key (combiner — each block forwards at most one
+    row per (user, window) it saw), then one groupby(user_id) sweep;
+    the exchange carries survivors only, never the raw stream."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        tms = batch["ts"].cast(pa.int64()).to_numpy() // 1000  # us -> ms
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(),
+            "window_start": tms // 60_000 * 60_000,
+            "first_tms": tms,
+            "event_id": batch["event_id"].to_numpy(),
+            "event_type": batch["event_type"].to_pandas(),
+        })
+        df = df.sort_values(["user_id", "window_start", "first_tms", "event_id"],
+                            kind="stable")
+        keep = ~df.duplicated(["user_id", "window_start"])
+        return df.loc[keep].reset_index(drop=True)
+
+    def sweep(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas().sort_values(
+            ["user_id", "window_start", "first_tms", "event_id"], kind="stable")
+        keep = ~df.duplicated(["user_id", "window_start"])
+        return df.loc[keep].reset_index(drop=True)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_map(parts, ["user_id"], sweep)
+
+
+SQL_WINDOW_DEDUP_FIRST = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS tms FROM events),
+w AS (
+  SELECT user_id, (tms // 60000) * 60000 AS window_start, tms AS first_tms,
+         event_id, event_type,
+         row_number() OVER (PARTITION BY user_id, tms // 60000
+                            ORDER BY tms, event_id) AS rn
+  FROM e)
+SELECT user_id, window_start, first_tms, event_id, event_type
+FROM w WHERE rn = 1
+"""
+
+
 QUERIES = {
     "tumbling_stats": q_tumbling_stats,
     "sliding_counts": q_sliding_counts,
@@ -7057,6 +7298,9 @@ QUERIES = {
     "bigram_logprob": q_bigram_logprob,
     "dsir_weights": q_dsir_weights,
     "anchor_text_index": q_anchor_text_index,
+    "pack_contexts": q_pack_contexts,
+    "ccnet_lang_buckets": q_ccnet_lang_buckets,
+    "window_dedup_first": q_window_dedup_first,
 }
 
 ORACLE_SQL = {
@@ -7230,4 +7474,7 @@ ORACLE_SQL = {
     "bigram_logprob": SQL_BIGRAM_LOGPROB,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "anchor_text_index": SQL_ANCHOR_TEXT_INDEX,
+    "pack_contexts": SQL_PACK_CONTEXTS,
+    "ccnet_lang_buckets": SQL_CCNET_LANG_BUCKETS,
+    "window_dedup_first": SQL_WINDOW_DEDUP_FIRST,
 }

@@ -138,6 +138,9 @@ FAST_SQL_QUERIES = [
     "host_quota_cap",
     "bigram_logprob",
     "anchor_text_index",
+    "pack_contexts",
+    "ccnet_lang_buckets",
+    "window_dedup_first",
 ]
 
 
