@@ -54,6 +54,7 @@ SKIP_QUERIES = {
     "countmin_check",
     "winnow_fingerprints_check",
     "host_pagerank_check",
+    "pack_greedy_check",
 }
 
 

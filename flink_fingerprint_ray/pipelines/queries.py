@@ -7148,6 +7148,126 @@ FROM w WHERE rn = 1
 """
 
 
+PACK_SHARDS = 8
+
+
+def _next_fit_shard(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Next-fit packing of one shard's doc weights (already in doc_id
+    order) into PACK_CTX-token bins: a doc that would overflow the open
+    bin closes it; a doc longer than PACK_CTX gets a bin alone.  Returns
+    (bin_id, offset_in_bin) per doc.  The loop advances BIN-by-bin
+    (searchsorted on the prefix sum — O(bins log n) scalar steps), not
+    doc-by-doc; everything between is vectorized."""
+    n = len(w)
+    cum = np.cumsum(w)
+    starts = [0]
+    while True:
+        s = starts[-1]
+        base = cum[s - 1] if s else 0
+        j = int(np.searchsorted(cum, base + PACK_CTX, side="right"))
+        if j == s:          # oversized doc: alone in its bin
+            j = s + 1
+        if j >= n:
+            break
+        starts.append(j)
+    starts_a = np.asarray(starts, np.int64)
+    bin_id = np.searchsorted(starts_a, np.arange(n), side="right") - 1
+    bin_base = np.where(starts_a > 0, cum[starts_a - 1], 0)[bin_id]
+    offset = (cum - w) - bin_base
+    return bin_id.astype(np.int64), offset.astype(np.int64)
+
+
+def q_pack_greedy(sf_dir: str):
+    """Boundary-respecting greedy packing (the SFT-style layout — docs
+    never split across contexts, unlike ``pack_contexts``): within each
+    of PACK_SHARDS independent streams (shard = doc_id % PACK_SHARDS),
+    docs in doc_id order fill PACK_CTX-token bins next-fit.  Output per
+    doc: (shard, bin, offset-in-bin, n_tokens).  Scale shape: shards
+    pack independently — the fan-out knob — each resolved by one
+    groupby(shard) partition sweep over 24-byte (doc_id, n_tokens) rows
+    (text never enters the exchange); within a shard the greedy order
+    is inherently sequential, which is WHY the shard axis exists.
+    Iterative per-shard packing is not SQL-expressible; the driver gets
+    the rows-only check plus ``pack_greedy_check``'s pinned zero."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        pl = fp._polars()
+        s = pl.Series(batch["text"].combine_chunks().cast(pa.large_string()))
+        ntok = s.str.extract_all(r"\S+").list.len().to_numpy().astype(np.int64)
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "shard": pa.array(ids % PACK_SHARDS, pa.int64()),
+            "n_tokens": pa.array(ntok, pa.int64()),
+        })
+
+    def pack_sweep(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas().sort_values(["shard", "doc_id"], kind="stable")
+        out = []
+        for shard, g in df.groupby("shard", sort=False):
+            bin_id, off = _next_fit_shard(g["n_tokens"].to_numpy())
+            out.append(pd.DataFrame({
+                "doc_id": g["doc_id"].to_numpy(),
+                "shard": np.full(len(g), shard, np.int64),
+                "bin_id": bin_id, "offset_tok": off,
+                "n_tokens": g["n_tokens"].to_numpy(),
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    toks = ds.map_batches(tok_partial, batch_format="pyarrow")
+    return grouped_map(toks, ["shard"], pack_sweep)
+
+
+def _pack_greedy_reference(ids: np.ndarray, ntok: np.ndarray) -> pd.DataFrame:
+    """Naive doc-at-a-time next-fit reference (independent of the
+    searchsorted kernel): one python loop, one open bin per shard."""
+    order = np.argsort(ids, kind="stable")
+    fill: dict[int, int] = {}
+    nbin: dict[int, int] = {}
+    rows = []
+    for i in order:
+        d, w = int(ids[i]), int(ntok[i])
+        s = d % PACK_SHARDS
+        if s not in fill:
+            fill[s], nbin[s] = 0, 0
+        if fill[s] and fill[s] + w > PACK_CTX:
+            nbin[s] += 1
+            fill[s] = 0
+        rows.append((d, s, nbin[s], fill[s], w))
+        fill[s] += w
+        if fill[s] >= PACK_CTX:   # full (or oversized): close immediately
+            nbin[s] += 1
+            fill[s] = 0
+    return pd.DataFrame(rows, columns=["doc_id", "shard", "bin_id",
+                                       "offset_tok", "n_tokens"])
+
+
+def q_pack_greedy_check(sf_dir: str):
+    """Driver-visible invariant: the distributed per-shard next-fit
+    packing agrees row-exactly with the doc-at-a-time loop reference
+    (shares no kernel with the engine path).  Oracle pins
+    mismatch_rows = 0."""
+    import pyarrow.parquet as pq
+
+    eng = q_pack_greedy(sf_dir).to_pandas() \
+        .sort_values(["doc_id"]).reset_index(drop=True)
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    pl = fp._polars()
+    ntok = (pl.Series(tbl["text"].combine_chunks().cast(pa.large_string()))
+            .str.extract_all(r"\S+").list.len().to_numpy().astype(np.int64))
+    ref = _pack_greedy_reference(tbl["doc_id"].to_numpy(), ntok) \
+        .sort_values(["doc_id"]).reset_index(drop=True)
+    cols = ["doc_id", "shard", "bin_id", "offset_tok", "n_tokens"]
+    if len(eng) != len(ref):
+        mism = max(len(eng), len(ref))
+    else:
+        mism = int((eng[cols].to_numpy() != ref[cols].to_numpy())
+                   .any(axis=1).sum())
+    return pd.DataFrame({"mismatch_rows": pd.array([mism], dtype="int64")})
+
+
 QUERIES = {
     "tumbling_stats": q_tumbling_stats,
     "sliding_counts": q_sliding_counts,
@@ -7301,6 +7421,8 @@ QUERIES = {
     "pack_contexts": q_pack_contexts,
     "ccnet_lang_buckets": q_ccnet_lang_buckets,
     "window_dedup_first": q_window_dedup_first,
+    "pack_greedy": q_pack_greedy,
+    "pack_greedy_check": q_pack_greedy_check,
 }
 
 ORACLE_SQL = {
@@ -7477,4 +7599,5 @@ ORACLE_SQL = {
     "pack_contexts": SQL_PACK_CONTEXTS,
     "ccnet_lang_buckets": SQL_CCNET_LANG_BUCKETS,
     "window_dedup_first": SQL_WINDOW_DEDUP_FIRST,
+    "pack_greedy_check": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
 }

@@ -141,6 +141,7 @@ FAST_SQL_QUERIES = [
     "pack_contexts",
     "ccnet_lang_buckets",
     "window_dedup_first",
+    "pack_greedy_check",
 ]
 
 
@@ -182,7 +183,7 @@ def test_rows_only_queries_nonempty(ray_session):
                  "model_lang_score", "media_jpeg_features",
                  "media_png_features", "media_audio_codecs",
                  "media_video_frames", "media_gif_features",
-                 "media_gif_anim_frames", "host_pagerank"):
+                 "media_gif_anim_frames", "host_pagerank", "pack_greedy"):
         df = _to_df(q[name](SF))
         assert len(df) > 0, name
 
