@@ -7148,16 +7148,127 @@ FROM w WHERE rn = 1
 """
 
 
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 30, 10_000
+GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "be", "that", "have")
+
+
+def q_gopher_rules(sf_dir: str):
+    """Gopher quality-rule bundle (Rae et al. 2021 §A1.1, public
+    method): per-doc pass/fail flags for the document-level heuristics —
+    word count in [30, 10k] (min scaled to the fixture's 10-99-word
+    docs), mean word length in [3, 10], symbol-to-word ratio ('#' or
+    '...') ≤ 0.1, ≥ 80% of words contain an alphabetic character, and
+    ≥ 2 distinct stopwords present.  Every ratio test is the
+    cross-multiplied INTEGER comparison (3·n_words > n_nonspace etc.),
+    so flags are int-exact; every rule input count is also emitted so
+    the oracle pins the arithmetic even where a flag is constant on the
+    fixture.  Scale shape: single stateless map_batches pass, polars
+    regex kernels + one reduceat per doc; stopword membership via an
+    8-bit presence mask OR-reduced per doc.  Embarrassingly parallel —
+    no exchange at all."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    stop_index = pd.Index(list(GOPHER_STOPWORDS))
+
+    def feats(batch: pa.Table) -> pa.Table:
+        pl = fp._polars()
+        s = pl.Series(batch["text"].combine_chunks().cast(pa.large_string()))
+        lists = s.str.extract_all(r"\S+")
+        n_words = lists.list.len().to_numpy().astype(np.int64)
+        n_ns = s.str.count_matches(r"\S").to_numpy().astype(np.int64)
+        n_sym = s.str.count_matches(r"#|\.\.\.").to_numpy().astype(np.int64)
+        flat = lists.explode().drop_nulls()
+        alpha = flat.str.contains("[A-Za-z]").to_numpy().astype(np.int64)
+        stop_idx = stop_index.get_indexer(flat.to_pandas())
+        bits = np.where(stop_idx >= 0,
+                        np.left_shift(1, np.clip(stop_idx, 0, None)),
+                        0).astype(np.int64)
+        n_alpha = np.zeros(len(n_words), np.int64)
+        mask = np.zeros(len(n_words), np.int64)
+        nz = n_words > 0
+        if nz.any():
+            offsets = np.zeros(int(nz.sum()), np.int64)
+            np.cumsum(n_words[nz][:-1], out=offsets[1:])
+            n_alpha[nz] = np.add.reduceat(alpha, offsets)
+            mask[nz] = np.bitwise_or.reduceat(bits, offsets)
+        n_stop = ((mask[:, None] >> np.arange(8)) & 1).sum(axis=1)
+        f_words = ((n_words < GOPHER_MIN_WORDS)
+                   | (n_words > GOPHER_MAX_WORDS)).astype(np.int64)
+        f_mean = ((3 * n_words > n_ns) | (n_ns > 10 * n_words)).astype(np.int64)
+        f_sym = (10 * n_sym > n_words).astype(np.int64)
+        f_alpha = (10 * n_alpha < 8 * n_words).astype(np.int64)
+        f_stop = (n_stop < 2).astype(np.int64)
+        keep = 1 - np.maximum.reduce([f_words, f_mean, f_sym, f_alpha, f_stop])
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_nonspace": pa.array(n_ns, pa.int64()),
+            "n_symbols": pa.array(n_sym, pa.int64()),
+            "n_alpha_words": pa.array(n_alpha, pa.int64()),
+            "n_stop_distinct": pa.array(n_stop.astype(np.int64), pa.int64()),
+            "flag_words": pa.array(f_words, pa.int64()),
+            "flag_mean_len": pa.array(f_mean, pa.int64()),
+            "flag_symbol": pa.array(f_sym, pa.int64()),
+            "flag_alpha": pa.array(f_alpha, pa.int64()),
+            "flag_stop": pa.array(f_stop, pa.int64()),
+            "keep": pa.array(keep, pa.int64()),
+        })
+
+    return ds.map_batches(feats, batch_format="pyarrow")
+
+
+SQL_GOPHER_RULES = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks,
+         CAST(COALESCE(array_length(regexp_extract_all(text, '\S+')), 0)
+              AS BIGINT) AS n_words,
+         CAST(COALESCE(array_length(regexp_extract_all(text, '\S')), 0)
+              AS BIGINT) AS n_nonspace,
+         CAST(COALESCE(array_length(regexp_extract_all(text, '#|\.\.\.')), 0)
+              AS BIGINT) AS n_symbols
+  FROM documents),
+f AS (
+  SELECT doc_id, n_words, n_nonspace, n_symbols,
+         CAST(COALESCE(array_length(
+               list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))), 0)
+              AS BIGINT) AS n_alpha_words,
+         CAST(COALESCE(array_length(
+               list_intersect(list_distinct(toks),
+                 ['the', 'a', 'and', 'of', 'to', 'be', 'that', 'have'])), 0)
+              AS BIGINT) AS n_stop_distinct
+  FROM t),
+g AS (
+  SELECT *,
+         CAST(n_words < {GOPHER_MIN_WORDS}
+              OR n_words > {GOPHER_MAX_WORDS} AS BIGINT) AS flag_words,
+         CAST(3 * n_words > n_nonspace
+              OR n_nonspace > 10 * n_words AS BIGINT) AS flag_mean_len,
+         CAST(10 * n_symbols > n_words AS BIGINT) AS flag_symbol,
+         CAST(10 * n_alpha_words < 8 * n_words AS BIGINT) AS flag_alpha,
+         CAST(n_stop_distinct < 2 AS BIGINT) AS flag_stop
+  FROM f)
+SELECT doc_id, n_words, n_nonspace, n_symbols, n_alpha_words,
+       n_stop_distinct, flag_words, flag_mean_len, flag_symbol, flag_alpha,
+       flag_stop,
+       CAST(flag_words = 0 AND flag_mean_len = 0 AND flag_symbol = 0
+            AND flag_alpha = 0 AND flag_stop = 0 AS BIGINT) AS keep
+FROM g
+"""
+
+
 PACK_SHARDS = 8
 
 
 def _next_fit_shard(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Next-fit packing of one shard's doc weights (already in doc_id
-    order) into PACK_CTX-token bins: a doc that would overflow the open
-    bin closes it; a doc longer than PACK_CTX gets a bin alone.  Returns
-    (bin_id, offset_in_bin) per doc.  The loop advances BIN-by-bin
-    (searchsorted on the prefix sum — O(bins log n) scalar steps), not
-    doc-by-doc; everything between is vectorized."""
+    order) into PACK_CTX-token bins: a doc that would overflow a
+    NONEMPTY open bin closes it; a doc longer than PACK_CTX joins the
+    (empty) open bin and every later doc sees that bin overflow, so it
+    ends up alone with real-weight docs either side (lazy close — the
+    property test pins the zero-weight and oversized edges against the
+    doc-at-a-time loop).  Returns (bin_id, offset_in_bin) per doc.  The
+    loop advances BIN-by-bin (searchsorted on the prefix sum —
+    O(bins log n) scalar steps), not doc-by-doc; everything between is
+    vectorized."""
     n = len(w)
     cum = np.cumsum(w)
     starts = [0]
@@ -7165,10 +7276,14 @@ def _next_fit_shard(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         s = starts[-1]
         base = cum[s - 1] if s else 0
         j = int(np.searchsorted(cum, base + PACK_CTX, side="right"))
-        if j == s:          # oversized doc: alone in its bin
-            j = s + 1
         if j >= n:
             break
+        if (cum[j - 1] if j else 0) == base:
+            # overflow doc whose open bin has zero fill: it joins this
+            # bin (which every later doc then sees as overflowing)
+            j += 1
+            if j >= n:
+                break
         starts.append(j)
     starts_a = np.asarray(starts, np.int64)
     bin_id = np.searchsorted(starts_a, np.arange(n), side="right") - 1
@@ -7231,14 +7346,11 @@ def _pack_greedy_reference(ids: np.ndarray, ntok: np.ndarray) -> pd.DataFrame:
         s = d % PACK_SHARDS
         if s not in fill:
             fill[s], nbin[s] = 0, 0
-        if fill[s] and fill[s] + w > PACK_CTX:
-            nbin[s] += 1
+        if fill[s] and fill[s] + w > PACK_CTX:  # lazy close: only a
+            nbin[s] += 1                        # nonempty bin closes
             fill[s] = 0
         rows.append((d, s, nbin[s], fill[s], w))
         fill[s] += w
-        if fill[s] >= PACK_CTX:   # full (or oversized): close immediately
-            nbin[s] += 1
-            fill[s] = 0
     return pd.DataFrame(rows, columns=["doc_id", "shard", "bin_id",
                                        "offset_tok", "n_tokens"])
 
@@ -7423,6 +7535,7 @@ QUERIES = {
     "window_dedup_first": q_window_dedup_first,
     "pack_greedy": q_pack_greedy,
     "pack_greedy_check": q_pack_greedy_check,
+    "gopher_rules": q_gopher_rules,
 }
 
 ORACLE_SQL = {
@@ -7600,4 +7713,5 @@ ORACLE_SQL = {
     "ccnet_lang_buckets": SQL_CCNET_LANG_BUCKETS,
     "window_dedup_first": SQL_WINDOW_DEDUP_FIRST,
     "pack_greedy_check": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
+    "gopher_rules": SQL_GOPHER_RULES,
 }

@@ -1126,3 +1126,59 @@ def test_rescale_key_hash_agrees_with_alert_split(rows, n_parts):
         p = int(pd.util.hash_array(prefix, categorize=False)[0]
                 % np.uint64(n_parts))
         assert p == route[(lang, host)]
+
+
+@given(st.lists(st.integers(0, 300), min_size=1, max_size=120))
+@settings(deadline=None)
+def test_next_fit_shard_matches_naive(weights):
+    """The searchsorted bin-by-bin packing kernel (pipelines/queries.py
+    _next_fit_shard) must agree with a doc-at-a-time next-fit loop for
+    arbitrary weights — incl. oversized docs (> PACK_CTX alone in a
+    bin), exact fills (close at fill == C), and zero-weight docs."""
+    from flink_fingerprint_ray.pipelines.queries import (
+        PACK_CTX,
+        _next_fit_shard,
+    )
+
+    w = np.asarray(weights, np.int64)
+    bin_id, off = _next_fit_shard(w)
+    fill, b, exp_bin, exp_off = 0, 0, [], []
+    for x in w.tolist():
+        if fill and fill + x > PACK_CTX:  # lazy close: only a nonempty
+            b += 1                        # bin closes
+            fill = 0
+        exp_bin.append(b)
+        exp_off.append(fill)
+        fill += x
+    assert bin_id.tolist() == exp_bin
+    assert off.tolist() == exp_off
+    # invariants: bins nondecreasing; a bin's real content fits unless
+    # it contains an oversized doc (which admits only zero-weight peers)
+    assert (np.diff(bin_id) >= 0).all()
+    for bb in np.unique(bin_id):
+        m = bin_id == bb
+        assert w[m].sum() <= PACK_CTX or w[m].max() > PACK_CTX
+
+
+@given(st.lists(st.integers(0, 500), min_size=1, max_size=200),
+       st.integers(1, 16))
+@settings(deadline=None)
+def test_pack_carry_algebra_matches_global_cumsum(weights, span):
+    """The distributed prefix-sum algebra of pack_contexts: per-range
+    totals -> driver exclusive scan -> per-range local exclusive cumsum
+    + carry must reproduce the global exclusive cumsum for ANY range
+    span (the output is span-independent — the knob only repartitions)."""
+    w = np.asarray(weights, np.int64)
+    ids = np.arange(len(w))
+    rng = ids // span
+    # driver side: range totals in range order, exclusive scan
+    uniq = np.unique(rng)
+    totals = np.array([w[rng == r].sum() for r in uniq], np.int64)
+    offs = np.zeros(len(uniq), np.int64)
+    np.cumsum(totals[:-1], out=offs[1:])
+    # partition side: local exclusive cumsum + carry (rng nondecreasing)
+    cum = np.cumsum(w) - w
+    starts = np.flatnonzero(np.diff(rng, prepend=rng[0] - 1))
+    base = np.repeat(cum[starts], np.diff(np.append(starts, len(rng))))
+    start_tok = offs[np.searchsorted(uniq, rng)] + (cum - base)
+    assert start_tok.tolist() == (np.cumsum(w) - w).tolist()

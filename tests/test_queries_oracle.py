@@ -142,6 +142,7 @@ FAST_SQL_QUERIES = [
     "ccnet_lang_buckets",
     "window_dedup_first",
     "pack_greedy_check",
+    "gopher_rules",
 ]
 
 
