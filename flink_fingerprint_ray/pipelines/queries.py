@@ -7148,6 +7148,72 @@ FROM w WHERE rn = 1
 """
 
 
+SHUFFLE_RANGES = 32
+
+
+def q_epoch_shuffle_order(sf_dir: str):
+    """Deterministic global training shuffle: every doc's position in a
+    reproducible pseudo-random epoch order (rank of the seedless LCG
+    sample key over doc_id, ties on doc_id) — the 'shuffle the corpus
+    each epoch' step of a training pipeline, made parallelism-invariant
+    where a seeded random_shuffle is not.  Scale shape: DISTRIBUTED
+    RANKING by key-range scan-with-carry (the sibling of
+    pack_contexts's prefix sum, with weight 1): the LCG key is uniform
+    on [0, 2^31) so fixed key ranges are balanced; per-range counts →
+    tiny driver exclusive scan → each range partition sorts locally and
+    adds its carry.  Only 24-byte (doc_id, key) rows move — this is
+    what ds.sort does under the hood, expressed so the rank itself is
+    the output."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    span = _LCG_M // SHUFFLE_RANGES
+
+    def key_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        sk = _sample_key(ids)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "sk": pa.array(sk, pa.int64()),
+            "rng": pa.array(sk // span, pa.int64()),
+        })
+
+    keyed = ds.map_batches(key_partial, batch_format="pyarrow").materialize()
+
+    def count_partial(batch: pa.Table) -> pd.DataFrame:
+        rng = batch["rng"].to_numpy()
+        u, c = np.unique(rng, return_counts=True)
+        return pd.DataFrame({"rng": u.astype(np.int64),
+                             "n": c.astype(np.int64)})
+
+    totals = (keyed.map_batches(count_partial, batch_format="pyarrow")
+              .to_pandas().groupby("rng", sort=True)["n"].sum())
+    rngs = totals.index.to_numpy(np.int64)
+    offs = np.zeros(len(rngs), np.int64)
+    np.cumsum(totals.to_numpy(np.int64)[:-1], out=offs[1:])
+
+    def rank_sweep(t: pa.Table, rngs: np.ndarray, offs: np.ndarray) -> pd.DataFrame:
+        df = t.to_pandas().sort_values(["rng", "sk", "doc_id"], kind="stable")
+        rng = df["rng"].to_numpy()
+        local = np.arange(len(df), dtype=np.int64)
+        starts = np.flatnonzero(np.diff(rng, prepend=rng[0] - 1))
+        base = np.repeat(local[starts], np.diff(np.append(starts, len(rng))))
+        pos = offs[np.searchsorted(rngs, rng)] + (local - base)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "shuffle_pos": pos})
+
+    return grouped_map(keyed, ["rng"], rank_sweep,
+                       fn_kwargs={"rngs": rngs, "offs": offs})
+
+
+SQL_EPOCH_SHUFFLE_ORDER = f"""
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY (((doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M})
+                   * {_LCG_A} + {_LCG_C}) % {_LCG_M}, doc_id) - 1
+         AS shuffle_pos
+FROM documents
+"""
+
+
 GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 30, 10_000
 GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "be", "that", "have")
 
@@ -7536,6 +7602,7 @@ QUERIES = {
     "pack_greedy": q_pack_greedy,
     "pack_greedy_check": q_pack_greedy_check,
     "gopher_rules": q_gopher_rules,
+    "epoch_shuffle_order": q_epoch_shuffle_order,
 }
 
 ORACLE_SQL = {
@@ -7714,4 +7781,5 @@ ORACLE_SQL = {
     "window_dedup_first": SQL_WINDOW_DEDUP_FIRST,
     "pack_greedy_check": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
     "gopher_rules": SQL_GOPHER_RULES,
+    "epoch_shuffle_order": SQL_EPOCH_SHUFFLE_ORDER,
 }

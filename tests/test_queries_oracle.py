@@ -143,6 +143,7 @@ FAST_SQL_QUERIES = [
     "window_dedup_first",
     "pack_greedy_check",
     "gopher_rules",
+    "epoch_shuffle_order",
 ]
 
 
