@@ -55,6 +55,7 @@ SKIP_QUERIES = {
     "winnow_fingerprints_check",
     "host_pagerank_check",
     "pack_greedy_check",
+    "host_hits_check",
 }
 
 

@@ -6516,6 +6516,44 @@ def q_host_pagerank_check(sf_dir: str):
     return pd.DataFrame({"mismatch_rows": pd.array([int(bad.sum())], dtype="int64")})
 
 
+def q_host_hits(sf_dir: str):
+    """HITS hubs & authorities (Kleinberg 1999, public method) over the
+    DIRECTED crawl host graph — the link-analysis complement to
+    `host_pagerank` (which symmetrizes).  Hub = links to good
+    authorities; authority = linked from good hubs; 20 normalized
+    iterations.  Scale shape: BOTH edge orientations hash-partitioned
+    once and kept resident; each half-step is one local task per
+    partition + one exchange of locally-summed (node, partial) rows;
+    the L2 norm is a scalar tree-reduce (one float per partition).
+    Iterative float scores → rows-only; `host_hits_check` pins the
+    distributed result against the single-process recompute."""
+    from ..stages.graph import distributed_hits
+
+    ids, hostmap = _host_edges(sf_dir)
+    scores = distributed_hits(ids)
+    hm = hostmap.to_pandas()
+    out = scores.merge(hm, on="node", how="left")
+    return (out[["host", "hub_micros", "auth_micros"]]
+            .sort_values("host", kind="stable").reset_index(drop=True))
+
+
+def q_host_hits_check(sf_dir: str):
+    """Driver-visible invariant: distributed HITS agrees with the
+    single-process numpy recompute on every host to within 5 micros
+    (float summation order inside the per-partition norm partials is
+    the only degree of freedom).  The oracle pins mismatch_rows = 0."""
+    from ..stages.graph import distributed_hits, reference_hits
+
+    ids, _ = _host_edges(sf_dir)
+    dist = distributed_hits(ids)
+    ref = reference_hits(ids.to_pandas())
+    m = dist.merge(ref, on="node", how="outer", suffixes=("_d", "_r"))
+    bad = (m["hub_micros_d"].isna() | m["hub_micros_r"].isna()
+           | ((m["hub_micros_d"] - m["hub_micros_r"]).abs() > 5)
+           | ((m["auth_micros_d"] - m["auth_micros_r"]).abs() > 5))
+    return pd.DataFrame({"mismatch_rows": pd.array([int(bad.sum())], dtype="int64")})
+
+
 HOST_QUOTA_K = 10
 
 
@@ -7603,6 +7641,8 @@ QUERIES = {
     "pack_greedy_check": q_pack_greedy_check,
     "gopher_rules": q_gopher_rules,
     "epoch_shuffle_order": q_epoch_shuffle_order,
+    "host_hits": q_host_hits,
+    "host_hits_check": q_host_hits_check,
 }
 
 ORACLE_SQL = {
@@ -7782,4 +7822,5 @@ ORACLE_SQL = {
     "pack_greedy_check": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
     "gopher_rules": SQL_GOPHER_RULES,
     "epoch_shuffle_order": SQL_EPOCH_SHUFFLE_ORDER,
+    "host_hits_check": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
 }

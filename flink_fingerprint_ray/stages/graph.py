@@ -161,3 +161,169 @@ def reference_pagerank(edges: pd.DataFrame, damping: float = 0.85,
         "node": nodes,
         "rank_micros": np.floor(rank * 1e6 + 0.5).astype(np.int64),
     })
+
+
+# ---------------------------------------------------------------------------
+# HITS (hubs & authorities, Kleinberg 1999) — DIRECTED graph, same
+# resident-partition iteration style as distributed_pagerank: both edge
+# orientations are hash-partitioned ONCE (fwd by src for the authority
+# half-step, rev by dst for the hub half-step); each half-step runs one
+# local task per partition and exchanges only locally-summed
+# (node, partial) rows.  The score supports line up exactly: every fwd
+# src receives a hub row each iteration (its edges contribute to it via
+# rev) and every dst an authority row, so the searchsorted lookup in the
+# contrib task never misses.  L2 normalization per half-step: per-
+# partition sum-of-squares partials, summed driver-side in partition
+# order (deterministic), scale applied by one tiny task per partition.
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _hits_fwd(t: pa.Table) -> pa.Table:
+    return pa.table({"node": t["src"].cast(pa.int64()),
+                     "dst": t["dst"].cast(pa.int64())})
+
+
+@ray.remote
+def _hits_rev(t: pa.Table) -> pa.Table:
+    return pa.table({"node": t["dst"].cast(pa.int64()),
+                     "dst": t["src"].cast(pa.int64())})
+
+
+@ray.remote
+def _hits_init(edges: pa.Table) -> pa.Table:
+    u = np.unique(edges["node"].to_numpy())
+    return pa.table({"node": pa.array(u, pa.int64()),
+                     "val": pa.array(np.ones(len(u)), pa.float64())})
+
+
+@ray.remote
+def _hits_contrib(edges: pa.Table, scores: pa.Table) -> pa.Table:
+    """score[node] summed onto each resident edge's dst — the
+    unnormalized half-step, pre-aggregated locally (no degree term,
+    unlike PageRank)."""
+    src = edges["node"].to_numpy()
+    dst = edges["dst"].to_numpy()
+    snode = scores["node"].to_numpy()
+    sval = scores["val"].to_numpy()
+    order = np.argsort(snode, kind="stable")
+    pos = order[np.searchsorted(snode[order], src)]
+    ud, dinv = np.unique(dst, return_inverse=True)
+    sums = np.zeros(len(ud), np.float64)
+    np.add.at(sums, dinv, sval[pos])
+    return pa.table({"node": pa.array(ud, pa.int64()),
+                     "val": pa.array(sums, pa.float64())})
+
+
+def _hits_sum(t: pa.Table) -> pd.DataFrame:
+    return t.to_pandas().groupby("node", sort=True)["val"].sum().reset_index()
+
+
+@ray.remote
+def _hits_sumsq(t: pa.Table | None) -> float:
+    if t is None:
+        return 0.0
+    v = t["val"].to_numpy()
+    return float(np.sum(v * v))
+
+
+@ray.remote
+def _hits_scale(t: pa.Table, scale: float) -> pa.Table:
+    return pa.table({"node": t["node"],
+                     "val": pa.array(t["val"].to_numpy() * scale,
+                                     pa.float64())})
+
+
+def _hits_normalized(parts: list) -> dict:
+    """grouped_map indexed refs -> L2-normalized {partition: ref}.  The
+    sum-of-squares partials are combined in PARTITION-INDEX order so the
+    norm is deterministic for a fixed partition count."""
+    parts = sorted(parts)
+    sq = ray.get([_hits_sumsq.remote(r) for _, r in parts])
+    total = float(np.sum(np.asarray(sq, np.float64)))
+    scale = 1.0 / np.sqrt(total) if total > 0 else 1.0
+    return {p: _hits_scale.remote(r, scale) for p, r in parts}
+
+
+def distributed_hits(edges_ds: "ray.data.Dataset", iters: int = 20,
+                     n_partitions: int | None = None) -> pd.DataFrame:
+    """(node, hub_micros, auth_micros) for every node of the DIRECTED
+    edge list after ``iters`` normalized HITS iterations.  Nodes with no
+    out-edges have hub 0; no in-edges, authority 0 (exactly the
+    reference semantics — zero entries never contribute to norms)."""
+    refs = arrow_refs(edges_ds)
+    fwd_src = [_hits_fwd.remote(r) for r in refs]
+    rev_src = [_hits_rev.remote(r) for r in refs]
+    n_half = int(sum(ray.get([_pr_nrows.remote(r) for r in fwd_src])))
+    if n_partitions is None:
+        n_partitions = int(max(4, min(32, n_half // 20_000 + 4)))
+    fwd = grouped_map(fwd_src, ["node"], _pr_identity,
+                      n_partitions=n_partitions, return_indexed_refs=True)
+    rev = grouped_map(rev_src, ["node"], _pr_identity,
+                      n_partitions=n_partitions, return_indexed_refs=True)
+    fwd_d, rev_d = dict(fwd), dict(rev)
+
+    h_refs = {p: _hits_init.remote(r) for p, r in fwd}
+    a_refs: dict = {}
+    for _ in range(iters):
+        contribs = [_hits_contrib.remote(eref, h_refs[p])
+                    for p, eref in fwd_d.items()]
+        a_parts = grouped_map(contribs, ["node"], _hits_sum,
+                              n_partitions=n_partitions,
+                              return_indexed_refs=True)
+        a_refs = _hits_normalized(a_parts)
+        contribs = [_hits_contrib.remote(eref, a_refs[p])
+                    for p, eref in rev_d.items()]
+        h_parts = grouped_map(contribs, ["node"], _hits_sum,
+                              n_partitions=n_partitions,
+                              return_indexed_refs=True)
+        h_refs = _hits_normalized(h_parts)
+
+    def _collect(refs_d: dict, col: str) -> pd.DataFrame:
+        tabs = [t for t in ray.get(list(refs_d.values()))
+                if t is not None and t.num_rows]
+        if not tabs:
+            return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                                 col: pd.Series([], dtype=np.float64)})
+        df = pa.concat_tables(tabs, promote_options="default").to_pandas()
+        return pd.DataFrame({"node": df["node"].to_numpy(np.int64),
+                             col: df["val"].to_numpy(np.float64)})
+
+    out = _collect(h_refs, "hub").merge(_collect(a_refs, "auth"),
+                                        on="node", how="outer")
+    out = out.fillna(0.0).sort_values("node", kind="stable")
+    return pd.DataFrame({
+        "node": out["node"].to_numpy(np.int64),
+        "hub_micros": np.floor(out["hub"].to_numpy() * 1e6 + 0.5)
+        .astype(np.int64),
+        "auth_micros": np.floor(out["auth"].to_numpy() * 1e6 + 0.5)
+        .astype(np.int64),
+    }).reset_index(drop=True)
+
+
+def reference_hits(edges: pd.DataFrame, iters: int = 20) -> pd.DataFrame:
+    """Single-process numpy recompute with identical semantics (zero
+    entries excluded from nothing — they are simply zero)."""
+    src = edges["src"].to_numpy(np.int64)
+    dst = edges["dst"].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    s_idx = np.searchsorted(nodes, src)
+    d_idx = np.searchsorted(nodes, dst)
+    n = len(nodes)
+    hub = np.zeros(n)
+    hub[np.unique(s_idx)] = 1.0
+    auth = np.zeros(n)
+    for _ in range(iters):
+        auth = np.bincount(d_idx, weights=hub[s_idx], minlength=n)
+        nrm = np.sqrt(np.sum(auth * auth))
+        if nrm > 0:
+            auth /= nrm
+        hub = np.bincount(s_idx, weights=auth[d_idx], minlength=n)
+        nrm = np.sqrt(np.sum(hub * hub))
+        if nrm > 0:
+            hub /= nrm
+    return pd.DataFrame({
+        "node": nodes,
+        "hub_micros": np.floor(hub * 1e6 + 0.5).astype(np.int64),
+        "auth_micros": np.floor(auth * 1e6 + 0.5).astype(np.int64),
+    })

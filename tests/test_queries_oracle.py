@@ -144,6 +144,7 @@ FAST_SQL_QUERIES = [
     "pack_greedy_check",
     "gopher_rules",
     "epoch_shuffle_order",
+    "host_hits_check",
 ]
 
 
@@ -185,7 +186,8 @@ def test_rows_only_queries_nonempty(ray_session):
                  "model_lang_score", "media_jpeg_features",
                  "media_png_features", "media_audio_codecs",
                  "media_video_frames", "media_gif_features",
-                 "media_gif_anim_frames", "host_pagerank", "pack_greedy"):
+                 "media_gif_anim_frames", "host_pagerank", "pack_greedy",
+                 "host_hits"):
         df = _to_df(q[name](SF))
         assert len(df) > 0, name
 
