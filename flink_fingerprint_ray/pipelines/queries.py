@@ -7484,6 +7484,276 @@ def q_pack_greedy_check(sf_dir: str):
     return pd.DataFrame({"mismatch_rows": pd.array([mism], dtype="int64")})
 
 
+# ---------------------------------------------------------------------------
+# Round-4f: tumbling window join, Sorted-Neighborhood dedup, standalone
+# distributed connected components
+# ---------------------------------------------------------------------------
+
+HOUR_MS = 3_600_000
+
+
+def _window_join_combine(t: pa.Table) -> pd.DataFrame:
+    """Final combine for the window join: sum the per-block partials,
+    keep only (user, window) buckets where BOTH sides are present (inner
+    window join), and emit the pair count — the size of the cross
+    product the Flink window join would stream for that bucket."""
+    df = t.to_pandas()
+    g = (df.groupby(["user_id", "window_start"], sort=False)
+         [["n_clicks", "n_purchases"]].sum().reset_index())
+    g = g[(g["n_clicks"] > 0) & (g["n_purchases"] > 0)].reset_index(drop=True)
+    g["n_pairs"] = (g["n_clicks"] * g["n_purchases"]).astype(np.int64)
+    return g
+
+
+def q_window_join(sf_dir: str):
+    """Flink tumbling WINDOW JOIN (two streams equi-keyed and bucketed
+    into the SAME 1-hour tumbling window; cf. Flink's `L JOIN R ON
+    L.key = R.key AND L.window_start = R.window_start`): clicks vs
+    purchases per (user_id, window).  Per-block partial counts inside
+    map_batches mean the single hash exchange moves one narrow row per
+    (key, window) per block; the join's cross product is COUNTED, never
+    materialized — its size is the product of the side counts, which is
+    the scale-safe way to surface a window join's output volume."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "click") | (et == "purchase")
+        tms = batch["ts"].cast(pa.int64()).to_numpy()[keep] // 1000
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy()[keep],
+            "window_start": tumbling_window_start(tms, HOUR_MS),
+            "n_clicks": (et[keep] == "click").astype(np.int64),
+            "n_purchases": (et[keep] == "purchase").astype(np.int64),
+        })
+        return (df.groupby(["user_id", "window_start"], sort=False)
+                .sum().reset_index())
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_map(parts, ["user_id", "window_start"], _window_join_combine)
+
+
+SQL_WINDOW_JOIN = """
+WITH w AS (
+  SELECT user_id, (epoch_ms(ts) // 3600000) * 3600000 AS window_start, event_type
+  FROM events WHERE event_type IN ('click', 'purchase')),
+g AS (
+  SELECT user_id, window_start,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nc,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+  FROM w GROUP BY 1, 2)
+SELECT user_id, window_start,
+       CAST(nc AS BIGINT) AS n_clicks, CAST(np AS BIGINT) AS n_purchases,
+       CAST(nc * np AS BIGINT) AS n_pairs
+FROM g WHERE nc > 0 AND np > 0
+"""
+
+
+SNM_PREFIX_SORT = 16   # chars of the SNM sort key
+SNM_PREFIX_CMP = 32    # chars entering the Levenshtein confirm
+SNM_WINDOW = 2         # neighbors ahead compared in sorted order
+SNM_MAX_DIST = 6
+
+
+def _snm_scan(t: pa.Table) -> pd.DataFrame:
+    """One hash partition (all rows of its langs): Sorted Neighborhood
+    scan — sort by (lang, 16-char prefix, doc_id), compare each doc to
+    its next SNM_WINDOW neighbors (never crossing a lang boundary), and
+    emit EVERY neighbor pair with its 32-char-prefix Levenshtein
+    distance plus the dedup verdict (distance <= SNM_MAX_DIST) — so the
+    oracle hash pins every DP output, not just the verdicts that pass.
+    Vectorized: ONE lexsort, shifted-array neighbor masks, and the
+    pair-axis-vectorized `levenshtein_batch` kernel."""
+    df = t.to_pandas()
+    pref = df["text"].str.slice(0, SNM_PREFIX_CMP).to_numpy()
+    key = df["text"].str.slice(0, SNM_PREFIX_SORT).to_numpy()
+    lang = df["lang"].to_numpy()
+    ids = df["doc_id"].to_numpy().astype(np.int64)
+    o = np.lexsort((ids, key, lang))
+    ids, key, pref, lang = ids[o], key[o], pref[o], lang[o]
+    out = []
+    for k in range(1, SNM_WINDOW + 1):
+        if len(ids) <= k:
+            break
+        same = lang[:-k] == lang[k:]
+        a, b = ids[:-k][same], ids[k:][same]
+        dist = dd.levenshtein_batch(pref[:-k][same], pref[k:][same],
+                                    max_chars=SNM_PREFIX_CMP)
+        out.append(pd.DataFrame({
+            "lang": lang[:-k][same],
+            "doc_a": np.minimum(a, b),
+            "doc_b": np.maximum(a, b),
+            "lev_dist": dist,
+            "is_dup": (dist <= SNM_MAX_DIST).astype(np.int64),
+        }))
+    if not out:
+        return pd.DataFrame({"lang": pd.array([], dtype=str),
+                             "doc_a": pd.array([], dtype="int64"),
+                             "doc_b": pd.array([], dtype="int64"),
+                             "lev_dist": pd.array([], dtype="int64"),
+                             "is_dup": pd.array([], dtype="int64")})
+    return pd.concat(out, ignore_index=True)
+
+
+def q_snm_dedup_pairs(sf_dir: str):
+    """Sorted Neighborhood Method near-dup pass (Hernández & Stolfo,
+    SIGMOD '95 — public algorithm): block on lang, sort each block by a
+    16-char text prefix, slide a w=2 window over the sorted order, and
+    CONFIRM neighbors by exact Levenshtein distance over the 32-char
+    prefix.  One hash exchange (lang); the quadratic all-pairs space is
+    never touched — each doc is compared to at most w sorted neighbors.
+    At corpus scale the blocking key would be (lang, key-range bucket)
+    so blocks parallelize past lang cardinality; the scan itself is
+    order-local, so finer blocks only add w boundary comparisons each.
+    Distance contract: code-point Levenshtein over the char-sliced
+    prefix; DuckDB's `levenshtein` is byte-level, which coincides on
+    this ASCII corpus (verified: the corpus has 0 multibyte rows)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return grouped_map(ds, ["lang"], _snm_scan)
+
+
+SQL_SNM_DEDUP_PAIRS = """
+WITH d AS (
+  SELECT lang, doc_id, substr(text, 1, 16) AS k16, substr(text, 1, 32) AS k32
+  FROM documents),
+n AS (
+  SELECT lang, doc_id, k32,
+         lead(doc_id, 1) OVER w AS id1, lead(k32, 1) OVER w AS p1,
+         lead(doc_id, 2) OVER w AS id2, lead(k32, 2) OVER w AS p2
+  FROM d WINDOW w AS (PARTITION BY lang ORDER BY k16, doc_id)),
+pairs AS (
+  SELECT lang, doc_id AS a, id1 AS b, levenshtein(k32, p1) AS lev_dist
+  FROM n WHERE id1 IS NOT NULL
+  UNION ALL
+  SELECT lang, doc_id, id2, levenshtein(k32, p2) FROM n WHERE id2 IS NOT NULL)
+SELECT lang, LEAST(a, b) AS doc_a, GREATEST(a, b) AS doc_b,
+       CAST(lev_dist AS BIGINT) AS lev_dist,
+       CAST(CASE WHEN lev_dist <= 6 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+FROM pairs
+"""
+
+
+def q_graph_components(sf_dir: str):
+    """Standalone distributed connected components as a first-class
+    query (the same hash-partitioned min-label propagation the dedup
+    cluster builders use, `stages/dedup.py distributed_components`).
+    Nodes are the residues doc_id % 128; edges are the stride-16 ring
+    a -- (a+16) % 128, so each residue class mod 16 forms an 8-cycle:
+    diameter 4 forces ~4 full propagation rounds, pinning the ITERATION
+    loop (not just single-hop propagation) against the SQL oracle's
+    recursive-CTE transitive closure."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(batch: pa.Table) -> pd.DataFrame:
+        a = (batch["doc_id"].to_numpy() % 128).astype(np.int64)
+        b = (a + 16) % 128
+        return pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+
+    e = ds.map_batches(edges, batch_format="pyarrow")
+    # distinct-ify the edge list in one hash exchange so the iterative
+    # loop sees each edge once, not once per source block
+    e = grouped_map(e, ["a", "b"],
+                    lambda t: t.to_pandas().drop_duplicates(["a", "b"]))
+    return dd.distributed_components(e)
+
+
+SQL_GRAPH_COMPONENTS = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT (doc_id % 128) AS a, ((doc_id % 128) + 16) % 128 AS b
+  FROM documents),
+sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT s.a, r.m FROM sym s JOIN reach r ON r.n = s.b),
+lab AS (SELECT n AS member_id, MIN(m) AS cluster_id FROM reach GROUP BY n),
+sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+SELECT l.member_id, l.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size
+FROM lab l JOIN sz s USING (cluster_id) WHERE s.cluster_size >= 2
+"""
+
+
+TDJ_BASE_MS = 788_918_400_000      # epoch_ms(DATE '1995-01-01')
+TDJ_DAY_MS = 86_400_000
+TDJ_SEGS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+
+def q_temporal_dim_join(sf_dir: str):
+    """Flink temporal table join (`JOIN dim FOR SYSTEM_TIME AS OF
+    fact.rowtime`): facts = orders, versioned dim = a deterministic
+    per-customer segment CHANGELOG (three yearly versions, the market
+    segment rotating one slot per version, valid_from staggered by
+    c_custkey % 30 days).  Each order joins the version in effect at its
+    order date; pre-first-version orders drop (inner temporal join).
+
+    Shape: the changelog is the classic broadcast small side — built
+    driver-side from the customer table, sorted ONCE by the packed
+    (custkey << 44 | valid_from) key, shipped via ray.put; every fact
+    batch resolves its version with ONE searchsorted probe, so the join
+    has NO shuffle at all.  Scale contract: the dim must fit the worker
+    heap (at 100M-row dims switch to the co-partitioned `asof_join`
+    shape — same semantics, one hash exchange)."""
+    import pyarrow.parquet as pq
+
+    segs = np.array(TDJ_SEGS)
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    ck = cust["c_custkey"].to_numpy().astype(np.int64)
+    si = np.searchsorted(segs, cust["c_mktsegment"].to_numpy(zero_copy_only=False))
+    d_ck = np.tile(ck, 3)
+    d_v = np.repeat(np.arange(3, dtype=np.int64), len(ck))
+    d_vf = TDJ_BASE_MS + (d_ck % 30) * TDJ_DAY_MS + d_v * 365 * TDJ_DAY_MS
+    d_si = (np.tile(si, 3) + d_v) % 5
+    SHIFT = np.int64(1) << np.int64(44)
+    assert d_ck.max() < (1 << 19) and d_vf.max() < (1 << 44), \
+        "packed temporal-join key overflow"
+    o = np.argsort(d_ck * SHIFT + d_vf, kind="stable")
+    dim_ref = ray.put({"key": (d_ck * SHIFT + d_vf)[o], "ck": d_ck[o],
+                       "si": d_si[o], "v": d_v[o]})
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def probe(batch: pa.Table) -> pd.DataFrame:
+        dim = ray.get(dim_ref)
+        okey = batch["o_orderkey"].to_numpy()
+        ock = batch["o_custkey"].to_numpy().astype(np.int64)
+        oms = batch["o_orderdate"].cast(pa.int64()).to_numpy() // 1000
+        pos = np.searchsorted(dim["key"], ock * SHIFT + oms, side="right") - 1
+        safe = np.maximum(pos, 0)
+        valid = (pos >= 0) & (dim["ck"][safe] == ock)
+        pv = safe[valid]
+        return pd.DataFrame({
+            "o_orderkey": okey[valid],
+            "o_custkey": ock[valid],
+            "seg_at_order": segs[dim["si"][pv]],
+            "dim_version": dim["v"][pv],
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+SQL_TEMPORAL_DIM_JOIN = """
+WITH v AS (
+  SELECT c_custkey,
+         CAST(t.v AS BIGINT) AS dim_version,
+         epoch_ms(DATE '1995-01-01')
+           + ((c_custkey % 30) + t.v * 365) * 86400000 AS valid_from_ms,
+         (['AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY'])
+           [1 + (CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 1
+                 WHEN 'FURNITURE' THEN 2 WHEN 'HOUSEHOLD' THEN 3 ELSE 4 END
+                 + t.v) % 5] AS seg
+  FROM customer, unnest(generate_series(0, 2)) AS t(v)),
+j AS (
+  SELECT o.o_orderkey, o.o_custkey, v.seg, v.dim_version,
+         ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+                            ORDER BY v.valid_from_ms DESC) AS rn
+  FROM orders o JOIN v ON v.c_custkey = o.o_custkey
+                      AND v.valid_from_ms <= epoch_ms(o.o_orderdate))
+SELECT o_orderkey, o_custkey, seg AS seg_at_order, dim_version
+FROM j WHERE rn = 1
+"""
+
+
 QUERIES = {
     "tumbling_stats": q_tumbling_stats,
     "sliding_counts": q_sliding_counts,
@@ -7555,6 +7825,10 @@ QUERIES = {
     "value_counts": q_value_counts,
     "interval_join": q_interval_join,
     "asof_join": q_asof_join,
+    "window_join": q_window_join,
+    "snm_dedup_pairs": q_snm_dedup_pairs,
+    "graph_components": q_graph_components,
+    "temporal_dim_join": q_temporal_dim_join,
     "obs_text": q_obs_text,
     "json_extract": q_json_extract,
     "hampel_repair": q_hampel_repair,
@@ -7734,6 +8008,10 @@ ORACLE_SQL = {
     "value_counts": SQL_VALUE_COUNTS,
     "interval_join": SQL_INTERVAL_JOIN,
     "asof_join": SQL_ASOF_JOIN,
+    "window_join": SQL_WINDOW_JOIN,
+    "snm_dedup_pairs": SQL_SNM_DEDUP_PAIRS,
+    "graph_components": SQL_GRAPH_COMPONENTS,
+    "temporal_dim_join": SQL_TEMPORAL_DIM_JOIN,
     "obs_text": SQL_OBS_TEXT,
     "json_extract": SQL_JSON_EXTRACT,
     "hampel_repair": SQL_HAMPEL_REPAIR,

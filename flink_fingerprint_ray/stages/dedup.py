@@ -1047,3 +1047,45 @@ def clusters_mismatch(engine: pd.DataFrame, reference: pd.DataFrame) -> pd.DataF
         mism = int((engine[cols].to_numpy() != reference[cols].to_numpy())
                    .any(axis=1).sum())
     return pd.DataFrame({"mismatch_rows": pd.array([mism], dtype="int64")})
+
+
+# -- batched exact Levenshtein (Sorted Neighborhood confirm kernel) ---------
+
+def levenshtein_batch(a, b, max_chars: int = 32) -> np.ndarray:
+    """Exact Levenshtein distance for P string pairs, vectorized ACROSS
+    the pair axis: the DP runs as La*Lb 1-D numpy ops over ALL pairs at
+    once (cf. Wagner-Fischer), never a per-pair Python loop.  Strings
+    are compared on their first ``max_chars`` characters (the SNM
+    confirm contract — the sort prefix bounds the comparison window).
+
+    Layout note: DP state is held (L+1, P) so every recurrence touches a
+    CONTIGUOUS P-length row — this numpy build degrades badly on strided
+    column access and 2-D accumulate (see CLAUDE.md sandbox gotchas).
+    """
+    A = np.asarray(a, dtype=f"U{max_chars}")
+    B = np.asarray(b, dtype=f"U{max_chars}")
+    P = len(A)
+    if P == 0:
+        return np.zeros(0, dtype=np.int64)
+    Au = A.view(np.uint32).reshape(P, max_chars)
+    Bu = B.view(np.uint32).reshape(P, max_chars)
+    la = (Au != 0).sum(axis=1).astype(np.int64)
+    lb = (Bu != 0).sum(axis=1).astype(np.int64)
+    La = int(la.max()) if P else 0
+    Lb = int(lb.max()) if P else 0
+    BT = np.ascontiguousarray(Bu[:, :Lb].T) if Lb else np.zeros((0, P), np.uint32)
+    prev = np.repeat(np.arange(Lb + 1, dtype=np.int32)[:, None], P, axis=1)
+    res = prev.copy()  # captures pairs with la == 0 (distance = lb)
+    for i in range(1, La + 1):
+        ai = Au[:, i - 1]
+        cost = (BT != ai[None, :]).astype(np.int32)         # (Lb, P)
+        t = np.minimum(prev[1:] + 1, prev[:-1] + cost)      # (Lb, P)
+        cur = np.empty_like(prev)
+        cur[0] = i
+        for j in range(1, Lb + 1):
+            cur[j] = np.minimum(t[j - 1], cur[j - 1] + 1)
+        hit = la == i
+        if hit.any():
+            res[:, hit] = cur[:, hit]
+        prev = cur
+    return res[lb, np.arange(P)].astype(np.int64)

@@ -44,6 +44,10 @@ FAST_SQL_QUERIES = [
     "value_counts",
     "interval_join",
     "asof_join",
+    "window_join",
+    "snm_dedup_pairs",
+    "graph_components",
+    "temporal_dim_join",
     "obs_text",
     "json_extract",
     "hampel_repair",
