@@ -7754,6 +7754,120 @@ FROM j WHERE rn = 1
 """
 
 
+OVER_RANGE_MS = 600_000  # 10-min trailing RANGE frame
+
+
+def _over_range_sweep(t: pa.Table) -> pd.DataFrame:
+    """One hash partition (all rows of its users): per-ROW event-time
+    OVER window — for every event, the count of same-user events in the
+    trailing [ts - 10 min, ts] RANGE frame (peers at the same ts
+    included, per SQL RANGE semantics).  Vectorized: the packed
+    (user << 44 | ts) composite key makes every frame two global binary
+    searches — no per-row or per-user loop."""
+    df = t.to_pandas()
+    tms = df["ts"].astype("datetime64[ms]").astype("int64").to_numpy()
+    uid = df["user_id"].to_numpy().astype(np.int64)
+    eid = df["event_id"].to_numpy().astype(np.int64)
+    SHIFT = np.int64(1) << np.int64(44)
+    if len(uid):
+        assert uid.max() < (1 << 19) and tms.max() < (1 << 44), \
+            "packed OVER-window key overflow: uid >= 2^19 or ts >= 2^44"
+    key = uid * SHIFT + tms
+    ks = np.sort(key)
+    lo = np.searchsorted(ks, uid * SHIFT + (tms - OVER_RANGE_MS), side="left")
+    hi = np.searchsorted(ks, key, side="right")
+    return pd.DataFrame({"event_id": eid, "user_id": uid, "tms": tms,
+                         "n_range": (hi - lo).astype(np.int64)})
+
+
+def q_over_range_count(sf_dir: str):
+    """Flink per-row OVER aggregation with an event-time RANGE frame
+    (`COUNT(*) OVER (PARTITION BY key ORDER BY rowtime RANGE BETWEEN
+    INTERVAL '10' MINUTE PRECEDING AND CURRENT ROW)`) — the per-ROW
+    sibling of the per-WINDOW aggregates (tumbling_stats et al.): every
+    input row gets its own trailing-frame result.  One hash exchange on
+    user_id; each partition answers all its rows with one sort + two
+    searchsorted passes."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return grouped_map(ds, ["user_id"], _over_range_sweep)
+
+
+SQL_OVER_RANGE_COUNT = """
+SELECT event_id, user_id, epoch_ms(ts) AS tms,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+            RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_range
+FROM events
+"""
+
+
+def _jsonl_fixture_dir(sf_dir: str) -> str:
+    """Build-once cache of the documents table as sharded JSONL — the
+    log-bus ingest format (one JSON object per line, 4 shards)."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    src_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src_path)
+    tag = (f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}"
+           f"-{st.st_size}-{int(st.st_mtime)}")
+    root = os.path.join("/tmp", "ffr_jsonl", tag)
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        tbl = pq.read_table(src_path, columns=["doc_id", "text", "source", "lang"])
+        rows = tbl.to_pylist()
+        shards: list[list[str]] = [[] for _ in range(4)]
+        for r in rows:
+            shards[int(r["doc_id"]) % 4].append(
+                _json.dumps(r, ensure_ascii=False, sort_keys=True))
+        for s, lines in enumerate(shards):
+            with open(os.path.join(root, f"part-{s:02d}.jsonl"), "w") as f:
+                f.write("\n".join(lines) + ("\n" if lines else ""))
+        with open(done, "w") as f:
+            f.write(str(len(rows)))
+    return root
+
+
+def q_jsonl_ingest(sf_dir: str):
+    """S1/S7 sibling on the READ side: sharded JSONL (the log-bus wire
+    format) ingested with `ray.data.read_json`, then per-(source, lang)
+    doc counts and round-tripped text lengths.  The SQL oracle computes
+    the same aggregates straight from the parquet table, so the hash
+    pins the JSON encode → read_json decode round trip (doc counts,
+    ids, and every text's length must survive it)."""
+    import glob as _glob
+
+    root = _jsonl_fixture_dir(sf_dir)
+    ds = ray.data.read_json(sorted(_glob.glob(os.path.join(root, "*.jsonl"))))
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "source": batch["source"].to_pandas(),
+            "lang": batch["lang"].to_pandas(),
+            "n_docs": np.ones(batch.num_rows, dtype=np.int64),
+            "sum_chars": pc.utf8_length(batch["text"]).cast(pa.int64()).to_numpy(),
+            "max_doc_id": batch["doc_id"].to_numpy().astype(np.int64),
+        })
+        return (df.groupby(["source", "lang"], sort=False)
+                .agg({"n_docs": "sum", "sum_chars": "sum", "max_doc_id": "max"})
+                .reset_index())
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_map(parts, ["source", "lang"], _combine_partials,
+                       fn_kwargs={"keys": ["source", "lang"],
+                                  "sums": ["n_docs", "sum_chars"],
+                                  "maxs": ["max_doc_id"]})
+
+
+SQL_JSONL_INGEST = """
+SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM documents GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "tumbling_stats": q_tumbling_stats,
     "sliding_counts": q_sliding_counts,
@@ -7829,6 +7943,8 @@ QUERIES = {
     "snm_dedup_pairs": q_snm_dedup_pairs,
     "graph_components": q_graph_components,
     "temporal_dim_join": q_temporal_dim_join,
+    "over_range_count": q_over_range_count,
+    "jsonl_ingest": q_jsonl_ingest,
     "obs_text": q_obs_text,
     "json_extract": q_json_extract,
     "hampel_repair": q_hampel_repair,
@@ -8012,6 +8128,8 @@ ORACLE_SQL = {
     "snm_dedup_pairs": SQL_SNM_DEDUP_PAIRS,
     "graph_components": SQL_GRAPH_COMPONENTS,
     "temporal_dim_join": SQL_TEMPORAL_DIM_JOIN,
+    "over_range_count": SQL_OVER_RANGE_COUNT,
+    "jsonl_ingest": SQL_JSONL_INGEST,
     "obs_text": SQL_OBS_TEXT,
     "json_extract": SQL_JSON_EXTRACT,
     "hampel_repair": SQL_HAMPEL_REPAIR,

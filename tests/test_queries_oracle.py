@@ -48,6 +48,8 @@ FAST_SQL_QUERIES = [
     "snm_dedup_pairs",
     "graph_components",
     "temporal_dim_join",
+    "over_range_count",
+    "jsonl_ingest",
     "obs_text",
     "json_extract",
     "hampel_repair",
