@@ -7868,6 +7868,194 @@ FROM documents GROUP BY 1, 2
 """
 
 
+def _host_rank_sweep(t: pa.Table) -> pd.DataFrame:
+    """One hash partition (all rows of its hosts): per-host priority
+    rank — sort by (host, doc_id), then rank = position within the
+    host's contiguous run (ONE sort + run-boundary arithmetic,
+    vectorized across every host in the partition)."""
+    df = t.to_pandas().sort_values(["host", "doc_id"], kind="stable")
+    host = df["host"].to_numpy()
+    local = np.arange(len(df), dtype=np.int64)
+    if len(df):
+        starts = np.flatnonzero(
+            np.concatenate(([True], host[1:] != host[:-1])))
+        base = np.repeat(local[starts],
+                         np.diff(np.append(starts, len(df))))
+    else:
+        base = local
+    return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                         "host": host,
+                         "host_rank": local - base})
+
+
+def _frontier_pos_sweep(t: pa.Table, ranks: np.ndarray,
+                        offs: np.ndarray) -> pd.DataFrame:
+    """One round partition: global frontier position = the round's
+    exclusive-scan offset + local index under (host, doc_id) order."""
+    df = t.to_pandas().sort_values(["host_rank", "host", "doc_id"],
+                                   kind="stable")
+    hr = df["host_rank"].to_numpy()
+    local = np.arange(len(df), dtype=np.int64)
+    if len(df):
+        starts = np.flatnonzero(np.diff(hr, prepend=hr[0] - 1))
+        base = np.repeat(local[starts],
+                         np.diff(np.append(starts, len(df))))
+    else:
+        base = local
+    pos = offs[np.searchsorted(ranks, hr)] + (local - base)
+    return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                         "host": df["host"].to_numpy(),
+                         "host_rank": hr,
+                         "frontier_pos": pos})
+
+
+def q_host_frontier_order(sf_dir: str):
+    """Polite crawl-frontier scheduling (Mercator-style per-host queues
+    with round-robin host interleave — public crawler design): every URL
+    gets its global fetch position where hosts take turns and each host
+    serves its URLs in priority (doc_id) order — round k holds every
+    host's k-th URL.  Two narrow exchanges: (1) per-host ranking
+    (groupby host, one local sort per partition), (2) DISTRIBUTED
+    RANKING over rounds — per-round counts, a tiny driver exclusive
+    scan, then per-round local sort + carry (the scan-with-carry idiom
+    of `epoch_shuffle_order`; round populations are monotone
+    non-increasing, so round partitions stay balanced)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def hostify(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy().astype(np.int64),
+            "host": batch["source"].to_pandas().astype(str) + ".example.com",
+        })
+
+    ranked = grouped_map(ds.map_batches(hostify, batch_format="pyarrow"),
+                         ["host"], _host_rank_sweep).materialize()
+
+    def count_partial(batch: pa.Table) -> pd.DataFrame:
+        u, c = np.unique(batch["host_rank"].to_numpy(), return_counts=True)
+        return pd.DataFrame({"host_rank": u.astype(np.int64),
+                             "n": c.astype(np.int64)})
+
+    totals = (ranked.map_batches(count_partial, batch_format="pyarrow")
+              .to_pandas().groupby("host_rank", sort=True)["n"].sum())
+    ranks = totals.index.to_numpy(np.int64)
+    offs = np.zeros(len(ranks), np.int64)
+    np.cumsum(totals.to_numpy(np.int64)[:-1], out=offs[1:])
+
+    return grouped_map(ranked, ["host_rank"], _frontier_pos_sweep,
+                       fn_kwargs={"ranks": ranks, "offs": offs})
+
+
+SQL_HOST_FRONTIER_ORDER = """
+WITH r AS (
+  SELECT doc_id, source || '.example.com' AS host,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+           AS host_rank
+  FROM documents)
+SELECT doc_id, host, CAST(host_rank AS BIGINT) AS host_rank,
+       CAST(row_number() OVER (ORDER BY host_rank, host, doc_id) - 1
+            AS BIGINT) AS frontier_pos
+FROM r
+"""
+
+
+BM25_TERMS = ("window", "join", "hash", "stream")
+
+
+def q_bm25_scores(sf_dir: str):
+    """Okapi BM25 scoring (Robertson & Spärck Jones lineage, public
+    method; k1 = 1.2, b = 0.75) of a fixed query-term set over the
+    corpus — the IR ranking staple beside `tfidf_top_term`.  INT-EXACT:
+    with k1 = 6/5 and b = 3/4 the whole tf-normalization is the
+    rational  22·tf·L / (10·tf·L + 3·L + 9·dl·N)  (L = corpus token
+    count, dl = doc length, N = docs), so
+    bm25_micros = idf_micros·22·tf·L // (10·tf·L + 3·L + 9·dl·N)
+    is one integer division both sides; only idf (a handful of scalars,
+    one ln per term) goes through the floor-micros float policy.
+
+    Scale shape: ONE tokenize pass emits (doc, term, tf, dl) rows for
+    tf > 0 PLUS a per-block (n_docs, sum_dl) summary row — corpus text
+    never crosses the exchange, and the materialized narrow rows feed
+    both the tiny df/L/N reduction and the final stateless scoring map.
+    Int64 headroom: idf_micros·22·tf·L < 2^63 up to ~10^10 corpus
+    tokens per partition-scope; beyond that, scale scores per-shard."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    terms = np.array(BM25_TERMS)
+
+    def tf_partial(batch: pa.Table) -> pd.DataFrame:
+        pl = fp._polars()
+        s = (pl.Series(batch["text"].combine_chunks().cast(pa.large_string()))
+             .str.to_lowercase())
+        lists = s.str.extract_all(r"\S+")
+        dl = lists.list.len().to_numpy().astype(np.int64)
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        out = [pd.DataFrame({"doc_id": [-1], "term": [""],
+                             "tf": [len(ids)], "dl": [int(dl.sum())]})]
+        for term in BM25_TERMS:
+            tf = lists.list.count_matches(term).to_numpy().astype(np.int64)
+            hit = tf > 0
+            out.append(pd.DataFrame({"doc_id": ids[hit], "term": term,
+                                     "tf": tf[hit], "dl": dl[hit]}))
+        return pd.concat(out, ignore_index=True)
+
+    keyed = ds.map_batches(tf_partial, batch_format="pyarrow").materialize()
+
+    def stat_partial(batch: pa.Table) -> pd.DataFrame:
+        # per-block: one row per term (its df partial) + the '' summary
+        df = batch.to_pandas()
+        g = df.groupby("term", sort=False).agg(
+            df_n=("doc_id", "size"), tf_s=("tf", "sum"), dl_s=("dl", "sum"))
+        return g.reset_index()
+
+    stats = (keyed.map_batches(stat_partial, batch_format="pyarrow")
+             .to_pandas().groupby("term", sort=True).sum())
+    n_docs = int(stats.loc["", "tf_s"]) if "" in stats.index else 0
+    L = int(stats.loc["", "dl_s"]) if "" in stats.index else 0
+    df_arr = (stats["df_n"].reindex(terms, fill_value=0)
+              .to_numpy(np.int64))
+    idf_micros = np.floor(np.log((n_docs - df_arr + 0.5) / (df_arr + 0.5) + 1.0)
+                          * 1e6 + 0.5).astype(np.int64)
+    order = np.argsort(terms)
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df[df["doc_id"] >= 0]
+        ti = order[np.searchsorted(terms[order], df["term"].to_numpy())]
+        tf = df["tf"].to_numpy(np.int64)
+        dl = df["dl"].to_numpy(np.int64)
+        num = idf_micros[ti] * 22 * tf * L
+        den = 10 * tf * L + 3 * L + 9 * dl * n_docs
+        return pd.DataFrame({"term": df["term"].to_numpy(),
+                             "doc_id": df["doc_id"].to_numpy(np.int64),
+                             "tf": tf, "bm25_micros": num // den})
+
+    return keyed.map_batches(score, batch_format="pyarrow")
+
+
+SQL_BM25_SCORES = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+  FROM documents),
+d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+      FROM tok WHERE w <> '' GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+l AS (SELECT CAST(SUM(dl) AS BIGINT) AS big_l FROM d),
+tf AS (SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok WHERE w IN ('window', 'join', 'hash', 'stream')
+       GROUP BY 1, 2),
+idf AS (SELECT term,
+               CAST(floor(ln((n.n_docs - f.df + 0.5) / (f.df + 0.5) + 1)
+                          * 1000000 + 0.5) AS BIGINT) AS idf_micros
+        FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1) f, n)
+SELECT tf.term, tf.doc_id, tf.tf,
+       CAST((idf.idf_micros * 22 * tf.tf * l.big_l)
+            // (10 * tf.tf * l.big_l + 3 * l.big_l + 9 * d.dl * n.n_docs)
+            AS BIGINT) AS bm25_micros
+FROM tf
+JOIN idf USING (term) JOIN d USING (doc_id), n, l
+"""
+
+
 QUERIES = {
     "tumbling_stats": q_tumbling_stats,
     "sliding_counts": q_sliding_counts,
@@ -7945,6 +8133,8 @@ QUERIES = {
     "temporal_dim_join": q_temporal_dim_join,
     "over_range_count": q_over_range_count,
     "jsonl_ingest": q_jsonl_ingest,
+    "host_frontier_order": q_host_frontier_order,
+    "bm25_scores": q_bm25_scores,
     "obs_text": q_obs_text,
     "json_extract": q_json_extract,
     "hampel_repair": q_hampel_repair,
@@ -8130,6 +8320,8 @@ ORACLE_SQL = {
     "temporal_dim_join": SQL_TEMPORAL_DIM_JOIN,
     "over_range_count": SQL_OVER_RANGE_COUNT,
     "jsonl_ingest": SQL_JSONL_INGEST,
+    "host_frontier_order": SQL_HOST_FRONTIER_ORDER,
+    "bm25_scores": SQL_BM25_SCORES,
     "obs_text": SQL_OBS_TEXT,
     "json_extract": SQL_JSON_EXTRACT,
     "hampel_repair": SQL_HAMPEL_REPAIR,

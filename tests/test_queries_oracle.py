@@ -50,6 +50,8 @@ FAST_SQL_QUERIES = [
     "temporal_dim_join",
     "over_range_count",
     "jsonl_ingest",
+    "host_frontier_order",
+    "bm25_scores",
     "obs_text",
     "json_extract",
     "hampel_repair",
