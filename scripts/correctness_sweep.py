@@ -59,6 +59,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default="CORRECTNESS_full_r4.json")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query names; merges rows into --out "
+                         "instead of rewriting it")
     args = ap.parse_args()
 
     import ray
@@ -70,6 +73,12 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if args.only:
+        keep = {n.strip() for n in args.only.split(",") if n.strip()}
+        missing = keep - set(qs)
+        if missing:
+            raise SystemExit(f"unknown queries: {sorted(missing)}")
+        qs = {n: f for n, f in qs.items() if n in keep}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
@@ -117,6 +126,11 @@ def main() -> int:
         print(f"{name:40s} {status:9s} rows={row['spark_rows']} {row['sec']}s",
               flush=True)
 
+    if args.only and os.path.exists(args.out):
+        with open(args.out) as f:
+            merged = json.load(f)
+        merged.update(results)
+        results = merged
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     summary = {
