@@ -8056,6 +8056,209 @@ JOIN idf USING (term) JOIN d USING (doc_id), n, l
 """
 
 
+def q_grouping_sets_revenue(sf_dir: str):
+    """GROUP BY GROUPING SETS shape (the third member of the Flink SQL
+    multi-set family beside `rollup_revenue` / `cube_revenue`): the two
+    1-D sets ((segment), (priority)) plus the GROUPING() id column that
+    tells rows from different sets apart.  Same one-scan plan as the
+    rollup — broadcast segment lookup + per-block partials on the fine
+    (segment, priority) grid, one tiny exchange, then each requested set
+    re-aggregates the ~25-cell grid on the driver.  At 100 TB the scan
+    and the partial pass dominate; adding sets costs nothing."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
+                                  cust["c_mktsegment"].to_pylist())))
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderpriority"])
+
+    def probe(batch: pa.Table) -> pd.DataFrame:
+        lut = ray.get(lookup_ref)
+        seg = pd.Series(batch["o_custkey"].to_numpy()).map(lut)
+        df = pd.DataFrame({"c_mktsegment": seg,
+                           "o_orderpriority": batch["o_orderpriority"].to_pandas(),
+                           "cents": _cents(batch["o_totalprice"].to_numpy())})
+        g = df.groupby(["c_mktsegment", "o_orderpriority"], sort=False)["cents"]
+        return g.agg(n_orders="size", revenue_cents="sum").reset_index()
+
+    parts = ds.map_batches(probe, batch_format="pyarrow")
+    fine = grouped_map(parts, ["c_mktsegment", "o_orderpriority"], _combine_partials,
+                       fn_kwargs={"keys": ["c_mktsegment", "o_orderpriority"],
+                                  "sums": ["n_orders", "revenue_cents"]}).to_pandas()
+    # GROUPING(seg, pri): MSB = first argument; bit set = column rolled up
+    by_seg = (fine.groupby("c_mktsegment", sort=False)
+              .agg(n_orders=("n_orders", "sum"),
+                   revenue_cents=("revenue_cents", "sum"))
+              .reset_index().assign(o_orderpriority="ALL", gid=np.int64(1)))
+    by_pri = (fine.groupby("o_orderpriority", sort=False)
+              .agg(n_orders=("n_orders", "sum"),
+                   revenue_cents=("revenue_cents", "sum"))
+              .reset_index().assign(c_mktsegment="ALL", gid=np.int64(2)))
+    cols = ["c_mktsegment", "o_orderpriority", "gid", "n_orders", "revenue_cents"]
+    return pd.concat([by_seg[cols], by_pri[cols]], ignore_index=True)
+
+
+SQL_GROUPING_SETS_REVENUE = """
+SELECT COALESCE(c.c_mktsegment, 'ALL') AS c_mktsegment,
+       COALESCE(o.o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(GROUPING(c.c_mktsegment, o.o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY GROUPING SETS ((c.c_mktsegment), (o.o_orderpriority))
+"""
+
+
+def _rank_sweep(t: pa.Table) -> pd.DataFrame:
+    """Per-partition rank sweep: all suppliers of a nation are
+    co-located, so dense_rank / percent_rank are exact here — pandas
+    C-level rank kernels, no per-group dispatch."""
+    df = t.to_pandas()
+    g = df.groupby("s_nationkey", sort=False)["bal_cents"]
+    df["drank"] = g.rank(method="dense").astype(np.int64)
+    min_rank = g.rank(method="min").to_numpy()
+    n = g.transform("size").to_numpy()
+    pr = np.where(n > 1, (min_rank - 1.0) / np.maximum(n - 1.0, 1.0), 0.0)
+    df["prank_micros"] = _micros(pr)
+    return df[["s_nationkey", "s_suppkey", "bal_cents", "drank", "prank_micros"]]
+
+
+def q_dense_rank_balance(sf_dir: str):
+    """dense_rank + percent_rank window functions (the OVER-clause rank
+    family beside `ntile_acctbal` / `top_docs_per_lang`): per-nation
+    supplier ranking by account balance.  ONE exchange on the partition
+    key co-locates each nation; ranks are per-partition pandas rank
+    kernels.  percent_rank = (rank-1)/(n-1) floor-scaled to micros the
+    same way on both sides (n = 1 groups pin 0, per SQL semantics)."""
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "s_nationkey": batch["s_nationkey"].to_numpy().astype(np.int64),
+            "s_suppkey": batch["s_suppkey"].to_numpy().astype(np.int64),
+            "bal_cents": _cents(batch["s_acctbal"].to_numpy()),
+        })
+
+    parts = ds.map_batches(prep, batch_format="pyarrow")
+    return grouped_map(parts, ["s_nationkey"], _rank_sweep)
+
+
+SQL_DENSE_RANK_BALANCE = """
+WITH s AS (SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, s_suppkey,
+                  CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+           FROM supplier)
+SELECT s_nationkey, s_suppkey, bal_cents,
+       CAST(dense_rank() OVER (PARTITION BY s_nationkey ORDER BY bal_cents)
+            AS BIGINT) AS drank,
+       CAST(floor(percent_rank() OVER (PARTITION BY s_nationkey ORDER BY bal_cents)
+                  * 1000000 + 0.5) AS BIGINT) AS prank_micros
+FROM s
+"""
+
+
+def q_host_boilerplate_rate(sf_dir: str):
+    """Per-host boilerplate share (the FineWeb/CC site-level quality
+    signal): fraction of a host's 5-word chunks that also appear in >= 2
+    distinct documents corpus-wide — high shares mark template/mirror
+    farms worth down-weighting at the frontier.  Reuses the span-dedup
+    exchange (`chunk_dedup_stats`): chunk rows hash-exchange once, per-doc
+    partials map to the doc's host, and a host-sized second exchange
+    combines.  The ratio is integer ppm (n_shared·10^6 // n_chunks) so
+    both sides divide identically."""
+    from ..stages import textops as tx
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    chunks = ds.map_batches(tx.doc_word_chunks, batch_format="pyarrow")
+    partials = grouped_map(chunks, ["chunk"], _chunk_share_sweep)
+    # combine the per-(doc, chunk-partition) partials to ONE row per doc
+    # before host mapping — n_docs must count distinct docs, not partials
+    per_doc = grouped_map(partials, ["doc_id"], _combine_partials,
+                          fn_kwargs={"keys": ["doc_id"],
+                                     "sums": ["n_chunks", "n_shared"]})
+
+    def to_host(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        df["key_host"] = "h" + pd.Series(ids % 20).astype(str) + ".example.com"
+        df["n_docs"] = np.int64(1)
+        return df[["key_host", "n_docs", "n_chunks", "n_shared"]]
+
+    hosts = per_doc.map_batches(to_host, batch_format="pyarrow")
+    final = grouped_map(hosts, ["key_host"], _combine_partials,
+                        fn_kwargs={"keys": ["key_host"],
+                                   "sums": ["n_docs", "n_chunks", "n_shared"]})
+
+    def finish(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        nc = df["n_chunks"].to_numpy(np.int64)
+        ns = df["n_shared"].to_numpy(np.int64)
+        df["shared_ppm"] = np.where(nc > 0, ns * 1_000_000 // np.maximum(nc, 1), 0)
+        return df.astype({"n_docs": "int64", "n_chunks": "int64",
+                          "n_shared": "int64", "shared_ppm": "int64"})
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_HOST_BOILERPLATE_RATE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+c AS (SELECT doc_id, array_to_string(s[(5*i+1):(5*i+5)], ' ') AS chunk
+      FROM w, LATERAL (SELECT unnest(generate_series(0, CAST(len(s) // 5 AS INT) - 1)) AS i) g(i)),
+sh AS (SELECT chunk FROM c GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 2),
+per_doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                   CAST(SUM(CASE WHEN chunk IN (SELECT chunk FROM sh)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+            FROM c GROUP BY doc_id)
+SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS key_host,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_shared) AS BIGINT) AS n_shared,
+       CAST(CASE WHEN SUM(n_chunks) > 0
+            THEN SUM(n_shared) * 1000000 // SUM(n_chunks) ELSE 0 END
+            AS BIGINT) AS shared_ppm
+FROM per_doc GROUP BY 1
+"""
+
+
+def _keep_last_sweep(t: pa.Table) -> pd.DataFrame:
+    """Per-partition keep-last: stable sort by (key, ts, id) then take
+    each key's final row — one vectorized drop_duplicates, no dispatch."""
+    df = (t.to_pandas()
+          .sort_values(["user_id", "tms", "event_id"], kind="stable")
+          .drop_duplicates("user_id", keep="last"))
+    return df[["user_id", "event_id", "event_type", "tms"]].reset_index(drop=True)
+
+
+def q_dedup_keep_last(sf_dir: str):
+    """Flink streaming-dedup keep-LAST mode (ROW_NUMBER ... ORDER BY ts
+    DESC = 1; `window_dedup_first` covers keep-first): per user, the
+    latest event wins.  ONE exchange on the dedup key; the sweep is a
+    stable sort + drop_duplicates(keep='last') per partition.  This is
+    the upsert-source compaction primitive — at 100 TB only the winning
+    row per key survives the exchange's partition."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(),
+            "event_id": batch["event_id"].to_numpy(),
+            "event_type": batch["event_type"].to_pandas(),
+            "tms": batch["ts"].cast(pa.int64()).to_numpy() // 1000,  # us -> ms
+        })
+
+    parts = ds.map_batches(prep, batch_format="pyarrow")
+    return grouped_map(parts, ["user_id"], _keep_last_sweep)
+
+
+SQL_DEDUP_KEEP_LAST = """
+SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
 QUERIES = {
     "tumbling_stats": q_tumbling_stats,
     "sliding_counts": q_sliding_counts,
@@ -8135,6 +8338,10 @@ QUERIES = {
     "jsonl_ingest": q_jsonl_ingest,
     "host_frontier_order": q_host_frontier_order,
     "bm25_scores": q_bm25_scores,
+    "grouping_sets_revenue": q_grouping_sets_revenue,
+    "dense_rank_balance": q_dense_rank_balance,
+    "host_boilerplate_rate": q_host_boilerplate_rate,
+    "dedup_keep_last": q_dedup_keep_last,
     "obs_text": q_obs_text,
     "json_extract": q_json_extract,
     "hampel_repair": q_hampel_repair,
@@ -8322,6 +8529,10 @@ ORACLE_SQL = {
     "jsonl_ingest": SQL_JSONL_INGEST,
     "host_frontier_order": SQL_HOST_FRONTIER_ORDER,
     "bm25_scores": SQL_BM25_SCORES,
+    "grouping_sets_revenue": SQL_GROUPING_SETS_REVENUE,
+    "dense_rank_balance": SQL_DENSE_RANK_BALANCE,
+    "host_boilerplate_rate": SQL_HOST_BOILERPLATE_RATE,
+    "dedup_keep_last": SQL_DEDUP_KEEP_LAST,
     "obs_text": SQL_OBS_TEXT,
     "json_extract": SQL_JSON_EXTRACT,
     "hampel_repair": SQL_HAMPEL_REPAIR,

@@ -52,6 +52,10 @@ FAST_SQL_QUERIES = [
     "jsonl_ingest",
     "host_frontier_order",
     "bm25_scores",
+    "grouping_sets_revenue",
+    "dense_rank_balance",
+    "host_boilerplate_rate",
+    "dedup_keep_last",
     "obs_text",
     "json_extract",
     "hampel_repair",
