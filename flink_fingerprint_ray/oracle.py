@@ -83,12 +83,14 @@ def oracle_fingerprints(
     session_max_ms: int | None = None,
     extractor: str = "strict",
     blocklist: pa.Table | None = None,
+    session_gap_by_lang: dict | None = None,
 ) -> pd.DataFrame:
     """Expected engine output (F3 schema + update counts) for `pages`
     split into `n_epochs` arrival epochs."""
     if session_max_ms is None:
         # mirror PipelineConfig.__post_init__'s AUTO rule exactly
-        session_max_ms = 20 * session_gap_ms if session_gap_ms else 0
+        gap_cap = max([session_gap_ms, *(session_gap_by_lang or {}).values()])
+        session_max_ms = 20 * gap_cap if session_gap_ms else 0
     # per-doc fingerprints (shared deterministic kernels)
     if extractor == "general":
         from .functions.html import extract_text_general
@@ -199,10 +201,18 @@ def oracle_fingerprints(
         # close sessions
         if session_gap_ms > 0:
             for skey in list(session_buf):
+                # dynamic per-element gap: the gap is a function of the
+                # element's key_lang, constant within a (lang, host) key —
+                # session end max(ts + gap) therefore reduces to
+                # last_ts + gap(lang) here (engine: mature_sessions'
+                # dynamic_session_segments path, which also handles
+                # arbitrary per-row gaps)
+                gap = (session_gap_by_lang.get(skey[0], session_gap_ms)
+                       if session_gap_by_lang else session_gap_ms)
                 idx = session_buf[skey]
                 g = df.loc[idx].sort_values("ts_ms", kind="stable")
                 ts = g["ts_ms"].to_numpy()
-                sid = np.concatenate(([0], np.cumsum(np.diff(ts) > session_gap_ms)))
+                sid = np.concatenate(([0], np.cumsum(np.diff(ts) > gap)))
                 keep: list[int] = []
                 for s_id in np.unique(sid):
                     sg = g[sid == s_id]
@@ -210,12 +220,12 @@ def oracle_fingerprints(
                     first = int(sg["ts_ms"].iloc[0])
                     # session_max_ms: state-bounding force-close (engine:
                     # WindowStateActor.mature_sessions cap)
-                    if last + session_gap_ms <= wm or (
+                    if last + gap <= wm or (
                             session_max_ms and first + session_max_ms <= wm):
                         out.append(
                             _finalize(
                                 "session", skey, int(sg["ts_ms"].iloc[0]),
-                                last + session_gap_ms, sg, probe,
+                                last + gap, sg, probe,
                             )
                         )
                     else:

@@ -8220,6 +8220,83 @@ FROM per_doc GROUP BY 1
 """
 
 
+def _dynamic_session_sweep(t: pa.Table) -> pd.DataFrame:
+    """Per-partition dynamic-gap sessionize: key-blocked sort, then the
+    shared per-element-gap kernel (stages/windows.py) — one vectorized
+    cummax per key, no per-group dispatch."""
+    from ..stages.windows import dynamic_session_segments
+
+    df = (t.to_pandas()
+          .sort_values(["user_id", "tms", "event_id"], kind="stable")
+          .reset_index(drop=True))
+    uid = df["user_id"].to_numpy(np.int64)
+    tms = df["tms"].to_numpy(np.int64)
+    gap = df["gap"].to_numpy(np.int64)
+    kc = np.ones(len(df), dtype=bool)
+    kc[1:] = uid[1:] != uid[:-1]
+    new_seg, running = dynamic_session_segments(tms, gap, kc)
+    starts = np.flatnonzero(new_seg)
+    ends = np.append(starts[1:], len(df))
+    return pd.DataFrame({
+        "user_id": uid[starts],
+        "session_start": tms[starts],
+        "session_end": running[ends - 1],
+        "n_events": (ends - starts).astype(np.int64),
+    })
+
+
+def q_session_windows_dynamic(sf_dir: str):
+    """Dynamic per-ELEMENT session gap (Flink's
+    SessionWindowTimeGapExtractor, the batch twin of the streaming
+    `session_gap_by_lang` path): an 'error' event holds its session open
+    for 60 min, any other event for 30 min — session end is the running
+    max(ts + gap(element)), so a single error stretches the window past
+    later short-gap events.  ONE exchange on user_id; the per-partition
+    sweep is the shared vectorized kernel.  session_end includes the gap
+    (unlike `session_windows`, which reports last-event time)."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_id", "event_type"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        et = np.asarray(batch["event_type"], dtype=object)
+        return pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(),
+            "event_id": batch["event_id"].to_numpy(),
+            "tms": batch["ts"].cast(pa.int64()).to_numpy() // 1000,  # us -> ms
+            "gap": np.where(et == "error", 3_600_000, 1_800_000).astype(np.int64),
+        })
+
+    parts = ds.map_batches(prep, batch_format="pyarrow")
+    return grouped_map(parts, ["user_id"], _dynamic_session_sweep)
+
+
+SQL_SESSION_WINDOWS_DYNAMIC = """
+WITH s AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS tms,
+         CASE WHEN event_type = 'error' THEN 3600000 ELSE 1800000 END AS gap
+  FROM events
+), r AS (
+  SELECT user_id, event_id, tms,
+         MAX(tms + gap) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run_end
+  FROM s
+), o AS (
+  SELECT user_id, event_id, tms, run_end,
+         CASE WHEN tms > lag(run_end) OVER (PARTITION BY user_id
+                                            ORDER BY tms, event_id)
+              THEN 1 ELSE 0 END AS brk
+  FROM r
+), g AS (
+  SELECT user_id, tms, run_end,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, MIN(tms) AS session_start, MAX(run_end) AS session_end,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id, sid
+"""
+
+
 def _keep_last_sweep(t: pa.Table) -> pd.DataFrame:
     """Per-partition keep-last: stable sort by (key, ts, id) then take
     each key's final row — one vectorized drop_duplicates, no dispatch."""
@@ -8342,6 +8419,7 @@ QUERIES = {
     "dense_rank_balance": q_dense_rank_balance,
     "host_boilerplate_rate": q_host_boilerplate_rate,
     "dedup_keep_last": q_dedup_keep_last,
+    "session_windows_dynamic": q_session_windows_dynamic,
     "obs_text": q_obs_text,
     "json_extract": q_json_extract,
     "hampel_repair": q_hampel_repair,
@@ -8533,6 +8611,7 @@ ORACLE_SQL = {
     "dense_rank_balance": SQL_DENSE_RANK_BALANCE,
     "host_boilerplate_rate": SQL_HOST_BOILERPLATE_RATE,
     "dedup_keep_last": SQL_DEDUP_KEEP_LAST,
+    "session_windows_dynamic": SQL_SESSION_WINDOWS_DYNAMIC,
     "obs_text": SQL_OBS_TEXT,
     "json_extract": SQL_JSON_EXTRACT,
     "hampel_repair": SQL_HAMPEL_REPAIR,

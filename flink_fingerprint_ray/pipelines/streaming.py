@@ -69,6 +69,14 @@ class PipelineConfig:
                                               # window; max must be a
                                               # multiple of step
     session_gap_ms: int = 0                   # 0 = session windows off
+    # dynamic per-element session gap (Flink SessionWindowTimeGapExtractor
+    # analog): key_lang -> gap_ms, with session_gap_ms the default for
+    # unmapped langs.  The session end becomes max(ts + gap(element)) over
+    # the session's elements; for a constant gap this is exactly
+    # last_ts + gap, so the fixed path is the map=None special case.
+    # Requires session_gap_ms > 0.  Recorded in the checkpoint manifest
+    # channel set (window-shape config is output identity).
+    session_gap_by_lang: dict | None = None
     session_max_ms: int | None = None         # None = AUTO (20 x gap); >0
                                               # force-closes sessions older than
                                               # this vs the watermark (bounds open
@@ -137,12 +145,19 @@ class PipelineConfig:
     window_topn: int = 0
 
     def __post_init__(self) -> None:
+        if self.session_gap_by_lang and not self.session_gap_ms:
+            raise ValueError("session_gap_by_lang needs session_gap_ms > 0 "
+                             "(the default gap for unmapped langs)")
         if self.session_max_ms is None:
             # AUTO: bound open-session state at 20x the gap — long enough
             # that organic sessions are untouched, finite so a hot key
             # that never idles cannot grow state forever (round-3 finding:
-            # unbounded default left monotone buffered_rows_final)
-            self.session_max_ms = 20 * self.session_gap_ms if self.session_gap_ms else 0
+            # unbounded default left monotone buffered_rows_final).
+            # Under a dynamic gap, 20x the LARGEST configured gap (the
+            # oracle resolves None with the same rule).
+            gap_cap = max([self.session_gap_ms,
+                           *(self.session_gap_by_lang or {}).values()])
+            self.session_max_ms = 20 * gap_cap if self.session_gap_ms else 0
         if self.cumulate is not None:
             step, mx = self.cumulate
             if step <= 0 or mx % step != 0:
@@ -1021,6 +1036,11 @@ class StreamingFingerprintPipeline:
                if self.cfg.window_topn else {}),
             **({"cep": [str(p) for p in self.cfg.cep_pattern]}
                if self.cfg.cep_pattern else {}),
+            # dynamic session gap changes session boundaries — a resume
+            # under a different map would mix window identities
+            **({"session_gaps": {str(k): int(v) for k, v in
+                                 sorted(self.cfg.session_gap_by_lang.items())}}
+               if self.cfg.session_gap_by_lang else {}),
         })
         self.pool = StatePool(
             self.cfg.n_state_partitions, self.cfg.session_gap_ms,
@@ -1029,6 +1049,7 @@ class StreamingFingerprintPipeline:
             with_dedup=self.cfg.curation_min_chars > 0,
             with_neardup=self.cfg.neardup,
             cep_pattern=self.cfg.cep_pattern,
+            session_gap_by_lang=self.cfg.session_gap_by_lang,
         )
         self.counter = MetricCounter.remote()
         # curation: broadcast the benchmark gram set ONCE (ray.put), read

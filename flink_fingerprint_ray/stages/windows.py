@@ -93,6 +93,45 @@ def sessionize_sorted(ts_ms_sorted: np.ndarray, gap_ms: int) -> np.ndarray:
     return np.concatenate(([0], np.cumsum(gaps))).astype(np.int64)
 
 
+def dynamic_session_segments(
+    ts_sorted: np.ndarray, gap_ms_sorted: np.ndarray, key_change: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-ELEMENT-gap session segmentation (the Flink
+    ``SessionWindowTimeGapExtractor`` semantics) over key-blocked,
+    ts-sorted rows: each element spans [ts, ts + gap); spans of the same
+    key merge while the next element's ts does not exceed the running
+    session end max(ts_i + gap_i).  For a constant gap this reduces
+    exactly to the fixed-gap rule (break iff ts - prev_ts > gap,
+    window_end = last_ts + gap), so the two paths share one oracle.
+
+    Returns ``(new_seg, running_end)``: new_seg[i] marks session starts;
+    running_end[i] is the per-key running max of (ts + gap), whose value
+    at a session's LAST row is that session's window_end.
+
+    A per-KEY (not per-session) running max is exact: at any break j,
+    ts[j] > running[j-1] implies end[j] = ts[j] + gap[j] > running[j-1],
+    so the cummax from j onward is determined solely by current-session
+    spans — contamination from the key's earlier sessions never survives
+    a break.  The per-key loop is over CONTIGUOUS 1-D slices (this
+    build's segmented-reduction idiom); work per key is one vectorized
+    accumulate."""
+    n = len(ts_sorted)
+    if n == 0:
+        return (np.empty(0, dtype=bool), np.empty(0, dtype=np.int64))
+    new_seg = key_change.copy()
+    new_seg[0] = True
+    running = (np.asarray(ts_sorted, dtype=np.int64)
+               + np.asarray(gap_ms_sorted, dtype=np.int64))
+    starts = np.flatnonzero(new_seg)
+    stops = np.append(starts[1:], n)
+    for a, b in zip(starts.tolist(), stops.tolist()):
+        if b - a > 1:
+            r = np.maximum.accumulate(running[a:b])
+            new_seg[a + 1:b] = ts_sorted[a + 1:b] > r[:-1]
+            running[a:b] = r
+    return new_seg, running
+
+
 # ---------------------------------------------------------------------------
 # Stats (exact parity with src/flink_job/aggregations.py:6-16)
 # ---------------------------------------------------------------------------

@@ -57,9 +57,16 @@ class WindowStateActor:
     """Owns one key partition's open fixed windows AND open sessions."""
 
     def __init__(self, partition_id: int, session_gap_ms: int = 0,
-                 compact_every: int = 8, session_max_ms: int = 0) -> None:
+                 compact_every: int = 8, session_max_ms: int = 0,
+                 session_gap_by_lang: dict | None = None) -> None:
         self.partition_id = partition_id
         self.session_gap_ms = session_gap_ms
+        # dynamic per-element gap (Flink SessionWindowTimeGapExtractor
+        # analog): the gap is a function of the element — here its
+        # key_lang — with session_gap_ms as the default for unmapped
+        # langs.  Resolved at mature time from the buffered rows, so the
+        # session buffer schema / snapshots are unchanged.
+        self.session_gap_by_lang = dict(session_gap_by_lang or {})
         # state-bounding cap: a session whose FIRST event is more than
         # session_max_ms behind the watermark force-closes with the rows
         # seen so far — hot keys that never idle otherwise grow open
@@ -139,14 +146,28 @@ class WindowStateActor:
             order = np.lexsort((ts, host, lang))
             lang_s, host_s, ts_s = lang[order], host[order], ts[order]
             key_change[1:] = (lang_s[1:] != lang_s[:-1]) | (host_s[1:] != host_s[:-1])
-        new_seg = np.ones(n, dtype=bool)
-        new_seg[1:] = key_change[1:] | (ts_s[1:] - ts_s[:-1] > gap)
+        if self.session_gap_by_lang:
+            # per-element gap: resolve each row's gap from its key_lang
+            # (few distinct langs — map the uniques, broadcast via inverse)
+            from ..stages.windows import dynamic_session_segments
+
+            uniq, inv = np.unique(lang_s.astype(str), return_inverse=True)
+            gap_u = np.array([self.session_gap_by_lang.get(u, self.session_gap_ms)
+                              for u in uniq.tolist()], dtype=np.int64)
+            new_seg, running = dynamic_session_segments(ts_s, gap_u[inv], key_change)
+        else:
+            new_seg = np.ones(n, dtype=bool)
+            new_seg[1:] = key_change[1:] | (ts_s[1:] - ts_s[:-1] > gap)
+            running = None
         starts = np.flatnonzero(new_seg)
         ends = np.append(starts[1:], n)
         sizes = ends - starts
         seg_first = ts_s[starts]
         seg_last = ts_s[ends - 1]
-        closed_seg = seg_last + gap <= np.int64(watermark_ms)
+        # session end: max(ts + gap) over the segment — for a constant gap
+        # that is exactly last_ts + gap (the two paths share one contract)
+        seg_end = running[ends - 1] if running is not None else seg_last + gap
+        closed_seg = seg_end <= np.int64(watermark_ms)
         if self.session_max_ms > 0:
             closed_seg |= seg_first + np.int64(self.session_max_ms) <= np.int64(watermark_ms)
         if not closed_seg.any():
@@ -154,9 +175,9 @@ class WindowStateActor:
             return None
         row_closed = np.repeat(closed_seg, sizes)
         closed = buf.take(pa.array(order[row_closed]))
-        # stamp session bounds [first_ts, last_ts + gap) per row
+        # stamp session bounds [first_ts, session_end) per row
         ws = np.repeat(seg_first, sizes)[row_closed]
-        we = np.repeat(seg_last + gap, sizes)[row_closed]
+        we = np.repeat(seg_end, sizes)[row_closed]
         i_ws = closed.schema.get_field_index("window_start")
         i_we = closed.schema.get_field_index("window_end")
         closed = closed.set_column(i_ws, "window_start", pa.array(ws, pa.int64()))
@@ -1055,7 +1076,7 @@ class StatePool:
     def __init__(self, n_partitions: int, session_gap_ms: int, join_retention_ms: int,
                  compact_every: int = 8, session_max_ms: int = 0,
                  with_dedup: bool = False, with_neardup: bool = False,
-                 cep_pattern=None) -> None:
+                 cep_pattern=None, session_gap_by_lang: dict | None = None) -> None:
         self.n = n_partitions
         # adaptive reservation: never let the 2·n state actors claim more
         # than ~40% of the cluster's scheduling budget, or map/finalize
@@ -1064,7 +1085,8 @@ class StatePool:
         per_actor = round(min(0.25, 0.4 * cpus / max(1, 2 * n_partitions)), 3)
         self.window_actors = [
             WindowStateActor.options(num_cpus=per_actor).remote(
-                i, session_gap_ms, compact_every, session_max_ms)
+                i, session_gap_ms, compact_every, session_max_ms,
+                session_gap_by_lang)
             for i in range(n_partitions)
         ]
         self.join_actors = [

@@ -12,6 +12,7 @@ from flink_fingerprint_ray.functions import fingerprint as fp
 from flink_fingerprint_ray.stages.windows import (
     compute_stats,
     dup_cluster_counts,
+    dynamic_session_segments,
     sessionize_sorted,
     sliding_window_starts,
     tumbling_window_start,
@@ -47,6 +48,59 @@ def test_sessionize_gap_property(ts, gap):
     d = np.diff(ts)
     # session id increments exactly where the gap is exceeded
     assert (np.diff(sid) == (d > gap)).all()
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 3),            # key id
+                       st.integers(0, 10**6),        # ts
+                       st.integers(0, 10**4)),       # per-ELEMENT gap
+            min_size=1, max_size=60),
+)
+def test_dynamic_session_segments_matches_sequential_scan(rows):
+    """dynamic_session_segments (vectorized per-key cummax) vs the naive
+    sequential per-row scan of the Flink gap-extractor semantics: break
+    when ts exceeds the running session end max(ts_i + gap_i)."""
+    rows.sort()  # key-blocked, ts-sorted (the actor's input contract)
+    key = np.array([r[0] for r in rows], dtype=np.int64)
+    ts = np.array([r[1] for r in rows], dtype=np.int64)
+    gap = np.array([r[2] for r in rows], dtype=np.int64)
+    key_change = np.ones(len(rows), dtype=bool)
+    key_change[1:] = key[1:] != key[:-1]
+    new_seg, running = dynamic_session_segments(ts, gap, key_change)
+    # naive scan
+    want_seg = np.zeros(len(rows), dtype=bool)
+    want_end = np.zeros(len(rows), dtype=np.int64)
+    cur_end = None
+    for i in range(len(rows)):
+        if i == 0 or key_change[i] or ts[i] > cur_end:
+            want_seg[i] = True
+            cur_end = ts[i] + gap[i]
+        else:
+            cur_end = max(cur_end, ts[i] + gap[i])
+        want_end[i] = cur_end
+    assert (new_seg == want_seg).all()
+    # running end must agree at every row (its value at a session's last
+    # row is the session's window_end)
+    assert (running == want_end).all()
+
+
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=50),
+       st.integers(1, 10**6))
+def test_dynamic_constant_gap_reduces_to_fixed_rule(ts, gap):
+    """With a constant gap the dynamic path must reproduce the fixed-gap
+    segmentation exactly (break iff diff > gap, end = last + gap)."""
+    ts = np.sort(np.asarray(ts, dtype=np.int64))
+    kc = np.zeros(len(ts), dtype=bool)
+    kc[0] = True
+    new_seg, running = dynamic_session_segments(
+        ts, np.full(len(ts), gap, dtype=np.int64), kc)
+    sid = sessionize_sorted(ts, gap)
+    want_seg = np.ones(len(ts), dtype=bool)
+    want_seg[1:] = np.diff(sid) > 0
+    assert (new_seg == want_seg).all()
+    starts = np.flatnonzero(new_seg)
+    ends = np.append(starts[1:], len(ts))
+    assert (running[ends - 1] == ts[ends - 1] + gap).all()
 
 
 @given(st.lists(st.floats(-1e6, 1e6), min_size=1, max_size=40))

@@ -56,6 +56,7 @@ FAST_SQL_QUERIES = [
     "dense_rank_balance",
     "host_boilerplate_rate",
     "dedup_keep_last",
+    "session_windows_dynamic",
     "obs_text",
     "json_extract",
     "hampel_repair",

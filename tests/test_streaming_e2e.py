@@ -219,6 +219,37 @@ def test_all_late_and_empty_epochs(ray_session, tmp_path):
     pipe.shutdown()
 
 
+def test_dynamic_session_gap_parity_and_resume_guard(ray_session, corpus):
+    """Flink SessionWindowTimeGapExtractor analog: per-lang session gaps
+    must match the oracle row-exactly (boundaries AND window_end =
+    max(ts + gap)), survive kill+resume, and a resume under a DIFFERENT
+    gap map must be refused by the manifest channel guard."""
+    root, pages, updates = corpus
+    gaps = {"en": 45_000, "zh": 15_000}
+    cfg_extra = {"session_gap_by_lang": gaps}
+    p1 = _run(root, "out_dyngap", max_epochs=2, cfg_extra=cfg_extra)
+    p1.shutdown()
+    p2 = _run(root, "out_dyngap", cfg_extra=cfg_extra)
+    eng = p2.result_dataset().to_pandas()
+    ora = oracle_fingerprints(
+        pages, N_EPOCHS, updates=updates, sliding=CFG["sliding"],
+        session_gap_ms=CFG["session_gap_ms"], session_gap_by_lang=gaps)
+    pd.testing.assert_frame_equal(
+        _norm(eng, ora.columns), _norm(ora, ora.columns), check_dtype=False)
+    # dynamic gaps must actually change the session layout vs fixed-gap
+    fixed = oracle_fingerprints(
+        pages, N_EPOCHS, updates=updates, sliding=CFG["sliding"],
+        session_gap_ms=CFG["session_gap_ms"])
+    sess = ora[ora["window_kind"] == "session"]
+    assert not sess.reset_index(drop=True).equals(
+        fixed[fixed["window_kind"] == "session"].reset_index(drop=True))
+    p2.shutdown()
+    # a different map on resume = different window identity -> refused
+    with pytest.raises(RuntimeError, match="side-channel"):
+        _run(root, "out_dyngap",
+             cfg_extra={"session_gap_by_lang": {"en": 60_000}})
+
+
 def test_rising_edge_alerts_match_oracle(ray_session, corpus, oracle_df):
     """T3 analog: incremental rising-edge alert state across epochs —
     engine alert rows must equal the oracle's global (key, window) scan,
