@@ -116,7 +116,7 @@ def write_corpus(dest: str, n_docs: int, n_epochs: int) -> int:
 
 def run_headline(num_cpus: int, n_docs: int = N_DOCS, n_epochs: int = N_EPOCHS,
                  corpus_dir: str | None = None, neardup: bool = False,
-                 channels: bool = False) -> dict:
+                 channels: bool = False, allowed_ms: int = 0) -> dict:
     """The flagship streaming pipeline on a seeded page stream; returns
     wall seconds + docs/sec.  ``corpus_dir``: pre-generated corpus to
     reuse (the --scaling parent writes it ONCE so both parallelism levels
@@ -145,6 +145,8 @@ def run_headline(num_cpus: int, n_docs: int = N_DOCS, n_epochs: int = N_EPOCHS,
             # --channels-ab: the round-4d window Top-N + CEP side outputs
             **({"window_topn": 3, "cep_pattern": (">0", "==0")}
                if channels else {}),
+            # --lateness-ab: allowed-lateness retention + refire channel
+            **({"allowed_lateness_ms": allowed_ms} if allowed_ms else {}),
         )
         pipe = StreamingFingerprintPipeline(
             os.path.join(tmp, "pages"),
@@ -328,7 +330,55 @@ def main() -> None:
                     help="interleaved plain-vs-(window_topn+cep_pattern) "
                          "A/B pairs on one shared corpus — the round-4d "
                          "side-channel cost protocol")
+    ap.add_argument("--lateness-ab", dest="lateness_ab", action="store_true",
+                    help="interleaved plain-vs-allowed_lateness A/B pairs "
+                         "on one shared corpus — the retention + refire "
+                         "channel cost (route sends closable copies to "
+                         "the state actors when the feature is on)")
     args = ap.parse_args()
+
+    if args.lateness_ab:
+        # same drift-proof protocol as --channels-ab: shared corpus,
+        # unrecorded warmup, alternating-order same-minute pairs.
+        # allowed = 60 s (one tumbling window of retention horizon).
+        import ray
+
+        n_docs = int(os.environ.get("BENCH_N_DOCS", N_DOCS))
+        n_epochs = int(os.environ.get("BENCH_N_EPOCHS", N_EPOCHS))
+        pairs_n = int(os.environ.get("BENCH_AB_PAIRS", "3"))
+        allowed = int(os.environ.get("BENCH_ALLOWED_MS", "60000"))
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+        corpus = tempfile.mkdtemp(prefix="ffr_latab_corpus_")
+        os.environ["BENCH_CORPUS_BYTES"] = str(write_corpus(corpus, n_docs, n_epochs))
+        run_headline(NUM_CPUS, n_docs=n_docs, n_epochs=n_epochs, corpus_dir=corpus)
+        pairs = []
+        for k in range(pairs_n):
+            order = (0, allowed) if k % 2 == 0 else (allowed, 0)
+            res = {}
+            for a_ms in order:
+                res[a_ms] = run_headline(NUM_CPUS, n_docs=n_docs,
+                                         n_epochs=n_epochs,
+                                         corpus_dir=corpus, allowed_ms=a_ms)
+            plain, lat = res[0], res[allowed]
+            pairs.append({
+                "plain_sec": plain["sec"], "lateness_sec": lat["sec"],
+                "overhead": round(lat["sec"] / plain["sec"] - 1.0, 3),
+            })
+        ratios = sorted(p["overhead"] for p in pairs)
+        print(json.dumps({
+            "metric": "allowed-lateness retention overhead (interleaved same-corpus A/B)",
+            "value": ratios[len(ratios) // 2],
+            "unit": "fractional wall overhead (median pair)",
+            "overhead_min_pair": ratios[0],
+            "allowed_ms": allowed,
+            "pairs": pairs,
+            "n_docs": n_docs,
+            "n_epochs": n_epochs,
+            "num_cpus": NUM_CPUS,
+        }))
+        ray.shutdown()
+        shutil.rmtree(corpus, ignore_errors=True)
+        return
 
     if args.channels_ab:
         # same drift-proof protocol as --neardup-ab: shared corpus,

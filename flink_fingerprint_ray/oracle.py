@@ -84,9 +84,19 @@ def oracle_fingerprints(
     extractor: str = "strict",
     blocklist: pa.Table | None = None,
     session_gap_by_lang: dict | None = None,
+    allowed_lateness_ms: int = 0,
+    return_refires: bool = False,
 ) -> pd.DataFrame:
     """Expected engine output (F3 schema + update counts) for `pages`
-    split into `n_epochs` arrival epochs."""
+    split into `n_epochs` arrival epochs.
+
+    With ``allowed_lateness_ms`` > 0 (Flink allowedLateness, FIXED
+    windows only): rows up to that far behind the watermark are admitted
+    — a late row whose window is still open joins its first fire; one
+    whose window already fired RE-FIRES the window as an updated full
+    aggregate on the refire channel.  ``return_refires=True`` returns
+    ``(main_df, refires_df)`` where refires carries F3 columns +
+    refire_seq (1-based firing counter per window)."""
     if session_max_ms is None:
         # mirror PipelineConfig.__post_init__'s AUTO rule exactly
         gap_cap = max([session_gap_ms, *(session_gap_by_lang or {}).values()])
@@ -149,6 +159,11 @@ def oracle_fingerprints(
     session_buf: dict[tuple, list[int]] = {}  # (lang,host) -> row idx
     join_buf = pd.DataFrame(columns=["key_host", "update_ts_ms", "change_kind"])
     out: list[dict] = []
+    # allowed-lateness state (engine: WindowStateActor retention)
+    retained: dict[tuple, list[int]] = {}      # fired window -> content idx
+    refire_pending: dict[tuple, list[int]] = {}  # this epoch's late rows
+    refire_seq: dict[tuple, int] = {}
+    refires: list[dict] = []
 
     def probe(host: str, s: int, e: int) -> dict:
         res = {"update_count": 0, "update_modified": 0, "update_deleted": 0, "update_redirected": 0}
@@ -175,7 +190,8 @@ def oracle_fingerprints(
                 [join_buf, upd_df.iloc[upd_bounds[e_i]: upd_bounds[e_i + 1]]],
                 ignore_index=True,
             )
-        rows = rows[(rows["ts_ms"] >= wm_prev) & (~rows["_empty"])]
+        admit_floor = wm_prev - allowed_lateness_ms if allowed_lateness_ms else wm_prev
+        rows = rows[(rows["ts_ms"] >= admit_floor) & (~rows["_empty"])]
         # broadcast-state blocklist: side epochs STRICTLY BEFORE this one
         # (engine: page_transform blocked_ref, same strictly-before rule)
         if bl_hosts_all is not None:
@@ -184,20 +200,32 @@ def oracle_fingerprints(
             if bl_set:
                 rows = rows[~rows["key_host"].isin(bl_set)]
 
-        # buffer fixed windows
+        # buffer fixed windows: a window whose end <= wm_prev already
+        # fired, so its rows (necessarily all late) go to the refire
+        # path; late rows in still-open windows join the first fire
         for kind, wins in _assign(rows, tumbling_size_ms, sliding, cumulate):
             for (lang, host, s, en), idx in wins.items():
-                fixed_buf.setdefault((kind, lang, host, s, en), []).extend(idx)
-        # buffer sessions
+                wkey = (kind, lang, host, s, en)
+                if allowed_lateness_ms and en <= wm_prev:
+                    refire_pending.setdefault(wkey, []).extend(idx)
+                else:
+                    fixed_buf.setdefault(wkey, []).extend(idx)
+        # buffer sessions — from ON-TIME rows only (sessions never admit
+        # late data; engine: explode_windows skips session rows for them)
         if session_gap_ms > 0:
-            for (lang, host), g in rows.groupby(["key_lang", "key_host"], sort=False):
+            s_rows = (rows[rows["ts_ms"] >= wm_prev]
+                      if allowed_lateness_ms else rows)
+            for (lang, host), g in s_rows.groupby(["key_lang", "key_host"], sort=False):
                 session_buf.setdefault((lang, host), []).extend(g.index.tolist())
 
         # close fixed windows with end <= wm
         for wkey in [k for k in fixed_buf if k[4] <= wm]:
             kind, lang, host, s, en = wkey
-            g = df.loc[fixed_buf.pop(wkey)]
+            idx = fixed_buf.pop(wkey)
+            g = df.loc[idx]
             out.append(_finalize(kind, (lang, host), s, en, g, probe))
+            if allowed_lateness_ms:
+                retained[wkey] = list(idx)
         # close sessions
         if session_gap_ms > 0:
             for skey in list(session_buf):
@@ -234,10 +262,32 @@ def oracle_fingerprints(
                     session_buf[skey] = keep
                 else:
                     del session_buf[skey]
+        # allowed-lateness refires (engine: mature_refires — evict first,
+        # then each window with admissible late arrivals re-fires its
+        # FULL updated aggregate; a late row for an evicted window drops)
+        if allowed_lateness_ms:
+            for k in [k for k in retained
+                      if k[4] + allowed_lateness_ms <= wm]:
+                retained.pop(k)
+                refire_seq.pop(k, None)
+            for wkey in list(refire_pending):
+                idx = refire_pending.pop(wkey)
+                if wkey[4] + allowed_lateness_ms <= wm:
+                    continue  # window evicted — late rows dropped
+                content = retained.setdefault(wkey, [])
+                content.extend(idx)
+                refire_seq[wkey] = refire_seq.get(wkey, 0) + 1
+                kind, lang, host, s, en = wkey
+                rec = _finalize(kind, (lang, host), s, en,
+                                df.loc[content], probe)
+                rec["refire_seq"] = refire_seq[wkey]
+                refires.append(rec)
         # evict join state past retention (engine step 7)
         if len(join_buf):
             join_buf = join_buf[join_buf["update_ts_ms"] >= wm - join_retention_ms]
 
+    if return_refires:
+        return pd.DataFrame(out), pd.DataFrame(refires)
     return pd.DataFrame(out)
 
 

@@ -89,6 +89,18 @@ class PipelineConfig:
                                               # SAME rule, so parity holds by
                                               # construction.
     lateness_ms: int = 10_000                 # reference: 10 s (config.py:37)
+    # Flink allowedLateness analog (FIXED windows: tumbling/sliding/
+    # cumulate; sessions never admit late rows).  >0 admits rows up to
+    # this much behind the late cutoff: a late row whose window is still
+    # open joins it normally (first fire includes it); one whose window
+    # already fired RE-FIRES the window as an updated FULL aggregate on
+    # the refire side channel (refires-p*.parquet + refire_seq, same
+    # exactly-once fence; `refire_dataset()`), exactly once per
+    # (window, epoch-with-late-arrivals).  Window content is retained in
+    # the state actors until window_end + allowed <= watermark; later
+    # arrivals drop (refire_dropped metric).  Refires do NOT feed the
+    # alert/CEP/Top-N channels (those consume the on-time close stream).
+    allowed_lateness_ms: int = 0
     join_retention_ms: int = 300_000          # reference: 5 min (save_fingerprints.py:85)
     n_state_partitions: int = 8
     n_finalize_partitions: int | None = None  # default max(8, n_state_partitions)
@@ -289,6 +301,48 @@ def finalize_partition(
     return (enriched.num_rows, timings), alert_rows
 
 
+@ray.remote
+def finalize_refires(path: str, join_handles: list, n_join_partitions: int,
+                     sweep_result):
+    """Allowed-lateness refire finalize: one task per window actor —
+    its ``mature_refires`` sweep already co-located every refired
+    window's FULL content (retained + late rows), so this is a straight
+    ``finalize_many`` + join probe + staged write of
+    refires-p*.parquet (FINGERPRINT_SCHEMA + refire_seq), under the same
+    exactly-once fence as the main parts.  Returns (n_rows, n_dropped)."""
+    import pyarrow.parquet as pq
+
+    tbl, n_dropped = sweep_result
+    if tbl is None or tbl.num_rows == 0:
+        return 0, int(n_dropped)
+    seq = (tbl.select(["window_kind", "key_lang", "key_host",
+                       "window_start", "window_end", "refire_seq"])
+           .to_pandas().drop_duplicates(
+               ["window_kind", "key_lang", "key_host",
+                "window_start", "window_end"]))
+    out = finalize_many(tbl.drop_columns(["refire_seq"]).combine_chunks())
+    if len(out) == 0:
+        return 0, int(n_dropped)
+    out = out.merge(seq, on=["window_kind", "key_lang", "key_host",
+                             "window_start", "window_end"], how="left")
+    fps = pa.Table.from_pandas(out, preserve_index=False).select(
+        FINGERPRINT_SCHEMA.names + ["refire_seq"]
+    ).cast(pa.schema(list(FINGERPRINT_SCHEMA)
+                     + [pa.field("refire_seq", pa.int64())]))
+    # probe the join state exactly as the main finalize does — a refire
+    # recomputes the window's update counts against the join buffer AS OF
+    # the refire epoch (the oracle probes at the same point)
+    part = (fp.text_hash64(fps["key_host"].combine_chunks())
+            % np.uint64(n_join_partitions)).astype(np.int64)
+    outs = []
+    for pid in np.unique(part):
+        sub = fps.take(pa.array(np.flatnonzero(part == pid)))
+        outs.append(join_handles[int(pid)].probe.remote(sub))
+    enriched = pa.concat_tables(ray.get(outs))
+    pq.write_table(enriched, path)
+    return enriched.num_rows, int(n_dropped)
+
+
 @ray.remote(num_cpus=0)
 class MetricCounter:
     def __init__(self) -> None:
@@ -345,7 +399,8 @@ class MetricCounter:
 def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix: str = "",
                    curation_min_chars: int = 0, bench_ref=None,
                    late_side: bool = False, neardup: bool = False,
-                   extractor: str = "strict", blocked_ref=None) -> pa.Table:
+                   extractor: str = "strict", blocked_ref=None,
+                   allowed_lateness_ms: int = 0) -> pa.Table:
     """Stateless per-batch transform: late-drop, extract, fingerprint.
 
     Emits a NARROW table (html/text projected away) so only ~300-byte rows
@@ -356,9 +411,25 @@ def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix:
 
     n_in = batch.num_rows
     ts = batch["warc_ts"].cast(pa.int64())
-    keep_late = pc.greater_equal(ts, pa.scalar(late_cutoff_ms, pa.int64()))
-    late_sub = batch.filter(pc.invert(keep_late)) if late_side else None
-    batch = batch.filter(keep_late)
+    n_admitted_late = 0
+    if allowed_lateness_ms > 0:
+        # allowed lateness: rows up to `allowed` behind the cutoff are
+        # ADMITTED and flagged (the flag rides the batch as a column so
+        # the blocklist/empty filters below keep it row-aligned); only
+        # rows beyond the allowance drop (and feed the DLQ side output)
+        floor_ms = late_cutoff_ms - allowed_lateness_ms
+        keep_late = pc.greater_equal(ts, pa.scalar(floor_ms, pa.int64()))
+        late_flag = pc.and_(keep_late,
+                            pc.less(ts, pa.scalar(late_cutoff_ms, pa.int64())))
+        late_sub = batch.filter(pc.invert(keep_late)) if late_side else None
+        batch = batch.append_column("_late", late_flag).filter(keep_late)
+        if batch.num_rows:
+            n_admitted_late = int(pc.sum(
+                pc.cast(batch["_late"], pa.int64())).as_py() or 0)
+    else:
+        keep_late = pc.greater_equal(ts, pa.scalar(late_cutoff_ms, pa.int64()))
+        late_sub = batch.filter(pc.invert(keep_late)) if late_side else None
+        batch = batch.filter(keep_late)
     n_late = n_in - batch.num_rows
 
     # broadcast-state side input (Flink BroadcastProcessFunction analog):
@@ -394,6 +465,8 @@ def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix:
         # stay exact and no keys accrete in the counter dict.
         if n_late:
             counter.add.remote(metric_prefix + "late_dropped", n_late)
+        if n_admitted_late:
+            counter.add.remote(metric_prefix + "late_admitted", n_admitted_late)
         if n_blocked:
             counter.add.remote(metric_prefix + "blocklist_dropped", n_blocked)
         if n_empty:
@@ -441,6 +514,11 @@ def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix:
         # along only on the per-doc table — _transform_refs strips these
         # columns before the window explode so the shuffle stays narrow.
         keep = text_len.to_numpy() >= curation_min_chars
+        if "_late" in batch.column_names and batch.num_rows:
+            # admitted-late rows exist for window refires only — they
+            # never enter the curation channel (oracle_clean_stream's
+            # late rule is unchanged)
+            keep &= ~batch["_late"].to_numpy(zero_copy_only=False)
         bench = ray.get(bench_ref) if bench_ref is not None else None
         if bench is not None and len(bench) and batch.num_rows:
             from ..functions.textstats import ngram_set_hashes
@@ -453,6 +531,9 @@ def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix:
                 contaminated[np.unique(gram_doc[bench[pos] == hashes])] = True
                 keep &= ~contaminated
         cols["clean_keep"] = pa.array(keep, pa.bool_())
+    if "_late" in batch.column_names:
+        cols["refire_late"] = (batch["_late"].combine_chunks()
+                               if batch.num_rows else pa.array([], pa.bool_()))
     if curation_min_chars > 0 or late_side or neardup or "media_mean" in batch.column_names:
         cols["url"] = batch["url"].combine_chunks().cast(pa.large_string()) \
             if batch.num_rows else pa.array([], pa.large_string())
@@ -477,6 +558,9 @@ def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix:
     for name, field in zip(out.column_names, out.schema):
         if name == "is_late":
             lt[name] = pa.array(np.ones(n_l, dtype=bool), pa.bool_())
+        elif name == "refire_late":
+            # DLQ rows are BEYOND the allowance — not refire candidates
+            lt[name] = pa.array(np.zeros(n_l, dtype=bool), pa.bool_())
         elif name == "url":
             lt[name] = late_sub["url"].combine_chunks().cast(pa.large_string())
         elif name == "ts_ms":
@@ -520,29 +604,48 @@ class PageMediaStage:
             "media_std", pa.array(std, pa.float64(), mask=~valid))
 
 
-def explode_windows(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+def explode_windows(batch: pa.Table, cfg: PipelineConfig,
+                    late_cutoff_ms: int = 0) -> pa.Table:
     """Assign window ids: one output row per (input row × overlapping
     window × configured kind); session rows carry sentinel bounds (-1) and
-    are bound at close time inside the state actor."""
+    are bound at close time inside the state actor.
+
+    With allowed lateness on, rows flagged ``refire_late`` by the
+    transform get a per-WINDOW-row ``refire`` flag here: late row AND
+    window_end <= the late cutoff (i.e. the window already fired — the
+    refire path); a late row's still-open windows take the normal path
+    (their first fire includes it).  Late rows never produce session
+    rows (sessions do not admit late data)."""
     from ..stages.windows import sliding_window_starts, tumbling_window_start
 
+    late_np = None
+    if "refire_late" in batch.column_names:
+        late_np = batch["refire_late"].to_numpy(zero_copy_only=False)
+        batch = batch.drop_columns(["refire_late"])
     ts = batch["ts_ms"].to_numpy()
     parts: list[pa.Table] = []
 
-    def stamp(tbl: pa.Table, kind: str, ws: np.ndarray, we: np.ndarray) -> pa.Table:
+    def stamp(tbl: pa.Table, kind: str, ws: np.ndarray, we: np.ndarray,
+              late_rows: "np.ndarray | None" = None) -> pa.Table:
         tbl = tbl.append_column("window_kind", pa.array([kind] * tbl.num_rows, pa.string()))
         tbl = tbl.append_column("window_start", pa.array(ws, pa.int64()))
         tbl = tbl.append_column("window_end", pa.array(we, pa.int64()))
+        if late_np is not None:
+            refire = (late_rows & (we <= np.int64(late_cutoff_ms))
+                      if late_rows is not None
+                      else np.zeros(tbl.num_rows, dtype=bool))
+            tbl = tbl.append_column("refire", pa.array(refire, pa.bool_()))
         return tbl
 
     ws = tumbling_window_start(ts, cfg.tumbling_size_ms)
-    parts.append(stamp(batch, "tumbling", ws, ws + cfg.tumbling_size_ms))
+    parts.append(stamp(batch, "tumbling", ws, ws + cfg.tumbling_size_ms, late_np))
 
     if cfg.sliding is not None:
         size, slide = cfg.sliding
         take, starts = sliding_window_starts(ts, size, slide)
         sl = batch.take(pa.array(take))
-        parts.append(stamp(sl, "sliding", starts, starts + size))
+        parts.append(stamp(sl, "sliding", starts, starts + size,
+                           late_np[take] if late_np is not None else None))
 
     if cfg.cumulate is not None:
         from ..stages.windows import cumulate_window_slices
@@ -550,11 +653,17 @@ def explode_windows(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
         step, mx = cfg.cumulate
         take, starts, ends = cumulate_window_slices(ts, step, mx)
         cu = batch.take(pa.array(take))
-        parts.append(stamp(cu, "cumulate", starts, ends))
+        parts.append(stamp(cu, "cumulate", starts, ends,
+                           late_np[take] if late_np is not None else None))
 
     if cfg.session_gap_ms > 0:
-        sentinel = np.full(len(ts), -1, dtype=np.int64)
-        parts.append(stamp(batch, "session", sentinel, sentinel))
+        if late_np is not None and late_np.any():
+            on_time = batch.take(pa.array(np.flatnonzero(~late_np)))
+            sentinel = np.full(on_time.num_rows, -1, dtype=np.int64)
+            parts.append(stamp(on_time, "session", sentinel, sentinel))
+        else:
+            sentinel = np.full(len(ts), -1, dtype=np.int64)
+            parts.append(stamp(batch, "session", sentinel, sentinel))
 
     return pa.concat_tables(parts)
 
@@ -594,12 +703,27 @@ def route_and_split(
     is_session = pc.equal(block["window_kind"], "session")
     sess = block.filter(is_session)
     fixed = block.filter(pc.invert(is_session))
+    refire_tbl = None
+    retain = "refire" in block.column_names  # allowed lateness on
+    if retain:
+        rmask = fixed["refire"]
+        refire_tbl = fixed.filter(rmask).drop_columns(["refire"])
+        fixed = fixed.filter(pc.invert(rmask)).drop_columns(["refire"])
+        sess = sess.drop_columns(["refire"])
     closable_mask = pc.less_equal(fixed["window_end"], pa.scalar(watermark_ms, pa.int64()))
     closable = fixed.filter(closable_mask)
     open_rows = fixed.filter(pc.invert(closable_mask))
 
+    sends = [(sess, "add_session"), (open_rows, "add_fixed")]
+    if retain:
+        # late rows of already-fired windows -> refire sweep; a COPY of
+        # the closable rows -> retention, so their window can re-fire.
+        # Both use the window-salted partition, co-locating a window's
+        # retained content with its late arrivals.
+        sends.append((refire_tbl, "add_refire"))
+        sends.append((closable, "add_retained"))
     refs = []
-    for tbl, method in ((sess, "add_session"), (open_rows, "add_fixed")):
+    for tbl, method in sends:
         if tbl.num_rows == 0:
             continue
         p = tbl["part"].to_numpy()
@@ -673,6 +797,14 @@ def route_neardup(block: pa.Table, n_partitions: int, neardup_handles: list,
         import pyarrow.compute as pc
 
         block = block.filter(pc.invert(block["is_late"]))
+        if block.num_rows == 0:
+            return ([],) + empty
+    if "refire_late" in block.column_names:
+        # admitted-late rows exist for window refires only — they never
+        # enter the near-dup channel (oracle_neardup_stream unchanged)
+        import pyarrow.compute as pc
+
+        block = block.filter(pc.invert(block["refire_late"]))
         if block.num_rows == 0:
             return ([],) + empty
     from ..functions import fingerprint as fp
@@ -833,6 +965,12 @@ def write_media_part(path: str, block: pa.Table) -> int:
 
     if block.num_rows == 0 or "media_mean" not in block.column_names:
         return 0
+    if "refire_late" in block.column_names:
+        import pyarrow.compute as pc
+
+        block = block.filter(pc.invert(block["refire_late"]))
+        if block.num_rows == 0:
+            return 0
     sub = block.select(["url", "ts_ms", "media_mean", "media_std"]).filter(
         block["media_mean"].combine_chunks().is_valid()
     )
@@ -1041,6 +1179,11 @@ class StreamingFingerprintPipeline:
             **({"session_gaps": {str(k): int(v) for k, v in
                                  sorted(self.cfg.session_gap_by_lang.items())}}
                if self.cfg.session_gap_by_lang else {}),
+            # allowed lateness changes row admission AND adds the refire
+            # channel — a resume under a different value would mix
+            # admission rules across epochs
+            **({"allowed_lateness": int(self.cfg.allowed_lateness_ms)}
+               if self.cfg.allowed_lateness_ms else {}),
         })
         self.pool = StatePool(
             self.cfg.n_state_partitions, self.cfg.session_gap_ms,
@@ -1050,6 +1193,7 @@ class StreamingFingerprintPipeline:
             with_neardup=self.cfg.neardup,
             cep_pattern=self.cfg.cep_pattern,
             session_gap_by_lang=self.cfg.session_gap_by_lang,
+            allowed_lateness_ms=self.cfg.allowed_lateness_ms,
         )
         self.counter = MetricCounter.remote()
         # curation: broadcast the benchmark gram set ONCE (ray.put), read
@@ -1076,6 +1220,15 @@ class StreamingFingerprintPipeline:
                         f"wants {self.cfg.n_state_partitions}): the band "
                         "registry spills to per-partition sorted runs on "
                         "disk; resume with the original partition count"
+                    )
+                if self.cfg.allowed_lateness_ms > 0:
+                    raise RuntimeError(
+                        "cannot rescale n_state_partitions with allowed "
+                        f"lateness enabled (checkpoint has {old_n} "
+                        f"partitions, config wants "
+                        f"{self.cfg.n_state_partitions}): retained-window "
+                        "content and refire counters are not re-salted by "
+                        "the rescale path; resume with the original count"
                     )
                 self.pool.rescale_restore(snap, self.manifest.watermark_ms, old_n)
             else:
@@ -1161,10 +1314,14 @@ class StreamingFingerprintPipeline:
             fn_kwargs["extractor"] = cfg.extractor
         if self.blocklist_source is not None:
             fn_kwargs["blocked_ref"] = self._blocked_ref_for(epoch.index)
+        explode_kwargs = {"cfg": cfg}
+        if cfg.allowed_lateness_ms > 0:
+            fn_kwargs["allowed_lateness_ms"] = cfg.allowed_lateness_ms
+            explode_kwargs["late_cutoff_ms"] = late_cutoff_ms
         ds = ds.map_batches(page_transform, fn_kwargs=fn_kwargs, batch_format="pyarrow")
         if not side_channel:
             # fused single pass (no curation/media side-channel)
-            ds = ds.map_batches(explode_windows, fn_kwargs={"cfg": cfg}, batch_format="pyarrow")
+            ds = ds.map_batches(explode_windows, fn_kwargs=explode_kwargs, batch_format="pyarrow")
             return arrow_refs(ds), None
         # side channels on: materialize the per-doc narrow rows once; the
         # window explode re-reads them from plasma minus the side-channel
@@ -1189,7 +1346,7 @@ class StreamingFingerprintPipeline:
 
         win = ray.data.from_arrow_refs(list(doc_refs)).map_batches(
             _strip, batch_format="pyarrow"
-        ).map_batches(explode_windows, fn_kwargs={"cfg": cfg}, batch_format="pyarrow")
+        ).map_batches(explode_windows, fn_kwargs=explode_kwargs, batch_format="pyarrow")
         return arrow_refs(win), doc_refs
 
     # -- single epoch ------------------------------------------------------
@@ -1374,6 +1531,18 @@ class StreamingFingerprintPipeline:
             write_refs.append(cnt)
             alert_refs.append(al)
 
+        # 7b) allowed-lateness refires: the per-actor sweeps run after the
+        #     mature calls above (same mailbox), each followed by one
+        #     finalize+probe+staged-write task.  Probe ordering matches
+        #     the main finalize (update_routes already awaited).
+        refire_write_refs: list = []
+        if cfg.allowed_lateness_ms > 0:
+            for i, sweep in enumerate(self.pool.mature_refire_refs(wm_new)):
+                refire_write_refs.append(finalize_refires.remote(
+                    os.path.join(staging, f"refires-p{i:04d}.parquet"),
+                    self.pool.join_actors, cfg.n_state_partitions, sweep,
+                ))
+
         # 8) window-state snapshot, ASYNC (actors quiesced: adds acked and
         #    mature calls precede the snapshot in each actor's mailbox) —
         #    runs concurrently with the finalize tasks above; the refs are
@@ -1434,6 +1603,7 @@ class StreamingFingerprintPipeline:
             "d_snap_refs": d_snap_refs,
             "media_write_refs": media_write_refs,
             "late_write_refs": late_write_refs,
+            "refire_write_refs": refire_write_refs,
             "t0": t0,
             "t_route": t_route,
             "t_route_launch": t_route_launch,
@@ -1474,6 +1644,14 @@ class StreamingFingerprintPipeline:
         fin_results = ray.get(pending["write_refs"])
         pending["n_out"] = int(sum(r[0] for r in fin_results))
         pending["fin_timings"] = [r[1] for r in fin_results if r[1]]
+        if pending.get("refire_write_refs"):
+            # the refire tasks ALSO probe the join actors — they must
+            # complete before this epoch's join evict is submitted below,
+            # or the probe would race the eviction (the main finalize
+            # probes are already covered by the write_refs barrier).
+            # Cache the results; _finish_commit's combined get re-reads
+            # the (now local) refs for the metric sums.
+            ray.get(pending["refire_write_refs"])
         t_barrier = time.perf_counter()
         # rising-edge alerts (T3 analog): strictly sequential per epoch —
         # fed AFTER the finalize barrier, written into the staging dir so
@@ -1554,13 +1732,15 @@ class StreamingFingerprintPipeline:
         media_write_refs = pending.get("media_write_refs", [])
         late_write_refs = pending.get("late_write_refs", [])
         topn_refs = pending.get("topn_refs", [])
+        refire_write_refs = pending.get("refire_write_refs", [])
         flat = ray.get(
             list(pending["w_snap_refs"]) + alert_feed_refs + cep_feed_refs
             + evict_refs
             + j_snap_refs + a_snap_refs + buf_w_refs + buf_j_refs
             + buf_d_refs + buf_nd_refs
             + clean_write_refs + d_snap_refs + nd_snap_refs + media_write_refs
-            + late_write_refs + topn_refs + [metrics_ref, stale_ref]
+            + late_write_refs + topn_refs + refire_write_refs
+            + [metrics_ref, stale_ref]
         )
         i = 0
         def _take(n):
@@ -1585,6 +1765,9 @@ class StreamingFingerprintPipeline:
         n_media = int(sum(_take(len(media_write_refs))))
         n_late_dlq = int(sum(_take(len(late_write_refs))))
         n_topn = int(sum(_take(len(topn_refs))))
+        refire_results = _take(len(refire_write_refs))
+        n_refire = int(sum(r[0] for r in refire_results))
+        n_refire_dropped = int(sum(r[1] for r in refire_results))
         metrics, stale = _take(2)
 
         n_alerts = 0
@@ -1621,6 +1804,8 @@ class StreamingFingerprintPipeline:
                 "late_dlq_rows": n_late_dlq,
                 "topn_rows": n_topn,
                 "cep_matches": n_cep,
+                "refire_rows": n_refire,
+                "refire_dropped": n_refire_dropped,
                 "join_evicted": evicted,
                 # S9 lag analog: epochs discovered but not yet committed
                 "epochs_behind": max(0, len(self.source) - epoch.index - 1),
@@ -1815,6 +2000,23 @@ class StreamingFingerprintPipeline:
 
         files = sorted(glob.glob(os.path.join(self.sink.out_dir, "epoch=*", "part-*.parquet")))
         return ray.data.read_parquet(files)
+
+    def refire_df(self) -> pd.DataFrame:
+        """Committed allowed-lateness refires (full fingerprint rows +
+        refire_seq), all epochs — each row is an UPDATED full aggregate
+        of an already-fired window; consumers upsert by (window identity,
+        max refire_seq)."""
+        import glob
+
+        import pyarrow.parquet as _pq
+
+        files = sorted(glob.glob(os.path.join(
+            self.sink.out_dir, "epoch=*", "refires-p*.parquet")))
+        if not files:
+            return pd.DataFrame()
+        return pa.concat_tables(
+            [_pq.read_table(f) for f in files], promote_options="default"
+        ).to_pandas()
 
     def media_df(self) -> pd.DataFrame:
         """Committed media features (url, ts_ms, media_mean, media_std)."""

@@ -58,7 +58,8 @@ class WindowStateActor:
 
     def __init__(self, partition_id: int, session_gap_ms: int = 0,
                  compact_every: int = 8, session_max_ms: int = 0,
-                 session_gap_by_lang: dict | None = None) -> None:
+                 session_gap_by_lang: dict | None = None,
+                 allowed_lateness_ms: int = 0) -> None:
         self.partition_id = partition_id
         self.session_gap_ms = session_gap_ms
         # dynamic per-element gap (Flink SessionWindowTimeGapExtractor
@@ -67,6 +68,17 @@ class WindowStateActor:
         # langs.  Resolved at mature time from the buffered rows, so the
         # session buffer schema / snapshots are unchanged.
         self.session_gap_by_lang = dict(session_gap_by_lang or {})
+        # allowed lateness (Flink allowedLateness analog, FIXED windows
+        # only): closed windows' content is RETAINED until
+        # window_end + allowed <= watermark; a late-but-admissible row
+        # re-fires its window as an updated full aggregate on the refire
+        # side channel.  0 = off (no retention, no extra work).
+        self.allowed_lateness_ms = int(allowed_lateness_ms)
+        # retained closed-window content + this epoch's late refire rows
+        # + per-window firing counters (window identity -> refires so far)
+        self._retained: list[pa.Table] = []
+        self._refire_new: list[pa.Table] = []
+        self._refire_seq: dict[tuple, int] = {}
         # state-bounding cap: a session whose FIRST event is more than
         # session_max_ms behind the watermark force-closes with the rows
         # seen so far — hot keys that never idle otherwise grow open
@@ -80,8 +92,10 @@ class WindowStateActor:
         # hosts keep sessions open for the whole stream, so full-state
         # snapshots would grow linearly); restore reads all deltas and
         # replays mature() to discard rows whose windows already fired.
-        self._delta: dict[str, list[pa.Table]] = {"fixed": [], "session": []}
-        self._snap_paths: dict[str, list[str]] = {"fixed": [], "session": []}
+        self._delta: dict[str, list[pa.Table]] = {
+            "fixed": [], "session": [], "retained": [], "refire": []}
+        self._snap_paths: dict[str, list[str]] = {
+            "fixed": [], "session": [], "retained": [], "refire": []}
         self._snaps_since_compact = 0
         self._compact_every = compact_every
 
@@ -98,6 +112,25 @@ class WindowStateActor:
             self._delta["session"].append(table)
         return table.num_rows
 
+    def add_retained(self, table: pa.Table) -> int:
+        """Closable rows, copied in at first fire so their window can
+        re-fire on late arrivals (allowed-lateness retention).  Delta'd
+        under 'retained' — unlike mature-moved rows, these never entered
+        the 'fixed' deltas, so restore cannot recover them by replay."""
+        if table.num_rows:
+            self._retained.append(table)
+            self._delta["retained"].append(table)
+        return table.num_rows
+
+    def add_refire(self, table: pa.Table) -> int:
+        """Late-but-admissible rows whose window already fired; swept by
+        ``mature_refires`` this epoch.  Delta'd under 'refire' (after the
+        sweep they become retained content; restore unions both names)."""
+        if table.num_rows:
+            self._refire_new.append(table)
+            self._delta["refire"].append(table)
+        return table.num_rows
+
     # -- watermark advance -------------------------------------------------
     def mature_fixed(self, watermark_ms: int) -> pa.Table | None:
         """Return+remove buffered rows whose window_end <= watermark."""
@@ -112,6 +145,11 @@ class WindowStateActor:
         still_open = buf.filter(pc.invert(closed_mask))
         if still_open.num_rows:
             self._fixed = [still_open]
+        if closed.num_rows and self.allowed_lateness_ms > 0:
+            # retention move: closed rows stay for allowed-lateness
+            # refires.  NOT delta'd — they persist in the 'fixed' deltas
+            # and restore's mature replay re-moves them here.
+            self._retained.append(closed)
         return closed if closed.num_rows else None
 
     def mature_sessions(self, watermark_ms: int) -> pa.Table | None:
@@ -187,11 +225,68 @@ class WindowStateActor:
             self._session = [kept]
         return closed
 
+    _WIN_ID = ["window_kind", "key_lang", "key_host", "window_start", "window_end"]
+
+    def mature_refires(self, watermark_ms: int):
+        """Allowed-lateness sweep (per epoch, after all adds acked):
+        evict retained windows past end + allowed, then for every window
+        that received admissible late rows this epoch emit its FULL
+        updated content stamped with the window's firing counter
+        (``refire_seq`` — 1 on the first re-fire; a window that never
+        fired on time, because ALL its rows were late, also emits here,
+        mirroring Flink's immediate late firing).  Returns
+        ``(rows_table | None, n_dropped)`` where n_dropped counts late
+        rows whose window was already evicted."""
+        import pandas as pd
+
+        allowed = np.int64(self.allowed_lateness_ms)
+        wm = np.int64(watermark_ms)
+        ret = _concat(self._retained)
+        if ret is not None:
+            live = ret["window_end"].to_numpy() + allowed > wm
+            if not live.all():
+                ret = ret.take(pa.array(np.flatnonzero(live)))
+            self._retained = [ret] if ret.num_rows else []
+            for k in [k for k in self._refire_seq if k[4] + allowed <= wm]:
+                del self._refire_seq[k]
+        new = _concat(self._refire_new)
+        self._refire_new = []
+        if new is None:
+            return None, 0
+        live_new = new["window_end"].to_numpy() + allowed > wm
+        n_dropped = int((~live_new).sum())
+        if not live_new.all():
+            new = new.take(pa.array(np.flatnonzero(live_new)))
+        if new.num_rows == 0:
+            return None, n_dropped
+        # merge the kept late rows into the retained content, then emit
+        # the full row set of every refired window
+        merged = _concat([t for t in ([ret] if ret is not None and ret.num_rows
+                                      else []) + [new]])
+        self._retained = [merged]
+        new_ids = (new.select(self._WIN_ID).to_pandas()
+                   .drop_duplicates().reset_index(drop=True))
+        seqs = []
+        for t in new_ids.itertuples(index=False):
+            k = tuple(t)
+            self._refire_seq[k] = self._refire_seq.get(k, 0) + 1
+            seqs.append(self._refire_seq[k])
+        new_ids["refire_seq"] = np.asarray(seqs, dtype=np.int64)
+        mids = merged.select(self._WIN_ID).to_pandas()
+        mask = (pd.MultiIndex.from_frame(mids)
+                .isin(pd.MultiIndex.from_frame(new_ids[self._WIN_ID])))
+        out = merged.take(pa.array(np.flatnonzero(mask)))
+        row_seq = (mids[mask].merge(new_ids, on=self._WIN_ID, how="left")
+                   ["refire_seq"].to_numpy(np.int64))
+        out = out.append_column("refire_seq", pa.array(row_seq, pa.int64()))
+        return out, n_dropped
+
     # -- introspection / checkpoint -----------------------------------------
     def buffered_rows(self) -> dict[str, int]:
         return {
             "fixed": sum(t.num_rows for t in self._fixed),
             "session": sum(t.num_rows for t in self._session),
+            "retained": sum(t.num_rows for t in self._retained),
         }
 
     def snapshot(self, snap_dir: str) -> dict[str, list[str]]:
@@ -201,9 +296,12 @@ class WindowStateActor:
         os.makedirs(snap_dir, exist_ok=True)
         self._snaps_since_compact += 1
         compact = self._snaps_since_compact >= self._compact_every
-        for name in ("fixed", "session"):
-            src = (self._fixed if name == "fixed" else self._session) if compact \
-                else self._delta[name]
+        live = {"fixed": self._fixed, "session": self._session,
+                "retained": self._retained, "refire": self._refire_new}
+        for name in ("fixed", "session", "retained", "refire"):
+            # 'refire' live is empty post-merge, so compaction clears its
+            # delta paths (the rows live on in the 'retained' base)
+            src = live[name] if compact else self._delta[name]
             t = _concat(src)
             if compact:
                 self._snap_paths[name] = []
@@ -217,6 +315,22 @@ class WindowStateActor:
             self._delta[name] = []
         if compact:
             self._snaps_since_compact = 0
+        # per-window firing counters: tiny (one row per retained window),
+        # rewritten in full every epoch
+        if self._refire_seq:
+            p = os.path.join(snap_dir, f"p{self.partition_id:04d}_refire_seq.parquet")
+            keys = list(self._refire_seq)
+            pq.write_table(pa.table({
+                "window_kind": pa.array([k[0] for k in keys], pa.string()),
+                "key_lang": pa.array([k[1] for k in keys], pa.string()),
+                "key_host": pa.array([k[2] for k in keys], pa.string()),
+                "window_start": pa.array([int(k[3]) for k in keys], pa.int64()),
+                "window_end": pa.array([int(k[4]) for k in keys], pa.int64()),
+                "refire_seq": pa.array(list(self._refire_seq.values()), pa.int64()),
+            }), p)
+            self._snap_paths["refire_seq"] = [p]
+        else:
+            self._snap_paths["refire_seq"] = []
         return {k: list(v) for k, v in self._snap_paths.items()}
 
     def restore(self, paths: dict[str, list[str]], watermark_ms: int) -> None:
@@ -228,10 +342,34 @@ class WindowStateActor:
 
         self._fixed = _load(paths.get("fixed", []))
         self._session = _load(paths.get("session", []))
-        self._snap_paths = {k: list(paths.get(k, [])) for k in ("fixed", "session")}
-        self._delta = {"fixed": [], "session": []}
+        # allowed-lateness state: add_retained rows + emitted refire rows
+        # both reload as retained content (post-sweep they are identical)
+        self._retained = _load(paths.get("retained", [])) \
+            + _load(paths.get("refire", []))
+        self._refire_new = []
+        self._snap_paths = {k: list(paths.get(k, []))
+                            for k in ("fixed", "session", "retained",
+                                      "refire", "refire_seq")}
+        self._delta = {"fixed": [], "session": [], "retained": [], "refire": []}
+        self._refire_seq = {}
+        for p in paths.get("refire_seq", []):
+            t = pq.read_table(p)
+            for r in t.to_pylist():
+                self._refire_seq[(r["window_kind"], r["key_lang"],
+                                  r["key_host"], int(r["window_start"]),
+                                  int(r["window_end"]))] = int(r["refire_seq"])
         self.mature_fixed(watermark_ms)      # discard: already emitted
+        # (with allowed lateness the replay re-moves closed rows into
+        # retained — exactly once, since mature-moved rows are never
+        # delta'd under 'retained')
         self.mature_sessions(watermark_ms)   # discard: already emitted
+        if self.allowed_lateness_ms > 0 and self._retained:
+            ret = _concat(self._retained)
+            live = (ret["window_end"].to_numpy()
+                    + np.int64(self.allowed_lateness_ms)) > np.int64(watermark_ms)
+            if not live.all():
+                ret = ret.take(pa.array(np.flatnonzero(live)))
+            self._retained = [ret] if ret.num_rows else []
 
     def restore_tables(self, fixed: pa.Table | None, session: pa.Table | None,
                        watermark_ms: int) -> None:
@@ -242,11 +380,16 @@ class WindowStateActor:
         next snapshot writes this partition's full state."""
         self._fixed = [fixed] if fixed is not None and fixed.num_rows else []
         self._session = [session] if session is not None and session.num_rows else []
-        self._snap_paths = {"fixed": [], "session": []}
-        self._delta = {"fixed": [], "session": []}
+        self._snap_paths = {k: [] for k in ("fixed", "session", "retained",
+                                            "refire", "refire_seq")}
+        self._delta = {"fixed": [], "session": [], "retained": [], "refire": []}
+        self._retained = []
+        self._refire_new = []
+        self._refire_seq = {}
         self.mature_fixed(watermark_ms)
         self.mature_sessions(watermark_ms)
-        self._delta = {"fixed": list(self._fixed), "session": list(self._session)}
+        self._delta = {"fixed": list(self._fixed), "session": list(self._session),
+                       "retained": [], "refire": []}
 
 
 @ray.remote(num_cpus=0.25)
@@ -1076,7 +1219,8 @@ class StatePool:
     def __init__(self, n_partitions: int, session_gap_ms: int, join_retention_ms: int,
                  compact_every: int = 8, session_max_ms: int = 0,
                  with_dedup: bool = False, with_neardup: bool = False,
-                 cep_pattern=None, session_gap_by_lang: dict | None = None) -> None:
+                 cep_pattern=None, session_gap_by_lang: dict | None = None,
+                 allowed_lateness_ms: int = 0) -> None:
         self.n = n_partitions
         # adaptive reservation: never let the 2·n state actors claim more
         # than ~40% of the cluster's scheduling budget, or map/finalize
@@ -1086,7 +1230,7 @@ class StatePool:
         self.window_actors = [
             WindowStateActor.options(num_cpus=per_actor).remote(
                 i, session_gap_ms, compact_every, session_max_ms,
-                session_gap_by_lang)
+                session_gap_by_lang, allowed_lateness_ms)
             for i in range(n_partitions)
         ]
         self.join_actors = [
@@ -1159,6 +1303,13 @@ class StatePool:
         refs = [a.mature_fixed.remote(watermark_ms) for a in self.window_actors]
         refs += [a.mature_sessions.remote(watermark_ms) for a in self.window_actors]
         return refs
+
+    def mature_refire_refs(self, watermark_ms: int) -> list:
+        """Allowed-lateness refire sweep refs — one (table | None,
+        n_dropped) per window actor, consumed by finalize_refires tasks.
+        MUST be submitted after mature_refs (mailbox: the fixed close of
+        this watermark moves content into retention first)."""
+        return [a.mature_refires.remote(watermark_ms) for a in self.window_actors]
 
     def evict_join(self, watermark_ms: int) -> int:
         return sum(ray.get([a.evict.remote(watermark_ms) for a in self.join_actors]))

@@ -250,6 +250,71 @@ def test_dynamic_session_gap_parity_and_resume_guard(ray_session, corpus):
              cfg_extra={"session_gap_by_lang": {"en": 60_000}})
 
 
+def _late_corpus(tmp_path, n_docs=900, n_epochs=4):
+    """Pages with injected lateness: 40 rows one epoch late (within a
+    span/3 allowance) and 40 rows ~three epochs late (beyond it)."""
+    pages = fixtures.make_pages(n_docs=n_docs, seed=5)
+    ts = pages["warc_ts"].cast(pa.int64()).to_numpy().copy()
+    n = len(ts)
+    span = int(ts.max() - ts.min())
+    ts[n // 2: n // 2 + 40] = ts[n // 4: n // 4 + 40]
+    ts[3 * n // 4: 3 * n // 4 + 40] = ts[:40] + 500
+    pages = pages.set_column(pages.schema.get_field_index("warc_ts"),
+                             "warc_ts", pa.array(ts, pa.timestamp("ms")))
+    updates = fixtures.make_page_updates(pages)
+    fixtures.write_epochs(pages, str(tmp_path), n_epochs=n_epochs, prefix="pages")
+    fixtures.write_epochs(updates, str(tmp_path), n_epochs=n_epochs, prefix="updates")
+    return pages, updates, span
+
+
+@pytest.mark.parametrize("tight", [False, True])
+def test_allowed_lateness_refires_match_oracle(ray_session, tmp_path, tight):
+    """Flink allowedLateness analog: late-but-admissible rows re-fire
+    their already-closed windows as updated FULL aggregates on the refire
+    channel (refire_seq), row-exact vs the oracle — through kill+resume.
+    tight=True shrinks the allowance so retention eviction kicks in and
+    beyond-allowance rows are dropped (refire_dropped)."""
+    pages, updates, span = _late_corpus(tmp_path)
+    allowed = span // 3 if tight else 100_000_000
+    cfg = PipelineConfig(sliding=(120_000, 60_000), session_gap_ms=30_000,
+                         n_state_partitions=3, allowed_lateness_ms=int(allowed))
+    args = (str(tmp_path / "pages"), str(tmp_path / "out"))
+    p1 = StreamingFingerprintPipeline(
+        *args, updates_root=str(tmp_path / "updates"), cfg=cfg)
+    p1.run(max_epochs=2)
+    p1.shutdown()
+    p2 = StreamingFingerprintPipeline(
+        *args, updates_root=str(tmp_path / "updates"), cfg=cfg)
+    res = p2.run()
+    eng = p2.result_dataset().to_pandas()
+    ref = p2.refire_df()
+    ora, ora_ref = oracle_fingerprints(
+        pages, 4, updates=updates, sliding=(120_000, 60_000),
+        session_gap_ms=30_000, allowed_lateness_ms=int(allowed),
+        return_refires=True)
+    pd.testing.assert_frame_equal(
+        _norm(eng, ora.columns), _norm(ora, ora.columns), check_dtype=False)
+    sc2 = SORT_COLS + ["window_end", "refire_seq"]
+    assert len(ref) == len(ora_ref) > 0
+    pd.testing.assert_frame_equal(
+        ref.sort_values(sc2).reset_index(drop=True)[ora_ref.columns.tolist()],
+        ora_ref.sort_values(sc2).reset_index(drop=True), check_dtype=False)
+    dropped = sum(m.get("refire_dropped", 0) for m in res["per_epoch"])
+    if tight:
+        assert dropped > 0       # beyond-allowance rows dropped
+    else:
+        assert dropped == 0
+    p2.shutdown()
+    # a different allowance on resume = different admission -> refused
+    with pytest.raises(RuntimeError, match="side-channel"):
+        p3 = StreamingFingerprintPipeline(
+            *args, updates_root=str(tmp_path / "updates"),
+            cfg=PipelineConfig(sliding=(120_000, 60_000), session_gap_ms=30_000,
+                               n_state_partitions=3,
+                               allowed_lateness_ms=int(allowed) + 1))
+        p3.run()
+
+
 def test_rising_edge_alerts_match_oracle(ray_session, corpus, oracle_df):
     """T3 analog: incremental rising-edge alert state across epochs —
     engine alert rows must equal the oracle's global (key, window) scan,
