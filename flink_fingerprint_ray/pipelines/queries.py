@@ -8336,6 +8336,142 @@ WHERE rn = 1
 """
 
 
+def _recip_pair_sweep(t: pa.Table) -> pd.DataFrame:
+    """Per canonical-pair partition: both directions of a pair are
+    co-located, so the global distinct AND reciprocity are decided
+    locally — emit one (src, rec) row per distinct directed edge."""
+    df = t.to_pandas().drop_duplicates().reset_index(drop=True)
+    g = df.groupby(["lo", "hi"], sort=False)["dir"].transform("nunique")
+    df["rec"] = (g >= 2).astype(np.int64)
+    src = np.where(df["dir"].to_numpy() == 0,
+                   df["lo"].to_numpy(), df["hi"].to_numpy())
+    return pd.DataFrame({"src": src.astype(np.int64),
+                         "rec": df["rec"].to_numpy(np.int64),
+                         "n": np.int64(1)})
+
+
+def q_link_reciprocity(sf_dir: str):
+    """Directed-graph link reciprocity (the web-graph health metric
+    beside PageRank/HITS/components): per node, the share of its
+    out-links that are reciprocated.  Edges are the deterministic
+    doc_id-derived directed graph (same family as `graph_components`'
+    ring edges, so the SQL oracle re-derives them exactly).  Scale
+    shape: ONE exchange on the canonical (lo, hi) pair key co-locates
+    both directions — mutuality is decided partition-locally — then a
+    node-sized second exchange counts; only 24-byte int rows move."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        src = ids % 40
+        dst = (ids * 7 + 3) % 40
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+        return (pd.DataFrame({"lo": lo, "hi": hi,
+                              "dir": (src > dst).astype(np.int64)})
+                .drop_duplicates())  # distinct directed edges per block
+
+    per_edge = grouped_map(ds.map_batches(edges, batch_format="pyarrow"),
+                           ["lo", "hi"], _recip_pair_sweep)
+    final = grouped_map(per_edge, ["src"], _combine_partials,
+                        fn_kwargs={"keys": ["src"], "sums": ["n", "rec"]})
+
+    def finish(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        n = df["n"].to_numpy(np.int64)
+        r = df["rec"].to_numpy(np.int64)
+        return pd.DataFrame({"src": df["src"].to_numpy(np.int64),
+                             "out_deg": n, "n_recip": r,
+                             "recip_ppm": r * 1_000_000 // np.maximum(n, 1)})
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LINK_RECIPROCITY = """
+WITH e AS (SELECT DISTINCT doc_id % 40 AS src, (doc_id * 7 + 3) % 40 AS dst
+           FROM documents WHERE doc_id % 40 <> (doc_id * 7 + 3) % 40)
+SELECT CAST(e.src AS BIGINT) AS src,
+       COUNT(*) AS out_deg,
+       CAST(SUM(CASE WHEN x.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_recip,
+       CAST(SUM(CASE WHEN x.src IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS recip_ppm
+FROM e LEFT JOIN e x ON x.src = e.dst AND x.dst = e.src
+GROUP BY e.src
+"""
+
+
+def _novelty_tri_sweep(t: pa.Table) -> pd.DataFrame:
+    """Per trigram-partition: all (tri, doc) rows of a trigram are
+    co-located, so the corpus-wide first carrier is exact here; emit
+    per-doc partials (trigrams seen / trigrams first-seen-here)."""
+    df = t.to_pandas()
+    df["novel"] = (df.groupby("tri", sort=False)["doc_id"]
+                   .transform("min") == df["doc_id"]).astype(np.int64)
+    return (df.groupby("doc_id", sort=False)
+            .agg(n_tri=("tri", "size"), n_novel=("novel", "sum"))
+            .reset_index())
+
+
+def q_ngram_novelty(sf_dir: str):
+    """Per-document n-gram novelty (the training-data freshness signal:
+    how much of a doc's content is first seen HERE, by doc_id order —
+    low-novelty docs are rehashes worth down-weighting): for each doc,
+    its count of distinct word trigrams and how many of them have
+    corpus-wide MIN(doc_id) equal to this doc.  One tokenize pass emits
+    distinct (tri, doc_id) rows (polars shift-over-doc, no Python row
+    loop); one exchange on the trigram string decides first-carriers
+    partition-locally; a doc-sized second exchange combines."""
+    from ..functions.fingerprint import _polars
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tris(batch: pa.Table) -> pd.DataFrame:
+        pl = _polars()
+        df = pl.DataFrame({
+            "doc_id": pl.Series(batch["doc_id"].to_numpy()),
+            "w": pl.Series(batch["text"].combine_chunks()
+                           .cast(pa.large_string())).str.split(" "),
+        }).explode("w")
+        out = (df.with_columns(
+                   w1=pl.col("w").shift(-1).over("doc_id"),
+                   w2=pl.col("w").shift(-2).over("doc_id"))
+               .drop_nulls()
+               .with_columns(tri=pl.col("w") + " " + pl.col("w1")
+                             + " " + pl.col("w2"))
+               .select("doc_id", "tri")
+               .unique())
+        return out.to_pandas()
+
+    rows = ds.map_batches(tris, batch_format="pyarrow")
+    parts = grouped_map(rows, ["tri"], _novelty_tri_sweep)
+    final = grouped_map(parts, ["doc_id"], _combine_partials,
+                        fn_kwargs={"keys": ["doc_id"],
+                                   "sums": ["n_tri", "n_novel"]})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_tri": batch["n_tri"].cast(pa.int64()),
+            "n_novel": batch["n_novel"].cast(pa.int64()),
+        })
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_NGRAM_NOVELTY = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+t AS (SELECT DISTINCT doc_id, array_to_string(s[(i+1):(i+3)], ' ') AS tri
+      FROM w, LATERAL (SELECT unnest(generate_series(0, CAST(len(s) AS INT) - 3)) AS i) g(i)),
+m AS (SELECT tri, MIN(doc_id) AS first_doc FROM t GROUP BY tri)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
+       CAST(SUM(CASE WHEN m.first_doc = t.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+FROM t JOIN m USING (tri) GROUP BY t.doc_id
+"""
+
+
 QUERIES = {
     "tumbling_stats": q_tumbling_stats,
     "sliding_counts": q_sliding_counts,
@@ -8420,6 +8556,8 @@ QUERIES = {
     "host_boilerplate_rate": q_host_boilerplate_rate,
     "dedup_keep_last": q_dedup_keep_last,
     "session_windows_dynamic": q_session_windows_dynamic,
+    "link_reciprocity": q_link_reciprocity,
+    "ngram_novelty": q_ngram_novelty,
     "obs_text": q_obs_text,
     "json_extract": q_json_extract,
     "hampel_repair": q_hampel_repair,
@@ -8612,6 +8750,8 @@ ORACLE_SQL = {
     "host_boilerplate_rate": SQL_HOST_BOILERPLATE_RATE,
     "dedup_keep_last": SQL_DEDUP_KEEP_LAST,
     "session_windows_dynamic": SQL_SESSION_WINDOWS_DYNAMIC,
+    "link_reciprocity": SQL_LINK_RECIPROCITY,
+    "ngram_novelty": SQL_NGRAM_NOVELTY,
     "obs_text": SQL_OBS_TEXT,
     "json_extract": SQL_JSON_EXTRACT,
     "hampel_repair": SQL_HAMPEL_REPAIR,

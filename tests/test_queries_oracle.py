@@ -57,6 +57,8 @@ FAST_SQL_QUERIES = [
     "host_boilerplate_rate",
     "dedup_keep_last",
     "session_windows_dynamic",
+    "link_reciprocity",
+    "ngram_novelty",
     "obs_text",
     "json_extract",
     "hampel_repair",
