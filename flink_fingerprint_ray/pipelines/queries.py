@@ -8472,6 +8472,63 @@ FROM t JOIN m USING (tri) GROUP BY t.doc_id
 """
 
 
+def _rows_frame_sweep(t: pa.Table) -> pd.DataFrame:
+    """Per-partition ROWS-frame sweep: sort once, one global cumsum,
+    per-row frame bounds clipped to the key segment — no per-group
+    dispatch (the `_running_sweep` idiom with a bounded frame)."""
+    df = (t.to_pandas()
+          .sort_values(["user_id", "tms", "event_id"], kind="stable")
+          .reset_index(drop=True))
+    uid = df["user_id"].to_numpy(np.int64)
+    cents = df["cents"].to_numpy(np.int64)
+    n = len(df)
+    cs = np.cumsum(cents)
+    pos = np.arange(n, dtype=np.int64)
+    starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+    seg_start = np.repeat(starts, np.diff(np.r_[starts, n]))
+    lo = np.maximum(pos - 2, seg_start)
+    frame_n = pos - lo + 1
+    frame_sum = cs - np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0)
+    df["frame_n"] = frame_n
+    df["ma_cents"] = frame_sum // frame_n  # floor div, same as SQL //
+    return df[["user_id", "event_id", "tms", "frame_n", "ma_cents"]]
+
+
+def q_rows_moving_avg(sf_dir: str):
+    """OVER aggregation with a ROWS frame (the bounded-frame sibling of
+    `over_range_count`'s event-time RANGE frame — together they cover
+    Flink's two OVER-window frame kinds): per user, the moving average
+    of the last 3 events' values (2 PRECEDING + CURRENT, ordered by
+    (ts, event_id)).  ONE exchange on user_id; the sweep is one global
+    cumsum with per-row frame bounds clipped to the key segment.
+    Int-exact: per-row floor-cents first, then integer floor division
+    by the frame count on both sides."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_id", "value"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(),
+            "event_id": batch["event_id"].to_numpy(),
+            "tms": batch["ts"].cast(pa.int64()).to_numpy() // 1000,  # us -> ms
+            "cents": _cents(batch["value"].to_numpy()),
+        })
+
+    parts = ds.map_batches(prep, batch_format="pyarrow")
+    return grouped_map(parts, ["user_id"], _rows_frame_sweep)
+
+
+SQL_ROWS_MOVING_AVG = """
+WITH s AS (SELECT user_id, event_id, epoch_ms(ts) AS tms,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events)
+SELECT user_id, event_id, tms,
+       COUNT(*) OVER w AS frame_n,
+       CAST(SUM(cents) OVER w // COUNT(*) OVER w AS BIGINT) AS ma_cents
+FROM s WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "tumbling_stats": q_tumbling_stats,
     "sliding_counts": q_sliding_counts,
@@ -8558,6 +8615,7 @@ QUERIES = {
     "session_windows_dynamic": q_session_windows_dynamic,
     "link_reciprocity": q_link_reciprocity,
     "ngram_novelty": q_ngram_novelty,
+    "rows_moving_avg": q_rows_moving_avg,
     "obs_text": q_obs_text,
     "json_extract": q_json_extract,
     "hampel_repair": q_hampel_repair,
@@ -8752,6 +8810,7 @@ ORACLE_SQL = {
     "session_windows_dynamic": SQL_SESSION_WINDOWS_DYNAMIC,
     "link_reciprocity": SQL_LINK_RECIPROCITY,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
+    "rows_moving_avg": SQL_ROWS_MOVING_AVG,
     "obs_text": SQL_OBS_TEXT,
     "json_extract": SQL_JSON_EXTRACT,
     "hampel_repair": SQL_HAMPEL_REPAIR,

@@ -1812,6 +1812,9 @@ class StreamingFingerprintPipeline:
                 "buffered": {
                     "fixed": sum(x["fixed"] for x in buf_w),
                     "session": sum(x["session"] for x in buf_w),
+                    # allowed-lateness retention gauge (0 when off);
+                    # bounded by end + allowed <= wm eviction
+                    "retained": sum(x.get("retained", 0) for x in buf_w),
                     "join": sum(buf_j),
                     # monotone curation-state gauges: seen exact-dedup
                     # hashes and registered near-dup bands

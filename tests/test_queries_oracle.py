@@ -59,6 +59,7 @@ FAST_SQL_QUERIES = [
     "session_windows_dynamic",
     "link_reciprocity",
     "ngram_novelty",
+    "rows_moving_avg",
     "obs_text",
     "json_extract",
     "hampel_repair",
