@@ -315,6 +315,34 @@ def test_allowed_lateness_refires_match_oracle(ray_session, tmp_path, tight):
         p3.run()
 
 
+def test_allowed_lateness_with_cumulate_parity(ray_session, tmp_path):
+    """Refires are generic over window identity (kind, start, END): with
+    CUMULATE on, a late row re-fires EVERY already-fired slice of its
+    max-span window — both streams must match the oracle row-exactly."""
+    pages, updates, span = _late_corpus(tmp_path)
+    cfg = PipelineConfig(cumulate=(60_000, 180_000), n_state_partitions=3,
+                         allowed_lateness_ms=100_000_000)
+    pipe = StreamingFingerprintPipeline(
+        str(tmp_path / "pages"), str(tmp_path / "out"),
+        updates_root=str(tmp_path / "updates"), cfg=cfg)
+    pipe.run()
+    eng = pipe.result_dataset().to_pandas()
+    ref = pipe.refire_df()
+    ora, ora_ref = oracle_fingerprints(
+        pages, 4, updates=updates, cumulate=(60_000, 180_000),
+        allowed_lateness_ms=100_000_000, return_refires=True)
+    pd.testing.assert_frame_equal(
+        _norm(eng, ora.columns), _norm(ora, ora.columns), check_dtype=False)
+    sc2 = SORT_COLS + ["window_end", "refire_seq"]
+    assert len(ref) == len(ora_ref) > 0
+    # a late row must refire MULTIPLE slices of its cumulate span
+    assert (ora_ref["window_kind"] == "cumulate").any()
+    pd.testing.assert_frame_equal(
+        ref.sort_values(sc2).reset_index(drop=True)[ora_ref.columns.tolist()],
+        ora_ref.sort_values(sc2).reset_index(drop=True), check_dtype=False)
+    pipe.shutdown()
+
+
 def test_rising_edge_alerts_match_oracle(ray_session, corpus, oracle_df):
     """T3 analog: incremental rising-edge alert state across epochs —
     engine alert rows must equal the oracle's global (key, window) scan,
