@@ -343,6 +343,35 @@ def test_allowed_lateness_with_cumulate_parity(ray_session, tmp_path):
     pipe.shutdown()
 
 
+def test_allowed_lateness_with_dynamic_session_gap(ray_session, tmp_path):
+    """Both round-4f features composed: per-lang session gaps (late rows
+    never enter sessions) + fixed-window refires, one pipeline — main
+    and refire streams must both match the oracle."""
+    pages, updates, span = _late_corpus(tmp_path)
+    gaps = {"en": 45_000, "zh": 15_000}
+    cfg = PipelineConfig(sliding=(120_000, 60_000), session_gap_ms=30_000,
+                         session_gap_by_lang=gaps, n_state_partitions=3,
+                         allowed_lateness_ms=100_000_000)
+    pipe = StreamingFingerprintPipeline(
+        str(tmp_path / "pages"), str(tmp_path / "out"),
+        updates_root=str(tmp_path / "updates"), cfg=cfg)
+    pipe.run()
+    eng = pipe.result_dataset().to_pandas()
+    ref = pipe.refire_df()
+    ora, ora_ref = oracle_fingerprints(
+        pages, 4, updates=updates, sliding=(120_000, 60_000),
+        session_gap_ms=30_000, session_gap_by_lang=gaps,
+        allowed_lateness_ms=100_000_000, return_refires=True)
+    pd.testing.assert_frame_equal(
+        _norm(eng, ora.columns), _norm(ora, ora.columns), check_dtype=False)
+    sc2 = SORT_COLS + ["window_end", "refire_seq"]
+    assert len(ref) == len(ora_ref) > 0
+    pd.testing.assert_frame_equal(
+        ref.sort_values(sc2).reset_index(drop=True)[ora_ref.columns.tolist()],
+        ora_ref.sort_values(sc2).reset_index(drop=True), check_dtype=False)
+    pipe.shutdown()
+
+
 def test_rising_edge_alerts_match_oracle(ray_session, corpus, oracle_df):
     """T3 analog: incremental rising-edge alert state across epochs —
     engine alert rows must equal the oracle's global (key, window) scan,
