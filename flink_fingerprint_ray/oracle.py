@@ -482,11 +482,14 @@ def oracle_late_rows(
     pages: pa.Table,
     n_epochs: int,
     lateness_ms: int = 10_000,
+    allowed_lateness_ms: int = 0,
 ) -> pd.DataFrame:
     """Expected dead-letter side output (url, ts_ms): exactly the rows
     that arrive behind the watermark at their epoch's START —
     watermark_e = max(watermark_{e-1}, max(warc_ts in epoch) − lateness),
-    late iff warc_ts < watermark before this epoch's advance."""
+    late iff warc_ts < watermark before this epoch's advance.  With
+    allowed lateness, rows inside the allowance are ADMITTED (window
+    refires), so only rows beyond it reach the DLQ."""
     ts_all = pages["warc_ts"].cast(pa.int64()).to_numpy()
     url_all = np.asarray(pages["url"], dtype=object)
     bounds = _epoch_bounds(pages.num_rows, n_epochs)
@@ -499,7 +502,7 @@ def oracle_late_rows(
         wm_prev = wm
         wm = max(wm, int(ts_all[lo:hi].max()) - lateness_ms)
         for i in range(lo, hi):
-            if ts_all[i] < wm_prev:
+            if ts_all[i] < wm_prev - allowed_lateness_ms:
                 out.append((str(url_all[i]), int(ts_all[i])))
     df = pd.DataFrame(out, columns=["url", "ts_ms"])
     df["ts_ms"] = df["ts_ms"].astype(np.int64)

@@ -372,6 +372,61 @@ def test_allowed_lateness_with_dynamic_session_gap(ray_session, tmp_path):
     pipe.shutdown()
 
 
+def test_allowed_lateness_composes_with_side_channels(ray_session, tmp_path):
+    """Late-admissible rows exist ONLY for window refires: with curation,
+    near-dup and the late-DLQ all on, each side channel must still match
+    its own oracle (late rows never enter curation/near-dup; the DLQ
+    keeps only beyond-allowance rows), while main + refire streams match
+    theirs."""
+    from flink_fingerprint_ray.functions.textstats import ngram_set_hashes
+    from flink_fingerprint_ray.oracle import (
+        oracle_clean_stream,
+        oracle_late_rows,
+        oracle_neardup_stream,
+    )
+    from flink_fingerprint_ray.pipelines.streaming import N_BANDS
+
+    pages, updates, span = _late_corpus(tmp_path)
+    MIN_CHARS = 120
+    ALLOWED = span // 3  # some late rows admitted, some beyond -> DLQ
+    bench, _ = ngram_set_hashes(pages["text"].slice(10, 5))
+    cfg = PipelineConfig(sliding=(120_000, 60_000),
+                         n_state_partitions=3,
+                         allowed_lateness_ms=int(ALLOWED),
+                         curation_min_chars=MIN_CHARS, curation_bench=bench,
+                         neardup=True, late_side_output=True)
+    pipe = StreamingFingerprintPipeline(
+        str(tmp_path / "pages"), str(tmp_path / "out"),
+        updates_root=str(tmp_path / "updates"), cfg=cfg)
+    pipe.run()
+    ora, ora_ref = oracle_fingerprints(
+        pages, 4, updates=updates, sliding=(120_000, 60_000),
+        allowed_lateness_ms=int(ALLOWED), return_refires=True)
+    eng = pipe.result_dataset().to_pandas()
+    pd.testing.assert_frame_equal(
+        _norm(eng, ora.columns), _norm(ora, ora.columns), check_dtype=False)
+    ref = pipe.refire_df()
+    sc2 = SORT_COLS + ["window_end", "refire_seq"]
+    assert len(ref) == len(ora_ref) > 0
+    pd.testing.assert_frame_equal(
+        ref.sort_values(sc2).reset_index(drop=True)[ora_ref.columns.tolist()],
+        ora_ref.sort_values(sc2).reset_index(drop=True), check_dtype=False)
+    ora_clean = oracle_clean_stream(pages, 4, MIN_CHARS, bench)
+    ora_nd = oracle_neardup_stream(pages, 4, n_bands=N_BANDS)
+    ora_late = oracle_late_rows(pages, 4, allowed_lateness_ms=int(ALLOWED))
+    assert len(ora_late) > 0           # beyond-allowance rows exist
+    for df, o, cols in (
+        (pipe.clean_df(), ora_clean, ["url", "ts_ms", "text_hash"]),
+        (pipe.neardup_df(), ora_nd, ["url", "ts_ms"]),
+        (pipe.late_df(), ora_late, ["url", "ts_ms"]),
+    ):
+        pd.testing.assert_frame_equal(
+            df[cols].sort_values(cols, kind="stable").reset_index(drop=True),
+            o[cols].sort_values(cols, kind="stable").reset_index(drop=True),
+            check_dtype=False)
+    pipe.shutdown()
+
+
 def test_rising_edge_alerts_match_oracle(ray_session, corpus, oracle_df):
     """T3 analog: incremental rising-edge alert state across epochs —
     engine alert rows must equal the oracle's global (key, window) scan,
