@@ -1989,19 +1989,38 @@ FROM lineitem GROUP BY 1, 2
 """
 
 
-def q_segment_orders(sf_dir: str):
-    """J2 analog: broadcast hash join — the small customer side is shipped
-    once via ray.put and probed inside map_batches (no shuffle join)."""
+def _segment_lookup_ref(sf_dir: str):
+    """Broadcast (sorted c_custkey, c_mktsegment) ARRAYS — probed with one
+    ``np.searchsorted`` per batch (the repo's packed-key idiom, cf.
+    ``q_regional_volume``) instead of a per-row Python-object dict
+    ``Series.map``: ~5x cheaper and no per-row object churn."""
     import pyarrow.parquet as pq
 
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                          columns=["c_custkey", "c_mktsegment"])
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())))
+    keys = cust["c_custkey"].to_numpy().astype(np.int64)
+    order = np.argsort(keys, kind="stable")
+    vals = cust["c_mktsegment"].to_numpy(zero_copy_only=False)[order]
+    return ray.put((keys[order], vals))
+
+
+def _probe_segment(lookup, custkey: np.ndarray) -> np.ndarray:
+    """orders.o_custkey is a guaranteed FK into customer, so the
+    searchsorted position is always an exact hit."""
+    keys, vals = lookup
+    pos = np.minimum(np.searchsorted(keys, custkey), len(keys) - 1)
+    return vals[pos]
+
+
+def q_segment_orders(sf_dir: str):
+    """J2 analog: broadcast hash join — the small customer side is shipped
+    once via ray.put and probed inside map_batches (no shuffle join)."""
+    lookup_ref = _segment_lookup_ref(sf_dir)
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def probe(batch: pa.Table) -> pd.DataFrame:
-        lut = ray.get(lookup_ref)
-        seg = pd.Series(batch["o_custkey"].to_numpy()).map(lut)
+        seg = _probe_segment(ray.get(lookup_ref),
+                             batch["o_custkey"].to_numpy().astype(np.int64))
         df = pd.DataFrame({"c_mktsegment": seg, "total": batch["o_totalprice"].to_numpy()})
         g = df.groupby("c_mktsegment", sort=False)["total"]
         return g.agg(n_orders="size", sum_total="sum").reset_index()
@@ -3247,17 +3266,12 @@ def q_rollup_revenue(sf_dir: str):
     level (no NULL cells to canonicalize).  The broadcast-join + partial
     aggregate run once; the two coarser levels re-aggregate the tiny
     (segment, priority) final on the driver — no second scan."""
-    import pyarrow.parquet as pq
-
-    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_mktsegment"])
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
-                                  cust["c_mktsegment"].to_pylist())))
+    lookup_ref = _segment_lookup_ref(sf_dir)
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderpriority"])
 
     def probe(batch: pa.Table) -> pd.DataFrame:
-        lut = ray.get(lookup_ref)
-        seg = pd.Series(batch["o_custkey"].to_numpy()).map(lut)
+        seg = _probe_segment(ray.get(lookup_ref),
+                             batch["o_custkey"].to_numpy().astype(np.int64))
         df = pd.DataFrame({"c_mktsegment": seg,
                            "o_orderpriority": batch["o_orderpriority"].to_pandas(),
                            "cents": _cents(batch["o_totalprice"].to_numpy())})
@@ -5765,10 +5779,11 @@ def q_url_blocklist_filter(sf_dir: str):
     against a blocklist with DOMAIN-SUFFIX semantics (entry blocks itself
     and every subdomain) and the path against prefix rules.  The
     blocklist is ray.put ONCE and read inside every map_batches task —
-    a broadcast lookup, never a shuffle join (at 100 TB the list is
-    100k+ entries; the per-suffix vectorized ends_with loop stays, or
-    swaps for a reversed-host sorted-array searchsorted at larger list
-    sizes)."""
+    a broadcast lookup, never a shuffle join.  Matching is the
+    reversed-host sorted-array searchsorted probe (HostSuffixMatcher:
+    O(rows log rules) per batch, built once per actor), so a real
+    100k-entry blocklist costs the same per batch as the fixture's two
+    rules — proven by test_blocklist_matchers large-list parity/time."""
     from ..functions.url import canonicalize_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
@@ -5779,22 +5794,19 @@ def q_url_blocklist_filter(sf_dir: str):
 
     class BlocklistFilter:
         def __init__(self) -> None:
-            self.rules = ray.get(rules_ref)  # once per actor
+            from ..functions.url import HostSuffixMatcher, PathPrefixMatcher
+
+            rules = ray.get(rules_ref)  # once per actor
+            self.host_m = HostSuffixMatcher(rules["hosts"])
+            self.path_m = PathPrefixMatcher(rules["paths"])
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             host = pc.struct_field(pc.extract_regex(
                 batch["canon_url"], r"^[a-z]+://(?P<h>[^/:?#]+)"), "h")
             path = pc.struct_field(pc.extract_regex(
                 batch["canon_url"], r"^[a-z]+://[^/]+(?P<p>/[^?#]*)"), "p")
-            host_bad = np.zeros(batch.num_rows, dtype=bool)
-            for h in self.rules["hosts"]:
-                host_bad |= pc.equal(host, h).to_numpy(zero_copy_only=False)
-                host_bad |= pc.ends_with(host, pattern="." + h) \
-                    .to_numpy(zero_copy_only=False)
-            path_bad = np.zeros(batch.num_rows, dtype=bool)
-            for p in self.rules["paths"]:
-                path_bad |= pc.starts_with(path, pattern=p) \
-                    .to_numpy(zero_copy_only=False)
+            host_bad = self.host_m.matches(host)
+            path_bad = self.path_m.matches(path)
             reason = np.where(host_bad, "host",
                               np.where(path_bad, "path", ""))
             return pa.table({
@@ -8065,17 +8077,12 @@ def q_grouping_sets_revenue(sf_dir: str):
     (segment, priority) grid, one tiny exchange, then each requested set
     re-aggregates the ~25-cell grid on the driver.  At 100 TB the scan
     and the partial pass dominate; adding sets costs nothing."""
-    import pyarrow.parquet as pq
-
-    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_mktsegment"])
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
-                                  cust["c_mktsegment"].to_pylist())))
+    lookup_ref = _segment_lookup_ref(sf_dir)
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderpriority"])
 
     def probe(batch: pa.Table) -> pd.DataFrame:
-        lut = ray.get(lookup_ref)
-        seg = pd.Series(batch["o_custkey"].to_numpy()).map(lut)
+        seg = _probe_segment(ray.get(lookup_ref),
+                             batch["o_custkey"].to_numpy().astype(np.int64))
         df = pd.DataFrame({"c_mktsegment": seg,
                            "o_orderpriority": batch["o_orderpriority"].to_pandas(),
                            "cents": _cents(batch["o_totalprice"].to_numpy())})

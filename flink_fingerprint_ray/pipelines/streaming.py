@@ -99,7 +99,11 @@ class PipelineConfig:
     # (window, epoch-with-late-arrivals).  Window content is retained in
     # the state actors until window_end + allowed <= watermark; later
     # arrivals drop (refire_dropped metric).  Refires do NOT feed the
-    # alert/CEP/Top-N channels (those consume the on-time close stream).
+    # alert/CEP/Top-N channels: those consume the on-time close stream,
+    # whose first-fire aggregates DO include admitted-late rows that
+    # joined a still-open window (channel oracles therefore run over the
+    # first-fire rows — pinned by
+    # test_allowed_lateness_composes_with_engine_channels).
     allowed_lateness_ms: int = 0
     join_retention_ms: int = 300_000          # reference: 5 min (save_fingerprints.py:85)
     n_state_partitions: int = 8
@@ -423,9 +427,9 @@ def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix:
                             pc.less(ts, pa.scalar(late_cutoff_ms, pa.int64())))
         late_sub = batch.filter(pc.invert(keep_late)) if late_side else None
         batch = batch.append_column("_late", late_flag).filter(keep_late)
-        if batch.num_rows:
-            n_admitted_late = int(pc.sum(
-                pc.cast(batch["_late"], pa.int64())).as_py() or 0)
+        # late_admitted is counted AFTER the blocklist/empty filters below
+        # (the _late column stays row-aligned through them) so the metric
+        # reports refire-ELIGIBLE admissions, not pre-filter admissions.
     else:
         keep_late = pc.greater_equal(ts, pa.scalar(late_cutoff_ms, pa.int64()))
         late_sub = batch.filter(pc.invert(keep_late)) if late_side else None
@@ -457,6 +461,9 @@ def page_transform(batch: pa.Table, late_cutoff_ms: int, counter, metric_prefix:
     n_empty = batch.num_rows - pc.sum(pc.cast(nonempty, pa.int64())).as_py() if batch.num_rows else 0
     batch = batch.filter(nonempty)
     text = text.filter(nonempty)
+    if "_late" in batch.column_names and batch.num_rows:
+        n_admitted_late = int(pc.sum(
+            pc.cast(batch["_late"], pa.int64())).as_py() or 0)
     if counter is not None:
         # fire-and-forget, nonzero counts only: blocking on the ack here
         # makes the raylet oversubscribe map workers (~25% slower epochs).

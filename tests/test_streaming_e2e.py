@@ -427,6 +427,65 @@ def test_allowed_lateness_composes_with_side_channels(ray_session, tmp_path):
     pipe.shutdown()
 
 
+def test_allowed_lateness_composes_with_engine_channels(ray_session, tmp_path):
+    """ADVICE r4 item 2: with allowed lateness ON, the alert/CEP/Top-N
+    channels consume the on-time close stream — which now includes
+    admitted-late rows that joined a still-open window's FIRST fire, but
+    never refires.  Each channel must match its oracle computed over the
+    first-fire fingerprint rows (refires excluded)."""
+    from flink_fingerprint_ray.oracle import (
+        oracle_alerts,
+        oracle_cep_matches,
+        oracle_window_topn,
+    )
+
+    pages, updates, span = _late_corpus(tmp_path)
+    ALLOWED = span // 3
+    pattern = (">0", "==0")
+    cfg = PipelineConfig(sliding=(120_000, 60_000), n_state_partitions=3,
+                         allowed_lateness_ms=int(ALLOWED),
+                         window_topn=3, cep_pattern=pattern)
+    pipe = StreamingFingerprintPipeline(
+        str(tmp_path / "pages"), str(tmp_path / "out"),
+        updates_root=str(tmp_path / "updates"), cfg=cfg)
+    pipe.run()
+    ora, ora_ref = oracle_fingerprints(
+        pages, 4, updates=updates, sliding=(120_000, 60_000),
+        allowed_lateness_ms=int(ALLOWED), return_refires=True)
+    m = pipe.manifest.state["epochs"]
+    admitted = sum(e["metrics"].get("late_admitted", 0) for e in m.values())
+    assert len(ora_ref) > 0 and admitted > 0  # composition is non-vacuous
+    eng = pipe.result_dataset().to_pandas()
+    pd.testing.assert_frame_equal(
+        _norm(eng, ora.columns), _norm(ora, ora.columns), check_dtype=False)
+
+    want_alerts = oracle_alerts(ora)
+    want_cep = oracle_cep_matches(ora, pattern)
+    want_topn = oracle_window_topn(ora, 3)
+    assert len(want_alerts) > 0 and len(want_cep) > 0 and len(want_topn) > 0
+
+    ac = ["key_lang", "key_host", "window_kind", "window_start"]
+    got_alerts = pipe.alerts_df()
+    pd.testing.assert_frame_equal(
+        got_alerts.sort_values(ac).reset_index(drop=True)[want_alerts.columns.tolist()],
+        want_alerts.sort_values(ac).reset_index(drop=True), check_dtype=False)
+
+    cc = ac + ["window_end"]
+    got_cep = pipe.cep_df()
+    pd.testing.assert_frame_equal(
+        got_cep.sort_values(cc, kind="stable").reset_index(drop=True)[want_cep.columns.tolist()],
+        want_cep.sort_values(cc, kind="stable").reset_index(drop=True),
+        check_dtype=False)
+
+    tc = ["window_start", "rank"]
+    got_topn = pipe.topn_df()
+    pd.testing.assert_frame_equal(
+        got_topn.sort_values(tc, kind="stable").reset_index(drop=True)[want_topn.columns.tolist()],
+        want_topn.sort_values(tc, kind="stable").reset_index(drop=True),
+        check_dtype=False)
+    pipe.shutdown()
+
+
 def test_rising_edge_alerts_match_oracle(ray_session, corpus, oracle_df):
     """T3 analog: incremental rising-edge alert state across epochs —
     engine alert rows must equal the oracle's global (key, window) scan,
