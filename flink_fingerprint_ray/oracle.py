@@ -86,6 +86,7 @@ def oracle_fingerprints(
     session_gap_by_lang: dict | None = None,
     allowed_lateness_ms: int = 0,
     return_refires: bool = False,
+    session_gap_expr: str | None = None,
 ) -> pd.DataFrame:
     """Expected engine output (F3 schema + update counts) for `pages`
     split into `n_epochs` arrival epochs.
@@ -97,6 +98,12 @@ def oracle_fingerprints(
     aggregate on the refire channel.  ``return_refires=True`` returns
     ``(main_df, refires_df)`` where refires carries F3 columns +
     refire_seq (1-based firing counter per window)."""
+    if session_gap_by_lang and allowed_lateness_ms:
+        raise ValueError("allowed_lateness_ms with session_gap_by_lang is "
+                         "not supported (mirrors PipelineConfig)")
+    if session_gap_expr and (session_gap_by_lang or allowed_lateness_ms):
+        raise ValueError("session_gap_expr excludes session_gap_by_lang / "
+                         "allowed_lateness_ms (mirrors PipelineConfig)")
     if session_max_ms is None:
         # mirror PipelineConfig.__post_init__'s AUTO rule exactly
         gap_cap = max([session_gap_ms, *(session_gap_by_lang or {}).values()])
@@ -134,6 +141,20 @@ def oracle_fingerprints(
     for i in range(mh_all.shape[1]):
         df[f"mh_{i}"] = mh_all[:, i]
 
+    gap_row = None
+    if session_gap_expr:
+        # general extractor: same compiled-formula surface as the engine,
+        # evaluated once over the numeric narrow-row columns
+        from .functions.exprs import compile_expr
+
+        arr = compile_expr(session_gap_expr)(pa.table({
+            "ts_ms": pa.array(ts_all, pa.int64()),
+            "text_len": pa.array(text_len_all, pa.int64()),
+            "text_hash": pa.array(th_all),
+        }))
+        gap_row = np.maximum(np.floor(np.asarray(
+            arr.to_numpy(zero_copy_only=False))).astype(np.int64), 1)
+
     bounds = _epoch_bounds(pages.num_rows, n_epochs)
     upd_df = None
     upd_bounds = None
@@ -157,6 +178,10 @@ def oracle_fingerprints(
     wm = 0
     fixed_buf: dict[tuple, list[int]] = {}   # (kind,lang,host,start,end) -> row idx
     session_buf: dict[tuple, list[int]] = {}  # (lang,host) -> row idx
+    # session allowed-lateness state: (lang,host) -> list of
+    # [row_idx, fired_count, late_new_this_epoch] — mirrors the engine's
+    # unified sweep (_mature_sessions_lateness) sequentially per key
+    sess_state: dict[tuple, list[list]] = {}
     join_buf = pd.DataFrame(columns=["key_host", "update_ts_ms", "change_kind"])
     out: list[dict] = []
     # allowed-lateness state (engine: WindowStateActor retention)
@@ -210,13 +235,18 @@ def oracle_fingerprints(
                     refire_pending.setdefault(wkey, []).extend(idx)
                 else:
                     fixed_buf.setdefault(wkey, []).extend(idx)
-        # buffer sessions — from ON-TIME rows only (sessions never admit
-        # late data; engine: explode_windows skips session rows for them)
+        # buffer sessions — with allowed lateness, late-admitted rows
+        # enter the session state too (Flink session windows MERGE on
+        # late elements; engine: add_session_late + the unified sweep)
         if session_gap_ms > 0:
-            s_rows = (rows[rows["ts_ms"] >= wm_prev]
-                      if allowed_lateness_ms else rows)
-            for (lang, host), g in s_rows.groupby(["key_lang", "key_host"], sort=False):
-                session_buf.setdefault((lang, host), []).extend(g.index.tolist())
+            if allowed_lateness_ms:
+                for (lang, host), g in rows.groupby(["key_lang", "key_host"], sort=False):
+                    st = sess_state.setdefault((lang, host), [])
+                    for i, t in zip(g.index.tolist(), g["ts_ms"].tolist()):
+                        st.append([i, 0, t < wm_prev])
+            else:
+                for (lang, host), g in rows.groupby(["key_lang", "key_host"], sort=False):
+                    session_buf.setdefault((lang, host), []).extend(g.index.tolist())
 
         # close fixed windows with end <= wm
         for wkey in [k for k in fixed_buf if k[4] <= wm]:
@@ -227,7 +257,7 @@ def oracle_fingerprints(
             if allowed_lateness_ms:
                 retained[wkey] = list(idx)
         # close sessions
-        if session_gap_ms > 0:
+        if session_gap_ms > 0 and not allowed_lateness_ms:
             for skey in list(session_buf):
                 # dynamic per-element gap: the gap is a function of the
                 # element's key_lang, constant within a (lang, host) key —
@@ -240,21 +270,30 @@ def oracle_fingerprints(
                 idx = session_buf[skey]
                 g = df.loc[idx].sort_values("ts_ms", kind="stable")
                 ts = g["ts_ms"].to_numpy()
-                sid = np.concatenate(([0], np.cumsum(np.diff(ts) > gap)))
+                running = None
+                if gap_row is not None:
+                    # general extractor mirror: per-key running cummax of
+                    # (ts + gap_i); break where ts exceeds the running end
+                    # (engine: dynamic_session_segments)
+                    running = np.maximum.accumulate(ts + gap_row[g.index.to_numpy()])
+                    brk = np.ones(len(ts), dtype=bool)
+                    brk[1:] = ts[1:] > running[:-1]
+                    sid = np.cumsum(brk) - 1
+                else:
+                    sid = np.concatenate(([0], np.cumsum(np.diff(ts) > gap)))
                 keep: list[int] = []
                 for s_id in np.unique(sid):
-                    sg = g[sid == s_id]
-                    last = int(sg["ts_ms"].iloc[-1])
-                    first = int(sg["ts_ms"].iloc[0])
+                    pos = np.flatnonzero(sid == s_id)
+                    sg = g.iloc[pos]
+                    first = int(ts[pos[0]])
+                    s_end = (int(running[pos[-1]]) if running is not None
+                             else int(ts[pos[-1]]) + gap)
                     # session_max_ms: state-bounding force-close (engine:
                     # WindowStateActor.mature_sessions cap)
-                    if last + gap <= wm or (
+                    if s_end <= wm or (
                             session_max_ms and first + session_max_ms <= wm):
                         out.append(
-                            _finalize(
-                                "session", skey, int(sg["ts_ms"].iloc[0]),
-                                last + gap, sg, probe,
-                            )
+                            _finalize("session", skey, first, s_end, sg, probe)
                         )
                     else:
                         keep.extend(sg.index.tolist())
@@ -262,6 +301,73 @@ def oracle_fingerprints(
                     session_buf[skey] = keep
                 else:
                     del session_buf[skey]
+        # session close/retention/refire under allowed lateness — the
+        # sequential mirror of the engine's unified sweep
+        # (WindowStateActor._mature_sessions_lateness): re-segment ALL
+        # session rows of a key (open + retained-fired + this epoch's
+        # late-admitted) by the constant gap, then per segment:
+        # admission-drop expired late rows, emit closed segments with
+        # never-fired content (MAIN if nothing fired before, REFIRE with
+        # refire_seq = max(fired) otherwise), evict past retention or on
+        # a cap-forced close of a still-active segment.
+        if session_gap_ms > 0 and allowed_lateness_ms:
+            for skey in list(sess_state):
+                entries = sess_state[skey]
+                entries.sort(key=lambda en: int(df.at[en[0], "ts_ms"]))
+                for _pass in (0, 1):
+                    segs: list[list[list]] = []
+                    for en in entries:
+                        t = int(df.at[en[0], "ts_ms"])
+                        if segs and t - int(df.at[segs[-1][-1][0], "ts_ms"]) <= session_gap_ms:
+                            segs[-1].append(en)
+                        else:
+                            segs.append([en])
+                    if _pass == 1:
+                        break
+                    # admission: late-new rows in retention-expired
+                    # segments never contribute (engine counts them as
+                    # refire_dropped)
+                    surv = []
+                    dropped = False
+                    for seg in segs:
+                        end = int(df.at[seg[-1][0], "ts_ms"]) + session_gap_ms
+                        if end + allowed_lateness_ms <= wm:
+                            keep = [en for en in seg if not en[2]]
+                            dropped = dropped or len(keep) < len(seg)
+                            surv.extend(keep)
+                        else:
+                            surv.extend(seg)
+                    entries = surv
+                    if not dropped:
+                        break
+                kept: list[list] = []
+                for seg in segs:
+                    first = int(df.at[seg[0][0], "ts_ms"])
+                    end = int(df.at[seg[-1][0], "ts_ms"]) + session_gap_ms
+                    cap_closed = bool(session_max_ms
+                                      and first + session_max_ms <= wm
+                                      and end > wm)
+                    closed = end <= wm or cap_closed
+                    maxf = max(en[1] for en in seg)
+                    has_new = any(en[1] == 0 for en in seg)
+                    if closed and has_new:
+                        rec = _finalize("session", skey, first, end,
+                                        df.loc[[en[0] for en in seg]], probe)
+                        if maxf == 0:
+                            out.append(rec)
+                        else:
+                            rec["refire_seq"] = maxf
+                            refires.append(rec)
+                        for en in seg:
+                            en[1] = maxf + 1
+                    if not (end + allowed_lateness_ms <= wm or cap_closed):
+                        kept.extend(seg)
+                for en in kept:
+                    en[2] = False
+                if kept:
+                    sess_state[skey] = kept
+                else:
+                    del sess_state[skey]
         # allowed-lateness refires (engine: mature_refires — evict first,
         # then each window with admissible late arrivals re-fires its
         # FULL updated aggregate; a late row for an evicted window drops)

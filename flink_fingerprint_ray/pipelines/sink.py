@@ -75,6 +75,31 @@ class CheckpointManifest:
                 "from scratch or restore the original PipelineConfig flags"
             )
 
+    def ensure_commit_mode(self, mode: str) -> None:
+        """Record the sink commit protocol on a fresh run and REFUSE
+        resume under a different one: rename-mode fences live at
+        ``epoch=K`` dirs, manifest-mode fences are attempt dirs resolved
+        through the manifest — mixing them would make committed epochs
+        invisible to the reader.  Pre-guard checkpoints carry no record;
+        the first resume records the current mode."""
+        recorded = self.state.get("commit_mode")
+        if recorded is None:
+            self.state["commit_mode"] = mode
+            return
+        if recorded != mode:
+            raise RuntimeError(
+                f"checkpoint manifest was committed with commit_mode="
+                f"{recorded!r}, config wants {mode!r} — resuming would hide "
+                "already-committed fences from the reader; resume with the "
+                "original mode"
+            )
+
+    def fence_dirs(self) -> list[str]:
+        """Committed fence dirs in epoch order — the manifest-mode
+        reader's source of truth (uncommitted attempts never appear)."""
+        eps = self.state["epochs"]
+        return [eps[k]["lineage"]["output_fence"] for k in sorted(eps, key=int)]
+
     @property
     def cursor(self) -> int:
         return int(self.state["cursor"])
@@ -90,6 +115,17 @@ class CheckpointManifest:
         if self.cursor < 0:
             return {}
         return self.state["epochs"][str(self.cursor)].get("state_snapshot", {})
+
+    def save(self) -> None:
+        """Atomically persist the current state (tmp + ``os.replace`` —
+        on an object store: one conditional manifest PUT).  ``commit``
+        uses this; maintenance ops (``compact_epochs``) use it directly."""
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.state, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.path)
 
     def commit(
         self,
@@ -111,21 +147,48 @@ class CheckpointManifest:
         }
         self.state["cursor"] = epoch
         self.state["watermark_ms"] = watermark_ms
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self.state, f, indent=1)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self.path)
+        self.save()
 
 
 class EpochSink:
-    def __init__(self, out_dir: str) -> None:
+    """Two commit protocols, selected by ``commit_mode``:
+
+    - ``"rename"`` (default): stage under ``_staging/epoch=K``, promote
+      with an atomic directory rename (POSIX ``os.replace``).  Correct on
+      a shared filesystem; object stores have no atomic rename.
+    - ``"manifest"`` (S3-style): every attempt writes its part files to a
+      FINAL immutable location ``data/epoch=K/attempt-NNN/`` (never
+      renamed, never overwritten — a fresh attempt gets a fresh prefix);
+      the COMMIT is the single atomic manifest write that records which
+      attempt dir is epoch K's fence (on a real object store: one
+      conditional PUT of manifest.json).  Readers resolve committed
+      files through the manifest, so uncommitted/orphaned attempts from
+      killed runs are invisible; orphans are left for out-of-band GC
+      (object stores have no atomic recursive delete).  This is the
+      Iceberg/Delta-style metadata-pointer commit.
+    """
+
+    def __init__(self, out_dir: str, commit_mode: str = "rename") -> None:
+        if commit_mode not in ("rename", "manifest"):
+            raise ValueError(f"commit_mode must be 'rename' or 'manifest', got {commit_mode!r}")
         self.out_dir = out_dir
+        self.commit_mode = commit_mode
         self.staging_root = os.path.join(out_dir, "_staging")
+        self.data_root = os.path.join(out_dir, "data")
         os.makedirs(self.staging_root, exist_ok=True)
+        self._attempts: dict[int, str] = {}
 
     def staging_dir(self, epoch: int) -> str:
+        if self.commit_mode == "manifest":
+            base = os.path.join(self.data_root, f"epoch={epoch:05d}")
+            os.makedirs(base, exist_ok=True)
+            n = 0
+            while os.path.exists(os.path.join(base, f"attempt-{n:03d}")):
+                n += 1  # killed-run leftovers stay put: orphans, GC'd later
+            d = os.path.join(base, f"attempt-{n:03d}")
+            os.makedirs(d)
+            self._attempts[epoch] = d
+            return d
         d = os.path.join(self.staging_root, f"epoch={epoch:05d}")
         if os.path.exists(d):  # uncommitted leftovers from a killed run
             shutil.rmtree(d)
@@ -133,10 +196,18 @@ class EpochSink:
         return d
 
     def final_dir(self, epoch: int) -> str:
+        if self.commit_mode == "manifest":
+            return self._attempts[epoch]
         return os.path.join(self.out_dir, f"epoch={epoch:05d}")
 
     def publish(self, epoch: int) -> str:
-        """Atomically promote staging → committed fence dir."""
+        """Promote staging → committed fence.  Rename mode: atomic dir
+        rename.  Manifest mode: NO-OP on the data — the files are already
+        at their final immutable paths; the caller's subsequent
+        ``CheckpointManifest.commit`` (recording this fence dir) IS the
+        atomic commit point."""
+        if self.commit_mode == "manifest":
+            return self._attempts[epoch]
         src, dst = os.path.join(self.staging_root, f"epoch={epoch:05d}"), self.final_dir(epoch)
         if os.path.exists(dst):
             shutil.rmtree(dst)  # replay of an epoch overwrites the same fence

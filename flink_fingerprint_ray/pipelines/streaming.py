@@ -77,6 +77,16 @@ class PipelineConfig:
     # Requires session_gap_ms > 0.  Recorded in the checkpoint manifest
     # channel set (window-shape config is output identity).
     session_gap_by_lang: dict | None = None
+    # Fully general gap extractor (Flink's extractor sees the WHOLE
+    # element): a derived-column formula (functions/exprs.py surface)
+    # over the numeric narrow-row columns (ts_ms, text_len, text_hash),
+    # evaluated vectorized in the state actor, yielding a PER-ROW gap in
+    # ms (floored, clamped to >= 1).  e.g. "20000 + text_len * 100".
+    # Requires session_gap_ms > 0 (the AUTO-cap base); mutually
+    # exclusive with session_gap_by_lang and with allowed_lateness_ms.
+    # Recorded in the manifest channel set (resume under a different
+    # formula is refused — window identity would change).
+    session_gap_expr: str | None = None
     session_max_ms: int | None = None         # None = AUTO (20 x gap); >0
                                               # force-closes sessions older than
                                               # this vs the watermark (bounds open
@@ -111,6 +121,11 @@ class PipelineConfig:
     jaccard_threshold: float = 0.8
     read_blocks: int | None = None            # override_num_blocks on read
     snapshot_compact_every: int = 8           # full-base rewrite cadence (delta checkpoints)
+    # sink commit protocol: "rename" (atomic dir rename — shared POSIX
+    # filesystem) or "manifest" (immutable attempt-prefixed data files +
+    # single manifest-pointer write — S3-style object stores, where
+    # rename does not exist).  See pipelines/sink.py EpochSink.
+    commit_mode: str = "rename"
     # -- streaming curation path (batch analog: queries.q_clean_corpus) --
     # >0 enables: quality gate (min extracted-text chars) + optional
     # decontamination + cross-epoch exact dedup, all under the same
@@ -164,6 +179,27 @@ class PipelineConfig:
         if self.session_gap_by_lang and not self.session_gap_ms:
             raise ValueError("session_gap_by_lang needs session_gap_ms > 0 "
                              "(the default gap for unmapped langs)")
+        if self.session_gap_by_lang and self.allowed_lateness_ms > 0:
+            raise ValueError(
+                "allowed_lateness_ms with session_gap_by_lang is not "
+                "supported: the session lateness sweep re-segments with a "
+                "constant gap (dynamic per-element gaps would need the "
+                "running-cummax kernel inside the retention/refire path)")
+        if self.session_gap_expr:
+            if not self.session_gap_ms:
+                raise ValueError("session_gap_expr needs session_gap_ms > 0 "
+                                 "(enables sessions and anchors the AUTO cap)")
+            if self.session_gap_by_lang:
+                raise ValueError("session_gap_expr and session_gap_by_lang "
+                                 "are mutually exclusive gap extractors")
+            if self.allowed_lateness_ms > 0:
+                raise ValueError(
+                    "allowed_lateness_ms with session_gap_expr is not "
+                    "supported (same constant-gap constraint as "
+                    "session_gap_by_lang)")
+            from ..functions.exprs import compile_expr
+
+            compile_expr(self.session_gap_expr)  # config-time validation
         if self.session_max_ms is None:
             # AUTO: bound open-session state at 20x the gap — long enough
             # that organic sessions are untouched, finite so a hot key
@@ -621,8 +657,10 @@ def explode_windows(batch: pa.Table, cfg: PipelineConfig,
     transform get a per-WINDOW-row ``refire`` flag here: late row AND
     window_end <= the late cutoff (i.e. the window already fired — the
     refire path); a late row's still-open windows take the normal path
-    (their first fire includes it).  Late rows never produce session
-    rows (sessions do not admit late data)."""
+    (their first fire includes it).  Session rows carry the row's late
+    flag itself (Flink session windows MERGE on late elements): the
+    state actor's unified sweep decides open-merge / retained-merge /
+    refire / drop from the data-dependent segment, not the router."""
     from ..stages.windows import sliding_window_starts, tumbling_window_start
 
     late_np = None
@@ -633,14 +671,18 @@ def explode_windows(batch: pa.Table, cfg: PipelineConfig,
     parts: list[pa.Table] = []
 
     def stamp(tbl: pa.Table, kind: str, ws: np.ndarray, we: np.ndarray,
-              late_rows: "np.ndarray | None" = None) -> pa.Table:
+              late_rows: "np.ndarray | None" = None,
+              refire_override: "np.ndarray | None" = None) -> pa.Table:
         tbl = tbl.append_column("window_kind", pa.array([kind] * tbl.num_rows, pa.string()))
         tbl = tbl.append_column("window_start", pa.array(ws, pa.int64()))
         tbl = tbl.append_column("window_end", pa.array(we, pa.int64()))
         if late_np is not None:
-            refire = (late_rows & (we <= np.int64(late_cutoff_ms))
-                      if late_rows is not None
-                      else np.zeros(tbl.num_rows, dtype=bool))
+            if refire_override is not None:
+                refire = refire_override
+            else:
+                refire = (late_rows & (we <= np.int64(late_cutoff_ms))
+                          if late_rows is not None
+                          else np.zeros(tbl.num_rows, dtype=bool))
             tbl = tbl.append_column("refire", pa.array(refire, pa.bool_()))
         return tbl
 
@@ -664,13 +706,9 @@ def explode_windows(batch: pa.Table, cfg: PipelineConfig,
                            late_np[take] if late_np is not None else None))
 
     if cfg.session_gap_ms > 0:
-        if late_np is not None and late_np.any():
-            on_time = batch.take(pa.array(np.flatnonzero(~late_np)))
-            sentinel = np.full(on_time.num_rows, -1, dtype=np.int64)
-            parts.append(stamp(on_time, "session", sentinel, sentinel))
-        else:
-            sentinel = np.full(len(ts), -1, dtype=np.int64)
-            parts.append(stamp(batch, "session", sentinel, sentinel))
+        sentinel = np.full(len(ts), -1, dtype=np.int64)
+        parts.append(stamp(batch, "session", sentinel, sentinel,
+                           refire_override=late_np))
 
     return pa.concat_tables(parts)
 
@@ -711,12 +749,15 @@ def route_and_split(
     sess = block.filter(is_session)
     fixed = block.filter(pc.invert(is_session))
     refire_tbl = None
+    sess_late = None
     retain = "refire" in block.column_names  # allowed lateness on
     if retain:
         rmask = fixed["refire"]
         refire_tbl = fixed.filter(rmask).drop_columns(["refire"])
         fixed = fixed.filter(pc.invert(rmask)).drop_columns(["refire"])
-        sess = sess.drop_columns(["refire"])
+        smask = sess["refire"]
+        sess_late = sess.filter(smask).drop_columns(["refire"])
+        sess = sess.filter(pc.invert(smask)).drop_columns(["refire"])
     closable_mask = pc.less_equal(fixed["window_end"], pa.scalar(watermark_ms, pa.int64()))
     closable = fixed.filter(closable_mask)
     open_rows = fixed.filter(pc.invert(closable_mask))
@@ -726,9 +767,12 @@ def route_and_split(
         # late rows of already-fired windows -> refire sweep; a COPY of
         # the closable rows -> retention, so their window can re-fire.
         # Both use the window-salted partition, co-locating a window's
-        # retained content with its late arrivals.
+        # retained content with its late arrivals.  Late SESSION rows go
+        # to their key-owning actor (same partition as on-time session
+        # rows — merging needs every row of the key in one place).
         sends.append((refire_tbl, "add_refire"))
         sends.append((closable, "add_retained"))
+        sends.append((sess_late, "add_session_late"))
     refs = []
     for tbl, method in sends:
         if tbl.num_rows == 0:
@@ -1159,8 +1203,9 @@ class StreamingFingerprintPipeline:
         self._bl_ref = None
         self._bl_ref_n = -1
         os.makedirs(out_dir, exist_ok=True)
-        self.sink = EpochSink(out_dir)
+        self.sink = EpochSink(out_dir, commit_mode=self.cfg.commit_mode)
         self.manifest = CheckpointManifest(out_dir)
+        self.manifest.ensure_commit_mode(self.cfg.commit_mode)
         # refuse resume under a toggled side-channel config (loud error
         # beats silently mixed per-epoch side outputs)
         self.manifest.ensure_channels({
@@ -1186,6 +1231,9 @@ class StreamingFingerprintPipeline:
             **({"session_gaps": {str(k): int(v) for k, v in
                                  sorted(self.cfg.session_gap_by_lang.items())}}
                if self.cfg.session_gap_by_lang else {}),
+            # general gap extractor formula is window identity too
+            **({"session_gap_expr": str(self.cfg.session_gap_expr)}
+               if self.cfg.session_gap_expr else {}),
             # allowed lateness changes row admission AND adds the refire
             # channel — a resume under a different value would mix
             # admission rules across epochs
@@ -1201,6 +1249,7 @@ class StreamingFingerprintPipeline:
             cep_pattern=self.cfg.cep_pattern,
             session_gap_by_lang=self.cfg.session_gap_by_lang,
             allowed_lateness_ms=self.cfg.allowed_lateness_ms,
+            session_gap_expr=self.cfg.session_gap_expr,
         )
         self.counter = MetricCounter.remote()
         # curation: broadcast the benchmark gram set ONCE (ray.put), read
@@ -1850,12 +1899,16 @@ class StreamingFingerprintPipeline:
             }
         )
         upd_epoch = pending["upd_epoch"]
+        # rename mode: publish is the atomic fence promotion.  Manifest
+        # mode: publish is a no-op on the data (already at its final
+        # immutable attempt path) and the manifest.commit below — which
+        # records that path as the fence — IS the atomic commit point.
+        fence = self.sink.publish(epoch.index)
         lineage = {
             "input_files": epoch.files,
             "update_files": upd_epoch.files if upd_epoch else [],
-            "output_fence": self.sink.final_dir(epoch.index),
+            "output_fence": fence,
         }
-        self.sink.publish(epoch.index)
         self.manifest.commit(epoch.index, pending["wm"], snapshot, metrics, lineage)
         self._metrics_log.append(metrics)
         sess_rows = metrics["buffered"]["session"]
@@ -2005,11 +2058,30 @@ class StreamingFingerprintPipeline:
             "per_epoch": all_metrics,
         }
 
-    def result_dataset(self) -> "ray.data.Dataset":
+    def _fence_files(self, pattern: str) -> list[str]:
+        """Committed output files matching ``pattern``, across epochs —
+        resolved through the manifest in BOTH commit modes: compacted
+        ranges read from their compaction dir, remaining epochs from
+        their recorded fence dir (rename mode: ``epoch=K``; manifest
+        mode: the committed attempt dir).  Uncommitted attempts, orphaned
+        fences and already-compacted epoch dirs never appear."""
         import glob
 
-        files = sorted(glob.glob(os.path.join(self.sink.out_dir, "epoch=*", "part-*.parquet")))
-        return ray.data.read_parquet(files)
+        st = self.manifest.state
+        comps = st.get("compactions", [])
+        covered = {e for c in comps for e in c["epochs"]}
+        files: list[str] = []
+        for c in comps:
+            files.extend(sorted(glob.glob(os.path.join(c["dir"], pattern))))
+        for k in sorted(st["epochs"], key=int):
+            if int(k) in covered:
+                continue
+            d = st["epochs"][k]["lineage"]["output_fence"]
+            files.extend(sorted(glob.glob(os.path.join(d, pattern))))
+        return files
+
+    def result_dataset(self) -> "ray.data.Dataset":
+        return ray.data.read_parquet(self._fence_files("part-*.parquet"))
 
     def refire_df(self) -> pd.DataFrame:
         """Committed allowed-lateness refires (full fingerprint rows +
@@ -2020,8 +2092,7 @@ class StreamingFingerprintPipeline:
 
         import pyarrow.parquet as _pq
 
-        files = sorted(glob.glob(os.path.join(
-            self.sink.out_dir, "epoch=*", "refires-p*.parquet")))
+        files = self._fence_files("refires-p*.parquet")
         if not files:
             return pd.DataFrame()
         return pa.concat_tables(
@@ -2034,7 +2105,7 @@ class StreamingFingerprintPipeline:
 
         import pyarrow.parquet as _pq
 
-        files = sorted(glob.glob(os.path.join(self.sink.out_dir, "epoch=*", "media-b*.parquet")))
+        files = self._fence_files("media-b*.parquet")
         if not files:
             return pd.DataFrame(columns=["url", "ts_ms", "media_mean", "media_std"])
         return pa.concat_tables(
@@ -2048,7 +2119,7 @@ class StreamingFingerprintPipeline:
 
         import pyarrow.parquet as _pq
 
-        files = sorted(glob.glob(os.path.join(self.sink.out_dir, "epoch=*", "late-b*.parquet")))
+        files = self._fence_files("late-b*.parquet")
         if not files:
             return pd.DataFrame(columns=["url", "ts_ms"])
         return pa.concat_tables(
@@ -2061,7 +2132,7 @@ class StreamingFingerprintPipeline:
 
         import pyarrow.parquet as _pq
 
-        files = sorted(glob.glob(os.path.join(self.sink.out_dir, "epoch=*", "clean-p*.parquet")))
+        files = self._fence_files("clean-p*.parquet")
         if not files:
             return pd.DataFrame(columns=["url", "ts_ms", "text_hash"])
         return pa.concat_tables(
@@ -2074,7 +2145,7 @@ class StreamingFingerprintPipeline:
 
         import pyarrow.parquet as _pq
 
-        files = sorted(glob.glob(os.path.join(self.sink.out_dir, "epoch=*", "neardup-p*.parquet")))
+        files = self._fence_files("neardup-p*.parquet")
         if not files:
             return pd.DataFrame(columns=["url", "ts_ms"])
         return pa.concat_tables(
@@ -2088,7 +2159,7 @@ class StreamingFingerprintPipeline:
 
         import pyarrow.parquet as _pq
 
-        files = sorted(glob.glob(os.path.join(self.sink.out_dir, "epoch=*", "topn.parquet")))
+        files = self._fence_files("topn.parquet")
         if not files:
             return pd.DataFrame(columns=TOPN_SCHEMA.names)
         return pa.concat_tables(
@@ -2103,7 +2174,7 @@ class StreamingFingerprintPipeline:
 
         import pyarrow.parquet as _pq
 
-        files = sorted(glob.glob(os.path.join(self.sink.out_dir, "epoch=*", "cep.parquet")))
+        files = self._fence_files("cep.parquet")
         if not files:
             return pd.DataFrame(columns=[
                 "key_lang", "key_host", "window_kind", "match_start",
@@ -2116,7 +2187,7 @@ class StreamingFingerprintPipeline:
 
         import pyarrow.parquet as _pq
 
-        files = sorted(glob.glob(os.path.join(self.sink.out_dir, "epoch=*", "alerts.parquet")))
+        files = self._fence_files("alerts.parquet")
         if not files:
             return pd.DataFrame(columns=[
                 "key_lang", "key_host", "window_kind",

@@ -59,9 +59,20 @@ class WindowStateActor:
     def __init__(self, partition_id: int, session_gap_ms: int = 0,
                  compact_every: int = 8, session_max_ms: int = 0,
                  session_gap_by_lang: dict | None = None,
-                 allowed_lateness_ms: int = 0) -> None:
+                 allowed_lateness_ms: int = 0,
+                 session_gap_expr: str | None = None) -> None:
         self.partition_id = partition_id
         self.session_gap_ms = session_gap_ms
+        # fully general per-element gap extractor: a derived-column
+        # formula over the numeric narrow-row columns, compiled ONCE per
+        # actor (functions/exprs.py); yields per-row gaps for
+        # dynamic_session_segments.  Mutually exclusive with
+        # session_gap_by_lang / allowed lateness (validated in config).
+        self._gap_expr_fn = None
+        if session_gap_expr:
+            from ..functions.exprs import compile_expr
+
+            self._gap_expr_fn = compile_expr(session_gap_expr)
         # dynamic per-element gap (Flink SessionWindowTimeGapExtractor
         # analog): the gap is a function of the element — here its
         # key_lang — with session_gap_ms as the default for unmapped
@@ -79,6 +90,13 @@ class WindowStateActor:
         self._retained: list[pa.Table] = []
         self._refire_new: list[pa.Table] = []
         self._refire_seq: dict[tuple, int] = {}
+        # session allowed-lateness state: late-admitted session rows
+        # buffered for this epoch's unified sweep, plus that sweep's
+        # refire emissions / drop count (collected by mature_refires,
+        # which runs right after mature_sessions in the actor mailbox)
+        self._slate_new: list[pa.Table] = []
+        self._sess_refires: pa.Table | None = None
+        self._sess_dropped = 0
         # state-bounding cap: a session whose FIRST event is more than
         # session_max_ms behind the watermark force-closes with the rows
         # seen so far — hot keys that never idle otherwise grow open
@@ -108,8 +126,29 @@ class WindowStateActor:
 
     def add_session(self, table: pa.Table) -> int:
         if table.num_rows:
-            self._session.append(table)
-            self._delta["session"].append(table)
+            if self.allowed_lateness_ms > 0:
+                # per-row firing counter (0 = never emitted).  Under
+                # lateness the session snapshot is a FULL post-mature
+                # base every epoch (segment identity is data-dependent
+                # and mutates on late merges, so append-only deltas
+                # cannot represent it) — no delta bookkeeping here.
+                table = table.append_column("_fired", pa.array(
+                    np.zeros(table.num_rows, np.int64), pa.int64()))
+                self._session.append(table)
+            else:
+                self._session.append(table)
+                self._delta["session"].append(table)
+        return table.num_rows
+
+    def add_session_late(self, table: pa.Table) -> int:
+        """Late-but-admissible SESSION rows (allowed lateness): swept by
+        this epoch's ``_mature_sessions_lateness`` — they merge into open,
+        retained (already-fired) or fresh sessions; a merged session whose
+        content already fired re-fires on the refire channel."""
+        if table.num_rows:
+            table = table.append_column("_fired", pa.array(
+                np.zeros(table.num_rows, np.int64), pa.int64()))
+            self._slate_new.append(table)
         return table.num_rows
 
     def add_retained(self, table: pa.Table) -> int:
@@ -161,6 +200,8 @@ class WindowStateActor:
         live in this single owner actor until the session closes
         (SURVEY.md §7.4.3).
         """
+        if self.allowed_lateness_ms > 0:
+            return self._mature_sessions_lateness(watermark_ms)
         buf = _concat(self._session)
         self._session = []
         if buf is None:
@@ -184,7 +225,19 @@ class WindowStateActor:
             order = np.lexsort((ts, host, lang))
             lang_s, host_s, ts_s = lang[order], host[order], ts[order]
             key_change[1:] = (lang_s[1:] != lang_s[:-1]) | (host_s[1:] != host_s[:-1])
-        if self.session_gap_by_lang:
+        if self._gap_expr_fn is not None:
+            # fully general extractor: evaluate the compiled formula over
+            # the buffered rows (vectorized pa.compute), floor + clamp,
+            # then segment with the shared running-cummax kernel
+            from ..stages.windows import dynamic_session_segments
+
+            arr = self._gap_expr_fn(buf)
+            g = np.asarray(arr.to_numpy(zero_copy_only=False)
+                           if hasattr(arr, "to_numpy") else arr,
+                           dtype=np.float64)
+            gaps = np.maximum(np.floor(g).astype(np.int64), 1)
+            new_seg, running = dynamic_session_segments(ts_s, gaps[order], key_change)
+        elif self.session_gap_by_lang:
             # per-element gap: resolve each row's gap from its key_lang
             # (few distinct langs — map the uniques, broadcast via inverse)
             from ..stages.windows import dynamic_session_segments
@@ -225,6 +278,130 @@ class WindowStateActor:
             self._session = [kept]
         return closed
 
+    def _mature_sessions_lateness(self, watermark_ms: int) -> pa.Table | None:
+        """Unified session close / retention / refire sweep under allowed
+        lateness (Flink: session windows MERGE on late elements).  Constant
+        gap only — dynamic per-element gaps are refused at config time.
+
+        The whole session state (open rows, retained fired rows with their
+        per-row ``_fired`` counter, and this epoch's late-admitted rows) is
+        re-segmented per key every sweep; then per segment:
+
+        - admission (pass 0, Flink ``isWindowLate`` on the MERGED window):
+          a late-new row whose segment's retention already expired
+          (``seg_end + allowed <= wm``) is dropped and counted; survivors
+          re-segment without it;
+        - a CLOSED segment (``end <= wm`` or past the ``session_max_ms``
+          cap) containing ≥1 never-fired row emits: on the MAIN stream if
+          no row fired before (first fire — may include admitted-late
+          rows), else on the REFIRE channel with ``refire_seq =
+          max(_fired)`` (a late row bridging two fired sessions re-fires
+          ONE merged session);
+        - eviction: retention expired (``end + allowed <= wm``), or
+          cap-forced close of a still-active segment (no retention — a
+          late merge across the cap split would re-create the unbounded
+          state the cap exists to prevent).
+
+        With ``allowed = 0`` this degenerates exactly to the legacy
+        close-and-evict semantics.  The oracle mirrors this spec
+        sequentially per key (``oracle_fingerprints``)."""
+        W = np.int64(watermark_ms)
+        G = np.int64(self.session_gap_ms)
+        L = np.int64(self.allowed_lateness_ms)
+        C = np.int64(self.session_max_ms)
+        n_old = sum(t.num_rows for t in self._session)
+        buf = _concat(self._session + self._slate_new)
+        self._session = []
+        self._slate_new = []
+        self._sess_refires = None
+        if buf is None:
+            return None
+        lnew = np.zeros(buf.num_rows, dtype=bool)
+        lnew[n_old:] = True
+
+        def segment(buf):
+            ts = buf["ts_ms"].to_numpy()
+            kh = buf["key_hash"].to_numpy().astype(np.uint64)
+            order = np.lexsort((ts, kh))
+            n = len(ts)
+            key_change = np.ones(n, dtype=bool)
+            kh_s = kh[order]
+            key_change[1:] = kh_s[1:] != kh_s[:-1]
+            lang = np.asarray(buf["key_lang"], dtype=object)
+            host = np.asarray(buf["key_host"], dtype=object)
+            lang_s, host_s = lang[order], host[order]
+            str_change = np.ones(n, dtype=bool)
+            str_change[1:] = (lang_s[1:] != lang_s[:-1]) | (host_s[1:] != host_s[:-1])
+            if (str_change & ~key_change).any():  # true hash collision
+                order = np.lexsort((ts, host, lang))
+                lang_s, host_s = lang[order], host[order]
+                key_change[1:] = (lang_s[1:] != lang_s[:-1]) | (host_s[1:] != host_s[:-1])
+            ts_s = ts[order]
+            new_seg = np.ones(n, dtype=bool)
+            new_seg[1:] = key_change[1:] | (ts_s[1:] - ts_s[:-1] > G)
+            seg_id = np.cumsum(new_seg) - 1
+            starts = np.flatnonzero(new_seg)
+            ends = np.append(starts[1:], n)
+            return order, seg_id, starts, ends, ts_s[starts], ts_s[ends - 1] + G
+
+        order, seg_id, starts, ends, seg_first, seg_end = segment(buf)
+        if lnew.any():  # admission pass
+            drop = lnew[order] & (seg_end + L <= W)[seg_id]
+            if drop.any():
+                self._sess_dropped += int(drop.sum())
+                keep_idx = order[~drop]
+                buf = buf.take(pa.array(keep_idx))
+                lnew = lnew[keep_idx]
+                if buf.num_rows == 0:
+                    return None
+                order, seg_id, starts, ends, seg_first, seg_end = segment(buf)
+
+        fired_s = buf["_fired"].to_numpy()[order]
+        maxf = np.maximum.reduceat(fired_s, starts)
+        has_new = np.minimum.reduceat(fired_s, starts) == 0
+        cap_closed = ((seg_first + C <= W) & (seg_end > W)) if C > 0 \
+            else np.zeros(len(starts), dtype=bool)
+        closed = (seg_end <= W) | cap_closed
+        emit = closed & has_new
+        emit_main = emit & (maxf == 0)
+        emit_ref = emit & (maxf > 0)
+        evict = (seg_end + L <= W) | cap_closed
+        if not (emit.any() or evict.any()):
+            self._session = [buf]
+            return None
+
+        sbuf = buf.take(pa.array(order))
+        ws_rows = seg_first[seg_id]
+        we_rows = seg_end[seg_id]
+
+        def stamped(mask: np.ndarray) -> pa.Table:
+            t = sbuf.filter(pa.array(mask))
+            i_ws = t.schema.get_field_index("window_start")
+            t = t.set_column(i_ws, "window_start", pa.array(ws_rows[mask], pa.int64()))
+            i_we = t.schema.get_field_index("window_end")
+            return t.set_column(i_we, "window_end", pa.array(we_rows[mask], pa.int64()))
+
+        main = None
+        m_main = emit_main[seg_id]
+        if m_main.any():
+            main = stamped(m_main).drop_columns(["_fired"])
+        m_ref = emit_ref[seg_id]
+        if m_ref.any():
+            ref = stamped(m_ref).drop_columns(["_fired"])
+            self._sess_refires = ref.append_column(
+                "refire_seq", pa.array(maxf[seg_id][m_ref], pa.int64()))
+        new_fired = fired_s.copy()
+        m_emit = emit[seg_id]
+        new_fired[m_emit] = (maxf[seg_id] + 1)[m_emit]
+        m_keep = ~evict[seg_id]
+        if m_keep.any():
+            kept = sbuf.filter(pa.array(m_keep))
+            i_f = kept.schema.get_field_index("_fired")
+            kept = kept.set_column(i_f, "_fired",
+                                   pa.array(new_fired[m_keep], pa.int64()))
+            self._session = [kept]
+        return main
+
     _WIN_ID = ["window_kind", "key_lang", "key_host", "window_start", "window_end"]
 
     def mature_refires(self, watermark_ms: int):
@@ -252,13 +429,13 @@ class WindowStateActor:
         new = _concat(self._refire_new)
         self._refire_new = []
         if new is None:
-            return None, 0
+            return self._merge_sess_refires(None, 0)
         live_new = new["window_end"].to_numpy() + allowed > wm
         n_dropped = int((~live_new).sum())
         if not live_new.all():
             new = new.take(pa.array(np.flatnonzero(live_new)))
         if new.num_rows == 0:
-            return None, n_dropped
+            return self._merge_sess_refires(None, n_dropped)
         # merge the kept late rows into the retained content, then emit
         # the full row set of every refired window
         merged = _concat([t for t in ([ret] if ret is not None and ret.num_rows
@@ -279,7 +456,17 @@ class WindowStateActor:
         row_seq = (mids[mask].merge(new_ids, on=self._WIN_ID, how="left")
                    ["refire_seq"].to_numpy(np.int64))
         out = out.append_column("refire_seq", pa.array(row_seq, pa.int64()))
-        return out, n_dropped
+        return self._merge_sess_refires(out, n_dropped)
+
+    def _merge_sess_refires(self, out, n_dropped):
+        """Fold the session sweep's refire emissions / drop count (stashed
+        by ``_mature_sessions_lateness``, which runs just before this call
+        in the actor mailbox) into the fixed-window refire return."""
+        sr, self._sess_refires = self._sess_refires, None
+        sd, self._sess_dropped = self._sess_dropped, 0
+        if sr is not None:
+            out = sr if out is None else _concat([out, sr])
+        return out, int(n_dropped) + sd
 
     # -- introspection / checkpoint -----------------------------------------
     def buffered_rows(self) -> dict[str, int]:
@@ -300,13 +487,20 @@ class WindowStateActor:
                 "retained": self._retained, "refire": self._refire_new}
         for name in ("fixed", "session", "retained", "refire"):
             # 'refire' live is empty post-merge, so compaction clears its
-            # delta paths (the rows live on in the 'retained' base)
-            src = live[name] if compact else self._delta[name]
+            # delta paths (the rows live on in the 'retained' base).
+            # 'session' under allowed lateness is ALWAYS a full
+            # post-mature base: late merges mutate segment identity and
+            # the per-row _fired counters in place, which append-only
+            # deltas cannot represent (state stays bounded by the
+            # retention horizon + session cap).
+            full = compact or (name == "session"
+                               and self.allowed_lateness_ms > 0)
+            src = live[name] if full else self._delta[name]
             t = _concat(src)
-            if compact:
+            if full:
                 self._snap_paths[name] = []
             if t is not None:
-                suffix = "base" if compact else "delta"
+                suffix = "base" if full else "delta"
                 p = os.path.join(
                     snap_dir, f"p{self.partition_id:04d}_{name}_{suffix}.parquet"
                 )
@@ -358,11 +552,18 @@ class WindowStateActor:
                 self._refire_seq[(r["window_kind"], r["key_lang"],
                                   r["key_host"], int(r["window_start"]),
                                   int(r["window_end"]))] = int(r["refire_seq"])
+        self._slate_new = []
+        self._sess_refires = None
+        self._sess_dropped = 0
         self.mature_fixed(watermark_ms)      # discard: already emitted
         # (with allowed lateness the replay re-moves closed rows into
         # retained — exactly once, since mature-moved rows are never
         # delta'd under 'retained')
-        self.mature_sessions(watermark_ms)   # discard: already emitted
+        if self.allowed_lateness_ms == 0:
+            self.mature_sessions(watermark_ms)  # discard: already emitted
+        # under allowed lateness the 'session' snapshot is a full
+        # POST-mature base (open + retained rows with _fired counters) —
+        # authoritative as loaded, no replay needed
         if self.allowed_lateness_ms > 0 and self._retained:
             ret = _concat(self._retained)
             live = (ret["window_end"].to_numpy()
@@ -1220,7 +1421,8 @@ class StatePool:
                  compact_every: int = 8, session_max_ms: int = 0,
                  with_dedup: bool = False, with_neardup: bool = False,
                  cep_pattern=None, session_gap_by_lang: dict | None = None,
-                 allowed_lateness_ms: int = 0) -> None:
+                 allowed_lateness_ms: int = 0,
+                 session_gap_expr: str | None = None) -> None:
         self.n = n_partitions
         # adaptive reservation: never let the 2·n state actors claim more
         # than ~40% of the cluster's scheduling budget, or map/finalize
@@ -1230,7 +1432,7 @@ class StatePool:
         self.window_actors = [
             WindowStateActor.options(num_cpus=per_actor).remote(
                 i, session_gap_ms, compact_every, session_max_ms,
-                session_gap_by_lang, allowed_lateness_ms)
+                session_gap_by_lang, allowed_lateness_ms, session_gap_expr)
             for i in range(n_partitions)
         ]
         self.join_actors = [

@@ -124,6 +124,100 @@ def test_replay_committed_epoch_idempotent(ray_session, corpus):
     pd.testing.assert_frame_equal(before, after, check_dtype=False)
 
 
+def test_manifest_commit_mode_parity_resume_replay(ray_session, corpus, oracle_df):
+    """S3-style commit protocol (VERDICT r4 item 4): data files land at
+    immutable attempt-prefixed paths — never renamed, never overwritten —
+    and the single manifest-pointer write IS the commit (Iceberg/Delta
+    style).  Output must match the oracle, survive kill+resume, stay
+    idempotent under crash-replay (rewound cursor → the replay writes a
+    FRESH attempt; the orphan stays on disk but is invisible to the
+    manifest reader), and refuse a resume under the other mode."""
+    root, _, _ = corpus
+    out = "out_mf"
+    p1 = _run(root, out, max_epochs=2, cfg_extra={"commit_mode": "manifest"})
+    p1.shutdown()
+    p2 = _run(root, out, cfg_extra={"commit_mode": "manifest"})
+    eng = p2.result_dataset().to_pandas()
+    p2.shutdown()
+    pd.testing.assert_frame_equal(
+        _norm(eng, oracle_df.columns), _norm(oracle_df, oracle_df.columns),
+        check_dtype=False,
+    )
+    # no rename-mode fence dirs exist — data lives under attempt prefixes
+    assert not glob.glob(os.path.join(root, out, "epoch=*"))
+    assert glob.glob(os.path.join(root, out, "data", "epoch=*", "attempt-000"))
+
+    # crash-replay: cursor rewound one epoch, rerun → same observable rows
+    mpath = os.path.join(root, out, "manifest.json")
+    st = json.load(open(mpath))
+    st["cursor"] = N_EPOCHS - 2
+    st["watermark_ms"] = st["epochs"][str(N_EPOCHS - 2)]["watermark_ms"]
+    json.dump(st, open(mpath, "w"))
+    p3 = _run(root, out, cfg_extra={"commit_mode": "manifest"})
+    eng3 = p3.result_dataset().to_pandas()
+    p3.shutdown()
+    pd.testing.assert_frame_equal(
+        _norm(eng3, oracle_df.columns), _norm(oracle_df, oracle_df.columns),
+        check_dtype=False,
+    )
+    # the replayed epoch now has TWO attempts: the orphaned original and
+    # the committed replay — and the reader saw exactly one of them
+    last = os.path.join(root, out, "data", f"epoch={N_EPOCHS - 1:05d}")
+    assert len([d for d in os.listdir(last) if d.startswith("attempt-")]) == 2
+
+    # a resume under the other commit protocol must refuse loudly
+    with pytest.raises(RuntimeError, match="commit_mode"):
+        _run(root, out)
+
+
+def test_compact_epochs_resume_and_reader_unchanged(ray_session, corpus, oracle_df):
+    """Maintenance compaction (VERDICT r4 item 8): committed epoch fences
+    strictly before the cursor merge into ONE compacted fence; the
+    manifest chain (entries, metrics, state snapshots, cursor) stays
+    intact, so a resume continues normally and every reader sees the
+    same rows.  A later compaction folds the earlier one in."""
+    from flink_fingerprint_ray.pipelines.maintenance import compact_epochs
+
+    root, _, _ = corpus
+    out = os.path.join(root, "out_compact")
+    p1 = _run(root, "out_compact", max_epochs=3)
+    alerts_before = p1.alerts_df()
+    p1.shutdown()
+
+    res = compact_epochs(out)
+    assert res["epochs"] == [0, 1] and res["rows"] > 0
+    assert not os.path.exists(os.path.join(out, "epoch=00000"))
+    assert not os.path.exists(os.path.join(out, "epoch=00001"))
+    assert os.path.isdir(res["dir"])
+
+    # resume finishes epoch 3 from the untouched state snapshots
+    p2 = _run(root, "out_compact")
+    eng = p2.result_dataset().to_pandas()
+    p2.shutdown()
+    pd.testing.assert_frame_equal(
+        _norm(eng, oracle_df.columns), _norm(oracle_df, oracle_df.columns),
+        check_dtype=False,
+    )
+
+    # second compaction folds the first (one record, union coverage)
+    res2 = compact_epochs(out)
+    assert res2["epochs"] == [0, 1, 2]
+    p3 = _run(root, "out_compact")  # no new epochs: pure reader
+    eng3 = p3.result_dataset().to_pandas()
+    alerts_after = p3.alerts_df()
+    p3.shutdown()
+    pd.testing.assert_frame_equal(
+        _norm(eng3, oracle_df.columns), _norm(oracle_df, oracle_df.columns),
+        check_dtype=False,
+    )
+    ac = ["key_lang", "key_host", "window_kind", "window_start"]
+    pd.testing.assert_frame_equal(
+        alerts_after.sort_values(ac).reset_index(drop=True),
+        alerts_before.sort_values(ac).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
 def test_arrival_order_invariance_within_epoch(ray_session, tmp_path, oracle_df, corpus):
     """Shuffling arrival order WITHIN each epoch must not change output
     (no hidden dependence on block/row order)."""
@@ -250,6 +344,45 @@ def test_dynamic_session_gap_parity_and_resume_guard(ray_session, corpus):
              cfg_extra={"session_gap_by_lang": {"en": 60_000}})
 
 
+def test_session_gap_expr_parity_and_resume_guard(ray_session, corpus):
+    """Fully general gap extractor (VERDICT r4 item 9 — Flink's
+    SessionWindowTimeGapExtractor sees the WHOLE element): a compiled
+    formula over the narrow-row columns yields a PER-ROW gap.  Parity vs
+    the oracle's independent sequential mirror, kill+resume, and refusal
+    of a resume under a different formula."""
+    root, pages, updates = corpus
+    expr = "20000 + text_len * 100"   # varies per ROW, not just per lang
+    cfg_extra = {"session_gap_expr": expr}
+    p1 = _run(root, "out_gapexpr", max_epochs=2, cfg_extra=cfg_extra)
+    p1.shutdown()
+    p2 = _run(root, "out_gapexpr", cfg_extra=cfg_extra)
+    eng = p2.result_dataset().to_pandas()
+    ora = oracle_fingerprints(
+        pages, N_EPOCHS, updates=updates, sliding=CFG["sliding"],
+        session_gap_ms=CFG["session_gap_ms"], session_gap_expr=expr)
+    pd.testing.assert_frame_equal(
+        _norm(eng, ora.columns), _norm(ora, ora.columns), check_dtype=False)
+    # the per-row gaps must actually change the session layout
+    fixed = oracle_fingerprints(
+        pages, N_EPOCHS, updates=updates, sliding=CFG["sliding"],
+        session_gap_ms=CFG["session_gap_ms"])
+    sess = ora[ora["window_kind"] == "session"]
+    assert not sess.reset_index(drop=True).equals(
+        fixed[fixed["window_kind"] == "session"].reset_index(drop=True))
+    p2.shutdown()
+    # a different formula on resume = different window identity -> refused
+    with pytest.raises(RuntimeError, match="side-channel"):
+        _run(root, "out_gapexpr",
+             cfg_extra={"session_gap_expr": "30000 + text_len * 50"})
+    # config-time validation: non-whitelisted expression / combos refuse
+    with pytest.raises(ValueError):
+        PipelineConfig(session_gap_ms=1000,
+                       session_gap_expr="__import__('os')")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        PipelineConfig(session_gap_ms=1000, session_gap_expr="1000",
+                       session_gap_by_lang={"en": 500})
+
+
 def _late_corpus(tmp_path, n_docs=900, n_epochs=4):
     """Pages with injected lateness: 40 rows one epoch late (within a
     span/3 allowance) and 40 rows ~three epochs late (beyond it)."""
@@ -343,35 +476,6 @@ def test_allowed_lateness_with_cumulate_parity(ray_session, tmp_path):
     pipe.shutdown()
 
 
-def test_allowed_lateness_with_dynamic_session_gap(ray_session, tmp_path):
-    """Both round-4f features composed: per-lang session gaps (late rows
-    never enter sessions) + fixed-window refires, one pipeline — main
-    and refire streams must both match the oracle."""
-    pages, updates, span = _late_corpus(tmp_path)
-    gaps = {"en": 45_000, "zh": 15_000}
-    cfg = PipelineConfig(sliding=(120_000, 60_000), session_gap_ms=30_000,
-                         session_gap_by_lang=gaps, n_state_partitions=3,
-                         allowed_lateness_ms=100_000_000)
-    pipe = StreamingFingerprintPipeline(
-        str(tmp_path / "pages"), str(tmp_path / "out"),
-        updates_root=str(tmp_path / "updates"), cfg=cfg)
-    pipe.run()
-    eng = pipe.result_dataset().to_pandas()
-    ref = pipe.refire_df()
-    ora, ora_ref = oracle_fingerprints(
-        pages, 4, updates=updates, sliding=(120_000, 60_000),
-        session_gap_ms=30_000, session_gap_by_lang=gaps,
-        allowed_lateness_ms=100_000_000, return_refires=True)
-    pd.testing.assert_frame_equal(
-        _norm(eng, ora.columns), _norm(ora, ora.columns), check_dtype=False)
-    sc2 = SORT_COLS + ["window_end", "refire_seq"]
-    assert len(ref) == len(ora_ref) > 0
-    pd.testing.assert_frame_equal(
-        ref.sort_values(sc2).reset_index(drop=True)[ora_ref.columns.tolist()],
-        ora_ref.sort_values(sc2).reset_index(drop=True), check_dtype=False)
-    pipe.shutdown()
-
-
 def test_allowed_lateness_composes_with_side_channels(ray_session, tmp_path):
     """Late-admissible rows exist ONLY for window refires: with curation,
     near-dup and the late-DLQ all on, each side channel must still match
@@ -425,6 +529,91 @@ def test_allowed_lateness_composes_with_side_channels(ray_session, tmp_path):
             o[cols].sort_values(cols, kind="stable").reset_index(drop=True),
             check_dtype=False)
     pipe.shutdown()
+
+
+def test_session_allowed_lateness_bridge_merge(ray_session, tmp_path):
+    """Flink session windows MERGE on late elements (VERDICT r4 item 2):
+    a late-admitted row that bridges TWO already-fired sessions of its key
+    re-fires ONE merged session on the refire channel (refire_seq=1, full
+    merged aggregate) — engine row-exact vs oracle, through kill+resume."""
+    B = fixtures.BASE_TS_MS
+    pages = fixtures.make_pages(n_docs=300, seed=9, late_frac=0.0,
+                                ooo_frac=0.0, empty_frac=0.0)
+    ts = pages["warc_ts"].cast(pa.int64()).to_numpy().copy()
+    url = np.asarray(pages["url"], dtype=object).copy()
+    lang = np.asarray(pages["lang"], dtype=object).copy()
+    # bridge key: cluster A (0,5,10 s) + cluster B (40,45,50 s), gap 20 s
+    # -> two sessions [0,30) and [40,70); the late row at 25 s (epoch 2)
+    # is within the gap of BOTH -> one merged session [0,70)
+    bridge = [0, 1, 2, 3, 4, 5, 200]
+    for j, off in zip(bridge, [0, 5_000, 10_000, 40_000, 45_000, 50_000, 25_000]):
+        ts[j] = B + off
+        url[j] = f"https://hbridge.example.com/px{j}"
+        lang[j] = "en"
+    ts[6:100] = B + 55_000 + np.arange(94) * 50          # epoch 0 bg
+    ts[100:200] = B + 95_000 + np.arange(100) * 50       # epoch 1 bg -> wm closes A+B
+    ts[201:300] = B + 100_000 + np.arange(99) * 10       # epoch 2 bg (wm ~flat)
+    pages = (pages
+             .set_column(pages.schema.get_field_index("warc_ts"), "warc_ts",
+                         pa.array(ts, pa.timestamp("ms")))
+             .set_column(pages.schema.get_field_index("url"), "url",
+                         pa.array(url, pa.string()))
+             .set_column(pages.schema.get_field_index("lang"), "lang",
+                         pa.array(lang, pa.string())))
+    fixtures.write_epochs(pages, str(tmp_path), n_epochs=3, prefix="pages")
+    GAP, ALLOWED = 20_000, 70_000
+    cfg = PipelineConfig(session_gap_ms=GAP, allowed_lateness_ms=ALLOWED,
+                         n_state_partitions=3)
+    ora, ora_ref = oracle_fingerprints(
+        pages, 3, session_gap_ms=GAP, allowed_lateness_ms=ALLOWED,
+        return_refires=True)
+    # the oracle itself must contain the engineered bridge refire
+    sref = ora_ref[ora_ref["window_kind"] == "session"]
+    hit = sref[(sref["key_host"] == "hbridge.example.com")
+               & (sref["window_start"] == B)
+               & (sref["window_end"] == B + 70_000)]
+    assert len(hit) == 1 and int(hit["doc_count"].iloc[0]) == 7 \
+        and int(hit["refire_seq"].iloc[0]) == 1
+    # ...and main output carries the two ORIGINAL first-fired sessions
+    smain = ora[(ora["window_kind"] == "session")
+                & (ora["key_host"] == "hbridge.example.com")]
+    assert {(int(s), int(e)) for s, e in
+            zip(smain["window_start"], smain["window_end"])} \
+        >= {(B, B + 30_000), (B + 40_000, B + 70_000)}
+
+    args = (str(tmp_path / "pages"), str(tmp_path / "out"))
+    p1 = StreamingFingerprintPipeline(*args, cfg=cfg)
+    p1.run(max_epochs=2)
+    p1.shutdown()                      # kill between first fire and refire
+    p2 = StreamingFingerprintPipeline(*args, cfg=cfg)
+    p2.run()
+    eng = p2.result_dataset().to_pandas()
+    ref = p2.refire_df()
+    p2.shutdown()
+    pd.testing.assert_frame_equal(
+        _norm(eng, ora.columns), _norm(ora, ora.columns), check_dtype=False)
+    sc2 = SORT_COLS + ["window_end", "refire_seq"]
+    assert len(ref) == len(ora_ref) > 0
+    pd.testing.assert_frame_equal(
+        ref.sort_values(sc2).reset_index(drop=True)[ora_ref.columns.tolist()],
+        ora_ref.sort_values(sc2).reset_index(drop=True), check_dtype=False)
+
+
+def test_session_lateness_refuses_dynamic_gaps():
+    """The session lateness sweep re-segments with a constant gap —
+    combining it with per-element dynamic gaps must refuse at config
+    time (both engine and oracle).  Supersedes the r4f composition where
+    sessions simply never admitted late rows: sessions now MERGE on late
+    elements, so the silent-composition escape hatch is gone."""
+    with pytest.raises(ValueError, match="session_gap_by_lang"):
+        PipelineConfig(session_gap_ms=10_000,
+                       session_gap_by_lang={"en": 5_000},
+                       allowed_lateness_ms=1_000)
+    with pytest.raises(ValueError, match="session_gap_by_lang"):
+        oracle_fingerprints(fixtures.make_pages(n_docs=10), 1,
+                            session_gap_ms=10_000,
+                            session_gap_by_lang={"en": 5_000},
+                            allowed_lateness_ms=1_000)
 
 
 def test_allowed_lateness_composes_with_engine_channels(ray_session, tmp_path):
