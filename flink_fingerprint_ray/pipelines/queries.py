@@ -1150,6 +1150,81 @@ def q_media_audio_codecs_check(sf_dir: str):
                          "fidelity_ok": pd.array([fidelity], dtype="int64")})
 
 
+def q_media_flac(sf_dir: str):
+    """Multimodal LOSSLESS-audio path (rows-only): genuine FLAC payloads
+    (pure-numpy RFC 9639 codec: FIXED + quantized-LPC predictors,
+    partitioned Rice, mono + left-side stereo, CRC-8/16 + MD5 verified)
+    decoded by the actor-pool stage via the ``library`` dispatch slot.
+    The distributed-vs-single-process + losslessness/budget invariant is
+    ``media_flac_check``."""
+    from ..stages.media import AudioFeatureStage, make_flac_media
+
+    ds = ray.data.from_arrow(make_flac_media(144, seed=13))
+    return ds.map_batches(
+        AudioFeatureStage, fn_constructor_kwargs={"decoder": "library"},
+        concurrency=2, batch_size=32, batch_format="pyarrow",
+    )
+
+
+def q_media_flac_check(sf_dir: str):
+    """Driver-visible invariant for the FLAC path: (1) the actor-pool
+    decode equals a single-process decode of the same bytes
+    (micros-rounded), (2) LOSSLESSNESS — decode(encode(pcm)) is
+    bit-exact for every predictor and stereo mode, (3) compression
+    budget — the sine-mix fixture compresses below 0.85x raw PCM, and
+    (4) a flipped byte is caught by the frame CRC.  Oracle pins
+    mismatch_rows=0, lossless_ok=1, budget_ok=1."""
+    from ..functions.flac import decode_flac, encode_flac
+    from ..stages.media import AudioFeatureStage, make_flac_media
+
+    eng = q_media_flac(sf_dir).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    tbl = make_flac_media(144, seed=13)
+    stage = AudioFeatureStage(decoder="library")   # same kernel, no Ray
+    ref = stage(tbl).to_pandas().sort_values("media_id").reset_index(drop=True)
+    for df in (eng, ref):
+        for c in ("energy", "duration_s"):
+            df[c] = _micros(df[c].to_numpy())
+    if len(eng) != len(ref):
+        mism = max(len(eng), len(ref))
+    else:
+        mism = int((eng[ref.columns.tolist()].to_numpy() != ref.to_numpy())
+                   .any(axis=1).sum())
+
+    rng = np.random.RandomState(5)
+    sr = 16000
+    t = np.arange(sr) / sr
+    x = np.clip((0.5 * np.sin(2 * np.pi * 440 * t)
+                 + 0.25 * np.sin(2 * np.pi * 1200 * t)
+                 + rng.normal(0, 0.002, len(t))) * 32767,
+                -32768, 32767).astype(np.int16)
+    st = np.stack([x, (x * 0.7).astype(np.int16)], axis=1)
+    lossless = True
+    sizes = []
+    for pred in ("fixed", "lpc"):
+        enc = encode_flac(x, sr, predictor=pred)
+        sizes.append(len(enc) / x.nbytes)
+        lossless &= bool(np.array_equal(decode_flac(enc)[0], x.astype(np.int32)))
+        for mode in ("independent", "left_side", "right_side", "mid_side"):
+            enc2 = encode_flac(st, sr, stereo_mode=mode, predictor=pred)
+            lossless &= bool(np.array_equal(decode_flac(enc2)[0],
+                                            st.astype(np.int32)))
+    budget = int(max(sizes) < 0.85)
+    # integrity: a flipped payload byte must be caught, not decoded
+    bad = bytearray(encode_flac(x, sr))
+    bad[len(bad) // 2] ^= 0xFF
+    try:
+        decode_flac(bytes(bad))
+        caught = False
+    except ValueError:
+        caught = True
+    return pd.DataFrame({
+        "mismatch_rows": pd.array([mism], dtype="int64"),
+        "lossless_ok": pd.array([int(lossless and caught)], dtype="int64"),
+        "budget_ok": pd.array([budget], dtype="int64"),
+    })
+
+
 def q_media_video_frames(sf_dir: str):
     """Multimodal REAL-video path (rows-only): genuine MJPEG-AVI payloads
     frame-sampled (every 4th frame) by the actor-pool stage via the
@@ -8594,6 +8669,8 @@ QUERIES = {
     "media_png_features_check": q_media_png_features_check,
     "media_audio_codecs": q_media_audio_codecs,
     "media_audio_codecs_check": q_media_audio_codecs_check,
+    "media_flac": q_media_flac,
+    "media_flac_check": q_media_flac_check,
     "media_video_frames": q_media_video_frames,
     "media_video_frames_check": q_media_video_frames_check,
     "media_gif_features": q_media_gif_features,
@@ -8777,6 +8854,9 @@ ORACLE_SQL = {
                                  "CAST(1 AS BIGINT) AS lossless_ok"),
     "media_audio_codecs_check": ("SELECT CAST(0 AS BIGINT) AS mismatch_rows, "
                                  "CAST(1 AS BIGINT) AS fidelity_ok"),
+    "media_flac_check": ("SELECT CAST(0 AS BIGINT) AS mismatch_rows, "
+                         "CAST(1 AS BIGINT) AS lossless_ok, "
+                         "CAST(1 AS BIGINT) AS budget_ok"),
     "media_video_frames_check": ("SELECT CAST(0 AS BIGINT) AS mismatch_rows, "
                                  "CAST(1 AS BIGINT) AS frame_count_ok, "
                                  "CAST(1 AS BIGINT) AS seek_ok"),

@@ -166,8 +166,17 @@ class LibraryDecoder:
             from ..functions.audio_codecs import decode_wav_compressed
 
             return decode_wav_compressed(payload)
+        if payload[:4] == b"fLaC":
+            # REAL lossless codec: pure-numpy FLAC (functions/flac.py,
+            # RFC 9639) — CRC-8/16 + MD5 verified; stereo downmixes to
+            # mono for the feature stage like the WAV paths
+            from ..functions.flac import decode_flac
+
+            pcm, _sr = decode_flac(payload)
+            x = pcm.astype(np.float32) / 32768.0
+            return x if x.ndim == 1 else x.mean(axis=1)
         raise NotImplementedError(
-            "audio codecs beyond WAV(PCM16/mu-law/ADPCM) require "
+            "audio codecs beyond WAV(PCM16/mu-law/ADPCM)/FLAC require "
             "libav/soundfile — not available in this container; plug the "
             "codec in here (loaded once per actor)")
 
@@ -563,6 +572,42 @@ def make_compressed_audio_media(n: int, seed: int = 0) -> pa.Table:
             "width": pa.array(np.full(n, 0, np.int32)),
             "height": pa.array(np.full(n, 0, np.int32)),
             "sample_rate": pa.array(rates),
+            "n_frames": pa.array(np.full(n, 1, np.int32)),
+        }
+    )
+
+
+def make_flac_media(n: int, seed: int = 0) -> pa.Table:
+    """Fixture with GENUINE FLAC payloads: seeded sine-mix 16-bit clips,
+    alternating FIXED / quantized-LPC predictors and mono / left-side
+    stereo — the lossless shapes podcast/music corpora ship."""
+    from ..functions.flac import encode_flac
+
+    rng = np.random.RandomState(seed)
+    sr = 16000
+    payloads = []
+    for i in range(n):
+        t = np.arange(int(sr * rng.uniform(0.2, 0.5))) / sr
+        f1, f2 = rng.uniform(100, 2000, 2)
+        x = (0.5 * np.sin(2 * np.pi * f1 * t)
+             + 0.25 * np.sin(2 * np.pi * f2 * t)
+             + rng.normal(0, 0.002, len(t)))
+        pcm = np.clip(x * 32767, -32768, 32767).astype(np.int16)
+        pred = "lpc" if i % 2 else "fixed"
+        if i % 3 == 0:
+            st = np.stack([pcm, (pcm * 0.6).astype(np.int16)], axis=1)
+            payloads.append(encode_flac(st, sr, stereo_mode="left_side",
+                                        predictor=pred))
+        else:
+            payloads.append(encode_flac(pcm, sr, predictor=pred))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array(["audio"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(np.full(n, 0, np.int32)),
+            "height": pa.array(np.full(n, 0, np.int32)),
+            "sample_rate": pa.array(np.full(n, sr, np.int32)),
             "n_frames": pa.array(np.full(n, 1, np.int32)),
         }
     )

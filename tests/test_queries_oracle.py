@@ -129,6 +129,7 @@ FAST_SQL_QUERIES = [
     "media_jpeg_features_check",
     "media_png_features_check",
     "media_audio_codecs_check",
+    "media_flac_check",
     "media_video_frames_check",
     "media_gif_features_check",
     "media_gif_anim_frames_check",
@@ -200,7 +201,7 @@ def test_rows_only_queries_nonempty(ray_session):
     q = entrymod.queries()
     for name in ("minhash_lsh_clusters", "ann_topk_ivf", "ann_topk_pq",
                  "model_lang_score", "media_jpeg_features",
-                 "media_png_features", "media_audio_codecs",
+                 "media_png_features", "media_audio_codecs", "media_flac",
                  "media_video_frames", "media_gif_features",
                  "media_gif_anim_frames", "host_pagerank", "pack_greedy",
                  "host_hits"):
