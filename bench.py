@@ -330,12 +330,35 @@ def main() -> None:
                     help="interleaved plain-vs-(window_topn+cep_pattern) "
                          "A/B pairs on one shared corpus — the round-4d "
                          "side-channel cost protocol")
+    ap.add_argument("--large", action="store_true",
+                    help="large-corpus headline: 3.84M docs / 4 epochs "
+                         "(BENCH_N_DOCS overridable), headline only — the "
+                         "per-round institutionalized form of the ad-hoc "
+                         "large runs quoted in BASELINE.md (VERDICT r4 #5)")
     ap.add_argument("--lateness-ab", dest="lateness_ab", action="store_true",
                     help="interleaved plain-vs-allowed_lateness A/B pairs "
                          "on one shared corpus — the retention + refire "
                          "channel cost (route sends closable copies to "
                          "the state actors when the feature is on)")
     args = ap.parse_args()
+
+    if args.large:
+        import ray
+
+        n_docs = int(os.environ.get("BENCH_N_DOCS", str(N_DOCS * 4)))
+        n_epochs = int(os.environ.get("BENCH_N_EPOCHS", N_EPOCHS))
+        _init_ray(NUM_CPUS)
+        _warm_pool(NUM_CPUS)
+        headline = run_headline(NUM_CPUS, n_docs=n_docs, n_epochs=n_epochs)
+        print(json.dumps({
+            "metric": "large-corpus streaming fingerprint pipeline wall time (sec)",
+            "value": headline["sec"],
+            "unit": "sec",
+            "num_cpus": NUM_CPUS,
+            "headline": headline,
+        }))
+        ray.shutdown()
+        return
 
     if args.lateness_ab:
         # same drift-proof protocol as --channels-ab: shared corpus,

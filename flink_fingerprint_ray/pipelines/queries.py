@@ -2134,12 +2134,19 @@ def q_mapped_lookup(sf_dir: str):
 
     lut = load_mapping_table(os.path.join(sf_dir, "nation.parquet"),
                              "n_nationkey", "n_name")
-    lut_ref = ray.put(lut)
+    # packed-key searchsorted probe (the repo's broadcast-lookup idiom,
+    # cf. _probe_segment): sorted int keys + parallel value array beat a
+    # per-row dict probe that materializes Python objects
+    keys = np.array(sorted(lut), dtype=np.int64)
+    vals = np.array([lut[k] for k in keys], dtype=object)
+    lut_ref = ray.put((keys, vals))
     ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
 
     def probe(batch: pa.Table) -> pd.DataFrame:
-        m = ray.get(lut_ref)
-        name = pd.Series(batch["c_nationkey"].to_numpy()).map(m)
+        ks, vs = ray.get(lut_ref)
+        nk = batch["c_nationkey"].to_numpy().astype(np.int64)
+        pos = np.minimum(np.searchsorted(ks, nk), len(ks) - 1)
+        name = pd.Series(vs[pos])
         return (name.value_counts().rename("n_customers")
                 .rename_axis("nation_name").reset_index())
 
@@ -4453,12 +4460,16 @@ def q_zscore_chars(sf_dir: str):
          .groupby("lang", sort=False).sum(numeric_only=True))
     mean = m["s1"] / m["n"]
     sd = np.sqrt((m["s2"] - m["s1"] ** 2 / m["n"]) / (m["n"] - 1))
-    mean_d, sd_d = mean.to_dict(), sd.to_dict()
+    # vectorized Arrow index_in against the tiny lang vocabulary instead
+    # of a per-row pandas dict probe (broadcast-lookup idiom)
+    langs = pa.array(mean.index.tolist())
+    mean_a, sd_a = mean.to_numpy(), sd.to_numpy()
 
     def score(batch: pa.Table) -> pa.Table:
-        lang = batch["lang"].to_pandas()
-        mu = lang.map(mean_d).to_numpy()
-        s = lang.map(sd_d).to_numpy()
+        idx = pc.index_in(batch["lang"], value_set=langs).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        mu = mean_a[idx]
+        s = sd_a[idx]
         z = (batch["n_chars"].to_numpy().astype(np.float64) - mu) / s
         return pa.table({
             "doc_id": batch["doc_id"].cast(pa.int64()),
