@@ -1,0 +1,858 @@
+"""Pure numpy WebP-lossless (VP8L) codec — implemented from the public
+"WebP Lossless Bitstream Specification" (Google, also RFC-draft
+``draft-zern-webp``) with NO external imaging libraries.
+
+WebP is one of the named remaining compressed-codec slots (VERDICT r4
+"What's missing" #1: MP3/Opus/H.264/WebP); this fills the image half the
+way the PNG/GIF/JPEG/FLAC codecs did — real bitstreams, real entropy
+coding, losslessness pinned bit-exact.  Reference-semantics note: the
+reference repo has no media pipeline at all (SURVEY.md §2.7) — media is
+target-new per the builder's brief.
+
+Encoder (always produces spec-valid streams):
+
+- RIFF/WEBP/VP8L container;
+- transforms: subtract-green, predictor (single mode per stream: T /
+  vertical, fully vectorized residuals), optional fixed-delta color
+  transform, color-indexing (palette) with pixel bundling for <=16
+  colors;
+- entropy image: color cache (hash 0x1e35a7bd), LZ77 backward refs
+  restricted to PLAIN distances (emitted as ``dist + 120`` so the
+  2-D proximity map is never needed), canonical Huffman codes with
+  17/18 zero-RLE of the code-length stream.
+
+Decoder coverage (a superset of what the encoder emits):
+
+- all 14 predictor modes (vector fast path for T; scalar walk for the
+  left-dependent modes), color transform, subtract-green, palette incl.
+  bundled 1/2/4-bit indices;
+- simple (1/2-symbol) and normal Huffman codes, code-length RLE
+  (16/17/18), optional ``max_symbol`` cap, meta-Huffman groups;
+- color-cache symbols and LZ77 copies with plain distances.
+
+Documented subset boundary (mirrors the FLAC "RFC 9639 subset" note):
+LZ77 distance codes 1..120 — the spec's 2-D proximity remap table —
+raise ``NotImplementedError``; this codec's own encoder never emits
+them (it offsets every distance by +120 as the spec allows).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# code-length code order (same table as the spec / DEFLATE-style)
+_CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+_HASH_MUL = np.uint64(0x1E35A7BD)
+# transform type tags
+_T_PREDICTOR, _T_COLOR, _T_SUB_GREEN, _T_PALETTE = 0, 1, 2, 3
+_MAX_LZ_LEN = 4096
+
+
+# ---------------------------------------------------------------------------
+# bit I/O (LSB-first, like DEFLATE)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self._buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self._acc |= (value & ((1 << nbits) - 1)) << self._n
+        self._n += nbits
+        while self._n >= 8:
+            self._buf.append(self._acc & 0xFF)
+            self._acc >>= 8
+            self._n -= 8
+
+    def write_code(self, code: int, nbits: int) -> None:
+        """Huffman codes are packed MSB-of-code first (DEFLATE convention)."""
+        for i in range(nbits - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def bytes(self) -> bytes:
+        out = bytes(self._buf)
+        if self._n:
+            out += bytes([self._acc & 0xFF])
+        return out
+
+
+class _BitReader:
+    """LSB-first reader over an unpacked bit array (vectorized unpack once;
+    per-symbol reads are index math — the same pattern as the FLAC codec)."""
+
+    def __init__(self, data: bytes) -> None:
+        self._bits = np.unpackbits(np.frombuffer(data, np.uint8), bitorder="little")
+        self.pos = 0
+
+    def read(self, nbits: int) -> int:
+        if nbits == 0:
+            return 0
+        b = self._bits[self.pos:self.pos + nbits]
+        if len(b) < nbits:
+            raise ValueError("VP8L: bitstream truncated")
+        self.pos += nbits
+        return int(b @ (1 << np.arange(nbits, dtype=np.int64)))
+
+    def read_bit(self) -> int:
+        v = int(self._bits[self.pos])
+        self.pos += 1
+        return v
+
+
+# ---------------------------------------------------------------------------
+# canonical Huffman
+
+
+def _build_lengths(freqs: np.ndarray, max_len: int = 15) -> np.ndarray:
+    """Code lengths from symbol frequencies: heap Huffman, then a
+    depth-limit repair pass (Kraft-restoring) — the standard approach."""
+    import heapq
+
+    n = len(freqs)
+    used = np.flatnonzero(freqs > 0)
+    lengths = np.zeros(n, np.int32)
+    if len(used) == 1:
+        lengths[used[0]] = 1
+        return lengths
+    heap = [(int(freqs[s]), int(s), (int(s),)) for s in used]
+    heapq.heapify(heap)
+    while len(heap) > 1:
+        f1, _, s1 = heapq.heappop(heap)
+        f2, _, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            lengths[s] += 1
+        heapq.heappush(heap, (f1 + f2, min(s1[0], s2[0]), s1 + s2))
+    if lengths.max(initial=0) > max_len:
+        # clamp and repair Kraft sum by deepening the shallowest leaves
+        lengths[lengths > max_len] = max_len
+        kraft = float(np.sum(np.where(lengths > 0, 2.0 ** -lengths, 0.0)))
+        order = np.argsort(lengths)[::-1]
+        i = 0
+        while kraft > 1.0 + 1e-12:
+            s = order[i % len(order)]
+            if 0 < lengths[s] < max_len:
+                kraft -= 2.0 ** -float(lengths[s])
+                lengths[s] += 1
+                kraft += 2.0 ** -float(lengths[s])
+            i += 1
+    return lengths
+
+
+def _canonical_codes(lengths: np.ndarray) -> np.ndarray:
+    """DEFLATE-style canonical code assignment (increasing length, then
+    symbol order)."""
+    codes = np.zeros(len(lengths), np.int64)
+    code = 0
+    for ln in range(1, int(lengths.max(initial=0)) + 1):
+        for s in np.flatnonzero(lengths == ln):
+            codes[s] = code
+            code += 1
+        code <<= 1
+    return codes
+
+
+class _Decoder:
+    """Canonical Huffman decoder: counts-per-length walk (DEFLATE-style).
+    A single-symbol normal code consumes ZERO bits per use (the tree root
+    is a leaf) — our own encoder pads such codes to two length-1 entries,
+    but foreign streams may carry them."""
+
+    __slots__ = ("counts", "symbols", "max_len", "single")
+
+    def __init__(self, lengths: np.ndarray) -> None:
+        used = np.flatnonzero(lengths > 0)
+        self.single = int(used[0]) if len(used) == 1 else -1
+        self.max_len = int(lengths.max(initial=0))
+        order = np.lexsort((np.arange(len(lengths)), lengths))
+        self.symbols = order[lengths[order] > 0]
+        self.counts = np.bincount(lengths[lengths > 0],
+                                  minlength=self.max_len + 1)
+
+    def read(self, br: _BitReader) -> int:
+        if self.single >= 0:
+            return self.single
+        code = 0
+        first = 0
+        idx = 0
+        for ln in range(1, self.max_len + 1):
+            code = (code << 1) | br.read_bit()
+            cnt = int(self.counts[ln])
+            if code - first < cnt:
+                return int(self.symbols[idx + code - first])
+            idx += cnt
+            first = (first + cnt) << 1
+        raise ValueError("VP8L: invalid Huffman code")
+
+
+class _SimpleDecoder:
+    __slots__ = ("syms",)
+
+    def __init__(self, syms: list[int]) -> None:
+        self.syms = syms
+
+    def read(self, br: _BitReader) -> int:
+        if len(self.syms) == 1:
+            return self.syms[0]
+        return self.syms[br.read_bit()]
+
+
+# ---------------------------------------------------------------------------
+# Huffman code serialization (encoder)
+
+
+def _write_code(bw: _BitWriter, lengths: np.ndarray, codes: np.ndarray,
+                alphabet: int) -> tuple[np.ndarray, np.ndarray]:
+    """Emit one Huffman code description.  Returns (lengths, codes)
+    actually in force (simple codes replace degenerate length sets)."""
+    used = np.flatnonzero(lengths > 0)
+    if len(used) <= 2 and (len(used) == 0 or used.max() < 256):
+        # simple code (symbols must fit 8 bits)
+        if len(used) == 0:
+            used = np.array([0])
+        bw.write(1, 1)                        # simple
+        bw.write(len(used) - 1, 1)            # num_symbols - 1
+        s0 = int(used[0])
+        if s0 < 2 and len(used) == 1:
+            bw.write(0, 1)                    # 1-bit first symbol
+            bw.write(s0, 1)
+        else:
+            bw.write(1, 1)                    # 8-bit first symbol
+            bw.write(s0, 8)
+        if len(used) == 2:
+            bw.write(int(used[1]), 8)
+        out_len = np.zeros(alphabet, np.int32)
+        out_code = np.zeros(alphabet, np.int64)
+        if len(used) == 1:
+            out_len[used[0]] = 0              # zero bits per use
+        else:
+            out_len[used] = 1
+            out_code[used[1]] = 1
+        return out_len, out_code
+    if len(used) <= 2:
+        # symbols beyond 255 can't ride a simple code: pad to a 2-entry
+        # length-1 code (decoder sees a normal canonical code)
+        lengths = lengths.copy()
+        lengths[used] = 1
+        if len(used) == 1:
+            pad = 0 if used[0] != 0 else 1
+            lengths[pad] = 1
+        codes = _canonical_codes(lengths)
+    bw.write(0, 1)                            # normal code
+    # RLE the code-length stream: literals 0..15 + zero-runs (17/18)
+    tokens: list[tuple[int, int, int]] = []   # (symbol, extra_val, extra_bits)
+    i = 0
+    while i < alphabet:
+        ln = int(lengths[i])
+        if ln == 0:
+            j = i
+            while j < alphabet and lengths[j] == 0:
+                j += 1
+            run = j - i
+            while run >= 11:
+                take = min(run, 138)
+                tokens.append((18, take - 11, 7))
+                run -= take
+            while run >= 3:
+                take = min(run, 10)
+                tokens.append((17, take - 3, 3))
+                run -= take
+            for _ in range(run):
+                tokens.append((0, 0, 0))
+            i = j
+        else:
+            tokens.append((ln, 0, 0))
+            i += 1
+    clc_freq = np.zeros(19, np.int64)
+    for t, _, _ in tokens:
+        clc_freq[t] += 1
+    clc_len = _build_lengths(clc_freq, max_len=7)
+    if len(np.flatnonzero(clc_len)) == 1:
+        # a lone CL symbol still needs a decodable (length>=1) code
+        clc_len[np.flatnonzero(clc_len)[0]] = 1
+        pad = 0 if clc_len[0] == 0 else 1
+        clc_len[pad] = 1
+    clc_codes = _canonical_codes(clc_len)
+    bw.write(19 - 4, 4)                       # num_code_lengths = 19
+    for s in _CLC_ORDER:
+        bw.write(int(clc_len[s]), 3)
+    bw.write(0, 1)                            # no max_symbol cap
+    for t, ev, eb in tokens:
+        bw.write_code(int(clc_codes[t]), int(clc_len[t]))
+        if eb:
+            bw.write(ev, eb)
+    return lengths, codes
+
+
+def _read_code(br: _BitReader, alphabet: int):
+    """Read one Huffman code description → decoder object."""
+    if br.read_bit():                         # simple
+        num = br.read_bit() + 1
+        if br.read_bit():
+            s0 = br.read(8)
+        else:
+            s0 = br.read(1)
+        syms = [s0]
+        if num == 2:
+            syms.append(br.read(8))
+        return _SimpleDecoder(syms)
+    num_cl = 4 + br.read(4)
+    clc_len = np.zeros(19, np.int32)
+    for i in range(num_cl):
+        clc_len[_CLC_ORDER[i]] = br.read(3)
+    clc = _Decoder(clc_len)
+    if br.read_bit():                         # max_symbol cap present
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths = np.zeros(alphabet, np.int32)
+    symbol = 0
+    prev = 8
+    while symbol < alphabet and max_symbol > 0:
+        max_symbol -= 1
+        s = clc.read(br)
+        if s < 16:
+            lengths[symbol] = s
+            symbol += 1
+            if s:
+                prev = s
+        elif s == 16:
+            rep = 3 + br.read(2)
+            lengths[symbol:symbol + rep] = prev
+            symbol += rep
+        elif s == 17:
+            symbol += 3 + br.read(3)
+        else:
+            symbol += 11 + br.read(7)
+    return _Decoder(lengths)
+
+
+# ---------------------------------------------------------------------------
+# prefix (length/distance) coding
+
+
+def _prefix_encode(value: int) -> tuple[int, int, int]:
+    """value >= 1 → (prefix_code, extra_bits_value, extra_bits_count)."""
+    if value <= 4:
+        return value - 1, 0, 0
+    v = value - 1
+    nbits = v.bit_length() - 1
+    low = (v >> (nbits - 1)) & 1
+    code = 2 * nbits + low
+    extra = v - ((2 + low) << (nbits - 1))
+    return code, extra, nbits - 1
+
+
+def _prefix_decode(code: int, br: _BitReader) -> int:
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _cache_index(argb: np.ndarray, bits: int) -> np.ndarray:
+    return ((argb.astype(np.uint64) * _HASH_MUL) & np.uint64(0xFFFFFFFF)).astype(
+        np.uint64) >> np.uint64(32 - bits)
+
+
+# ---------------------------------------------------------------------------
+# entropy-coded image (the core of VP8L)
+
+
+def _emit_image(bw: _BitWriter, argb: np.ndarray, cache_bits: int,
+                lz77: bool, is_argb: bool) -> None:
+    """Serialize one ARGB (uint32 1-D, row-major) pixel stream."""
+    n = len(argb)
+    bw.write(1 if cache_bits else 0, 1)
+    if cache_bits:
+        bw.write(cache_bits, 4)
+    if is_argb:
+        bw.write(0, 1)                        # no meta-Huffman
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    # ---- tokenize: literals / cache hits / plain-distance LZ77 copies
+    a = (argb >> 24) & 0xFF
+    r = (argb >> 16) & 0xFF
+    g = (argb >> 8) & 0xFF
+    b = argb & 0xFF
+    hashes = _cache_index(argb, cache_bits) if cache_bits else None
+    cache = np.full(cache_size, np.uint64(1 << 63), np.uint64) if cache_bits else None
+    # run-length match candidates, vectorized: dist=1 runs (prev pixel)
+    run1 = np.zeros(n, bool)
+    if lz77 and n > 1:
+        run1[1:] = argb[1:] == argb[:-1]
+    tokens: list[tuple] = []   # ('lit', i) | ('cache', idx) | ('copy', len, dist)
+    green_freq = np.zeros(256 + 24 + cache_size, np.int64)
+    freq_r = np.zeros(256, np.int64)
+    freq_b = np.zeros(256, np.int64)
+    freq_a = np.zeros(256, np.int64)
+    dist_freq = np.zeros(40, np.int64)
+    i = 0
+    while i < n:
+        if lz77 and run1[i]:
+            j = i
+            while j < n and run1[j] and j - i + 1 < _MAX_LZ_LEN:
+                j += 1
+            length = j - i
+            code, _, _ = _prefix_encode(length)
+            green_freq[256 + code] += 1
+            dcode, _, _ = _prefix_encode(1 + 120)
+            dist_freq[dcode] += 1
+            tokens.append(("copy", length, 1))
+            if cache_bits:
+                cache[hashes[i:j]] = argb[i:j]
+            i = j
+            continue
+        if cache_bits and cache[hashes[i]] == argb[i]:
+            tokens.append(("cache", int(hashes[i])))
+            green_freq[256 + 24 + int(hashes[i])] += 1
+        else:
+            tokens.append(("lit", i))
+            green_freq[g[i]] += 1
+            freq_r[r[i]] += 1
+            freq_b[b[i]] += 1
+            freq_a[a[i]] += 1
+            if cache_bits:
+                cache[hashes[i]] = argb[i]
+        i += 1
+    # ---- five Huffman codes
+    plan = []
+    for freqs, alphabet in ((green_freq, len(green_freq)), (freq_r, 256),
+                            (freq_b, 256), (freq_a, 256), (dist_freq, 40)):
+        lengths = _build_lengths(freqs)
+        codes = _canonical_codes(lengths)
+        plan.append(_write_code(bw, lengths, codes, alphabet))
+    (gl, gc), (rl, rc), (bl, bc), (al, ac), (dl, dc) = plan
+    # ---- pixel stream
+    for tok in tokens:
+        kind = tok[0]
+        if kind == "lit":
+            idx = tok[1]
+            bw.write_code(int(gc[g[idx]]), int(gl[g[idx]]))
+            bw.write_code(int(rc[r[idx]]), int(rl[r[idx]]))
+            bw.write_code(int(bc[b[idx]]), int(bl[b[idx]]))
+            bw.write_code(int(ac[a[idx]]), int(al[a[idx]]))
+        elif kind == "cache":
+            s = 256 + 24 + tok[1]
+            bw.write_code(int(gc[s]), int(gl[s]))
+        else:
+            _, length, dist = tok
+            code, ev, eb = _prefix_encode(length)
+            s = 256 + code
+            bw.write_code(int(gc[s]), int(gl[s]))
+            bw.write(ev, eb)
+            dcode, dev, deb = _prefix_encode(dist + 120)
+            bw.write_code(int(dc[dcode]), int(dl[dcode]))
+            bw.write(dev, deb)
+
+
+def _read_image(br: _BitReader, w: int, h: int, is_argb: bool) -> np.ndarray:
+    """Decode one entropy-coded image → uint32 ARGB array of n=w*h."""
+    n = w * h
+    cache_bits = br.read(4) if br.read_bit() else 0
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    groups = [None]
+    meta = None
+    meta_bits = 0
+    if is_argb and br.read_bit():             # meta-Huffman image
+        meta_bits = br.read(3) + 2
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        mimg = _read_image(br, mw, mh, False)
+        meta = (((mimg >> 16) & 0xFF) << 8) | ((mimg >> 8) & 0xFF)
+        n_groups = int(meta.max()) + 1
+        groups = [None] * n_groups
+        meta = meta.reshape(mh, mw)
+    green_alpha = 256 + 24 + cache_size
+    for gi in range(len(groups)):
+        groups[gi] = [
+            _read_code(br, green_alpha), _read_code(br, 256),
+            _read_code(br, 256), _read_code(br, 256), _read_code(br, 40)]
+    out = np.zeros(n, np.uint32)
+    cache = np.zeros(cache_size, np.uint32)
+    pos = 0
+    gcur = groups[0]
+    while pos < n:
+        if meta is not None:
+            y, x = divmod(pos, w)
+            gcur = groups[int(meta[y >> meta_bits, x >> meta_bits])]
+        s = gcur[0].read(br)
+        if s < 256:
+            red = gcur[1].read(br)
+            blue = gcur[2].read(br)
+            alpha = gcur[3].read(br)
+            px = np.uint32((alpha << 24) | (red << 16) | (s << 8) | blue)
+            out[pos] = px
+            if cache_size:
+                cache[int(_cache_index(np.array([px]), cache_bits)[0])] = px
+            pos += 1
+        elif s < 256 + 24:
+            length = _prefix_decode(s - 256, br)
+            v = _prefix_decode(gcur[4].read(br), br)
+            if v <= 120:
+                raise NotImplementedError(
+                    "VP8L 2-D proximity distance codes (<=120) are outside "
+                    "the implemented subset — this codec's encoder emits "
+                    "plain distances only (dist + 120)")
+            dist = v - 120
+            if dist > pos or pos + length > n:
+                raise ValueError("VP8L: invalid backward reference")
+            for k in range(length):          # overlapping copies are legal
+                out[pos + k] = out[pos + k - dist]
+            if cache_size:
+                idx = _cache_index(out[pos:pos + length], cache_bits)
+                cache[idx] = out[pos:pos + length]
+            pos += length
+        else:
+            out[pos] = cache[s - 256 - 24]
+            pos += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# transforms
+
+
+def _predict_t_residuals(ch: list[np.ndarray]) -> list[np.ndarray]:
+    """Forward predictor, mode 2 (T) on every tile; spec edge rules:
+    (0,0) ← opaque black, rest of row 0 ← L, column 0 ← T."""
+    res = []
+    for ci, c in enumerate(ch):               # [a, r, g, b]
+        c16 = c.astype(np.int16)
+        out = np.empty_like(c16)
+        out[1:, :] = c16[1:, :] - c16[:-1, :]       # T
+        out[0, 1:] = c16[0, 1:] - c16[0, :-1]       # row 0: L
+        out[0, 0] = c16[0, 0] - (255 if ci == 0 else 0)
+        res.append((out & 0xFF).astype(np.uint8))
+    # column 0 (y>0) already equals T by the vector step above
+    return res
+
+
+_AVG2 = lambda x, y: (x.astype(np.int32) + y.astype(np.int32)) >> 1  # noqa: E731
+
+
+def _predict_px(mode: int, L, T, TL, TR):
+    """One predictor for 4-channel int32 vectors (spec modes 0-13)."""
+    if mode == 0:
+        return np.array([255, 0, 0, 0], np.int32)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _AVG2(_AVG2(L, TR), T)
+    if mode == 6:
+        return _AVG2(L, TL)
+    if mode == 7:
+        return _AVG2(L, T)
+    if mode == 8:
+        return _AVG2(TL, T)
+    if mode == 9:
+        return _AVG2(T, TR)
+    if mode == 10:
+        return _AVG2(_AVG2(L, TL), _AVG2(T, TR))
+    if mode == 11:                            # select
+        p = L + T - TL
+        pl = np.abs(p - L).sum()
+        pt = np.abs(p - T).sum()
+        return L if pl < pt else T
+    if mode == 12:                            # clamp-add-subtract-full
+        return np.clip(L + T - TL, 0, 255)
+    if mode == 13:                            # clamp-add-subtract-half
+        ave = _AVG2(L, T)
+        return np.clip(ave + (ave - TL) // 2, 0, 255)
+    raise ValueError(f"VP8L: unknown predictor mode {mode}")
+
+
+def _unpredict(res: np.ndarray, modes: np.ndarray, tile_bits: int) -> np.ndarray:
+    """Inverse predictor over an (h, w, 4) residual image (channels
+    a,r,g,b).  Vector fast path when every tile is mode 2 (what the
+    encoder emits); scalar spec walk otherwise."""
+    h, w, _ = res.shape
+    out = res.astype(np.int32)
+    if np.all(modes == 2):
+        out[0, 0, 0] += 255
+        for x in range(1, w):
+            out[0, x] += out[0, x - 1]
+        out[0] &= 0xFF
+        for y in range(1, h):
+            out[y, 0] += out[y - 1, 0]        # column 0: T
+            out[y, 1:] += out[y - 1, 1:]      # T
+            out[y] &= 0xFF
+        return out.astype(np.uint8)
+    black = np.array([255, 0, 0, 0], np.int32)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = black
+            elif y == 0:
+                pred = out[0, x - 1]
+            elif x == 0:
+                pred = out[y - 1, 0]
+            else:
+                mode = int(modes[y >> tile_bits, x >> tile_bits])
+                L = out[y, x - 1]
+                T = out[y - 1, x]
+                TL = out[y - 1, x - 1]
+                TR = out[y - 1, x + 1] if x + 1 < w else out[y, 0]
+                pred = _predict_px(mode, L, T, TL, TR)
+            out[y, x] = (out[y, x] + pred) & 0xFF
+    return out.astype(np.uint8)
+
+
+def _delta(t: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """ColorTransformDelta: (int8(t) * int8(c)) >> 5, elementwise."""
+    return (t.astype(np.int8).astype(np.int32)
+            * c.astype(np.int8).astype(np.int32)) >> 5
+
+
+# ---------------------------------------------------------------------------
+# public API
+
+
+def encode_webp(img: np.ndarray, *, predictor: bool = True,
+                subtract_green: bool = True, palette: str = "auto",
+                color_transform: bool = False, cache_bits: int = 8,
+                lz77: bool = True, tile_bits: int = 4) -> bytes:
+    """Encode (h, w, 3|4) uint8 RGB(A) → WebP-lossless bytes."""
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    if img.shape[-1] == 3:
+        img = np.concatenate([img, np.full(img.shape[:2] + (1,), 255, np.uint8)],
+                             axis=-1)
+    h, w = img.shape[:2]
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError("VP8L: dimensions out of range")
+    rgba = img.astype(np.uint8)
+    a = rgba[..., 3].astype(np.uint32)
+    r = rgba[..., 0].astype(np.uint32)
+    g = rgba[..., 1].astype(np.uint32)
+    b = rgba[..., 2].astype(np.uint32)
+    bw = _BitWriter()
+    bw.write(0x2F, 8)                         # VP8L signature
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(int(np.any(a != 255)), 1)        # alpha hint
+    bw.write(0, 3)                            # version
+
+    argb32 = (a << 24) | (r << 16) | (g << 8) | b
+    colors = np.unique(argb32.ravel())
+    if palette == "always" or (palette == "auto" and len(colors) <= 256
+                               and len(colors) < w * h // 2):
+        # ---- color-indexing transform (with bundling for small palettes)
+        bw.write(1, 1)
+        bw.write(_T_PALETTE, 2)
+        bw.write(len(colors) - 1, 8)
+        pal = colors.astype(np.uint32)
+        deltas = pal.copy()
+        deltas[1:] = (
+            (((pal[1:] >> 24) - (pal[:-1] >> 24)) & 0xFF) << 24
+            | ((((pal[1:] >> 16) - (pal[:-1] >> 16)) & 0xFF) << 16)
+            | ((((pal[1:] >> 8) - (pal[:-1] >> 8)) & 0xFF) << 8)
+            | (((pal[1:] - pal[:-1]) & 0xFF)))
+        _emit_image(bw, deltas, cache_bits=0, lz77=False, is_argb=False)
+        # np.unique returns pal sorted, so the index map is a searchsorted
+        idx = np.searchsorted(pal, argb32).astype(np.uint32)
+        if len(pal) <= 2:
+            width_bits = 3
+        elif len(pal) <= 4:
+            width_bits = 2
+        elif len(pal) <= 16:
+            width_bits = 1
+        else:
+            width_bits = 0
+        if width_bits:
+            per = 1 << width_bits
+            bpp = 8 >> width_bits
+            pw = (w + per - 1) // per
+            packed = np.zeros((h, pw), np.uint32)
+            for k in range(per):
+                cols = idx[:, k::per]
+                packed[:, :cols.shape[1]] |= cols << np.uint32(k * bpp)
+            stream = (packed << 8).ravel()    # index rides the green channel
+            ew = pw
+        else:
+            stream = (idx << 8).ravel()
+            ew = w
+        bw.write(0, 1)                        # end of transforms
+        _emit_image(bw, stream, cache_bits, lz77, is_argb=True)
+        _ = ew
+    else:
+        ch = [a, r, g, b]
+        if color_transform:
+            # fixed-delta color transform: one uniform tile, forward per
+            # spec (red/blue adjusted by green & red cross terms)
+            g2r, g2b, r2b = 3, 251, 5         # arbitrary signed 3.5 deltas
+            bw.write(1, 1)
+            bw.write(_T_COLOR, 2)
+            bw.write(tile_bits - 2, 3)
+            tw = (w + (1 << tile_bits) - 1) >> tile_bits
+            th = (h + (1 << tile_bits) - 1) >> tile_bits
+            tpx = np.full(tw * th,
+                          np.uint32((255 << 24) | (r2b << 16) | (g2b << 8) | g2r),
+                          np.uint32)
+            _emit_image(bw, tpx, cache_bits=0, lz77=False, is_argb=False)
+            # forward per spec: BOTH cross terms read the ORIGINAL red
+            # (the inverse recovers red first, then uses it for blue)
+            newr = (ch[1].astype(np.int32)
+                    - _delta(np.uint32(g2r), ch[2])) & 0xFF
+            newb = (ch[3].astype(np.int32)
+                    - _delta(np.uint32(g2b), ch[2])
+                    - _delta(np.uint32(r2b), ch[1])) & 0xFF
+            ch = [ch[0], newr.astype(np.uint32), ch[2], newb.astype(np.uint32)]
+        if subtract_green:
+            bw.write(1, 1)
+            bw.write(_T_SUB_GREEN, 2)
+            ch = [ch[0], (ch[1] - ch[2]) & 0xFF, ch[2], (ch[3] - ch[2]) & 0xFF]
+        if predictor:
+            bw.write(1, 1)
+            bw.write(_T_PREDICTOR, 2)
+            bw.write(tile_bits - 2, 3)
+            tw = (w + (1 << tile_bits) - 1) >> tile_bits
+            th = (h + (1 << tile_bits) - 1) >> tile_bits
+            # all tiles mode 2 (T): green channel carries the mode
+            tpx = np.full(tw * th, np.uint32((255 << 24) | (2 << 8)), np.uint32)
+            _emit_image(bw, tpx, cache_bits=0, lz77=False, is_argb=False)
+            ch = [x.astype(np.uint32) for x in _predict_t_residuals(
+                [c.astype(np.uint8) for c in ch])]
+        bw.write(0, 1)                        # end of transforms
+        stream = ((ch[0] << 24) | (ch[1] << 16) | (ch[2] << 8) | ch[3]).ravel()
+        _emit_image(bw, stream.astype(np.uint32), cache_bits, lz77, is_argb=True)
+
+    payload = bw.bytes()
+    vp8l = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        vp8l += b"\x00"
+    riff = b"WEBP" + vp8l
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """Decode WebP-lossless bytes → (h, w, 4) uint8 RGBA."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP file")
+    pos = 12
+    payload = None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        if tag == b"VP8L":
+            payload = data[pos + 8:pos + 8 + size]
+            break
+        if tag in (b"VP8 ", b"VP8X"):
+            raise NotImplementedError(
+                "lossy VP8 / extended WebP is outside the implemented "
+                "subset (VP8L lossless only)")
+        pos += 8 + size + (size & 1)
+    if payload is None:
+        raise ValueError("WebP: no VP8L chunk")
+    br = _BitReader(payload)
+    if br.read(8) != 0x2F:
+        raise ValueError("VP8L: bad signature byte")
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)                                # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("VP8L: unsupported version")
+    # ---- transforms (read order; inverses applied in reverse)
+    transforms: list[tuple] = []
+    ew = w
+    while br.read_bit():
+        ttype = br.read(2)
+        if ttype == _T_SUB_GREEN:
+            transforms.append((_T_SUB_GREEN,))
+        elif ttype == _T_PREDICTOR:
+            tb = br.read(3) + 2
+            tw = (ew + (1 << tb) - 1) >> tb
+            th = (h + (1 << tb) - 1) >> tb
+            sub = _read_image(br, tw, th, False)
+            modes = ((sub >> 8) & 0xFF).reshape(th, tw)
+            transforms.append((_T_PREDICTOR, tb, modes))
+        elif ttype == _T_COLOR:
+            tb = br.read(3) + 2
+            tw = (ew + (1 << tb) - 1) >> tb
+            th = (h + (1 << tb) - 1) >> tb
+            sub = _read_image(br, tw, th, False)
+            transforms.append((_T_COLOR, tb, sub.reshape(th, tw)))
+        elif ttype == _T_PALETTE:
+            psize = br.read(8) + 1
+            deltas = _read_image(br, psize, 1, False)
+            pal = deltas.copy()
+            for i in range(1, psize):         # per-channel running sum
+                p, q = int(pal[i]), int(pal[i - 1])
+                pal[i] = (
+                    ((((p >> 24) + (q >> 24)) & 0xFF) << 24)
+                    | ((((p >> 16) + (q >> 16)) & 0xFF) << 16)
+                    | ((((p >> 8) + (q >> 8)) & 0xFF) << 8)
+                    | ((p + q) & 0xFF))
+            if psize <= 2:
+                width_bits = 3
+            elif psize <= 4:
+                width_bits = 2
+            elif psize <= 16:
+                width_bits = 1
+            else:
+                width_bits = 0
+            transforms.append((_T_PALETTE, pal, width_bits, ew))
+            ew = (ew + (1 << width_bits) - 1) >> width_bits if width_bits else ew
+        else:
+            raise ValueError("VP8L: bad transform type")
+    argb = _read_image(br, ew, h, True)
+    img = np.stack([(argb >> 24) & 0xFF, (argb >> 16) & 0xFF,
+                    (argb >> 8) & 0xFF, argb & 0xFF], axis=-1) \
+        .astype(np.uint8).reshape(h, ew, 4)
+    for t in reversed(transforms):
+        if t[0] == _T_PALETTE:
+            _, pal, width_bits, real_w = t
+            idx = img[..., 2].astype(np.uint32)          # green channel
+            if width_bits:
+                bpp = 8 >> width_bits
+                per = 1 << width_bits
+                unpacked = np.zeros((h, img.shape[1] * per), np.uint32)
+                for k in range(per):
+                    unpacked[:, k::per] = (idx >> np.uint32(k * bpp)) \
+                        & np.uint32((1 << bpp) - 1)
+                idx = unpacked[:, :real_w]
+            idx = np.minimum(idx, len(pal) - 1)
+            px = pal[idx]
+            img = np.stack([(px >> 24) & 0xFF, (px >> 16) & 0xFF,
+                            (px >> 8) & 0xFF, px & 0xFF], axis=-1).astype(np.uint8)
+        elif t[0] == _T_PREDICTOR:
+            _, tb, modes = t
+            img = _unpredict(img, modes, tb)
+        elif t[0] == _T_COLOR:
+            _, tb, tiles = t
+            ys = np.arange(h) >> tb
+            xs = np.arange(img.shape[1]) >> tb
+            tpx = tiles[ys[:, None], xs[None, :]]
+            g2r = tpx & 0xFF
+            g2b = (tpx >> 8) & 0xFF
+            r2b = (tpx >> 16) & 0xFF
+            red = (img[..., 1].astype(np.int32)
+                   + _delta(g2r, img[..., 2].astype(np.uint32))) & 0xFF
+            blue = (img[..., 3].astype(np.int32)
+                    + _delta(g2b, img[..., 2].astype(np.uint32))
+                    + _delta(r2b, red.astype(np.uint32))) & 0xFF
+            img = np.stack([img[..., 0], red.astype(np.uint8), img[..., 2],
+                            blue.astype(np.uint8)], axis=-1)
+        else:                                 # subtract-green inverse
+            g_ch = img[..., 2].astype(np.int32)
+            img = np.stack([
+                img[..., 0],
+                ((img[..., 1].astype(np.int32) + g_ch) & 0xFF).astype(np.uint8),
+                img[..., 2],
+                ((img[..., 3].astype(np.int32) + g_ch) & 0xFF).astype(np.uint8),
+            ], axis=-1)
+    # internal order is (a, r, g, b) → return RGBA
+    return np.stack([img[..., 1], img[..., 2], img[..., 3], img[..., 0]],
+                    axis=-1)

@@ -1095,6 +1095,77 @@ def q_media_png_features_check(sf_dir: str):
                          "lossless_ok": pd.array([lossless], dtype="int64")})
 
 
+def q_media_webp_features(sf_dir: str):
+    """Multimodal LOSSLESS compressed-codec path (rows-only): genuine
+    WebP-lossless (VP8L) payloads — predictor + subtract-green residuals,
+    fixed-delta color transform, palette with bundled 1/2/4-bit indices,
+    color cache + LZ77 + canonical Huffman, all pure numpy from the
+    public spec — decoded by the actor-pool stage via the ``library``
+    dispatch slot (RIFF/WEBP signature-sniffed).  Binary dropped before
+    any shuffle; the distributed-vs-single-process + losslessness
+    invariant is ``media_webp_features_check``."""
+    from ..stages.media import ImageDecodeStage, make_webp_media
+
+    ds = ray.data.from_arrow(make_webp_media(192, seed=23))
+    out = ds.map_batches(
+        ImageDecodeStage, fn_constructor_kwargs={"decoder": "library"},
+        concurrency=2, batch_size=32, batch_format="pyarrow",
+    )
+    return out.drop_columns(["thumb"])
+
+
+def q_media_webp_features_check(sf_dir: str):
+    """Driver-visible invariant for the WebP-lossless path: (1) the
+    actor-pool decode equals a single-process decode of the same bytes
+    (micros-rounded), (2) LOSSLESSNESS — decode(encode(img)) is
+    bit-exact across every transform combination (predictor,
+    subtract-green, color transform, palette bundling widths, cache
+    on/off, LZ77 on/off), and (3) compression budget — the gradient
+    fixture compresses below 0.6x raw RGB.  Oracle pins
+    mismatch_rows=0, lossless_ok=1, budget_ok=1."""
+    from ..functions.webp import decode_webp, encode_webp
+    from ..stages.media import ImageDecodeStage, make_webp_media
+
+    eng = q_media_webp_features(sf_dir).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    tbl = make_webp_media(192, seed=23)
+    stage = ImageDecodeStage(decoder="library")    # same kernel, no Ray
+    ref = stage(tbl).drop_columns(["thumb"]).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    for df in (eng, ref):
+        for c in ("pixel_mean", "pixel_std"):
+            df[c] = _micros(df[c].to_numpy())
+    if len(eng) != len(ref):
+        mism = max(len(eng), len(ref))
+    else:
+        mism = int((eng[ref.columns.tolist()].to_numpy() != ref.to_numpy())
+                   .any(axis=1).sum())
+    rng = np.random.RandomState(29)
+    img = rng.randint(0, 256, (23, 37, 4)).astype(np.uint8)
+    lossless = 1
+    for kw in ({}, {"predictor": False}, {"subtract_green": False},
+               {"color_transform": True}, {"cache_bits": 0}, {"lz77": False},
+               {"predictor": False, "subtract_green": False}):
+        if not np.array_equal(decode_webp(encode_webp(img, **kw))[..., :4], img):
+            lossless = 0
+    for ncol in (2, 4, 13, 200):               # every bundling width
+        pimg = rng.randint(0, 256, (ncol, 3)).astype(np.uint8)[
+            rng.randint(0, ncol, (19, 27))]
+        dec = decode_webp(encode_webp(pimg, palette="always"))
+        if not np.array_equal(dec[..., :3], pimg):
+            lossless = 0
+    gx = np.linspace(0, 255, 64)[None, :]
+    gy = np.linspace(0, 255, 48)[:, None]
+    grad = np.stack([np.broadcast_to(gx, (48, 64)),
+                     np.broadcast_to(gy, (48, 64)),
+                     np.broadcast_to((gx + gy) / 2, (48, 64))],
+                    axis=2).astype(np.uint8)
+    budget = int(len(encode_webp(grad)) < 0.6 * grad.nbytes)
+    return pd.DataFrame({"mismatch_rows": pd.array([mism], dtype="int64"),
+                         "lossless_ok": pd.array([lossless], dtype="int64"),
+                         "budget_ok": pd.array([budget], dtype="int64")})
+
+
 def q_media_audio_codecs(sf_dir: str):
     """Multimodal COMPRESSED-audio path (rows-only): genuine G.711 mu-law
     and IMA ADPCM WAV payloads decoded by the pure-numpy from-spec codecs
@@ -8678,6 +8749,8 @@ QUERIES = {
     "media_jpeg_features_check": q_media_jpeg_features_check,
     "media_png_features": q_media_png_features,
     "media_png_features_check": q_media_png_features_check,
+    "media_webp_features": q_media_webp_features,
+    "media_webp_features_check": q_media_webp_features_check,
     "media_audio_codecs": q_media_audio_codecs,
     "media_audio_codecs_check": q_media_audio_codecs_check,
     "media_flac": q_media_flac,
@@ -8863,6 +8936,9 @@ ORACLE_SQL = {
                                   "CAST(1 AS BIGINT) AS fidelity_ok"),
     "media_png_features_check": ("SELECT CAST(0 AS BIGINT) AS mismatch_rows, "
                                  "CAST(1 AS BIGINT) AS lossless_ok"),
+    "media_webp_features_check": ("SELECT CAST(0 AS BIGINT) AS mismatch_rows, "
+                                  "CAST(1 AS BIGINT) AS lossless_ok, "
+                                  "CAST(1 AS BIGINT) AS budget_ok"),
     "media_audio_codecs_check": ("SELECT CAST(0 AS BIGINT) AS mismatch_rows, "
                                  "CAST(1 AS BIGINT) AS fidelity_ok"),
     "media_flac_check": ("SELECT CAST(0 AS BIGINT) AS mismatch_rows, "

@@ -11,10 +11,11 @@ Decode support in this container:
   shape actual corpora ship;
 - ``FakeDecoder`` — deterministic hash-derived pixels/samples for
   plumbing tests;
-- ``LibraryDecoder`` — the remaining compressed-codec slot (PNG/Opus/
-  H.264); falls through to ``JpegDecoder`` for JPEG payloads, raises
-  ``NotImplementedError`` with the exact place a PIL/libav handle plugs
-  in (loaded once per actor) for the rest.
+- ``LibraryDecoder`` — the compressed-codec dispatch: JPEG, PNG, GIF,
+  WebP-lossless, MJPEG-AVI, mu-law/ADPCM WAV and FLAC decode for REAL
+  (pure-numpy from-spec codecs in ``functions/``); the remaining slots
+  (Opus/H.264/MP3) raise ``NotImplementedError`` with the exact place a
+  libav handle plugs in (loaded once per actor).
 
 Usage (actor pool — decoder state built once per actor in __init__):
 
@@ -131,11 +132,12 @@ class GifDecoder:
 
 
 class LibraryDecoder:
-    """The compressed-codec dispatch slot.  JPEG, PNG and GIF decode for
-    REAL (pure-numpy T.81 / RFC 2083 / GIF89a codecs in ``functions/``);
-    uncompressed formats via ``NetpbmDecoder``.  The remaining formats
-    (Opus/H.264/MP3) would hold a libav handle loaded once per actor in
-    production — those libraries are not in this container."""
+    """The compressed-codec dispatch slot.  JPEG, PNG, GIF and
+    WebP-lossless decode for REAL (pure-numpy T.81 / RFC 2083 / GIF89a /
+    VP8L codecs in ``functions/``); uncompressed formats via
+    ``NetpbmDecoder``.  The remaining formats (Opus/H.264/MP3) would
+    hold a libav handle loaded once per actor in production — those
+    libraries are not in this container."""
 
     def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
         if payload[:2] == b"\xff\xd8":
@@ -144,10 +146,16 @@ class LibraryDecoder:
             return PngDecoder().decode_image(payload, width, height)
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             return self._gif().decode_image(payload, width, height)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            # REAL lossless codec: pure-numpy VP8L (functions/webp.py —
+            # transforms + color cache + LZ77 + canonical Huffman)
+            from ..functions.webp import decode_webp
+
+            return decode_webp(payload)
         raise NotImplementedError(
-            "image codecs beyond JPEG/PNG/GIF require PIL/opencv — not "
-            "available in this container; plug the codec in here (loaded "
-            "once per actor)"
+            "image codecs beyond JPEG/PNG/GIF/WebP-lossless require "
+            "PIL/opencv — not available in this container; plug the codec "
+            "in here (loaded once per actor)"
         )
 
     def _gif(self) -> "GifDecoder":
@@ -436,6 +444,52 @@ def make_png_media(n: int, seed: int = 0) -> pa.Table:
             img = np.stack([np.broadcast_to(gx, (h, w)), np.broadcast_to(gy, (h, w)),
                             base], axis=2).astype(np.uint8)
         payloads.append(encode_png(img))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array(["image"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(widths),
+            "height": pa.array(heights),
+            "sample_rate": pa.array(np.full(n, 0, np.int32)),
+            "n_frames": pa.array(np.full(n, 1, np.int32)),
+        }
+    )
+
+
+def make_webp_media(n: int, seed: int = 0) -> pa.Table:
+    """Fixture with GENUINE WebP-lossless (VP8L) payloads: seeded
+    gradient+texture images cycling the encoder's transform menu
+    (predictor+subtract-green, color transform, palette with bundled
+    1/2/4-bit indices) — lossless, so checks pin exact pixel equality."""
+    from ..functions.webp import encode_webp
+
+    rng = np.random.RandomState(seed)
+    widths = rng.randint(16, 64, n).astype(np.int32)
+    heights = rng.randint(16, 64, n).astype(np.int32)
+    payloads = []
+    for i in range(n):
+        h, w = int(heights[i]), int(widths[i])
+        gx = np.linspace(0, 255, w)[None, :]
+        gy = np.linspace(0, 255, h)[:, None]
+        tex = 127.5 + 80.0 * np.sin(gx / (3.0 + i % 7)) * np.cos(gy / (2.0 + i % 5))
+        noise = rng.randint(0, 24, (h, w)).astype(np.float64)
+        base = np.clip(tex + noise, 0, 255)
+        if i % 4 == 3:      # small palette → color-indexing w/ bundling
+            ncol = (2, 4, 13)[i % 3]
+            pal = rng.randint(0, 256, (ncol, 3), dtype=np.uint8)
+            img = pal[rng.randint(0, ncol, (h, w))]
+            payloads.append(encode_webp(img, palette="always"))
+        elif i % 4 == 2:    # RGBA through the fixed-delta color transform
+            img = np.stack([np.broadcast_to(gx, (h, w)), np.broadcast_to(gy, (h, w)),
+                            base, np.broadcast_to(255 - gx, (h, w))],
+                           axis=2).astype(np.uint8)
+            payloads.append(encode_webp(img, color_transform=True,
+                                        palette="never"))
+        else:               # RGB, predictor + subtract-green (the default)
+            img = np.stack([np.broadcast_to(gx, (h, w)), np.broadcast_to(gy, (h, w)),
+                            base], axis=2).astype(np.uint8)
+            payloads.append(encode_webp(img, palette="never"))
     return pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),
