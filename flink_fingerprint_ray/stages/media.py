@@ -733,12 +733,24 @@ def _pick_decoder(decoder: str | None, use_fake: bool):
 class ImageDecodeStage:
     """Actor-pool stage: decode → resize (nearest-neighbor, pure numpy) →
     per-image features. Decoder built ONCE per actor in __init__;
-    ``decoder="netpbm"`` decodes REAL P5/P6 payloads."""
+    ``decoder="netpbm"`` decodes REAL P5/P6 payloads.
+
+    ``on_error``: a 100-TB web corpus always carries truncated/corrupt
+    payloads, and one bad file must not kill its whole batch (and with
+    Ray task retries, the whole pipeline).  ``"raise"`` (default)
+    propagates, matching the strict fixture paths; ``"flag"`` keeps the
+    row, zeroes its features and appends ``decode_ok``/``decode_error``
+    columns — the Flink side-output analog: a downstream
+    ``filter(decode_ok)`` splits the clean stream from the dead-letter
+    rows in one pass."""
 
     def __init__(self, target_size: tuple[int, int] = (32, 32), use_fake: bool = True,
-                 decoder: str | None = None) -> None:
+                 decoder: str | None = None, on_error: str = "raise") -> None:
+        if on_error not in ("raise", "flag"):
+            raise ValueError("on_error must be 'raise' or 'flag'")
         self.target = target_size
         self.decoder = _pick_decoder(decoder, use_fake)
+        self.on_error = on_error
 
     def _resize(self, img: np.ndarray) -> np.ndarray:
         th, tw = self.target
@@ -751,51 +763,84 @@ class ImageDecodeStage:
         payloads = batch["payload"].to_pylist()
         widths = batch["width"].to_numpy()
         heights = batch["height"].to_numpy()
-        means, stds, thumbs = [], [], []
+        means, stds, thumbs, oks, errs = [], [], [], [], []
         for p, w, h in zip(payloads, widths, heights):
-            img = self.decoder.decode_image(p, int(w), int(h))
+            try:
+                img = self.decoder.decode_image(p, int(w), int(h))
+            except Exception as e:  # noqa: BLE001 — poison-pill policy
+                if self.on_error == "raise":
+                    raise
+                means.append(0.0)
+                stds.append(0.0)
+                thumbs.append(b"")
+                oks.append(False)
+                errs.append(f"{type(e).__name__}: {e}"[:200])
+                continue
             small = self._resize(img)
             means.append(float(img.mean()))
             stds.append(float(img.std()))
             thumbs.append(small.tobytes())
+            oks.append(True)
+            errs.append("")
         # binary payload dropped here — only features move downstream
-        return pa.table(
-            {
-                "media_id": batch["media_id"],
-                "pixel_mean": pa.array(means, pa.float64()),
-                "pixel_std": pa.array(stds, pa.float64()),
-                "thumb": pa.array(thumbs, pa.binary()),
-                "thumb_w": pa.array([self.target[1]] * batch.num_rows, pa.int32()),
-                "thumb_h": pa.array([self.target[0]] * batch.num_rows, pa.int32()),
-            }
-        )
+        out = {
+            "media_id": batch["media_id"],
+            "pixel_mean": pa.array(means, pa.float64()),
+            "pixel_std": pa.array(stds, pa.float64()),
+            "thumb": pa.array(thumbs, pa.binary()),
+            "thumb_w": pa.array([self.target[1]] * batch.num_rows, pa.int32()),
+            "thumb_h": pa.array([self.target[0]] * batch.num_rows, pa.int32()),
+        }
+        if self.on_error == "flag":
+            out["decode_ok"] = pa.array(oks, pa.bool_())
+            out["decode_error"] = pa.array(errs, pa.string())
+        return pa.table(out)
 
 
 class AudioFeatureStage:
-    """Actor-pool stage: decode audio → frame energy features."""
+    """Actor-pool stage: decode audio → frame energy features.
+    ``on_error="flag"`` — same poison-pill contract as
+    ``ImageDecodeStage``: corrupt payloads keep their row with zeroed
+    features and ``decode_ok``/``decode_error`` columns."""
 
     def __init__(self, frame: int = 400, use_fake: bool = True,
-                 decoder: str | None = None) -> None:
+                 decoder: str | None = None, on_error: str = "raise") -> None:
+        if on_error not in ("raise", "flag"):
+            raise ValueError("on_error must be 'raise' or 'flag'")
         self.frame = frame
         self.decoder = _pick_decoder(decoder, use_fake)
+        self.on_error = on_error
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         rates = batch["sample_rate"].to_numpy()
-        energies, durs = [], []
+        energies, durs, oks, errs = [], [], [], []
         for p, sr in zip(payloads, rates):
-            x = self.decoder.decode_audio(p, int(sr))
+            try:
+                x = self.decoder.decode_audio(p, int(sr))
+            except Exception as e:  # noqa: BLE001 — poison-pill policy
+                if self.on_error == "raise":
+                    raise
+                energies.append(0.0)
+                durs.append(0.0)
+                oks.append(False)
+                errs.append(f"{type(e).__name__}: {e}"[:200])
+                continue
             n = (len(x) // self.frame) * self.frame
             frames = x[:n].reshape(-1, self.frame)
             energies.append(float((frames**2).mean()) if n else 0.0)
             durs.append(len(x) / max(int(sr), 1))
-        return pa.table(
-            {
-                "media_id": batch["media_id"],
-                "energy": pa.array(energies, pa.float64()),
-                "duration_s": pa.array(durs, pa.float64()),
-            }
-        )
+            oks.append(True)
+            errs.append("")
+        out = {
+            "media_id": batch["media_id"],
+            "energy": pa.array(energies, pa.float64()),
+            "duration_s": pa.array(durs, pa.float64()),
+        }
+        if self.on_error == "flag":
+            out["decode_ok"] = pa.array(oks, pa.bool_())
+            out["decode_error"] = pa.array(errs, pa.string())
+        return pa.table(out)
 
 
 class VideoFrameSampleStage:
@@ -807,9 +852,14 @@ class VideoFrameSampleStage:
     frame-stamped-payload path."""
 
     def __init__(self, every: int = 4, use_fake: bool = True,
-                 decoder: str | None = None) -> None:
+                 decoder: str | None = None, on_error: str = "raise") -> None:
+        if on_error not in ("raise", "skip"):
+            raise ValueError("on_error must be 'raise' or 'skip' "
+                             "(flat-map output: a corrupt container emits "
+                             "zero frames)")
         self.every = every
         self.decoder = _pick_decoder(decoder, use_fake)
+        self.on_error = on_error
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, frames_out, frame_nos = [], [], []
@@ -821,15 +871,23 @@ class VideoFrameSampleStage:
             batch["height"].to_numpy(),
             batch["n_frames"].to_numpy(),
         ):
-            if real:
-                nf = self.decoder.n_video_frames(p)
-            for f in range(0, int(nf), self.every):
-                img = (self.decoder.decode_video_frame(p, f) if real else
-                       self.decoder.decode_image(p + f.to_bytes(4, "little"),
-                                                 int(w), int(h)))
-                ids.append(mid)
-                frame_nos.append(f)
-                frames_out.append(float(img.mean()))
+            try:
+                if real:
+                    nf = self.decoder.n_video_frames(p)
+                for f in range(0, int(nf), self.every):
+                    img = (self.decoder.decode_video_frame(p, f) if real else
+                           self.decoder.decode_image(p + f.to_bytes(4, "little"),
+                                                     int(w), int(h)))
+                    ids.append(mid)
+                    frame_nos.append(f)
+                    frames_out.append(float(img.mean()))
+            except Exception:  # noqa: BLE001 — poison-pill policy
+                if self.on_error == "raise":
+                    raise
+                # skip: drop any frames already sampled from the corrupt
+                # container so its output is all-or-nothing
+                while ids and ids[-1] == mid:
+                    ids.pop(), frame_nos.pop(), frames_out.pop()
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),

@@ -826,3 +826,63 @@ def test_winnow_guarantee_and_reference_parity():
     assert f0 & f1, "shared w+k-1 run must share a fingerprint"
     assert (eng.doc_id != 2).all()
     assert (eng.loc[eng.doc_id == 3].shape[0]) == 1
+
+
+def test_media_stage_on_error_flag_and_skip(ray_session):
+    """Poison-pill policy: a 100-TB corpus always carries corrupt
+    payloads — one bad file must not kill its batch.  on_error="flag"
+    keeps the row with decode_ok=False + zeroed features (the side-output
+    split analog); "skip" on the flat-map video stage emits zero frames
+    for the corrupt container; default "raise" still propagates."""
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+    from flink_fingerprint_ray.stages.media import (
+        AudioFeatureStage,
+        ImageDecodeStage,
+        VideoFrameSampleStage,
+        make_flac_media,
+        make_mjpeg_media,
+        make_webp_media,
+    )
+
+    def corrupt(tbl: pa.Table, idx: int) -> pa.Table:
+        payloads = tbl["payload"].to_pylist()
+        payloads[idx] = payloads[idx][: len(payloads[idx]) // 2] + b"\x00garbage"
+        return tbl.set_column(tbl.schema.get_field_index("payload"),
+                              "payload", pa.array(payloads, pa.binary()))
+
+    imgs = corrupt(make_webp_media(12, seed=31), 5)
+    out = ray.data.from_arrow(imgs).map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs={"decoder": "library", "on_error": "flag"},
+        concurrency=1, batch_size=6, batch_format="pyarrow").to_pandas()
+    assert len(out) == 12
+    bad = out[~out.decode_ok]
+    assert bad.media_id.tolist() == [5] and bad.decode_error.iloc[0]
+    assert (out[out.decode_ok].pixel_std > 0).all()
+
+    aud = corrupt(make_flac_media(8, seed=33), 2)
+    out_a = ray.data.from_arrow(aud).map_batches(
+        AudioFeatureStage,
+        fn_constructor_kwargs={"decoder": "library", "on_error": "flag"},
+        concurrency=1, batch_size=4, batch_format="pyarrow").to_pandas()
+    assert out_a[~out_a.decode_ok].media_id.tolist() == [2]
+    assert (out_a[out_a.decode_ok].duration_s > 0).all()
+
+    vids = corrupt(make_mjpeg_media(6, seed=35), 1)
+    out_v = ray.data.from_arrow(vids).map_batches(
+        VideoFrameSampleStage,
+        fn_constructor_kwargs={"decoder": "library", "on_error": "skip"},
+        concurrency=1, batch_size=3, batch_format="pyarrow").to_pandas()
+    got_ids = set(out_v.media_id)
+    assert 1 not in got_ids and got_ids == {0, 2, 3, 4, 5}
+
+    stage = ImageDecodeStage(decoder="library")   # default: raise
+    with pytest.raises(Exception):
+        stage(imgs)
+    with pytest.raises(ValueError, match="on_error"):
+        ImageDecodeStage(on_error="bogus")
+    with pytest.raises(ValueError, match="on_error"):
+        VideoFrameSampleStage(on_error="flag")
