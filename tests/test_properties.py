@@ -1236,3 +1236,38 @@ def test_pack_carry_algebra_matches_global_cumsum(weights, span):
     base = np.repeat(cum[starts], np.diff(np.append(starts, len(rng))))
     start_tok = offs[np.searchsorted(uniq, rng)] + (cum - base)
     assert start_tok.tolist() == (np.cumsum(w) - w).tolist()
+
+
+@given(
+    st.integers(1, 12), st.integers(1, 12), st.sampled_from([1, 3, 4]),
+    st.booleans(), st.booleans(), st.booleans(),
+    st.sampled_from([0, 3, 8]), st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_webp_roundtrip_property(h, w, ch, pred, sg, lz, cache, seed):
+    """VP8L losslessness holds for ARBITRARY small images across the
+    whole encoder flag lattice (transform combos x cache x LZ77)."""
+    from flink_fingerprint_ray.functions.webp import decode_webp, encode_webp
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w, ch), dtype=np.uint8) if ch > 1 else \
+        rng.randint(0, 256, (h, w), dtype=np.uint8)
+    dec = decode_webp(encode_webp(
+        img, predictor=pred, subtract_green=sg, lz77=lz, cache_bits=cache))
+    img3 = img if img.ndim == 3 else np.stack([img] * 3, axis=-1)
+    want = img3 if img3.shape[-1] == 4 else np.concatenate(
+        [img3, np.full(img3.shape[:2] + (1,), 255, np.uint8)], axis=-1)
+    assert np.array_equal(dec, want)
+
+
+@given(st.integers(1, 200), st.integers(1, 10), st.integers(1, 10),
+       st.integers(0, 2**32 - 1))
+@settings(max_examples=30, deadline=None)
+def test_webp_palette_roundtrip_property(ncol, h, w, seed):
+    from flink_fingerprint_ray.functions.webp import decode_webp, encode_webp
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (ncol, 3), dtype=np.uint8)
+    img = pal[rng.randint(0, ncol, (h, w))]
+    dec = decode_webp(encode_webp(img, palette="always"))
+    assert np.array_equal(dec[..., :3], img)
