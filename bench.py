@@ -51,6 +51,8 @@ SKIP_QUERIES = {
     "supplier_pagerank_check",
     "lowess_smooth_check",
     "media_image_features_check",
+    "media_flac_check",
+    "media_webp_features_check",
     "countmin_check",
     "winnow_fingerprints_check",
     "host_pagerank_check",
