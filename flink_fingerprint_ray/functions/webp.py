@@ -83,26 +83,39 @@ class _BitWriter:
 
 
 class _BitReader:
-    """LSB-first reader over an unpacked bit array (vectorized unpack once;
-    per-symbol reads are index math — the same pattern as the FLAC codec)."""
+    """LSB-first reader.  Bits are unpacked ONCE (vectorized) into a
+    plain Python list — per-symbol reads are then list indexing, which
+    is several times faster than numpy scalar indexing in the
+    Huffman-walk hot loop (entropy decode is inherently sequential,
+    the same note as the JPEG/FLAC codecs)."""
+
+    __slots__ = ("_bits", "_n", "pos")
 
     def __init__(self, data: bytes) -> None:
-        self._bits = np.unpackbits(np.frombuffer(data, np.uint8), bitorder="little")
+        self._bits = np.unpackbits(
+            np.frombuffer(data, np.uint8), bitorder="little").tolist()
+        self._n = len(self._bits)
         self.pos = 0
 
     def read(self, nbits: int) -> int:
         if nbits == 0:
             return 0
-        b = self._bits[self.pos:self.pos + nbits]
-        if len(b) < nbits:
+        p = self.pos
+        if p + nbits > self._n:
             raise ValueError("VP8L: bitstream truncated")
-        self.pos += nbits
-        return int(b @ (1 << np.arange(nbits, dtype=np.int64)))
+        self.pos = p + nbits
+        v = 0
+        bits = self._bits
+        for i in range(nbits):
+            v |= bits[p + i] << i
+        return v
 
     def read_bit(self) -> int:
-        v = int(self._bits[self.pos])
-        self.pos += 1
-        return v
+        p = self.pos
+        if p >= self._n:
+            raise ValueError("VP8L: bitstream truncated")
+        self.pos = p + 1
+        return self._bits[p]
 
 
 # ---------------------------------------------------------------------------
@@ -474,8 +487,11 @@ def _read_image(br: _BitReader, w: int, h: int, is_argb: bool) -> np.ndarray:
         groups[gi] = [
             _read_code(br, green_alpha), _read_code(br, 256),
             _read_code(br, 256), _read_code(br, 256), _read_code(br, 40)]
-    out = np.zeros(n, np.uint32)
-    cache = np.zeros(cache_size, np.uint32)
+    # hot loop: plain Python ints/lists throughout — numpy scalar stores
+    # and per-pixel array construction dominate otherwise
+    out = [0] * n
+    cache = [0] * cache_size
+    cache_shift = 32 - cache_bits if cache_bits else 0
     pos = 0
     gcur = groups[0]
     while pos < n:
@@ -487,10 +503,10 @@ def _read_image(br: _BitReader, w: int, h: int, is_argb: bool) -> np.ndarray:
             red = gcur[1].read(br)
             blue = gcur[2].read(br)
             alpha = gcur[3].read(br)
-            px = np.uint32((alpha << 24) | (red << 16) | (s << 8) | blue)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
             out[pos] = px
             if cache_size:
-                cache[int(_cache_index(np.array([px]), cache_bits)[0])] = px
+                cache[((px * 0x1E35A7BD) & 0xFFFFFFFF) >> cache_shift] = px
             pos += 1
         elif s < 256 + 24:
             length = _prefix_decode(s - 256, br)
@@ -503,16 +519,21 @@ def _read_image(br: _BitReader, w: int, h: int, is_argb: bool) -> np.ndarray:
             dist = v - 120
             if dist > pos or pos + length > n:
                 raise ValueError("VP8L: invalid backward reference")
-            for k in range(length):          # overlapping copies are legal
-                out[pos + k] = out[pos + k - dist]
             if cache_size:
-                idx = _cache_index(out[pos:pos + length], cache_bits)
-                cache[idx] = out[pos:pos + length]
+                for k in range(pos, pos + length):   # overlap is legal
+                    px = out[k - dist]
+                    out[k] = px
+                    cache[((px * 0x1E35A7BD) & 0xFFFFFFFF) >> cache_shift] = px
+            elif dist == 1:
+                out[pos:pos + length] = [out[pos - 1]] * length
+            else:
+                for k in range(pos, pos + length):
+                    out[k] = out[k - dist]
             pos += length
         else:
             out[pos] = cache[s - 256 - 24]
             pos += 1
-    return out
+    return np.array(out, np.uint32)
 
 
 # ---------------------------------------------------------------------------
