@@ -389,17 +389,24 @@ def _emit_image(bw: _BitWriter, argb: np.ndarray, cache_bits: int,
     if is_argb:
         bw.write(0, 1)                        # no meta-Huffman
     cache_size = (1 << cache_bits) if cache_bits else 0
-    # ---- tokenize: literals / cache hits / plain-distance LZ77 copies
+    # ---- tokenize: literals / cache hits / plain-distance LZ77 copies.
+    # Plain Python ints/lists in the per-pixel walk (numpy scalar reads
+    # dominate otherwise — same note as the decoder hot loop); the run
+    # detection stays vectorized.
     a = (argb >> 24) & 0xFF
     r = (argb >> 16) & 0xFF
     g = (argb >> 8) & 0xFF
     b = argb & 0xFF
-    hashes = _cache_index(argb, cache_bits) if cache_bits else None
-    cache = np.full(cache_size, np.uint64(1 << 63), np.uint64) if cache_bits else None
+    argb_l = argb.tolist()
+    g_l = g.tolist()
+    hashes = (_cache_index(argb, cache_bits).tolist() if cache_bits
+              else None)
+    cache = [-1] * cache_size
     # run-length match candidates, vectorized: dist=1 runs (prev pixel)
     run1 = np.zeros(n, bool)
     if lz77 and n > 1:
         run1[1:] = argb[1:] == argb[:-1]
+    run1 = run1.tolist()
     tokens: list[tuple] = []   # ('lit', i) | ('cache', idx) | ('copy', len, dist)
     green_freq = np.zeros(256 + 24 + cache_size, np.int64)
     freq_r = np.zeros(256, np.int64)
@@ -419,50 +426,63 @@ def _emit_image(bw: _BitWriter, argb: np.ndarray, cache_bits: int,
             dist_freq[dcode] += 1
             tokens.append(("copy", length, 1))
             if cache_bits:
-                cache[hashes[i:j]] = argb[i:j]
+                px = argb_l[i]          # a run is one repeated pixel
+                cache[((px * 0x1E35A7BD) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
             i = j
             continue
-        if cache_bits and cache[hashes[i]] == argb[i]:
-            tokens.append(("cache", int(hashes[i])))
-            green_freq[256 + 24 + int(hashes[i])] += 1
+        if cache_bits and cache[hashes[i]] == argb_l[i]:
+            tokens.append(("cache", hashes[i]))
+            green_freq[256 + 24 + hashes[i]] += 1
         else:
             tokens.append(("lit", i))
-            green_freq[g[i]] += 1
+            green_freq[g_l[i]] += 1
             freq_r[r[i]] += 1
             freq_b[b[i]] += 1
             freq_a[a[i]] += 1
             if cache_bits:
-                cache[hashes[i]] = argb[i]
+                cache[hashes[i]] = argb_l[i]
         i += 1
-    # ---- five Huffman codes
+    # ---- five Huffman codes.  Codes are emitted MSB-first (DEFLATE
+    # convention); pre-reversing each code lets the pixel loop issue ONE
+    # LSB-first write per symbol instead of a per-bit walk.
     plan = []
     for freqs, alphabet in ((green_freq, len(green_freq)), (freq_r, 256),
                             (freq_b, 256), (freq_a, 256), (dist_freq, 40)):
         lengths = _build_lengths(freqs)
         codes = _canonical_codes(lengths)
-        plan.append(_write_code(bw, lengths, codes, alphabet))
+        lengths, codes = _write_code(bw, lengths, codes, alphabet)
+        lens = lengths.tolist() if hasattr(lengths, "tolist") else list(lengths)
+        revs = [int(f"{int(c):0{ln}b}"[::-1], 2) if ln else 0
+                for c, ln in zip(codes, lens)]
+        plan.append((lens, revs))
     (gl, gc), (rl, rc), (bl, bc), (al, ac), (dl, dc) = plan
+    r_l, b_l, a_l = r.tolist(), b.tolist(), a.tolist()
     # ---- pixel stream
+    write = bw.write
     for tok in tokens:
         kind = tok[0]
         if kind == "lit":
             idx = tok[1]
-            bw.write_code(int(gc[g[idx]]), int(gl[g[idx]]))
-            bw.write_code(int(rc[r[idx]]), int(rl[r[idx]]))
-            bw.write_code(int(bc[b[idx]]), int(bl[b[idx]]))
-            bw.write_code(int(ac[a[idx]]), int(al[a[idx]]))
+            s = g_l[idx]
+            write(gc[s], gl[s])
+            s = r_l[idx]
+            write(rc[s], rl[s])
+            s = b_l[idx]
+            write(bc[s], bl[s])
+            s = a_l[idx]
+            write(ac[s], al[s])
         elif kind == "cache":
             s = 256 + 24 + tok[1]
-            bw.write_code(int(gc[s]), int(gl[s]))
+            write(gc[s], gl[s])
         else:
             _, length, dist = tok
             code, ev, eb = _prefix_encode(length)
             s = 256 + code
-            bw.write_code(int(gc[s]), int(gl[s]))
-            bw.write(ev, eb)
+            write(gc[s], gl[s])
+            write(ev, eb)
             dcode, dev, deb = _prefix_encode(dist + 120)
-            bw.write_code(int(dc[dcode]), int(dl[dcode]))
-            bw.write(dev, deb)
+            write(dc[dcode], dl[dcode])
+            write(dev, deb)
 
 
 def _read_image(br: _BitReader, w: int, h: int, is_argb: bool) -> np.ndarray:
