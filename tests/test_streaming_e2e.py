@@ -1476,3 +1476,105 @@ def test_savepoint_rescale_resume(ray_session, corpus, oracle_df):
     with pytest.raises(RuntimeError, match="rescale"):
         _run(root, "out_rescale_nd",
              cfg_extra={"neardup": True, "n_state_partitions": 4})
+
+
+def test_manifest_mode_composes_with_side_channels(ray_session, tmp_path):
+    """S3-style commit protocol under the FULL side-channel load:
+    allowed lateness (refires), window Top-N, CEP and the late DLQ all
+    ride the same manifest-pointer fence — every channel must match its
+    oracle through kill+resume AND a crash-replay (rewound cursor), with
+    the replayed epoch's channel rows appearing exactly once (the
+    orphaned attempt invisible to every accessor)."""
+    import glob as _glob
+    import json as _json
+
+    from flink_fingerprint_ray.oracle import (
+        oracle_cep_matches,
+        oracle_late_rows,
+        oracle_window_topn,
+    )
+
+    pages, updates, span = _late_corpus(tmp_path)
+    ALLOWED = span // 3
+    pattern = (">0", "==0")
+    cfg = PipelineConfig(sliding=(120_000, 60_000), n_state_partitions=3,
+                         allowed_lateness_ms=int(ALLOWED),
+                         window_topn=3, cep_pattern=pattern,
+                         late_side_output=True, commit_mode="manifest")
+    args = (str(tmp_path / "pages"), str(tmp_path / "out"))
+
+    p1 = StreamingFingerprintPipeline(
+        *args, updates_root=str(tmp_path / "updates"), cfg=cfg)
+    p1.run(max_epochs=2)
+    p1.shutdown()                      # kill between epochs
+    p2 = StreamingFingerprintPipeline(
+        *args, updates_root=str(tmp_path / "updates"), cfg=cfg)
+    p2.run()
+    p2.shutdown()
+
+    ora, ora_ref = oracle_fingerprints(
+        pages, 4, updates=updates, sliding=(120_000, 60_000),
+        allowed_lateness_ms=int(ALLOWED), return_refires=True)
+    want_topn = oracle_window_topn(ora, 3)
+    want_cep = oracle_cep_matches(ora, pattern)
+    want_late = oracle_late_rows(pages, 4, allowed_lateness_ms=int(ALLOWED))
+    assert len(ora_ref) > 0 and len(want_topn) > 0 and len(want_cep) > 0 \
+        and len(want_late) > 0      # composition is non-vacuous
+
+    def check_all():
+        pipe = StreamingFingerprintPipeline(
+            *args, updates_root=str(tmp_path / "updates"), cfg=cfg)
+        try:
+            eng = pipe.result_dataset().to_pandas()
+            pd.testing.assert_frame_equal(
+                _norm(eng, ora.columns), _norm(ora, ora.columns),
+                check_dtype=False)
+            ref = pipe.refire_df()
+            sc2 = SORT_COLS + ["window_end", "refire_seq"]
+            assert len(ref) == len(ora_ref)
+            pd.testing.assert_frame_equal(
+                ref.sort_values(sc2).reset_index(drop=True)[
+                    ora_ref.columns.tolist()],
+                ora_ref.sort_values(sc2).reset_index(drop=True),
+                check_dtype=False)
+            tc = ["window_start", "rank"]
+            got_topn = pipe.topn_df()
+            pd.testing.assert_frame_equal(
+                got_topn.sort_values(tc, kind="stable").reset_index(drop=True)[
+                    want_topn.columns.tolist()],
+                want_topn.sort_values(tc, kind="stable").reset_index(drop=True),
+                check_dtype=False)
+            cc = ["key_lang", "key_host", "window_kind", "window_start",
+                  "window_end"]
+            got_cep = pipe.cep_df()
+            pd.testing.assert_frame_equal(
+                got_cep.sort_values(cc, kind="stable").reset_index(drop=True)[
+                    want_cep.columns.tolist()],
+                want_cep.sort_values(cc, kind="stable").reset_index(drop=True),
+                check_dtype=False)
+            lc = ["url", "ts_ms"]
+            got_late = pipe.late_df()
+            pd.testing.assert_frame_equal(
+                got_late[lc].sort_values(lc).reset_index(drop=True),
+                want_late[lc].sort_values(lc).reset_index(drop=True),
+                check_dtype=False)
+        finally:
+            pipe.shutdown()
+
+    check_all()
+
+    # crash-replay: rewind the manifest cursor one epoch and rerun — the
+    # replay writes a fresh attempt; every channel stays exactly-once
+    mpath = str(tmp_path / "out" / "manifest.json")
+    st = _json.load(open(mpath))
+    st["cursor"] = 2
+    st["watermark_ms"] = st["epochs"]["2"]["watermark_ms"]
+    _json.dump(st, open(mpath, "w"))
+    p3 = StreamingFingerprintPipeline(
+        *args, updates_root=str(tmp_path / "updates"), cfg=cfg)
+    p3.run()
+    p3.shutdown()
+    last = str(tmp_path / "out" / "data" / "epoch=00003")
+    assert len([d for d in os.listdir(last) if d.startswith("attempt-")]) == 2
+    assert not _glob.glob(str(tmp_path / "out" / "epoch=*"))  # no rename fences
+    check_all()
