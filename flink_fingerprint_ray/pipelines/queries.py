@@ -8693,6 +8693,146 @@ FROM s WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Distributed BPE vocabulary training + apply (stages/bpe.py)
+# ---------------------------------------------------------------------------
+
+BPE_MAX_WORDS = 10_000  # frequency cutoff: bounds the driver-side merge loop
+BPE_N_MERGES = 48
+
+
+def _bpe_word_counts_df(sf_dir: str) -> pd.DataFrame:
+    from ..stages.bpe import top_words, word_count_partial, word_count_sweep
+
+    ds = _read(sf_dir, "documents", ["text"])
+    counts = grouped_map(
+        ds.map_batches(word_count_partial, batch_format="pyarrow"),
+        ["word"], word_count_sweep).to_pandas()
+    return top_words(counts, BPE_MAX_WORDS)
+
+
+def q_bpe_word_counts(sf_dir: str):
+    """BPE pass 1 as its own triple-green query: top-``BPE_MAX_WORDS``
+    (count DESC, word ASC) corpus word counts.  Per-block partials are
+    the combiner, so the only exchange carries (word, n) rows bounded by
+    blocks x vocab — the document text never leaves the reading task."""
+    return _bpe_word_counts_df(sf_dir)
+
+
+SQL_BPE_WORD_COUNTS = r"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(text, '\S+')) AS word FROM documents),
+cnt AS (SELECT word, COUNT(*) AS n FROM tok GROUP BY word)
+SELECT word, n FROM cnt ORDER BY n DESC, word LIMIT 10000
+"""
+
+
+def q_bpe_train_merges(sf_dir: str, n_merges: int = BPE_N_MERGES):
+    """Distributed BPE vocabulary trainer (Sennrich et al. 2016): the
+    corpus collapses FIRST to the compact (word, count) table — one
+    combiner-backed exchange, see ``bpe_word_counts`` — and the merge
+    loop then runs on the driver over O(vocab) rows, the same
+    sample-then-fit shape as the IVF/PQ codebook queries.  rows-only (an
+    iterative weighted-argmax loop is not SQL-expressible);
+    ``bpe_train_merges_check`` pins engine == paper-pseudocode reference."""
+    from ..stages.bpe import train_merges_from_counts
+
+    top = _bpe_word_counts_df(sf_dir)
+    return train_merges_from_counts(
+        top["word"].to_numpy(), top["n"].to_numpy(), n_merges)
+
+
+def q_bpe_train_merges_check(sf_dir: str, n_merges: int = BPE_N_MERGES):
+    """Incremental-delta trainer (engine) vs the recount-every-iteration
+    Sennrich Fig.-1 reference fed by a direct (no Ray) parquet read +
+    ``str.split`` tokenization; oracle pins mismatch_rows=0."""
+    import pyarrow.parquet as pq
+
+    from ..stages.bpe import reference_train_merges, top_words
+
+    eng = q_bpe_train_merges(sf_dir, n_merges).reset_index(drop=True)
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["text"])
+    wc: dict = {}
+    for t in tbl["text"].to_pylist():
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    cdf = top_words(
+        pd.DataFrame({"word": list(wc), "n": list(wc.values())})
+        .astype({"n": "int64"}), BPE_MAX_WORDS)
+    ref = reference_train_merges(
+        cdf["word"].to_numpy(), cdf["n"].to_numpy(), n_merges) \
+        .reset_index(drop=True)
+    if len(eng) != len(ref):
+        mism = max(len(eng), len(ref))
+    else:
+        mism = int((eng.to_numpy() != ref.to_numpy()).any(axis=1).sum())
+    return pd.DataFrame({"mismatch_rows": pd.array([mism], dtype="int64")})
+
+
+def q_bpe_token_counts(sf_dir: str):
+    """Apply the learned merges back over the corpus: per-doc BPE token
+    counts.  The merge-rank table (a few hundred string pairs) ships
+    once via ``ray.put``; the actor-pool stage (``BpeTokenCounter``)
+    segments only each batch's UNIQUE words — memoized across batches in
+    the actor — and maps per-word counts to rows vectorized.  rows-only;
+    ``bpe_token_counts_check`` is the paired invariant."""
+    from ..stages.bpe import BpeTokenCounter
+
+    merges = q_bpe_train_merges(sf_dir)
+    ranks = {(lf, rt): i for i, (lf, rt)
+             in enumerate(zip(merges["left"], merges["right"]))}
+    ranks_ref = ray.put(ranks)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # pool sized to ~half the session so the upstream read tasks always
+    # keep a CPU (concurrency == all CPUs deadlocks a small test session)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return ds.map_batches(
+        BpeTokenCounter, fn_constructor_kwargs={"ranks_ref": ranks_ref},
+        concurrency=max(2, min(8, cpus // 2)), batch_format="pyarrow")
+
+
+def q_bpe_token_counts_check(sf_dir: str):
+    """Greedy lowest-rank apply (engine) vs replay-in-training-order
+    apply (the classic BPE equivalence; ``segment_in_order`` shares no
+    loop with ``segment_greedy``) over a direct parquet read;
+    mismatch_rows=0."""
+    import pyarrow.parquet as pq
+
+    from ..stages.bpe import segment_in_order
+
+    eng = q_bpe_token_counts(sf_dir).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    mdf = q_bpe_train_merges(sf_dir)
+    merges = list(zip(mdf["left"], mdf["right"]))
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    cache: dict = {}
+    ids, nw, nt = [], [], []
+    for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        ws = t.split()
+        s = 0
+        for w in ws:
+            n = cache.get(w)
+            if n is None:
+                n = len(segment_in_order(w, merges))
+                cache[w] = n
+            s += n
+        ids.append(d)
+        nw.append(len(ws))
+        nt.append(s)
+    ref = pd.DataFrame({
+        "doc_id": pd.array(ids, dtype="int64"),
+        "n_words": pd.array(nw, dtype="int64"),
+        "n_bpe_tokens": pd.array(nt, dtype="int64"),
+    }).sort_values("doc_id").reset_index(drop=True)
+    if len(eng) != len(ref) or list(eng.columns) != list(ref.columns):
+        mism = max(len(eng), len(ref))
+    else:
+        mism = int((eng.to_numpy() != ref.to_numpy()).any(axis=1).sum())
+    return pd.DataFrame({"mismatch_rows": pd.array([mism], dtype="int64")})
+
+
 QUERIES = {
     "tumbling_stats": q_tumbling_stats,
     "sliding_counts": q_sliding_counts,
@@ -8843,6 +8983,11 @@ QUERIES = {
     "top_bigrams": q_top_bigrams,
     "url_canonicalize": q_url_canonicalize,
     "exact_substring_dedup": q_exact_substring_dedup,
+    "bpe_word_counts": q_bpe_word_counts,
+    "bpe_train_merges": q_bpe_train_merges,
+    "bpe_train_merges_check": q_bpe_train_merges_check,
+    "bpe_token_counts": q_bpe_token_counts,
+    "bpe_token_counts_check": q_bpe_token_counts_check,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_fingerprints_check": q_winnow_fingerprints_check,
     "html_extract_text": q_html_extract_text,
@@ -9047,6 +9192,9 @@ ORACLE_SQL = {
     "exact_substring_dedup": SQL_EXACT_SUBSTRING_DEDUP,
     # winnowing min-selection follows the engine's hash order (not
     # SQL-expressible); the check pins vectorized-vs-loop-reference parity
+    "bpe_word_counts": SQL_BPE_WORD_COUNTS,
+    "bpe_train_merges_check": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
+    "bpe_token_counts_check": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
     "winnow_fingerprints_check": "SELECT CAST(0 AS BIGINT) AS mismatch_rows",
     "html_extract_text": SQL_HTML_EXTRACT_TEXT,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

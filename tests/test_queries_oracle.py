@@ -113,6 +113,9 @@ FAST_SQL_QUERIES = [
     "hourly_active_users",
     "train_split_counts",
     "unigram_logprob",
+    "bpe_word_counts",
+    "bpe_train_merges_check",
+    "bpe_token_counts_check",
     "above_segment_avg",
     "revenue_share",
     "event_cooccurrence",
