@@ -52,6 +52,7 @@ SKIP_QUERIES = {
     "lowess_smooth_check",
     "media_image_features_check",
     "media_flac_check",
+    "media_mp2_check",
     "media_webp_features_check",
     "countmin_check",
     "winnow_fingerprints_check",

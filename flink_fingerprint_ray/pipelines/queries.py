@@ -1296,6 +1296,79 @@ def q_media_flac_check(sf_dir: str):
     })
 
 
+def q_media_mp2(sf_dir: str):
+    """Multimodal PERCEPTUAL-audio path (rows-only): genuine MPEG-1
+    Audio Layer II payloads (pure-numpy ISO 11172-3 subset codec:
+    32-band polyphase filterbank, Table 3-B.2a allocation, grouped
+    3/5/9-level triplet codes, 2^(-i/3) scalefactors) decoded by the
+    actor-pool stage via the ``library`` dispatch slot.  The
+    distributed-vs-single-process + SNR/compression budget invariant is
+    ``media_mp2_check``."""
+    from ..stages.media import AudioFeatureStage, make_mp2_media
+
+    ds = ray.data.from_arrow(make_mp2_media(96, seed=29))
+    return ds.map_batches(
+        AudioFeatureStage, fn_constructor_kwargs={"decoder": "library"},
+        concurrency=2, batch_size=32, batch_format="pyarrow",
+    )
+
+
+def q_media_mp2_check(sf_dir: str):
+    """Driver-visible invariant for the Layer II path: (1) the
+    actor-pool decode equals a single-process decode of the same bytes
+    (micros-rounded), (2) RATE — every payload is exactly 192 kbps
+    (0.25x of 16-bit PCM at 48 kHz), (3) FIDELITY — decode(encode(x))
+    reaches >= 25 dB SNR on a tonal mix (the quantizer bound at this
+    operating point; the unquantized filterbank floor is pinned ~50 dB
+    in tests), and (4) a stream with a corrupted sync word is refused.
+    Oracle pins mismatch_rows=0, rate_ok=1, snr_ok=1."""
+    from ..functions.mp2 import FRAME_SAMPLES, SAMPLE_RATE, decode_mp2, encode_mp2
+    from ..stages.media import AudioFeatureStage, make_mp2_media
+
+    eng = q_media_mp2(sf_dir).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    tbl = make_mp2_media(96, seed=29)
+    stage = AudioFeatureStage(decoder="library")   # same kernel, no Ray
+    ref = stage(tbl).to_pandas().sort_values("media_id").reset_index(drop=True)
+    for df in (eng, ref):
+        for c in ("energy", "duration_s"):
+            df[c] = _micros(df[c].to_numpy())
+    if len(eng) != len(ref):
+        mism = max(len(eng), len(ref))
+    else:
+        mism = int((eng[ref.columns.tolist()].to_numpy() != ref.to_numpy())
+                   .any(axis=1).sum())
+
+    # rate: coded bytes == 576 * n_frames (192 kbps / 48 kHz exactly)
+    rate_ok = 1
+    for p in tbl["payload"].to_pylist():
+        if len(p) % 576:
+            rate_ok = 0
+
+    rng = np.random.RandomState(11)
+    sr = SAMPLE_RATE
+    t = np.arange(sr) / sr
+    x = np.clip(0.5 * np.sin(2 * np.pi * 440 * t)
+                + 0.25 * np.sin(2 * np.pi * 1870 * t)
+                + rng.normal(0, 0.01, len(t)), -0.99, 0.99)
+    y, _ = decode_mp2(encode_mp2(x))
+    err = x - y[:len(x)]
+    snr_ok = int(10 * np.log10((x @ x) / (err @ err)) >= 25.0)
+    assert FRAME_SAMPLES == 1152
+    bad = bytearray(encode_mp2(x))
+    bad[0] = 0x00                                  # break the sync word
+    try:
+        decode_mp2(bytes(bad))
+        caught = False
+    except ValueError:
+        caught = True
+    return pd.DataFrame({
+        "mismatch_rows": pd.array([mism], dtype="int64"),
+        "rate_ok": pd.array([rate_ok], dtype="int64"),
+        "snr_ok": pd.array([int(snr_ok and caught)], dtype="int64"),
+    })
+
+
 def q_media_video_frames(sf_dir: str):
     """Multimodal REAL-video path (rows-only): genuine MJPEG-AVI payloads
     frame-sampled (every 4th frame) by the actor-pool stage via the
@@ -8895,6 +8968,8 @@ QUERIES = {
     "media_audio_codecs_check": q_media_audio_codecs_check,
     "media_flac": q_media_flac,
     "media_flac_check": q_media_flac_check,
+    "media_mp2": q_media_mp2,
+    "media_mp2_check": q_media_mp2_check,
     "media_video_frames": q_media_video_frames,
     "media_video_frames_check": q_media_video_frames_check,
     "media_gif_features": q_media_gif_features,
@@ -9089,6 +9164,9 @@ ORACLE_SQL = {
     "media_flac_check": ("SELECT CAST(0 AS BIGINT) AS mismatch_rows, "
                          "CAST(1 AS BIGINT) AS lossless_ok, "
                          "CAST(1 AS BIGINT) AS budget_ok"),
+    "media_mp2_check": ("SELECT CAST(0 AS BIGINT) AS mismatch_rows, "
+                        "CAST(1 AS BIGINT) AS rate_ok, "
+                        "CAST(1 AS BIGINT) AS snr_ok"),
     "media_video_frames_check": ("SELECT CAST(0 AS BIGINT) AS mismatch_rows, "
                                  "CAST(1 AS BIGINT) AS frame_count_ok, "
                                  "CAST(1 AS BIGINT) AS seek_ok"),

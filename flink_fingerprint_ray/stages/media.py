@@ -134,10 +134,11 @@ class GifDecoder:
 class LibraryDecoder:
     """The compressed-codec dispatch slot.  JPEG, PNG, GIF and
     WebP-lossless decode for REAL (pure-numpy T.81 / RFC 2083 / GIF89a /
-    VP8L codecs in ``functions/``); uncompressed formats via
-    ``NetpbmDecoder``.  The remaining formats (Opus/H.264/MP3) would
-    hold a libav handle loaded once per actor in production — those
-    libraries are not in this container."""
+    VP8L codecs in ``functions/``); MPEG-1 Layer II audio via
+    ``functions/mp2.py``; uncompressed formats via ``NetpbmDecoder``.
+    The remaining formats (Opus/H.264/MP3-LayerIII) would hold a libav
+    handle loaded once per actor in production — those libraries are
+    not in this container."""
 
     def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
         if payload[:2] == b"\xff\xd8":
@@ -183,10 +184,20 @@ class LibraryDecoder:
             pcm, _sr = decode_flac(payload)
             x = pcm.astype(np.float32) / 32768.0
             return x if x.ndim == 1 else x.mean(axis=1)
+        if (len(payload) >= 4 and payload[0] == 0xFF
+                and (payload[1] & 0xF0) == 0xF0
+                and ((payload[1] >> 1) & 0x3) == 0b10):
+            # REAL perceptual codec: pure-numpy MPEG-1 Audio Layer II
+            # (functions/mp2.py — polyphase filterbank + Table 3-B.2a
+            # frame syntax); returns float PCM aligned to encoder input
+            from ..functions.mp2 import decode_mp2
+
+            y, _sr = decode_mp2(payload)
+            return y.astype(np.float32)
         raise NotImplementedError(
-            "audio codecs beyond WAV(PCM16/mu-law/ADPCM)/FLAC require "
-            "libav/soundfile — not available in this container; plug the "
-            "codec in here (loaded once per actor)")
+            "audio codecs beyond WAV(PCM16/mu-law/ADPCM)/FLAC/MP2 "
+            "require libav/soundfile — not available in this container; "
+            "plug the codec in here (loaded once per actor)")
 
     def n_video_frames(self, payload: bytes) -> int:
         if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
@@ -654,6 +665,36 @@ def make_flac_media(n: int, seed: int = 0) -> pa.Table:
                                         predictor=pred))
         else:
             payloads.append(encode_flac(pcm, sr, predictor=pred))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array(["audio"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(np.full(n, 0, np.int32)),
+            "height": pa.array(np.full(n, 0, np.int32)),
+            "sample_rate": pa.array(np.full(n, sr, np.int32)),
+            "n_frames": pa.array(np.full(n, 1, np.int32)),
+        }
+    )
+
+
+def make_mp2_media(n: int, seed: int = 0) -> pa.Table:
+    """Fixture with GENUINE MPEG-1 Layer II payloads: seeded tonal-mix
+    clips at the codec's 48 kHz / 192 kbps mono operating point — the
+    perceptual-codec shape broadcast/podcast corpora actually carry."""
+    from ..functions.mp2 import SAMPLE_RATE, encode_mp2
+
+    rng = np.random.RandomState(seed)
+    sr = SAMPLE_RATE
+    payloads = []
+    for _i in range(n):
+        t = np.arange(int(sr * rng.uniform(0.1, 0.3))) / sr
+        f1, f2, f3 = rng.uniform(80, 8000, 3)
+        x = (0.5 * np.sin(2 * np.pi * f1 * t)
+             + 0.25 * np.sin(2 * np.pi * f2 * t)
+             + 0.1 * np.sin(2 * np.pi * f3 * t)
+             + rng.normal(0, 0.005, len(t)))
+        payloads.append(encode_mp2(np.clip(x, -0.99, 0.99)))
     return pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),
