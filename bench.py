@@ -54,6 +54,7 @@ SKIP_QUERIES = {
     "media_flac_check",
     "media_mp2_check",
     "media_webp_features_check",
+    "media_mpeg1_frames_check",
     "countmin_check",
     "winnow_fingerprints_check",
     "host_pagerank_check",

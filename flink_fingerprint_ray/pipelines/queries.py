@@ -1421,6 +1421,92 @@ def q_media_video_frames_check(sf_dir: str):
                          "seek_ok": pd.array([seek_ok], dtype="int64")})
 
 
+def q_media_mpeg1_frames(sf_dir: str):
+    """Multimodal INTER-FRAME-video path (rows-only): genuine MPEG-1
+    video payloads (pure-numpy ISO 11172-2 subset codec: I+P GOPs,
+    full-pel motion compensation, skipped macroblocks, the spec's VLC
+    tables and oddification dequant) frame-sampled (every 4th frame) by
+    the actor-pool stage via the ``library`` dispatch slot.  Frame count
+    is a picture-start-code scan (no entropy decode); each sampled frame
+    is a GOP seek that decodes only from the nearest preceding I
+    picture.  The distributed-vs-single-process + frame-count + seek +
+    inter-gain invariant is ``media_mpeg1_frames_check``."""
+    from ..stages.media import VideoFrameSampleStage, make_mpeg1_media
+
+    ds = ray.data.from_arrow(make_mpeg1_media(48, seed=17))
+    return ds.map_batches(
+        VideoFrameSampleStage, fn_constructor_kwargs={"decoder": "library", "every": 4},
+        concurrency=2, batch_size=12, batch_format="pyarrow",
+    )
+
+
+def q_media_mpeg1_frames_check(sf_dir: str):
+    """Driver-visible invariant for the inter-frame video path: (1) the
+    actor-pool frame sample over the seeded MPEG-1 table equals a
+    single-process run row-for-row (micros-rounded means), (2) the
+    emitted row count equals the exact sum of ceil(n_frames/4) from the
+    CONTAINER start-code scan, (3) a GOP seek decodes the RIGHT frame —
+    frame 8's flat green stamp reads ≈ 96 — and bit-exactly matches the
+    same frame from a full sequential decode, and (4) INTER GAIN: the
+    I+P stream of a translating clip is meaningfully smaller than its
+    all-intra encoding (the property that makes this a video codec).
+    Oracle pins mismatch_rows=0, frame_count_ok=1, seek_ok=1,
+    inter_ok=1."""
+    from ..functions.mpeg1 import (
+        decode_mpeg1,
+        decode_mpeg1_frame,
+        encode_mpeg1,
+        mpeg1_n_frames,
+    )
+    from ..stages.media import VideoFrameSampleStage, make_mpeg1_media
+
+    eng = q_media_mpeg1_frames(sf_dir).to_pandas() \
+        .sort_values(["media_id", "frame_no"]).reset_index(drop=True)
+    tbl = make_mpeg1_media(48, seed=17)
+    stage = VideoFrameSampleStage(decoder="library", every=4)  # no Ray
+    ref = stage(tbl).to_pandas() \
+        .sort_values(["media_id", "frame_no"]).reset_index(drop=True)
+    for df in (eng, ref):
+        df["frame_mean"] = _micros(df["frame_mean"].to_numpy())
+    if len(eng) != len(ref):
+        mism = max(len(eng), len(ref))
+    else:
+        mism = int((eng[ref.columns.tolist()].to_numpy() != ref.to_numpy())
+                   .any(axis=1).sum())
+    payloads = tbl["payload"].to_pylist()
+    counts = [mpeg1_n_frames(p) for p in payloads]   # container scan
+    expect_rows = int(sum((c + 3) // 4 for c in counts))
+    frame_count_ok = int(
+        len(eng) == expect_rows
+        and counts == [int(c) for c in tbl["n_frames"].to_numpy()])
+    # seek correctness on the first payload with > 8 frames: green stamp
+    # identifies the frame AND the seek equals the sequential decode
+    pi = next(i for i, c in enumerate(counts) if c > 8)
+    img = decode_mpeg1_frame(payloads[pi], 8)
+    full = decode_mpeg1(payloads[pi])
+    seek_ok = int(abs(float(img[:, :, 1].mean()) - 96.0) < 10.0
+                  and np.array_equal(img, full[8]))
+    # inter gain: motion-compensated P pictures beat all-intra coding
+    gx = np.broadcast_to(np.linspace(0, 255, 48)[None, :], (32, 48))
+    gy = np.broadcast_to(np.linspace(0, 255, 32)[:, None], (32, 48))
+    frames = []
+    for f in range(12):
+        tex = np.clip(127.5 + 70 * np.sin((gx + 3.0 * f) / 6.0)
+                      * np.cos(gy / 5.0), 0, 255)
+        frames.append(np.stack(
+            [np.minimum(0.5 * gx + 0.5 * tex, 255),
+             np.full((32, 48), min(f * 12.0, 255.0)), tex],
+            axis=2).astype(np.uint8))
+    inter_ok = int(len(encode_mpeg1(frames, gop_size=6))
+                   < 0.8 * len(encode_mpeg1(frames, gop_size=1)))
+    return pd.DataFrame({
+        "mismatch_rows": pd.array([mism], dtype="int64"),
+        "frame_count_ok": pd.array([frame_count_ok], dtype="int64"),
+        "seek_ok": pd.array([seek_ok], dtype="int64"),
+        "inter_ok": pd.array([inter_ok], dtype="int64"),
+    })
+
+
 def q_media_gif_features(sf_dir: str):
     """Multimodal LOSSLESS palette-codec path (rows-only): genuine GIF89a
     payloads (plain / interlaced / transparent mixes, variable-width LZW)
@@ -8972,6 +9058,8 @@ QUERIES = {
     "media_mp2_check": q_media_mp2_check,
     "media_video_frames": q_media_video_frames,
     "media_video_frames_check": q_media_video_frames_check,
+    "media_mpeg1_frames": q_media_mpeg1_frames,
+    "media_mpeg1_frames_check": q_media_mpeg1_frames_check,
     "media_gif_features": q_media_gif_features,
     "media_gif_features_check": q_media_gif_features_check,
     "media_gif_anim_frames": q_media_gif_anim_frames,
@@ -9170,6 +9258,10 @@ ORACLE_SQL = {
     "media_video_frames_check": ("SELECT CAST(0 AS BIGINT) AS mismatch_rows, "
                                  "CAST(1 AS BIGINT) AS frame_count_ok, "
                                  "CAST(1 AS BIGINT) AS seek_ok"),
+    "media_mpeg1_frames_check": ("SELECT CAST(0 AS BIGINT) AS mismatch_rows, "
+                                 "CAST(1 AS BIGINT) AS frame_count_ok, "
+                                 "CAST(1 AS BIGINT) AS seek_ok, "
+                                 "CAST(1 AS BIGINT) AS inter_ok"),
     "media_gif_features_check": ("SELECT CAST(0 AS BIGINT) AS mismatch_rows, "
                                  "CAST(1 AS BIGINT) AS lossless_ok"),
     "media_gif_anim_frames_check": ("SELECT CAST(0 AS BIGINT) AS mismatch_rows, "

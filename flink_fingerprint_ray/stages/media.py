@@ -135,10 +135,11 @@ class LibraryDecoder:
     """The compressed-codec dispatch slot.  JPEG, PNG, GIF and
     WebP-lossless decode for REAL (pure-numpy T.81 / RFC 2083 / GIF89a /
     VP8L codecs in ``functions/``); MPEG-1 Layer II audio via
-    ``functions/mp2.py``; uncompressed formats via ``NetpbmDecoder``.
-    The remaining formats (Opus/H.264/MP3-LayerIII) would hold a libav
-    handle loaded once per actor in production — those libraries are
-    not in this container."""
+    ``functions/mp2.py``; MPEG-1 video (I+P inter-frame coding with
+    motion compensation) via ``functions/mpeg1.py``; uncompressed
+    formats via ``NetpbmDecoder``.  The remaining formats
+    (Opus/H.264/MP3-LayerIII) would hold a libav handle loaded once per
+    actor in production — those libraries are not in this container."""
 
     def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
         if payload[:2] == b"\xff\xd8":
@@ -204,14 +205,29 @@ class LibraryDecoder:
             return MjpegDecoder().n_video_frames(payload)
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             return self._gif().n_video_frames(payload)
-        raise NotImplementedError("video containers beyond MJPEG-AVI/GIF require libav")
+        if payload[:4] == b"\x00\x00\x01\xb3":
+            # REAL inter-frame codec: pure-numpy MPEG-1 video
+            # (functions/mpeg1.py, ISO 11172-2 I+P subset); frame count
+            # is a picture-start-code scan, no entropy decode
+            from ..functions.mpeg1 import mpeg1_n_frames
+
+            return mpeg1_n_frames(payload)
+        raise NotImplementedError(
+            "video containers beyond MJPEG-AVI/GIF/MPEG-1 require libav")
 
     def decode_video_frame(self, payload: bytes, frame_idx: int) -> np.ndarray:
         if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
             return MjpegDecoder().decode_video_frame(payload, frame_idx)
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             return self._gif().decode_video_frame(payload, frame_idx)
-        raise NotImplementedError("video containers beyond MJPEG-AVI/GIF require libav")
+        if payload[:4] == b"\x00\x00\x01\xb3":
+            # GOP random access: decodes only from the nearest preceding
+            # I picture — seek cost bounded by GOP size, not stream length
+            from ..functions.mpeg1 import decode_mpeg1_frame
+
+            return decode_mpeg1_frame(payload, frame_idx)
+        raise NotImplementedError(
+            "video containers beyond MJPEG-AVI/GIF/MPEG-1 require libav")
 
 
 class MjpegDecoder:
@@ -729,6 +745,48 @@ def make_mjpeg_media(n: int, seed: int = 0, fps: int = 10) -> pa.Table:
             for f in range(nf)
         ]
         payloads.append(encode_avi_mjpeg(frames, fps=fps))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array(["video"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(widths),
+            "height": pa.array(heights),
+            "sample_rate": pa.array(np.full(n, 0, np.int32)),
+            "n_frames": pa.array(counts),
+        }
+    )
+
+
+def make_mpeg1_media(n: int, seed: int = 0) -> pa.Table:
+    """Fixture with GENUINE MPEG-1 video payloads (this repo's first
+    INTER-FRAME-coded video: I+P GOPs with full-pel motion
+    compensation): seeded clips whose luma texture TRANSLATES between
+    frames (so P pictures genuinely motion-compensate) and whose flat
+    green level encodes the frame number (≈ 12·f), 6-20 frames each —
+    so a frame-sample stage's output identifies WHICH frame a GOP seek
+    decoded."""
+    from ..functions.mpeg1 import encode_mpeg1
+
+    rng = np.random.RandomState(seed)
+    widths = rng.randint(16, 48, n).astype(np.int32)
+    heights = rng.randint(16, 48, n).astype(np.int32)
+    counts = rng.randint(6, 21, n).astype(np.int32)
+    payloads = []
+    for i in range(n):
+        h, w, nf = int(heights[i]), int(widths[i]), int(counts[i])
+        gx = np.broadcast_to(np.linspace(0, 255, w)[None, :], (h, w))
+        gy = np.broadcast_to(np.linspace(0, 255, h)[:, None], (h, w))
+        frames = []
+        for f in range(nf):
+            tex = np.clip(
+                127.5 + 70 * np.sin((gx + 3.0 * f) / (6.0 + i % 5))
+                * np.cos(gy / (5.0 + i % 3)), 0, 255)
+            frames.append(np.stack(
+                [np.minimum(0.5 * gx + 0.5 * tex, 255),
+                 np.full((h, w), min(f * 12.0, 255.0)),
+                 tex], axis=2).astype(np.uint8))
+        payloads.append(encode_mpeg1(frames, gop_size=6))
     return pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),
