@@ -8287,6 +8287,125 @@ FROM r
 """
 
 
+# ---------------------------------------------------------------------------
+# Sitemap (sitemaps.org) frontier seeding
+# ---------------------------------------------------------------------------
+
+def q_sitemap_frontier(sf_dir: str):
+    """Sitemap-protocol frontier seeding end-to-end: per-host fetched
+    sitemap files — a ``<sitemapindex>`` plus two ``<urlset>`` children
+    (one plain with a default namespace, one GZIPPED with a prefixed
+    namespace, both legal per the protocol) — are parsed by the
+    stdlib-only sitemaps.org parser (``functions/sitemap.py``) in an
+    embarrassingly-parallel ``map_batches`` stage (per-file parse, no
+    state, no shuffle) and exploded into frontier URL rows with
+    normalized ``lastmod`` epoch-ms, ``changefreq`` and micro-scaled
+    ``priority`` recrawl hints.  Exercises W3C date-only AND full
+    datetime lastmods, entity-escaped query strings, and absent
+    optional fields (sentinels ``'none'`` / ``-1``).  The SQL oracle
+    re-derives every row from the synthesis arithmetic — the XML
+    parser, gzip sniff and datetime normalization must reproduce them
+    exactly.  (Reference analog: the per-source metadata ingest around
+    ``src/data_input/process_odr.py``.)"""
+    from datetime import date, timedelta
+
+    import pyarrow.parquet as pq
+
+    from ..functions.sitemap import (
+        build_sitemapindex,
+        build_urlset,
+        parse_sitemap,
+    )
+
+    srcs = sorted(set(pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                                    columns=["source"])["source"].to_pylist()))
+    base = date(2024, 1, 1)
+    hosts, payloads = [], []
+    for s in srcs:
+        n = int(s[3:])
+        host = f"www.{s}.example.com"
+        hosts.append(host)
+        payloads.append(build_sitemapindex(
+            [f"https://{host}/sitemap-0.xml", f"https://{host}/sitemap-1.xml.gz"],
+            ["2024-02-01", None]))
+        for j in (0, 1):
+            urls = []
+            for k in range(n % 5 + 3):
+                d = base + timedelta(days=n * 7 + j * 3 + k)
+                lastmod = (d.isoformat() if k % 2 == 0
+                           else d.isoformat() + "T12:30:00Z")
+                urls.append({
+                    "loc": (f"https://{host}/s{j}/page{k}.html"
+                            + ("?a=1&b=2" if k % 4 == 1 else "")),
+                    "lastmod": lastmod,
+                    "changefreq": (None if k % 3 == 0 else
+                                   ("daily", "weekly", "monthly",
+                                    "yearly")[(n + k) % 4]),
+                    "priority": None if k % 3 == 0 else ((k % 9) + 1) / 10,
+                })
+            hosts.append(host)
+            payloads.append(build_urlset(urls, gzip_out=(j == 1),
+                                         ns_prefix=(j == 1)))
+
+    ds = ray.data.from_arrow(pa.table({
+        "host": pa.array(hosts), "payload": pa.array(payloads, pa.binary())}))
+
+    class SitemapParse:
+        """Stateless per-file parse; index files contribute no URL rows
+        (their children are fetched separately, as a crawler would)."""
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_host, out_url, out_lm, out_cf, out_pr = [], [], [], [], []
+            for host, payload in zip(batch["host"].to_pylist(),
+                                     batch["payload"].to_pylist()):
+                parsed = parse_sitemap(payload)
+                if parsed["kind"] != "urlset":
+                    continue
+                for e in parsed["entries"]:
+                    out_host.append(host)
+                    out_url.append(e["loc"])
+                    out_lm.append(-1 if e["lastmod_ms"] is None
+                                  else e["lastmod_ms"])
+                    out_cf.append(e["changefreq"] or "none")
+                    out_pr.append(-1 if e["priority"] is None
+                                  else int(round(e["priority"] * 1_000_000)))
+            return pa.table({
+                "host": pa.array(out_host, pa.string()),
+                "url": pa.array(out_url, pa.string()),
+                "lastmod_ms": pa.array(out_lm, pa.int64()),
+                "changefreq": pa.array(out_cf, pa.string()),
+                "priority_micros": pa.array(out_pr, pa.int64()),
+            })
+
+    return ds.map_batches(SitemapParse, concurrency=2,
+                          batch_format="pyarrow")
+
+
+SQL_SITEMAP_FRONTIER = """
+WITH s AS (
+  SELECT DISTINCT source, CAST(substr(source, 4) AS INT) AS n
+  FROM documents),
+u AS (
+  SELECT s.source, s.n, j.range AS j, k.range AS k
+  FROM s, range(2) j, range(8) k
+  WHERE k.range < s.n % 5 + 3)
+SELECT 'www.' || source || '.example.com' AS host,
+       'https://www.' || source || '.example.com/s' || j || '/page' || k
+         || '.html' || CASE WHEN k % 4 = 1 THEN '?a=1&b=2' ELSE '' END AS url,
+       epoch_ms(CAST(DATE '2024-01-01'
+                     + CAST(n * 7 + j * 3 + k AS INT) * INTERVAL 1 DAY
+                     AS TIMESTAMP))
+         + CASE WHEN k % 2 = 0 THEN 0 ELSE 45000000 END AS lastmod_ms,
+       CASE WHEN k % 3 = 0 THEN 'none'
+            ELSE CASE (n + k) % 4 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+                                  WHEN 2 THEN 'monthly' ELSE 'yearly' END
+       END AS changefreq,
+       CAST(CASE WHEN k % 3 = 0 THEN -1
+                 ELSE ((k % 9) + 1) * 100000 END AS BIGINT) AS priority_micros
+FROM u
+"""
+
+
 BM25_TERMS = ("window", "join", "hash", "stream")
 
 
@@ -9078,6 +9197,7 @@ QUERIES = {
     "over_range_count": q_over_range_count,
     "jsonl_ingest": q_jsonl_ingest,
     "host_frontier_order": q_host_frontier_order,
+    "sitemap_frontier": q_sitemap_frontier,
     "bm25_scores": q_bm25_scores,
     "grouping_sets_revenue": q_grouping_sets_revenue,
     "dense_rank_balance": q_dense_rank_balance,
@@ -9291,6 +9411,7 @@ ORACLE_SQL = {
     "over_range_count": SQL_OVER_RANGE_COUNT,
     "jsonl_ingest": SQL_JSONL_INGEST,
     "host_frontier_order": SQL_HOST_FRONTIER_ORDER,
+    "sitemap_frontier": SQL_SITEMAP_FRONTIER,
     "bm25_scores": SQL_BM25_SCORES,
     "grouping_sets_revenue": SQL_GROUPING_SETS_REVENUE,
     "dense_rank_balance": SQL_DENSE_RANK_BALANCE,
