@@ -53,6 +53,7 @@ SKIP_QUERIES = {
     "media_image_features_check",
     "media_flac_check",
     "media_mp2_check",
+    "media_mp3_check",
     "media_webp_features_check",
     "media_mpeg1_frames_check",
     "countmin_check",

@@ -1369,6 +1369,81 @@ def q_media_mp2_check(sf_dir: str):
     })
 
 
+def q_media_mp3(sf_dir: str):
+    """Multimodal PERCEPTUAL-audio path for the web's dominant codec
+    (rows-only): genuine MPEG-1 Audio Layer III ("MP3") payloads
+    (pure-numpy ISO 11172-3 subset codec: bit-reservoir main-data
+    syntax, Huffman-coded big_values/count1/rzero spectrum with linbits
+    escapes, scalefactors+SCFSI, alias-reduction butterflies, hybrid
+    36-point IMDCT + 32-band polyphase) decoded by the actor-pool stage
+    via the ``library`` dispatch slot.  The distributed-vs-single-
+    process + rate/SNR budget invariant is ``media_mp3_check``."""
+    from ..stages.media import AudioFeatureStage, make_mp3_media
+
+    ds = ray.data.from_arrow(make_mp3_media(96, seed=31))
+    return ds.map_batches(
+        AudioFeatureStage, fn_constructor_kwargs={"decoder": "library"},
+        concurrency=2, batch_size=32, batch_format="pyarrow",
+    )
+
+
+def q_media_mp3_check(sf_dir: str):
+    """Driver-visible invariant for the Layer III path: (1) the
+    actor-pool decode equals a single-process decode of the same bytes
+    (micros-rounded), (2) RATE — every payload is whole 320 kbps frames
+    (960-byte multiples, 5/12 of 16-bit PCM at 48 kHz), (3) FIDELITY —
+    decode(encode(x)) reaches >= 30 dB SNR on a tonal mix BOTH with and
+    without on-the-wire scalefactors (the SCFSI/requant path), and (4)
+    a stream with a corrupted sync word is refused.  Oracle pins
+    mismatch_rows=0, rate_ok=1, snr_ok=1."""
+    from ..functions.mp3 import FRAME_BYTES, SAMPLE_RATE, decode_mp3, encode_mp3
+    from ..stages.media import AudioFeatureStage, make_mp3_media
+
+    eng = q_media_mp3(sf_dir).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    tbl = make_mp3_media(96, seed=31)
+    stage = AudioFeatureStage(decoder="library")   # same kernel, no Ray
+    ref = stage(tbl).to_pandas().sort_values("media_id").reset_index(drop=True)
+    for df in (eng, ref):
+        for c in ("energy", "duration_s"):
+            df[c] = _micros(df[c].to_numpy())
+    if len(eng) != len(ref):
+        mism = max(len(eng), len(ref))
+    else:
+        mism = int((eng[ref.columns.tolist()].to_numpy() != ref.to_numpy())
+                   .any(axis=1).sum())
+
+    rate_ok = 1
+    for p in tbl["payload"].to_pylist():
+        if len(p) % FRAME_BYTES:
+            rate_ok = 0
+
+    rng = np.random.RandomState(13)
+    sr = SAMPLE_RATE
+    t = np.arange(sr // 2) / sr
+    x = np.clip(0.5 * np.sin(2 * np.pi * 440 * t)
+                + 0.25 * np.sin(2 * np.pi * 1870 * t)
+                + rng.normal(0, 0.01, len(t)), -0.99, 0.99)
+    snr_ok = 1
+    for scf in (0, 2):
+        y, _ = decode_mp3(encode_mp3(x, uniform_scf=scf))
+        err = x - y[:len(x)]
+        if 10 * np.log10((x @ x) / (err @ err)) < 30.0:
+            snr_ok = 0
+    bad = bytearray(encode_mp3(x))
+    bad[0] = 0x00                                  # break the sync word
+    try:
+        decode_mp3(bytes(bad))
+        caught = False
+    except ValueError:
+        caught = True
+    return pd.DataFrame({
+        "mismatch_rows": pd.array([mism], dtype="int64"),
+        "rate_ok": pd.array([rate_ok], dtype="int64"),
+        "snr_ok": pd.array([int(snr_ok and caught)], dtype="int64"),
+    })
+
+
 def q_media_video_frames(sf_dir: str):
     """Multimodal REAL-video path (rows-only): genuine MJPEG-AVI payloads
     frame-sampled (every 4th frame) by the actor-pool stage via the
@@ -9175,6 +9250,8 @@ QUERIES = {
     "media_flac_check": q_media_flac_check,
     "media_mp2": q_media_mp2,
     "media_mp2_check": q_media_mp2_check,
+    "media_mp3": q_media_mp3,
+    "media_mp3_check": q_media_mp3_check,
     "media_video_frames": q_media_video_frames,
     "media_video_frames_check": q_media_video_frames_check,
     "media_mpeg1_frames": q_media_mpeg1_frames,
@@ -9373,6 +9450,9 @@ ORACLE_SQL = {
                          "CAST(1 AS BIGINT) AS lossless_ok, "
                          "CAST(1 AS BIGINT) AS budget_ok"),
     "media_mp2_check": ("SELECT CAST(0 AS BIGINT) AS mismatch_rows, "
+                        "CAST(1 AS BIGINT) AS rate_ok, "
+                        "CAST(1 AS BIGINT) AS snr_ok"),
+    "media_mp3_check": ("SELECT CAST(0 AS BIGINT) AS mismatch_rows, "
                         "CAST(1 AS BIGINT) AS rate_ok, "
                         "CAST(1 AS BIGINT) AS snr_ok"),
     "media_video_frames_check": ("SELECT CAST(0 AS BIGINT) AS mismatch_rows, "

@@ -12,10 +12,11 @@ Decode support in this container:
 - ``FakeDecoder`` — deterministic hash-derived pixels/samples for
   plumbing tests;
 - ``LibraryDecoder`` — the compressed-codec dispatch: JPEG, PNG, GIF,
-  WebP-lossless, MJPEG-AVI, mu-law/ADPCM WAV and FLAC decode for REAL
-  (pure-numpy from-spec codecs in ``functions/``); the remaining slots
-  (Opus/H.264/MP3) raise ``NotImplementedError`` with the exact place a
-  libav handle plugs in (loaded once per actor).
+  WebP-lossless, MJPEG-AVI, MPEG-1 video, mu-law/ADPCM WAV, FLAC and
+  MPEG-1 Layer II/III ("MP3") decode for REAL (pure-numpy from-spec
+  codecs in ``functions/``); the remaining slots (Opus/H.264) raise
+  ``NotImplementedError`` with the exact place a libav handle plugs in
+  (loaded once per actor).
 
 Usage (actor pool — decoder state built once per actor in __init__):
 
@@ -135,11 +136,12 @@ class LibraryDecoder:
     """The compressed-codec dispatch slot.  JPEG, PNG, GIF and
     WebP-lossless decode for REAL (pure-numpy T.81 / RFC 2083 / GIF89a /
     VP8L codecs in ``functions/``); MPEG-1 Layer II audio via
-    ``functions/mp2.py``; MPEG-1 video (I+P inter-frame coding with
+    ``functions/mp2.py``; MPEG-1 Layer III ("MP3") audio via
+    ``functions/mp3.py``; MPEG-1 video (I+P inter-frame coding with
     motion compensation) via ``functions/mpeg1.py``; uncompressed
-    formats via ``NetpbmDecoder``.  The remaining formats
-    (Opus/H.264/MP3-LayerIII) would hold a libav handle loaded once per
-    actor in production — those libraries are not in this container."""
+    formats via ``NetpbmDecoder``.  The remaining formats (Opus/H.264)
+    would hold a libav handle loaded once per actor in production —
+    those libraries are not in this container."""
 
     def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
         if payload[:2] == b"\xff\xd8":
@@ -195,8 +197,19 @@ class LibraryDecoder:
 
             y, _sr = decode_mp2(payload)
             return y.astype(np.float32)
+        if (len(payload) >= 4 and payload[0] == 0xFF
+                and (payload[1] & 0xF0) == 0xF0
+                and ((payload[1] >> 1) & 0x3) == 0b01):
+            # REAL perceptual codec, the web's dominant one: pure-numpy
+            # MPEG-1 Audio Layer III "MP3" (functions/mp3.py — bit
+            # reservoir syntax, Huffman-coded spectrum, alias reduction,
+            # hybrid IMDCT filterbank)
+            from ..functions.mp3 import decode_mp3
+
+            y, _sr = decode_mp3(payload)
+            return y.astype(np.float32)
         raise NotImplementedError(
-            "audio codecs beyond WAV(PCM16/mu-law/ADPCM)/FLAC/MP2 "
+            "audio codecs beyond WAV(PCM16/mu-law/ADPCM)/FLAC/MP2/MP3 "
             "require libav/soundfile — not available in this container; "
             "plug the codec in here (loaded once per actor)")
 
@@ -711,6 +724,38 @@ def make_mp2_media(n: int, seed: int = 0) -> pa.Table:
              + 0.1 * np.sin(2 * np.pi * f3 * t)
              + rng.normal(0, 0.005, len(t)))
         payloads.append(encode_mp2(np.clip(x, -0.99, 0.99)))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array(["audio"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(np.full(n, 0, np.int32)),
+            "height": pa.array(np.full(n, 0, np.int32)),
+            "sample_rate": pa.array(np.full(n, sr, np.int32)),
+            "n_frames": pa.array(np.full(n, 1, np.int32)),
+        }
+    )
+
+
+def make_mp3_media(n: int, seed: int = 0) -> pa.Table:
+    """Fixture with GENUINE MPEG-1 Layer III ("MP3") payloads: seeded
+    tonal-mix clips at the codec's 48 kHz / 320 kbps mono operating
+    point, alternating plain and scalefactor+SCFSI-bearing frames — the
+    perceptual-codec shape web audio corpora overwhelmingly carry."""
+    from ..functions.mp3 import SAMPLE_RATE, encode_mp3
+
+    rng = np.random.RandomState(seed)
+    sr = SAMPLE_RATE
+    payloads = []
+    for i in range(n):
+        t = np.arange(int(sr * rng.uniform(0.1, 0.3))) / sr
+        f1, f2, f3 = rng.uniform(80, 8000, 3)
+        x = (0.5 * np.sin(2 * np.pi * f1 * t)
+             + 0.25 * np.sin(2 * np.pi * f2 * t)
+             + 0.1 * np.sin(2 * np.pi * f3 * t)
+             + rng.normal(0, 0.005, len(t)))
+        payloads.append(encode_mp3(np.clip(x, -0.99, 0.99),
+                                   uniform_scf=(i % 3 == 0) * 2))
     return pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),
