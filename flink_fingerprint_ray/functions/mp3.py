@@ -436,8 +436,16 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
     t = _bv_table()
     dec, maxlen = t["dec"], t["maxlen"]
     pos, n = 0, len(data)
+    # real web MP3s lead with an ID3v2 tag: "ID3" + ver(2) + flags(1)
+    # + syncsafe 28-bit size; skip it (and any ID3v1 trailer) per the
+    # public id3.org layout
+    if data[:3] == b"ID3" and n >= 10:
+        size = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+                | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
+        pos = 10 + size + (10 if data[5] & 0x10 else 0)   # footer flag
+    if data[n - 128:n - 125] == b"TAG":
+        n -= 128
     granules, md_buf = [], b""
-    md_off = []                       # bit offset of each frame's data in md_buf
     while pos + 4 <= n:
         b0, b1, b2, _b3 = data[pos:pos + 4]
         if b0 != 0xFF or (b1 & 0xF0) != 0xF0:
@@ -474,7 +482,6 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
         if start_bit < 0:
             raise ValueError("main_data_begin points before stream start")
         md_buf += data[pos + 4 + SIDE_INFO_BYTES:pos + frame_bytes]
-        md_off.append(start_bit)
         granules.append((gr_info, scfsi, start_bit))
         pos += frame_bytes
     if not granules:

@@ -197,7 +197,8 @@ class LibraryDecoder:
 
             y, _sr = decode_mp2(payload)
             return y.astype(np.float32)
-        if (len(payload) >= 4 and payload[0] == 0xFF
+        if payload[:3] == b"ID3" or (
+                len(payload) >= 4 and payload[0] == 0xFF
                 and (payload[1] & 0xF0) == 0xF0
                 and ((payload[1] >> 1) & 0x3) == 0b01):
             # REAL perceptual codec, the web's dominant one: pure-numpy

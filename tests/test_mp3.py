@@ -100,6 +100,25 @@ def test_broken_sync_and_wrong_operating_point_raise():
         decode_mp3(encode_mp2(x))
 
 
+def test_id3_tags_are_skipped():
+    """Web MP3s carry ID3v2 headers and ID3v1 trailers; the decoder must
+    skip both (syncsafe size arithmetic) and decode the frames."""
+    x = _tonal(6000, seed=7)
+    enc = encode_mp3(x)
+    body = b"TPE1\x00\x00\x00\x05\x00\x00\x00engn" * 8
+    size = len(body)
+    syncsafe = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                      (size >> 7) & 0x7F, size & 0x7F])
+    tagged = b"ID3\x04\x00\x00" + syncsafe + body + enc \
+        + b"TAG" + b"\x00" * 125
+    y, _ = decode_mp3(tagged)
+    assert _snr(x, y) > 40.0
+    # dispatch accepts the ID3-prefixed payload too
+    from flink_fingerprint_ray.stages.media import LibraryDecoder
+    y2 = LibraryDecoder().decode_audio(tagged, SAMPLE_RATE)
+    assert np.allclose(y2[:len(x)], y[:len(x)], atol=1e-6)
+
+
 def test_determinism():
     x = _tonal(7000, seed=9)
     assert encode_mp3(x) == encode_mp3(x)
