@@ -62,7 +62,7 @@ import numpy as np
 
 from .flac import _BitReader, _BitWriter
 from .mp2 import DELAY as _POLY_DELAY
-from .mp2 import _analyze, _synthesize
+from .mp2 import _analyze, _pack_codes, _synthesize
 
 SAMPLE_RATE = 48_000
 BITRATE_KBPS = 320
@@ -280,28 +280,37 @@ def _granule_bits(ix: np.ndarray, bv: int, n4: int) -> int:
 
 def _emit_granule(bw: _BitWriter, ix: np.ndarray, sign: np.ndarray,
                   bv: int, n4: int) -> None:
+    """Vectorized granule emission: every field of every code becomes
+    one (value, width) slot — Huffman code, optional linbits, optional
+    sign — and ``mp2._pack_codes`` packs the whole granule in one
+    arbitrary-width numpy pass (width-0 slots vanish in np.repeat)."""
     t = _bv_table()
     lens, codes = t["len"], t["code"]
-    for p in range(bv):
-        x, y = int(ix[2 * p]), int(ix[2 * p + 1])
-        cx, cy = min(x, _ESC), min(y, _ESC)
+    if bv:
+        pairs = ix[:2 * bv].reshape(-1, 2)
+        sg = sign[:2 * bv].reshape(-1, 2)
+        cx = np.minimum(pairs[:, 0], _ESC)
+        cy = np.minimum(pairs[:, 1], _ESC)
         sym = cx * 16 + cy
-        bw.write(int(codes[sym]), int(lens[sym]))
-        if cx == _ESC:
-            bw.write(x - _ESC, _LINBITS)
-        if x:
-            bw.write(int(sign[2 * p]), 1)
-        if cy == _ESC:
-            bw.write(y - _ESC, _LINBITS)
-        if y:
-            bw.write(int(sign[2 * p + 1]), 1)
-    base = 2 * bv
-    for q in range(n4):
-        v4 = [int(ix[base + 4 * q + j]) for j in range(4)]
-        bw.write(_count1_code(*v4), 4)
-        for j in range(4):
-            if v4[j]:
-                bw.write(int(sign[base + 4 * q + j]), 1)
+        vals = np.column_stack([
+            codes[sym], pairs[:, 0] - _ESC, sg[:, 0],
+            pairs[:, 1] - _ESC, sg[:, 1]]).reshape(-1)
+        widths = np.column_stack([
+            lens[sym],
+            np.where(pairs[:, 0] >= _ESC, _LINBITS, 0),
+            (pairs[:, 0] != 0).astype(np.int64),
+            np.where(pairs[:, 1] >= _ESC, _LINBITS, 0),
+            (pairs[:, 1] != 0).astype(np.int64)]).reshape(-1)
+        _pack_codes(bw, np.maximum(vals, 0), widths)
+    if n4:
+        quads = ix[2 * bv:2 * bv + 4 * n4].reshape(-1, 4)
+        sq = sign[2 * bv:2 * bv + 4 * n4].reshape(-1, 4)
+        ccode = 15 - quads @ np.array([8, 4, 2, 1], np.int64)
+        vals = np.column_stack([ccode, sq]).reshape(-1)
+        widths = np.column_stack([
+            np.full(n4, 4, np.int64),
+            (quads != 0).astype(np.int64)]).reshape(-1)
+        _pack_codes(bw, vals, widths)
 
 
 def encode_mp3(pcm: np.ndarray, sample_rate: int = SAMPLE_RATE,
